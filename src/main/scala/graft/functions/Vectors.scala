@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ARRAY<FLOAT>` embedding columns.
+  *
+  * Built entirely from Spark higher-order functions (`zip_with` /
+  * `aggregate`), so every expression stays inside whole-stage codegen — no
+  * Scala UDF, no serialization boundary, and the same column expression
+  * scales from 500 fixture rows to a billion-row cluster table.
+  *
+  * All arithmetic is promoted to Double before accumulation; `aggregate`
+  * folds left-to-right, which matches DuckDB's sequential accumulation, so
+  * results are bit-identical across the oracle boundary (SURVEY.md §7.4).
+  */
+object Vectors {
+
+  /** Dot product of two float-array columns, accumulated in Double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean (L2) norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Reference-scaled similarity: cosine × 100, the `SIMILAR.similitud`
+    * weight in [0, 100] with slider granularity 0.01
+    * (reference streamlit_app.py:62, 168-169). Rounded to 4 decimals for
+    * cross-engine float stability (SURVEY.md §7.4).
+    */
+  def similitud(a: Column, b: Column): Column =
+    round(cosine(a, b) * lit(100.0), 4)
+
+  /** Squared L2 distance (useful for ANN variants / tests). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+}
