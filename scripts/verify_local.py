@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 scripts/verify_local.py [sfdir] [outdir]
+
+Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` already ran (or run
+with --run to invoke it). For each query result parquet in <outdir>, runs
+the matching oracle SQL from oracle_sql.json in DuckDB against views named
+by table basename, sorts columns by name, and compares values exactly
+(row order as produced — both sides carry a total ORDER BY per SURVEY §7.4).
+"""
+import json, os, subprocess, sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    if "--run" in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            cwd="/root/repo", capture_output=True, text=True)
+        if r.returncode != 0:
+            print(r.stdout[-4000:], r.stderr[-4000:])
+            sys.exit(1)
+        for line in r.stdout.splitlines():
+            if "[verify]" in line:
+                print(line)
+
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    declared = sorted(d for d in os.listdir(outdir)
+                      if os.path.isdir(os.path.join(outdir, d)))
+    n_ok = n_bad = 0
+    for name in declared:
+        got = con.execute(
+            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+        if name not in oracle:
+            print(f"  {name}: NO-ORACLE rows={len(got)}")
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"✗ {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got.columns) != list(exp.columns):
+            print(f"✗ {name}: columns differ spark={list(got.columns)} duck={list(exp.columns)}")
+            n_bad += 1
+            continue
+        if len(got) != len(exp):
+            print(f"✗ {name}: rowcount spark={len(got)} duck={len(exp)}")
+            n_bad += 1
+            continue
+        # exact value compare, cell by cell (mirrors a hash compare)
+        bad = None
+        for c in got.columns:
+            gv, ev = got[c].tolist(), exp[c].tolist()
+            for i, (g, e) in enumerate(zip(gv, ev)):
+                if g != e and not (g is None and e is None) \
+                        and not (isinstance(g, float) and isinstance(e, float)
+                                 and g != g and e != e) \
+                        and str(g) != str(e):
+                    bad = (c, i, g, e)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, g, e = bad
+            print(f"✗ {name}: first diff col={c} row={i} spark={g!r} duck={e!r}")
+            n_bad += 1
+        else:
+            print(f"✓ {name}: rows={len(got)}")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad, {len(declared)} declared")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,13 +26,24 @@ object Vectors {
   /** Euclidean (L2) norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in [-1, 1]; NULL when either vector is all-zero.
+    * The explicit zero-denominator guard matters because Spark 4 runs with
+    * ANSI mode on: a plain `/` would raise DIVIDE_BY_ZERO on the first
+    * degenerate embedding and kill the whole job — one bad row must not
+    * abort a 100 TB pairwise pass.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === lit(0.0), lit(null).cast("double"))
+      .otherwise(dot(a, b) / denom)
+  }
 
-  /** Reference-scaled similarity: cosine × 100, the `SIMILAR.similitud`
-    * weight in [0, 100] with slider granularity 0.01
-    * (reference streamlit_app.py:62, 168-169). Rounded to 4 decimals for
-    * cross-engine float stability (SURVEY.md §7.4).
+  /** Reference-scaled similarity: cosine × 100 — the `SIMILAR.similitud`
+    * edge weight (reference streamlit_app.py:62, 168-169). Cosine spans
+    * [-1, 1], so this spans **[-100, 100]**; the reference UI only exposes
+    * a [0, 100] slider, so edge-derivation queries (`sim_edges`) apply a
+    * non-negative threshold on top rather than clamping here. Rounded to
+    * 4 decimals for cross-engine float stability (SURVEY.md §7.4).
     */
   def similitud(a: Column, b: Column): Column =
     round(cosine(a, b) * lit(100.0), 4)

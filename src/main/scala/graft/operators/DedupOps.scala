@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication suite (SURVEY.md §2 B1 + the north-star LLM-pipeline ops):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup — all over the `documents` table.
+  *
+  * Scale notes (100 TB design):
+  *  - `dedup_exact` is a hash-shuffle groupBy on the text (at real scale,
+  *    groupBy on a 128-bit fingerprint of the text — same plan shape, tiny
+  *    shuffle payload; the fingerprint column is what `text_fingerprint`
+  *    in [[TextOps]] computes).
+  *  - `dedup_near` is the canonical LSH pipeline: per-doc signatures are a
+  *    single linear scan (all codegen'd higher-order functions), candidate
+  *    generation is an equi-join on (band, hash) — a standard shuffle
+  *    join on a low-cardinality-per-bucket key, NOT an O(n^2) cross join —
+  *    and only candidates pay the exact-Jaccard verification.
+  *  - `dedup_simhash` packs a document into one 32-bit signature, so the
+  *    candidate filter is a cheap integer XOR + popcount.
+  *  - Thresholds are calibrated to the synthetic fixtures (vocab of ~31
+  *    tokens makes random docs ~0.63 Jaccard-similar) but the plans are
+  *    data-independent.
+  */
+object DedupOps {
+
+  val NumHashes = 16
+  val Bands     = 4 // 4 rows per band
+  val JaccardThreshold = 0.9
+  val HammingMax = 3
+
+  private def toks(c: Column): Column = array_distinct(split(c, " "))
+
+  /** MinHash signature: for seed i, min over tokens of xxhash64(i, token).
+    * Seeded by prepending the seed column — one pass, fully codegen'd. */
+  private def minhashes(tokens: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      i => array_min(transform(tokens, t => xxhash64(i, t))))
+
+  /** LSH band digests: band b = hash of its 4 signature rows. */
+  private def bandHashes(mh: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(b,
+        element_at(mh, b * lit(4) + 1), element_at(mh, b * lit(4) + 2),
+        element_at(mh, b * lit(4) + 3), element_at(mh, b * lit(4) + 4)))
+
+  /** 32-bit SimHash over the distinct-token set (majority vote per bit of
+    * the murmur3 token hash). 32 bits keeps the fold far from Long overflow
+    * under ANSI mode. */
+  private def simhash32(tokens: Column): Column = {
+    val hashes = transform(tokens, t => hash(t).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    val bits = transform(sequence(lit(0), lit(31)), i =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(call_function("getbit", h, i) === 1, 1L).otherwise(-1L)) > 0, 1L)
+        .otherwise(0L))
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  }
+
+  /** doc_id + distinct-token set, reused by the pairwise variants. */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), toks(col("text")).as("toks"))
+
+  private def exactJaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: canonical survivor = min doc_id per identical text.
+    "dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "text")
+        .orderBy("doc_id")),
+
+    // MinHash + LSH banding: signature scan -> band equi-join -> exact
+    // Jaccard verify on candidates only. No oracle (hash-impl-specific
+    // banding); the pair set is property-tested against the exact
+    // pairwise `dedup_ngram` result in the spec suite.
+    "dedup_near" -> ((s, dir) => {
+      val sig = docTokens(s, dir)
+        .withColumn("bands", bandHashes(minhashes(col("toks"))))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("bands")).as(Seq("band", "bh")))
+      val a = sig.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("band"), col("bh"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("band"), col("bh"))
+      a.join(b, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          exactJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+        .distinct()
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-dup: 32-bit signatures, pairs within Hamming distance 3.
+    // No oracle (hash-impl-specific); property-tested.
+    "dedup_simhash" -> ((s, dir) => {
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"), simhash32(toks(col("text"))).as("sh"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .filter(col("hamming") <= HammingMax)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact pairwise token-set Jaccard >= 0.9 — the ground truth the LSH
+    // variants approximate. Quadratic by construction; at scale `dedup_near`
+    // is the candidate pre-filter and this expression verifies candidates.
+    "dedup_ngram" -> ((s, dir) => {
+      val a = docTokens(s, dir).select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val b = docTokens(s, dir).select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          exactJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-dup: top-100 most-similar document pairs by
+    // embedding cosine (fixture cosines top out at ~51, so a fixed
+    // threshold would be empty — rank instead).
+    "dedup_embed" -> ((s, dir) =>
+      SimilarityOps.pairwise(s, dir)
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"), col("similitud"))
+        .orderBy(col("similitud").desc, col("doc_a"), col("doc_b"))
+        .limit(100))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
+    "dedup_ngram" ->
+      s"""SELECT * FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(1.0 * len(list_intersect(list_distinct(string_split(a.text,' ')),
+                                                 list_distinct(string_split(b.text,' ')))) /
+                        len(list_distinct(string_split(a.text,' ') || string_split(b.text,' '))), 4) AS jaccard
+           FROM documents a, documents b WHERE a.doc_id < b.doc_id
+         ) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+    "dedup_embed" ->
+      """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+         FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+         ORDER BY similitud DESC, doc_a, doc_b LIMIT 100"""
+  )
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vectors
+
+/** Part A of SURVEY.md §2 — every data operation the reference app performs,
+  * re-hosted on Spark.
+  *
+  * The reference (streamlit_app.py) delegates these to MongoDB
+  * (`distinct`, equality `find`, `$text` search — streamlit_app.py:26-32,
+  * 137-148) and Neo4j (node list + 1-hop SIMILAR neighborhood —
+  * streamlit_app.py:48-71). Here each is a declarative DataFrame plan:
+  * Catalyst pushes the filters and projections into the Parquet scan
+  * (the reference's Mongo path misses column pruning entirely — SURVEY §4.1),
+  * and the similarity "graph" is derived on the fly from the embeddings
+  * table instead of being stored.
+  *
+  * Every query ends in a total-order `orderBy` mirrored in the DuckDB
+  * oracle SQL (SURVEY §7.4).
+  */
+object ProvidenciasOps {
+
+  /** Search terms for the `$text`-style queries (A5). Semantics pinned per
+    * SURVEY §7.5: lowercase whitespace tokens, OR-of-terms. */
+  val SearchTerms: Seq[String] = Seq("spark", "merge")
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — full collection scan (reference: collection.find({}), :31-32)
+    "scan_documents" -> ((s, dir) => docs(s, dir).orderBy("doc_id")),
+
+    // A2 — sorted distinct of a facet column (reference :26-27)
+    "distinct_sorted" -> ((s, dir) =>
+      docs(s, dir).select("lang").distinct().orderBy("lang")),
+
+    // A3 — equality selection on a string facet (reference :138, :141)
+    "filter_eq_string" -> ((s, dir) =>
+      docs(s, dir).filter(col("lang") === "es").orderBy("doc_id")),
+
+    // A4 — equality on the year-like facet (reference `anio`, :144)
+    "filter_eq_numeric" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+        .orderBy("o_orderkey")),
+
+    // A5 — full-text search, OR-of-terms (reference $text, :146-148)
+    "text_search" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(arrays_overlap(split(col("text"), " "),
+          lit(SearchTerms.toArray)))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // A6 — projection dropping the id/_body column (reference :39)
+    "project_drop_col" -> ((s, dir) =>
+      docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // A8 — list all graph node ids (reference :48-53)
+    "graph_node_ids" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(col("vec_id").as("id")).orderBy("id")),
+
+    // A9 — directed 1-hop SIMILAR neighborhood of node 0 with similitud in
+    // [10, 90] (reference :55-71). The edge is DERIVED: one broadcastable
+    // probe row joined against the embeddings table — no O(n^2) blow-up,
+    // scales to any table size because the probe side is a single row.
+    "similar_range" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("origen"), col("embedding").as("qv"))
+      val others = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("destino"), col("embedding"))
+      others.crossJoin(broadcast(probe))
+        .withColumn("similitud", Vectors.similitud(col("qv"), col("embedding")))
+        .filter(col("similitud").between(10, 90))
+        .select("origen", "destino", "similitud")
+        .orderBy("destino")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "scan_documents" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "distinct_sorted" ->
+      "SELECT DISTINCT lang FROM documents ORDER BY lang",
+    "filter_eq_string" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'es' ORDER BY doc_id",
+    "filter_eq_numeric" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(year(o_orderdate) AS INT) AS o_year
+         FROM orders WHERE year(o_orderdate) = 1996 ORDER BY o_orderkey""",
+    "text_search" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE len(list_intersect(string_split(text, ' '), ['spark','merge'])) > 0
+         ORDER BY doc_id""",
+    "project_drop_col" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "graph_node_ids" ->
+      "SELECT vec_id AS id FROM embeddings ORDER BY id",
+    "similar_range" ->
+      """SELECT * FROM (
+           SELECT a.vec_id AS origen, b.vec_id AS destino,
+                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id = 0 AND b.vec_id <> 0
+         ) WHERE similitud BETWEEN 10 AND 90 ORDER BY destino"""
+  )
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vectors
+
+/** B1 similarity suite (SURVEY.md §2): derive the reference's Neo4j-style
+  * `SIMILAR(similitud)` edge set from raw embeddings
+  * (reference streamlit_app.py:60-64), plus approximate-nearest-neighbor
+  * search over the embedding column.
+  *
+  * Scale notes (100 TB design):
+  *  - `sim_edges`/`sim_topk` are the exact O(n^2) pairwise forms — correct
+  *    and fine for dimension-table-sized inputs (n ≤ ~10^5 pairs fit one
+  *    shuffle). At data scale the LSH-banded candidate generation in
+  *    [[DedupOps.queries]] (`dedup_near`) is the pre-filter that replaces
+  *    the quadratic join; the verify step there reuses the same exact
+  *    cosine expression.
+  *  - `ann_ivf` is the scale path for similarity search: a coarse
+  *    quantizer (here the fixture's `label` column as the IVF partition)
+  *    prunes the search to one inverted list, so the probe cost is
+  *    |cluster| not |table|; centroids are a tiny broadcast.
+  *  - All cosine math is whole-stage-codegen'd higher-order functions
+  *    ([[Vectors]]) — no UDF serialization boundary on the hot path.
+  */
+object SimilarityOps {
+
+  /** sim_edges keeps pairs with similitud >= this (reference UI slider is
+    * [0,100]; fixture cosines span [-55, 51] so 30 yields a sparse graph). */
+  val EdgeThreshold = 30.0
+
+  /** Embeddings with columns renamed for a self-join side. */
+  private def side(s: SparkSession, dir: String, id: String, v: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id").as(id), col("embedding").as(v))
+
+  /** All ordered pairs (src != dst) with their similitud, pre-threshold. */
+  def pairwise(s: SparkSession, dir: String): DataFrame =
+    side(s, dir, "src", "va").join(side(s, dir, "dst", "vb"), col("src") =!= col("dst"))
+      .withColumn("similitud", Vectors.similitud(col("va"), col("vb")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Derived SIMILAR edge table: triangular (src < dst) to halve the join,
+    // thresholded to keep the edge set sparse.
+    "sim_edges" -> ((s, dir) =>
+      side(s, dir, "src", "va").join(side(s, dir, "dst", "vb"), col("src") < col("dst"))
+        .withColumn("similitud", Vectors.similitud(col("va"), col("vb")))
+        .filter(col("similitud") >= EdgeThreshold)
+        .select("src", "dst", "similitud")
+        .orderBy("src", "dst")),
+
+    // Top-5 most-similar neighbors per node (ties broken by dst id).
+    "sim_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("src").orderBy(col("similitud").desc, col("dst"))
+      pairwise(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("src", "dst", "similitud", "rn")
+        .orderBy("src", "rn")
+    }),
+
+    // Brute-force cosine top-10 for one probe vector (vec_id 42) — the
+    // exact-ANN baseline. The probe is a broadcast single row, so this is
+    // one scan of the table regardless of size.
+    "ann_brute" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
+        .select(col("embedding").as("qv"))
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 42)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), Vectors.similitud(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF-style ANN (scale path): coarse-quantize by the `label` cluster
+    // column, probe only the nearest inverted list (nprobe=1). Centroids
+    // are per-dimension means — computed distributively via posexplode +
+    // groupBy, never collected to the driver. No DuckDB oracle (argmax of
+    // derived centroids is not SQL-stable); validated by the recall spec.
+    "ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg("v").as("v"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("label"), transform(col("pv"), x => x.getField("v")).as("centroid"))
+      val q = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+      val bestLabel = centroids.crossJoin(broadcast(q))
+        .select(col("label"), Vectors.cosine(col("centroid"), col("qv")).as("csim"))
+        .orderBy(col("csim").desc, col("label"))
+        .limit(1)
+        .select("label")
+      e.join(broadcast(bestLabel), "label")
+        .filter(col("vec_id") =!= 42)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), Vectors.similitud(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sim_edges" ->
+      s"""SELECT * FROM (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+         ) WHERE similitud >= $EdgeThreshold ORDER BY src, dst""",
+    "sim_topk" ->
+      """SELECT src, dst, similitud, CAST(rn AS INT) AS rn FROM (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud,
+                  row_number() OVER (
+                    PARTITION BY a.vec_id
+                    ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                          CAST(b.embedding AS DOUBLE[])) * 100, 4) DESC,
+                             b.vec_id) AS rn
+           FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+         ) WHERE rn <= 5 ORDER BY src, rn""",
+    "ann_brute" ->
+      """SELECT vec_id,
+                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                  CAST((SELECT embedding FROM embeddings WHERE vec_id = 42) AS DOUBLE[])) * 100, 4) AS sim
+         FROM embeddings WHERE vec_id <> 42
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+  )
+}

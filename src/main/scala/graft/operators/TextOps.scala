@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis suite (SURVEY.md §2 B1 + north-star text ops): token
+  * frequencies, ranked search, per-facet stats, language-ID heuristic,
+  * quality scoring, token counting, and document fingerprinting — all over
+  * the `documents` table (the reference's `transcripciones` collection,
+  * streamlit_app.py:19-22).
+  *
+  * Everything is built from codegen'd built-ins (split / explode /
+  * higher-order functions) — a single linear scan per query, embarrassingly
+  * parallel at 100 TB; the only shuffle is the final groupBy/orderBy where
+  * semantics require one.
+  */
+object TextOps {
+
+  val RankedTerms: Seq[String] = Seq("spark", "merge", "join")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and deterministic — the point is the
+    * plan shape (argmax over per-list overlap counts in one scan). */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "y")
+  val StopFr: Seq[String] = Seq("le", "les", "de", "et")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und")
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Count of tokens that appear in `list` (with multiplicity). */
+  private def stopCount(toks: Column, list: Seq[String]): Column =
+    size(filter(toks, t => t.isin(list: _*)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Global term frequencies (word count — the UDTF/explode surface).
+    "text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))),
+
+    // A5 + relevance: score = number of distinct matched terms, desc.
+    "text_search_ranked" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(array_intersect(array_distinct(tokens(col("text"))),
+            lit(RankedTerms.toArray))).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // Facet analytics the reference dropdowns imply (tipo/anio facets).
+    "doc_stats_by_lang" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")),
+
+    // Language-ID heuristic: stopword-overlap argmax with a fixed
+    // tie-break priority (en > es > fr > de).
+    "text_lang_id" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          stopCount(t, StopEn).as("s_en"), stopCount(t, StopEs).as("s_es"),
+          stopCount(t, StopFr).as("s_fr"), stopCount(t, StopDe).as("s_de"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+               col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+            .when(col("s_fr") >= col("s_de"), "fr")
+            .otherwise("de"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token count, mean token length, stopword ratio,
+    // and a categorical grade — the standard pre-training quality gates.
+    "text_quality" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(t).as("n_tokens"),
+          aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("char_sum"),
+          stopCount(t, StopEn).as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("char_sum").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"))
+        .withColumn("grade",
+          when(col("n_tokens").between(20, 500) && col("stop_ratio") < 0.5, "good")
+            .otherwise("low"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting two ways: whitespace tokens and a BPE-ish regex
+    // ([a-z]+ runs and digit runs as separate tokens).
+    "text_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Canonical document fingerprint: md5 over the sorted distinct token
+    // set (OpenRefine-style fingerprint) — the shuffle-key form of
+    // `dedup_exact` at scale.
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(tokens(col("text")))))).as("fp"))
+        .orderBy("doc_id"))
+  )
+
+  private def duckStop(list: Seq[String]): String =
+    list.mkString("['", "','", "']")
+
+  def oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token""",
+    "text_search_ranked" ->
+      s"""SELECT * FROM (
+           SELECT doc_id, lang,
+                  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                          ${duckStop(RankedTerms)})) AS INT) AS score
+           FROM documents
+         ) WHERE score > 0 ORDER BY score DESC, doc_id""",
+    "doc_stats_by_lang" ->
+      """SELECT lang, count(*) AS n_docs,
+                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+                max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "text_lang_id" ->
+      s"""SELECT doc_id, s_en, s_es, s_fr, s_de,
+                 CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                      WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                      WHEN s_fr >= s_de THEN 'fr'
+                      ELSE 'de' END AS predicted
+         FROM (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopEn)}, t))) AS INT) AS s_en,
+                  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopEs)}, t))) AS INT) AS s_es,
+                  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopFr)}, t))) AS INT) AS s_fr,
+                  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopDe)}, t))) AS INT) AS s_de
+           FROM documents
+         ) ORDER BY doc_id""",
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens,
+                 round(CAST(char_sum AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+                 round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+                 CASE WHEN n_tokens BETWEEN 20 AND 500
+                       AND round(CAST(n_stop AS DOUBLE) / n_tokens, 4) < 0.5
+                      THEN 'good' ELSE 'low' END AS grade
+         FROM (
+           SELECT doc_id,
+                  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+                  list_sum(list_transform(string_split(text,' '), x -> CAST(length(x) AS BIGINT))) AS char_sum,
+                  len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopEn)}, t))) AS n_stop
+           FROM documents
+         ) ORDER BY doc_id""",
+    "text_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         FROM documents ORDER BY doc_id"""
+  )
+}
