@@ -25,7 +25,13 @@ object SparkEntry {
     ProvidenciasOps.queries ++
       SimilarityOps.queries ++
       DedupOps.queries ++
-      TextOps.queries
+      TextOps.queries ++
+      RelationalOps.queries ++
+      JoinOps.queries ++
+      AggOps.queries ++
+      WindowOps.queries ++
+      FunctionOps.queries ++
+      StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (hash-/sketch-specific ops)
@@ -35,5 +41,11 @@ object SparkEntry {
     ProvidenciasOps.oracles ++
       SimilarityOps.oracles ++
       DedupOps.oracles ++
-      TextOps.oracles
+      TextOps.oracles ++
+      RelationalOps.oracles ++
+      JoinOps.oracles ++
+      AggOps.oracles ++
+      WindowOps.oracles ++
+      FunctionOps.oracles ++
+      StreamingOps.oracles
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Aggregation suite (SURVEY.md §2 B5).
+  *
+  * Scale notes (100 TB design):
+  *  - Every `groupBy.agg` here gets automatic partial (map-side) + final
+  *    aggregation from Catalyst — the shuffle carries one row per
+  *    (partition, group), not per input row.
+  *  - Large double sums are folded as DECIMAL (exact, order-independent)
+  *    and cast back to DOUBLE, so results are bit-identical regardless of
+  *    partition count or reduce order — at 1000 executors the fp summation
+  *    order is nondeterministic, and a correctness gate that depends on it
+  *    would flake (SURVEY §7.4). Ratios (averages) are safe as plain
+  *    doubles and are rounded to 4dp.
+  *  - `agg_approx_distinct` is the sketch path: HyperLogLog++ partial
+  *    states merge associatively, so a 100 TB distinct-count never shuffles
+  *    raw values. Sketch output is impl-specific → no DuckDB oracle;
+  *    bounded-error property lives in the ScalaTest suite.
+  *  - Rollup/cube/grouping-sets expand in the map phase; group columns are
+  *    coalesced to a sentinel so the oracle compare never depends on
+  *    cross-engine NULL ordering.
+  */
+object AggOps {
+
+  /** Discount-weighted average extended price: sum(p*d)/sum(d).
+    * The typed-`Aggregator` UDAF surface (B11) — partial `reduce` on
+    * executors, associative `merge` across partitions, `finish` on the
+    * final state only. */
+  object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    def merge(b1: (Double, Double), b2: (Double, Double)): (Double, Double) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    def finish(r: (Double, Double)): Double =
+      if (r._2 == 0.0) Double.NaN else r._1 / r._2
+    def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Exact decimal fold of a double column, returned as DOUBLE. */
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(28,10)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: per-(returnflag, linestatus) sums/avgs/count with
+    // derived expressions — the canonical partial-aggregation benchmark.
+    "agg_group_q1" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,10)")).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .cast("decimal(28,10)")).cast("double").as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Exact distinct customers per market segment.
+    "agg_count_distinct" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")),
+
+    // HLL++ approximate distinct users per event_type — sketch-specific,
+    // no oracle; ±5% property vs exact in AggSpec.
+    "agg_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    // Rollup nation→region order counts (group cols coalesced to '(all)'
+    // so the compare is NULL-ordering-independent).
+    "agg_rollup" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(28,10)")).cast("double").as("sum_acctbal"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("n_name"), lit("(all)")).as("n_name"),
+          col("n_customers"), col("sum_acctbal"))
+        .orderBy("r_name", "n_name")),
+
+    // Cube over (o_orderstatus, o_orderpriority).
+    "agg_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum("o_totalprice").as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // Explicit grouping sets via SQL (the spark.sql surface).
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+               coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+               count(1) AS n_orders
+        FROM graft_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+      """)
+    }),
+
+    // Custom UDAF: discount-weighted average price per return flag.
+    "agg_custom_wavg" -> ((s, dir) => {
+      val wavg = udaf(WeightedAvg,
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(wavg(col("l_extendedprice"), col("l_discount")), 4).as("wavg_price"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "agg_group_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_count_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_customers, count(*) AS n_orders
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS r_name,
+                coalesce(n_name, '(all)') AS n_name,
+                count(*) AS n_customers,
+                CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name, n_name""",
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+                coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+                count(*) AS n_orders,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+                coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+                count(*) AS n_orders
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "agg_custom_wavg" ->
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vectors
+
+/** Scalar-function families (SURVEY.md §2 B9) — one declared query per
+  * family, each a single projection over a fixture table. Everything is a
+  * built-in `org.apache.spark.sql.functions` call, so the whole query stays
+  * inside one WholeStageCodegen span: zero shuffles, a pure map over the
+  * scan, embarrassingly parallel at any scale.
+  *
+  * Array-typed results are reduced to scalars (size / element_at / folds)
+  * because the oracle compare is defined over scalar columns (SURVEY §7.4).
+  */
+object FunctionOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // String functions over part names.
+    "fn_string" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 1, 5).as("pre5"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"),
+          trim(col("p_name")).as("trimmed"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          size(split(col("p_name"), " ")).as("n_words"))
+        .orderBy("p_partkey")),
+
+    // Date/time functions over order dates.
+    "fn_date" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          datediff(current_date(), col("o_orderdate")).isNotNull.as("has_age"))
+        .orderBy("o_orderkey")),
+
+    // Math + conditional functions over lineitem prices.
+    "fn_math" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("rounded"),
+          abs(col("l_discount") - 0.05).as("abs_centered"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          floor(col("l_quantity")).as("qty_floor"),
+          round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+          when(col("l_quantity") > 30, "bulk")
+            .when(col("l_quantity") > 10, "mid")
+            .otherwise("small").as("qty_band"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — order
+        // by all outputs for a total compare order (§7.4).
+        .orderBy("l_orderkey", "l_linenumber", "rounded", "abs_centered",
+          "qty_ceil", "qty_floor", "disc_sq", "qty_band")),
+
+    // Array higher-order functions over embeddings (scalar-reduced).
+    "fn_array" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first"),
+          round(element_at(col("embedding"), -1).cast("double"), 4).as("last"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          round(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("sum_all"),
+          round(Vectors.dot(col("embedding"), col("embedding")), 4).as("self_dot"))
+        .orderBy("vec_id")),
+
+    // JSON extraction from the events props column.
+    "fn_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+          get_json_object(col("props"), "$.missing").as("absent"))
+        .orderBy("event_id")),
+
+    // Map construction + access — no DuckDB oracle (map comparison is not
+    // hash-stable across engines); the MapSpec suite covers semantics.
+    // Scalar projections keep the declared output oracle-comparable-shaped.
+    "fn_map" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          map_from_entries(array(
+            struct(lit("name"), col("n_name")),
+            struct(lit("region"), col("n_regionkey").cast("string")))).as("m"))
+        .select(col("n_nationkey"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(col("m"), "name").as("name_val"))
+        .orderBy("n_nationkey"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+                upper(p_name) AS up,
+                substring(p_name, 1, 5) AS pre5,
+                p_brand || '#' || p_type AS brand_type,
+                CAST(length(p_name) AS INT) AS name_len,
+                trim(p_name) AS trimmed,
+                regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+         FROM part ORDER BY p_partkey""",
+    "fn_date" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS d,
+                date_trunc('month', o_orderdate) AS month_start,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+                TRUE AS has_age
+         FROM orders ORDER BY o_orderkey""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice, 1) AS rounded,
+                abs(l_discount - 0.05) AS abs_centered,
+                CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+                CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+                round(pow(l_discount, 2), 6) AS disc_sq,
+                CASE WHEN l_quantity > 30 THEN 'bulk'
+                     WHEN l_quantity > 10 THEN 'mid'
+                     ELSE 'small' END AS qty_band
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, rounded, abs_centered,
+                  qty_ceil, qty_floor, disc_sq, qty_band""",
+    "fn_array" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS INT) AS dim,
+                round(CAST(embedding[1] AS DOUBLE), 4) AS first,
+                round(CAST(embedding[-1] AS DOUBLE), 4) AS last,
+                CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+                round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,
+                round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot
+         FROM embeddings ORDER BY vec_id""",
+    "fn_json" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+                json_extract_string(props, '$.missing') AS absent
+         FROM events ORDER BY event_id"""
+  )
+}

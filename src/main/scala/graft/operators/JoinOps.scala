@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Join suite (SURVEY.md §2 B4) over the TPC-H-ish star schema.
+  *
+  * The reference never joins locally — its only join-like operation is the
+  * Neo4j server-side edge expansion (streamlit_app.py:61). Here every join
+  * flavor is a declarative Catalyst plan:
+  *
+  * Scale notes (100 TB design):
+  *  - Big⋈big equi-joins (orders⋈customer, lineitem⋈orders) shuffle on the
+  *    join key and become sort-merge joins; AQE re-plans to broadcast when a
+  *    runtime side turns out small, and splits skewed partitions.
+  *  - Dimension joins ([[Tables.nation]]/[[Tables.region]]/[[Tables.supplier]])
+  *    carry an explicit `broadcast()` hint — a 25-row dim must never shuffle
+  *    a 100 TB fact table (`join_broadcast`).
+  *  - The non-equi range join (`join_theta_range`) keeps its equi key
+  *    (l_orderkey = o_orderkey) so Catalyst plans SMJ/SHJ with the range
+  *    predicate as a post-join filter — NOT a nested-loop cross product.
+  *  - The as-of join (`join_asof`) uses the single-shuffle union+window
+  *    idiom: tag both sides, sort within user by time, carry the last
+  *    at-or-before match forward with `last(..., ignoreNulls)`. One shuffle
+  *    on user_id, no range explosion, works at any scale (this is the
+  *    standard Spark formulation; DuckDB's native ASOF JOIN is the oracle).
+  */
+object JoinOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Equi inner join orders⋈customer (big⋈big: shuffle hash / SMJ).
+    "join_inner_hash" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // Left outer customer⟕orders — null-extending side preserved.
+    "join_left_outer" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
+
+    // Star join: fact lineitem through broadcast dims supplier→nation→region.
+    // Revenue per region; sums cast to DECIMAL so the fold is exact and
+    // order-independent across engines (SURVEY §7.4), then back to DOUBLE.
+    "join_broadcast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,10)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")),
+
+    // Left semi: customers with at least one order (EXISTS).
+    "join_semi" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Left anti: customers with no orders (NOT EXISTS).
+    "join_anti" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Non-equi range join: lineitems shipped within 90 days of their order
+    // date. Equi key + range predicate → SMJ with post-filter, not BNLJ.
+    "join_theta_range" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — include
+        // the payload in the ORDER BY for a total compare order (§7.4).
+        .orderBy("l_orderkey", "l_linenumber", "ship_lag_days")),
+
+    // As-of join: for every purchase event, the latest click by the same
+    // user at-or-before the purchase (ties on ts: click wins over the
+    // purchase; among clicks, the max event_id). Single shuffle on user_id.
+    "join_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tagged = ev
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_type") === "click").cast("int").as("is_click"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_id",
+          last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("is_click") === 1, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_id"), col("click_ts"))
+        .orderBy("event_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "join_inner_hash" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+    "join_broadcast" ->
+      """SELECT r_name,
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_theta_range" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INT) AS ship_lag_days
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+         ORDER BY l_orderkey, l_linenumber, ship_lag_days""",
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
+         FROM events p LEFT JOIN events c
+           ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase'
+         QUALIFY row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1
+         ORDER BY p.event_id"""
+  )
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scans, filters, sorts, and set operations (SURVEY.md §2 B2/B3/B7/B8).
+  *
+  * Scale notes (100 TB design):
+  *  - `scan_parquet_project` is the pushdown witness: the filter and the
+  *    2-column projection both reach the Parquet reader (PushedFilters +
+  *    ReadSchema in `.explain`), so row groups that can't match are never
+  *    decompressed — the difference between scanning 100 TB and 2 TB.
+  *    The PlanSpec suite asserts this on the physical plan.
+  *  - `sort_multi_limit` compiles to TakeOrderedAndProject: each partition
+  *    keeps its local top-k and only k rows per partition reach the driver
+  *    — a global sort of the full table never happens.
+  *  - Set operations are hash-based distinct shuffles; UNION ALL is a
+  *    zero-shuffle concatenation.
+  */
+object RelationalOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Columnar scan with projection + predicate pushdown.
+    "scan_parquet_project" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — order
+        // by every output column so the compare order is total (§7.4).
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // Compound predicate algebra: AND/OR/NOT, IN-list, BETWEEN, LIKE.
+    "filter_compound" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(
+          (col("l_returnflag") === "A" || col("l_linestatus") === "F") &&
+            col("l_quantity").between(10, 20) &&
+            col("l_returnflag").isin("A", "R") &&
+            !col("l_shipdate").isNull)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_type").like("%A%"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "p_type")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "p_type")),
+
+    // Multi-key ORDER BY + LIMIT → global top-k via TakeOrderedAndProject.
+    "sort_multi_limit" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(50)),
+
+    // UNION ALL of two predicate-disjoint key sets (kept as a multiset,
+    // deterministically ordered).
+    "set_union" -> ((s, dir) => {
+      val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val b = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select("c_custkey")
+      a.union(b).orderBy("c_custkey")
+    }),
+
+    // UNION DISTINCT of the same two sets.
+    "set_union_distinct" -> ((s, dir) => {
+      val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val b = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select("c_custkey")
+      a.union(b).distinct().orderBy("c_custkey")
+    }),
+
+    // INTERSECT (set semantics).
+    "set_intersect" -> ((s, dir) => {
+      val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val b = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select("c_custkey")
+      a.intersect(b).orderBy("c_custkey")
+    }),
+
+    // EXCEPT (set semantics).
+    "set_except" -> ((s, dir) => {
+      val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val b = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select("c_custkey")
+      a.except(b).orderBy("c_custkey")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "scan_parquet_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, p_type
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (l_returnflag = 'A' OR l_linestatus = 'F')
+           AND l_quantity BETWEEN 10 AND 20
+           AND l_returnflag IN ('A', 'R')
+           AND l_shipdate IS NOT NULL
+           AND p_type LIKE '%A%'
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, p_type""",
+    "sort_multi_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 50""",
+    "set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY c_custkey""",
+    "set_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY c_custkey""",
+    "set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY c_custkey""",
+    "set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY c_custkey"""
+  )
+}

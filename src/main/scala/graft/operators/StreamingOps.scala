@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Streaming suite, batch surface (SURVEY.md §2 B10, design §7.3).
+  *
+  * Each declared query here uses the exact expression a Structured
+  * Streaming job would (`window` / `session_window` are valid in both batch
+  * and streaming plans) evaluated in batch mode so DuckDB can oracle it.
+  * The incremental surface — `readStream`, watermarks, late-data drops,
+  * `dropDuplicatesWithinWatermark`, `flatMapGroupsWithState` — lives in
+  * [[graft.streaming.EventStreams]] and is exercised by the
+  * StreamingSpec `MemoryStream` tests (not oracle-able by a batch engine).
+  *
+  * Scale notes: tumbling/sliding aggregation state is bounded by
+  * (#windows × #groups) and evicted by the watermark; session windows merge
+  * per key. All three shuffle once on the group key — same plan shape at
+  * 100 TB/day as on the fixture.
+  */
+object StreamingOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 5-minute tumbling count + sum(value) per event_type.
+    "stream_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("wstart", "event_type")),
+
+    // 10-minute windows sliding every 5 minutes (each event lands in 2).
+    "stream_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("wstart", "event_type")),
+
+    // Session windows per user, 30-minute gap: a new session starts when
+    // the inter-event gap is >= 30 min (session_window's half-open
+    // [start, last+gap) interval).
+    "stream_session" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // time_bucket's default origin (2000-01-01) is a whole multiple of
+    // 5/10 minutes from Spark's epoch origin, so bucket edges coincide.
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP)) AS wstart,
+                event_type, count(*) AS n_events,
+                CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events GROUP BY wstart, event_type
+         ORDER BY wstart, event_type""",
+    "stream_sliding" ->
+      """SELECT wstart, event_type, count(*) AS n_events,
+                CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM (
+           SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP)) AS wstart,
+                  event_type, value
+           FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTES AS wstart,
+                  event_type, value
+           FROM events
+         ) GROUP BY wstart, event_type
+         ORDER BY wstart, event_type""",
+    "stream_session" ->
+      """WITH ordered AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events
+         ), marked AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+           FROM ordered
+         ), grouped AS (
+           SELECT user_id, ts, value,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM marked
+         )
+         SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+                CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM grouped GROUP BY user_id, grp
+         ORDER BY user_id, session_start"""
+  )
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window-function suite (SURVEY.md §2 B6).
+  *
+  * Scale notes (100 TB design):
+  *  - A window shuffles once on its partition key and sorts within
+  *    partitions; all four queries below partition on a natural
+  *    high-cardinality key (c_custkey / user_id), so no single partition
+  *    outgrows an executor. Never use an empty `partitionBy` at scale —
+  *    that serializes the whole table through one task.
+  *  - Every ORDER BY inside a window carries a unique tiebreak column so
+  *    frame contents — and therefore running fp sums — are deterministic
+  *    across engines and re-runs.
+  *  - The range frame orders by integer epoch seconds (floored) on both
+  *    engines, sidestepping cross-engine interval-arithmetic differences.
+  */
+object WindowOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-3 orders by totalprice per customer — all three ranking fns.
+    "win_rank_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running revenue per customer in order-date order (unique tiebreak on
+    // o_orderkey ⇒ the sequential fold order is identical in both engines,
+    // so the running double sum is bit-identical).
+    "win_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 4))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Gap in days between consecutive orders per customer (lag + lead).
+    "win_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          datediff(col("o_orderdate"), col("prev_date")).as("days_since_prev"),
+          col("next_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // 1-hour trailing average event value per user: range frame over
+    // floored epoch seconds (inclusive [t-3600, t], peers included).
+    "win_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("es"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, dir)
+        .withColumn("es", col("ts").cast("long"))
+        .withColumn("trailing_avg", round(avg(col("value")).over(w), 4))
+        .select("event_id", "user_id", "es", "trailing_avg")
+        .orderBy("event_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "win_rank_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER w AS rn,
+                  rank() OVER w AS rnk,
+                  dense_rank() OVER w AS drnk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+         ) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                round(sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "win_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                CAST(date_diff('day',
+                  CAST(lag(o_orderdate, 1) OVER w AS DATE),
+                  CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+                lead(o_orderkey, 1) OVER w AS next_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "win_range_frame" ->
+      """SELECT event_id, user_id, es,
+                round(avg(value) OVER (
+                  PARTITION BY user_id ORDER BY es
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS trailing_avg
+         FROM (SELECT event_id, user_id, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS es
+               FROM events)
+         ORDER BY event_id"""
+  )
+}
