@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Fixture table readers (TESTDATA.md). One parquet file per table.
   *
   * All declared queries read through here so that scan behavior is uniform:
   * plain `spark.read.parquet` — Catalyst pushes predicates/projections into
-  * the scan (verified via `.explain` in the test suite). At cluster scale the
-  * same call reads a partitioned directory tree unchanged.
+  * the scan (asserted on the physical plan in PlanSpec). At cluster scale
+  * the same call reads a partitioned directory tree unchanged.
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -15,7 +16,17 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) in Parquet, which Spark 4
+    * refuses to map to TimestampType (PARQUET_TYPE_ILLEGAL). Read it as a
+    * raw nanosecond Long (legacy flag) and truncate to a µs TimestampType
+    * column — the fixture's ns fractions are zero, so truncation is exact
+    * (verified against the footer; see FIXTURES.md). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")

@@ -87,17 +87,25 @@ object AggOps {
 
     // Rollup nation→region order counts (group cols coalesced to '(all)'
     // so the compare is NULL-ordering-independent).
-    "agg_rollup" -> ((s, dir) =>
-      Tables.customer(s, dir)
-        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(28,10)")).cast("double").as("sum_acctbal"))
-        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
-          coalesce(col("n_name"), lit("(all)")).as("n_name"),
-          col("n_customers"), col("sum_acctbal"))
-        .orderBy("r_name", "n_name")),
+    // Expressed in SQL: DataFrame `rollup` over a join trips Spark's
+    // ambiguous-self-join lineage detector (misfire — no self-join here);
+    // the SQL path resolves by name and plans the identical Expand+Agg.
+    "agg_rollup" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation")
+      Tables.region(s, dir).createOrReplaceTempView("graft_region")
+      s.sql("""
+        SELECT coalesce(r_name, '(all)') AS r_name,
+               coalesce(n_name, '(all)') AS n_name,
+               count(1) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS sum_acctbal
+        FROM graft_customer
+        JOIN graft_nation ON c_nationkey = n_nationkey
+        JOIN graft_region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name, n_name
+      """)
+    }),
 
     // Cube over (o_orderstatus, o_orderpriority).
     "agg_cube" -> ((s, dir) =>

@@ -89,8 +89,8 @@ object FunctionOps {
       Tables.nation(s, dir)
         .select(col("n_nationkey"),
           map_from_entries(array(
-            struct(lit("name"), col("n_name")),
-            struct(lit("region"), col("n_regionkey").cast("string")))).as("m"))
+            struct(lit("name").as("key"), col("n_name").as("value")),
+            struct(lit("region").as("key"), col("n_regionkey").cast("string").as("value")))).as("m"))
         .select(col("n_nationkey"),
           size(map_keys(col("m"))).as("n_keys"),
           element_at(col("m"), "name").as("name_val"))

@@ -74,11 +74,15 @@ object SimilarityOps {
         .limit(10)
     }),
 
-    // IVF-style ANN (scale path): coarse-quantize by the `label` cluster
-    // column, probe only the nearest inverted list (nprobe=1). Centroids
-    // are per-dimension means — computed distributively via posexplode +
-    // groupBy, never collected to the driver. No DuckDB oracle (argmax of
-    // derived centroids is not SQL-stable); validated by the recall spec.
+    // IVF ANN (scale path). Train: coarse centroids = per-dimension means
+    // seeded by the fixture `label` (one k-means step), computed
+    // distributively via posexplode + groupBy — never collected to the
+    // driver. Assign: every vector goes to its NEAREST centroid (true
+    // coarse quantization — the raw label is uncorrelated with cosine
+    // geometry in the fixture). Probe: the nprobe=3 nearest lists for the
+    // query, exact cosine only within them — cost |probed lists|, not |n|.
+    // No DuckDB oracle (argmax over derived centroids is not SQL-stable);
+    // validated by the SimilaritySpec recall test.
     "ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val centroids = e
@@ -86,14 +90,20 @@ object SimilarityOps {
         .groupBy("label", "pos").agg(avg("v").as("v"))
         .groupBy("label")
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("label"), transform(col("pv"), x => x.getField("v")).as("centroid"))
+        .select(col("label").as("list_id"),
+          transform(col("pv"), x => x.getField("v")).as("centroid"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("csim", Vectors.cosine(col("embedding"), col("centroid")))
+        .groupBy("vec_id")
+        .agg(max_by(col("list_id"), struct(col("csim"), -col("list_id"))).as("list_id"),
+          first(col("embedding")).as("embedding"))
       val q = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
-      val bestLabel = centroids.crossJoin(broadcast(q))
-        .select(col("label"), Vectors.cosine(col("centroid"), col("qv")).as("csim"))
-        .orderBy(col("csim").desc, col("label"))
-        .limit(1)
-        .select("label")
-      e.join(broadcast(bestLabel), "label")
+      val probed = centroids.crossJoin(broadcast(q))
+        .select(col("list_id"), Vectors.cosine(col("centroid"), col("qv")).as("csim"))
+        .orderBy(col("csim").desc, col("list_id"))
+        .limit(3)
+        .select("list_id")
+      assigned.join(broadcast(probed), "list_id")
         .filter(col("vec_id") =!= 42)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), Vectors.similitud(col("embedding"), col("qv")).as("sim"))

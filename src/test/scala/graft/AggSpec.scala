@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AggOps
+
+/** Aggregate semantics that the DuckDB oracle can't check (sketches) plus
+  * the UDAF surface. */
+class AggSpec extends SparkSpec {
+
+  test("approx_count_distinct is within 5% of exact per event_type") {
+    val approx = AggOps.queries("agg_approx_distinct")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, SfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"$k: approx=$a exact=$n beyond 5%")
+    }
+  }
+
+  test("WeightedAvg aggregator matches sum(p*d)/sum(d) directly") {
+    val rows = AggOps.queries("agg_custom_wavg")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = Tables.lineitem(spark, SfDir)
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")) /
+        sum(col("l_discount")), 4).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet === direct.keySet)
+    rows.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6) }
+  }
+
+  test("fn_map builds maps with the declared keys and values") {
+    val r = graft.operators.FunctionOps.queries("fn_map")(spark, SfDir)
+      .filter(col("n_nationkey") === 0).collect()(0)
+    assert(r.getAs[Int]("n_keys") === 2)
+    assert(r.getAs[String]("name_val") != null)
+  }
+}

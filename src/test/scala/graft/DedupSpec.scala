@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** Dedup-family semantics on sf0.001 (SURVEY §5.2 tier 2/3). The LSH and
+  * SimHash variants have no DuckDB oracle, so their guarantees are pinned
+  * here instead. */
+class DedupSpec extends SparkSpec {
+
+  private def q(name: String) = DedupOps.queries(name)(spark, SfDir)
+
+  test("dedup_exact is idempotent and keeps the min doc_id per text") {
+    val once = q("dedup_exact")
+    val docs = Tables.documents(spark, SfDir)
+    assert(once.count() === docs.select("text").distinct().count())
+    // survivor is the min id of its text group
+    val joined = once.as("d").join(docs.as("o"), "text")
+      .groupBy(col("d.text")).agg(min(col("o.doc_id")).as("min_id"),
+        first(col("d.doc_id")).as("kept"))
+    assert(joined.filter(col("min_id") =!= col("kept")).count() === 0)
+  }
+
+  test("dedup_near (MinHash LSH, verified) is a subset of exact pairwise dedup_ngram") {
+    val lsh = q("dedup_near").select("doc_a", "doc_b")
+    val exact = q("dedup_ngram").select("doc_a", "doc_b")
+    // candidates are verified with the exact Jaccard expression, so LSH can
+    // only lose pairs (banding false negatives), never invent them
+    assert(lsh.except(exact).count() === 0)
+    // recall: banding with 4 bands x 4 rows at threshold 0.9 keeps ~all
+    val exactN = exact.count()
+    val lshN = lsh.count()
+    assert(exactN > 0, "fixture should contain near-dup pairs")
+    assert(lshN.toDouble / exactN >= 0.95,
+      s"LSH recall $lshN/$exactN below 0.95")
+  }
+
+  test("dedup_simhash pairs are symmetric-free (a < b) and within Hamming 3") {
+    val sh = q("dedup_simhash")
+    assert(sh.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(sh.filter(col("hamming") > DedupOps.HammingMax).count() === 0)
+  }
+
+  test("dedup_embed returns the top-100 pairs ordered by similarity") {
+    val rows = q("dedup_embed").collect()
+    assert(rows.length === 100)
+    val simsCol = rows.map(_.getAs[Double]("similitud"))
+    assert(simsCol.zip(simsCol.tail).forall { case (a, b) => a >= b })
+  }
+}

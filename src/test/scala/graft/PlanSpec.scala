@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators.{AggOps, JoinOps, RelationalOps, StreamingOps}
+
+/** Physical-plan assertions (SURVEY §4.2 / the scale contract): pushdown
+  * reaches the Parquet scan, dims broadcast, top-k never global-sorts.
+  * These are the properties that matter at 100 TB and are invisible to the
+  * row-level oracle, so they're pinned against `.explain` output here.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("scan_parquet_project pushes filter and projection into the scan") {
+    val plan = planOf(RelationalOps.queries("scan_parquet_project")(spark, SfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$plan")
+    // projection pruning: the read schema must not include unused columns
+    assert(!plan.contains("l_extendedprice"), s"column pruning failed:\n$plan")
+  }
+
+  test("join_broadcast plans BroadcastHashJoin for all three dims") {
+    val plan = planOf(JoinOps.queries("join_broadcast")(spark, SfDir))
+    // formatted AQE output repeats nodes (tree + details), so count >= 3
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n >= 3, s"expected 3 broadcast joins, got $n:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$plan")
+  }
+
+  test("sort_multi_limit plans TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(RelationalOps.queries("sort_multi_limit")(spark, SfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("agg_group_q1 plans partial (map-side) aggregation before the shuffle") {
+    val plan = planOf(AggOps.queries("agg_group_q1")(spark, SfDir))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pairs around one exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("window counts are conserved: tumbling windows partition the input") {
+    val total = Tables.events(spark, SfDir).count()
+    val windowed = StreamingOps.queries("stream_tumbling")(spark, SfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    assert(windowed === total)
+  }
+
+  test("sliding windows double-count each event exactly twice") {
+    val total = Tables.events(spark, SfDir).count()
+    val windowed = StreamingOps.queries("stream_sliding")(spark, SfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    assert(windowed === 2 * total)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** Similarity-search semantics on sf0.001: top-k shape, ANN recall of the
+  * IVF path against the brute-force baseline. */
+class SimilaritySpec extends SparkSpec {
+
+  private def q(name: String) = SimilarityOps.queries(name)(spark, SfDir)
+
+  test("sim_topk returns at most 5 neighbors per node, ranked") {
+    val perSrc = q("sim_topk").groupBy("src").agg(
+      count(lit(1)).as("n"), max("rn").as("max_rn"))
+    assert(perSrc.filter(col("n") > 5).count() === 0)
+    assert(perSrc.filter(col("max_rn") > 5).count() === 0)
+  }
+
+  test("sim_edges is triangular (src < dst) and above threshold") {
+    val e = q("sim_edges")
+    assert(e.filter(col("src") >= col("dst")).count() === 0)
+    assert(e.filter(col("similitud") < SimilarityOps.EdgeThreshold).count() === 0)
+  }
+
+  test("ann_ivf (nprobe=3) recalls a useful share of the brute-force top-10") {
+    val brute = q("ann_brute").select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = q("ann_ivf").select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = ivf.intersect(brute).size
+    // the fixture embeddings are near-uniform (max pairwise cosine ~0.5,
+    // neighbors spread across lists), the adversarial case for IVF —
+    // probing 3/10 lists must still beat the ~30% uniform baseline
+    assert(recall >= 3, s"IVF recalled only $recall/10 of brute-force top-10")
+    // and every IVF hit must be a genuine similarity (ranked output)
+    assert(ivf.size === 10)
+  }
+}

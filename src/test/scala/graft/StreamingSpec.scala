@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Incremental-execution tests (SURVEY §5.2 tier 2, §7.3): the same window
+  * expressions declared as batch queries run incrementally with watermarks;
+  * late data is dropped; stateful dedup and custom session state work. Not
+  * oracle-able by a batch engine — MemoryStream is the harness. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling watermark aggregation emits finalized windows and drops late data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStreams.tumblingCounts(df)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("append").start()
+    try {
+      // two events in window [0,5), one in [5,10)
+      input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(6), "view", 3.0))
+      query.processAllAvailable()
+      // advance event time far enough that the watermark (10 min) passes
+      // the first windows and finalizes them
+      input.addData((ts(40), "click", 4.0))
+      query.processAllAvailable()
+      // a late click for window [0,5) arrives after the watermark: dropped
+      input.addData((ts(3), "click", 99.0))
+      query.processAllAvailable()
+      input.addData((ts(60), "click", 5.0))
+      query.processAllAvailable()
+      val out = spark.table("tumbling_test")
+        .select("wstart", "event_type", "n_events", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out.contains((ts(0), "click", 2L, 3.0)), s"window [0,5) wrong: $out")
+      assert(out.contains((ts(5), "view", 1L, 3.0)), s"window [5,10) wrong: $out")
+      // the late event must NOT have bumped the finalized [0,5) window
+      assert(!out.exists { case (w, t, _, v) => w == ts(0) && t == "click" && v == 102.0 })
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event_ids across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val query = EventStreams.dedupWithinWatermark(df)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), 1.0), (2L, ts(2), 2.0))
+      query.processAllAvailable()
+      // same ids again within the watermark window → suppressed
+      input.addData((1L, ts(3), 1.0), (3L, ts(4), 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L), s"got $ids")
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState assembles sessions with a 30-minute gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.sessionizeWithState(input.toDS())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      // user 1: events at minute 0, 10 (one session), then 50 (gap 40 >= 30 → new)
+      input.addData(
+        EventStreams.Event(1L, ts(0), 1.0),
+        EventStreams.Event(1L, ts(10), 2.0),
+        EventStreams.Event(1L, ts(50), 4.0))
+      query.processAllAvailable()
+      // push event time forward so the second session times out too
+      input.addData(EventStreams.Event(2L, ts(200), 1.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(2L, ts(400), 1.0))
+      query.processAllAvailable()
+      val sessions = spark.table("session_test")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(sessions.contains((ts(0), 2L, 3.0)), s"first session wrong: $sessions")
+      assert(sessions.contains((ts(50), 1L, 4.0)), s"second session wrong: $sessions")
+    } finally query.stop()
+  }
+}
