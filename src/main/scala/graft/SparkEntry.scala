@@ -31,7 +31,8 @@ object SparkEntry {
       AggOps.queries ++
       WindowOps.queries ++
       FunctionOps.queries ++
-      StreamingOps.queries
+      StreamingOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (hash-/sketch-specific ops)
@@ -47,5 +48,6 @@ object SparkEntry {
       AggOps.oracles ++
       WindowOps.oracles ++
       FunctionOps.oracles ++
-      StreamingOps.oracles
+      StreamingOps.oracles ++
+      MultimodalOps.oracles
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ArrayExprs
 
 /** Deduplication suite (SURVEY.md §2 B1 + the north-star LLM-pipeline ops):
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
@@ -14,11 +15,18 @@ import graft.Tables
   *    groupBy on a 128-bit fingerprint of the text — same plan shape, tiny
   *    shuffle payload; the fingerprint column is what `text_fingerprint`
   *    in [[TextOps]] computes).
-  *  - `dedup_near` is the canonical LSH pipeline: per-doc signatures are a
-  *    single linear scan (all codegen'd higher-order functions), candidate
-  *    generation is an equi-join on (band, hash) — a standard shuffle
-  *    join on a low-cardinality-per-bucket key, NOT an O(n^2) cross join —
-  *    and only candidates pay the exact-Jaccard verification.
+  *  - Pairwise Jaccard runs on per-doc SORTED ARRAYS OF TOKEN HASHES
+  *    (computed once per doc, tiny vs the pair count) compared by the
+  *    codegen'd merge-loop [[ArrayExprs.sortedJaccard]] — the
+  *    `array_intersect`-based formulation evaluates interpreted per pair
+  *    and measured ~180 s at sf0.1; this one is a primitive long-merge
+  *    inside whole-stage codegen.
+  *  - `dedup_near` is the canonical LSH pipeline: signature scan →
+  *    candidate pairs from an equi-join on (band, hash) carrying ONLY ids
+  *    (the token arrays join back in afterwards, so the wide payload never
+  *    rides the candidate shuffle) → exact Jaccard verification on
+  *    candidates only. At 100 TB the band join is the only quadratic-risk
+  *    step and its blow-up is bounded by bucket sizes, not n².
   *  - `dedup_simhash` packs a document into one 32-bit signature, so the
   *    candidate filter is a cheap integer XOR + popcount.
   *  - Thresholds are calibrated to the synthetic fixtures (vocab of ~31
@@ -33,6 +41,13 @@ object DedupOps {
   val HammingMax = 3
 
   private def toks(c: Column): Column = array_distinct(split(c, " "))
+
+  /** Sorted distinct token-hash array — the per-doc shape every pairwise
+    * variant compares. xxhash64 over a ~31-token vocabulary is
+    * collision-free, so hash-set Jaccard == string-set Jaccard (the DuckDB
+    * oracle computes the string form). */
+  private def tokHashes(c: Column): Column =
+    array_sort(transform(toks(c), t => xxhash64(t)))
 
   /** MinHash signature: for seed i, min over tokens of xxhash64(i, token).
     * Seeded by prepending the seed column — one pass, fully codegen'd. */
@@ -59,12 +74,12 @@ object DedupOps {
     aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
   }
 
-  /** doc_id + distinct-token set, reused by the pairwise variants. */
-  private def docTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"), toks(col("text")).as("toks"))
+  /** doc_id + sorted token-hash array, reused by the pairwise variants. */
+  private def docHashes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), tokHashes(col("text")).as("th"))
 
-  private def exactJaccard(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
+  private def jaccard(a: Column, b: Column): Column =
+    round(ArrayExprs.sortedJaccard(a, b), 4)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical survivor = min doc_id per identical text.
@@ -74,25 +89,27 @@ object DedupOps {
         .select("doc_id", "text")
         .orderBy("doc_id")),
 
-    // MinHash + LSH banding: signature scan -> band equi-join -> exact
-    // Jaccard verify on candidates only. No oracle (hash-impl-specific
-    // banding); the pair set is property-tested against the exact
-    // pairwise `dedup_ngram` result in the spec suite.
+    // MinHash + LSH banding: signature scan -> band equi-join over ids
+    // only -> exact Jaccard verify on candidates. No oracle
+    // (hash-impl-specific banding); the pair set is property-tested
+    // against the exact pairwise `dedup_ngram` result in DedupSpec.
     "dedup_near" -> ((s, dir) => {
-      val sig = docTokens(s, dir)
-        .withColumn("bands", bandHashes(minhashes(col("toks"))))
-        .select(col("doc_id"), col("toks"),
-          posexplode(col("bands")).as(Seq("band", "bh")))
-      val a = sig.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-        col("band"), col("bh"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-        col("band"), col("bh"))
-      a.join(b, Seq("band", "bh"))
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(bandHashes(minhashes(toks(col("text"))))).as(Seq("band", "bh")))
+      val th = docHashes(s, dir)
+      // verify every candidate OCCURRENCE (a pair can match in up to 4
+      // bands) and dedupe only the rare survivors: the merge-loop Jaccard
+      // is cheaper than shuffling all candidate pairs through a distinct
+      sig.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          exactJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
-        .distinct()
+        .join(broadcast(th.select(col("doc_id").as("doc_a"), col("th").as("th_a"))), "doc_a")
+        .join(broadcast(th.select(col("doc_id").as("doc_b"), col("th").as("th_b"))), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -114,11 +131,10 @@ object DedupOps {
     // variants approximate. Quadratic by construction; at scale `dedup_near`
     // is the candidate pre-filter and this expression verifies candidates.
     "dedup_ngram" -> ((s, dir) => {
-      val a = docTokens(s, dir).select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      val b = docTokens(s, dir).select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      val a = docHashes(s, dir).select(col("doc_id").as("doc_a"), col("th").as("th_a"))
+      val b = docHashes(s, dir).select(col("doc_id").as("doc_b"), col("th").as("th_b"))
       a.join(b, col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          exactJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
         .orderBy("doc_a", "doc_b")
     }),

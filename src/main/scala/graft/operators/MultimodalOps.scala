@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column suite (north-star: treat image/audio/video as opaque
+  * BINARY columns with typed metadata; decode / feature-extract /
+  * frame-sample over them).
+  *
+  * The container has no media codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[Codecs]]); everything Spark-side —
+  * the binary column + metadata schema, the per-partition batch shape a
+  * real codec plugs into, partitioning, and the declared query surface —
+  * is real and tested (MultimodalSpec + DuckDB oracles on the byte-level
+  * plumbing).
+  *
+  * Scale notes: payloads stay opaque BINARY end to end — no
+  * driver-side materialization, no row-by-row JVM<->native churn; a real
+  * deployment swaps [[Codecs.imageFeaturesStub]] for a codec invoked in
+  * [[MultimodalOps.decodeFeatures]]'s `mapPartitions` (one codec init per
+  * partition, streaming batches through it). Frame sampling is pure byte
+  * arithmetic pushed into the scan projection.
+  */
+object MultimodalOps {
+
+  /** Bytes per synthetic "frame" of a payload. */
+  val FrameBytes = 16
+  /** Keep every k-th frame when sampling. */
+  val SampleEvery = 4
+  /** Fake feature-vector dimension produced by the stub decoder. */
+  val FeatureDim = 8
+
+  /** The media table: documents re-ingested as (id, opaque payload bytes,
+    * metadata struct). In production this is `spark.read.format("binaryFile")`
+    * or a Parquet table with a real BINARY column; the fixture derives the
+    * payload from `text` so every byte is deterministic. */
+  def media(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        to_binary(col("text"), lit("utf-8")).as("payload"),
+        struct(
+          lit("text/plain").as("format"),
+          col("source").as("origin"),
+          octet_length(to_binary(col("text"), lit("utf-8"))).cast("long").as("n_bytes")).as("meta"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata projection over opaque payloads: size, format, content hash.
+    "mm_meta" -> ((s, dir) =>
+      media(s, dir)
+        .select(col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"),
+          md5(col("payload")).as("content_md5"))
+        .orderBy("doc_id")),
+
+    // Frame sampling as byte arithmetic: 16-byte frames, keep every 4th;
+    // emit counts and the hash of the first sampled frame — all of it
+    // plain scan-side projection (verifiable byte-level in DuckDB).
+    "mm_frame_sample" -> ((s, dir) =>
+      media(s, dir)
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          ceil(col("meta.n_bytes").cast("double") / FrameBytes).as("n_frames"),
+          substring(col("payload"), 1, FrameBytes).as("frame0"))
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+          ceil(col("n_frames").cast("double") / SampleEvery).cast("long").as("n_sampled"),
+          md5(col("frame0")).as("frame0_md5"))
+        .orderBy("doc_id")),
+
+    // Stub decode -> fixed-dim feature vector; scalar-reduced projection
+    // of the vector for the declared surface. No oracle (the stub decoder
+    // is impl-specific); MultimodalSpec pins shape + determinism.
+    "mm_decode_features" -> ((s, dir) => {
+      import s.implicits._
+      decodeFeatures(media(s, dir).select(col("doc_id"), col("payload")).as[MediaRow])
+        .select(col("doc_id"),
+          size(col("feature")).as("dim"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
+          round(aggregate(col("feature"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")) / FeatureDim, 4).as("f_mean"))
+        .orderBy("doc_id")
+    })
+  )
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class FeatureRow(doc_id: Long, feature: Array[Float])
+
+  /** The batch decode shape: one codec context per partition, payloads
+    * streamed through it. The stub stands in for the native decode call. */
+  def decodeFeatures(ds: Dataset[MediaRow]): Dataset[FeatureRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // real deployment: initialize the codec (libjpeg/ffmpeg/...) HERE,
+      // once per partition, then decode each payload through it
+      rows.map(r => FeatureRow(r.doc_id, Codecs.imageFeaturesStub(r.payload)))
+    }
+  }
+
+  // DuckDB's md5/substring take VARCHAR; the fixture text is ASCII, so the
+  // varchar forms are byte-identical to Spark's binary forms.
+  def oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, 'text/plain' AS format,
+                octet_length(encode(text)) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, n_bytes,
+                 CAST(ceil(CAST(n_bytes AS DOUBLE) / $FrameBytes) AS BIGINT) AS n_frames,
+                 CAST(ceil(ceil(CAST(n_bytes AS DOUBLE) / $FrameBytes) / $SampleEvery) AS BIGINT) AS n_sampled,
+                 md5(substring(text, 1, $FrameBytes)) AS frame0_md5
+         FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, text FROM documents)
+         ORDER BY doc_id"""
+  )
+}
+
+/** STUB CODECS — the container ships no image/audio/video libraries.
+  * Each function documents the real implementation it stands in for and
+  * produces deterministic output so tests and the verify harness are
+  * stable. Swap these for real codec calls in deployment; nothing else in
+  * the pipeline changes. */
+object Codecs {
+
+  /** Stands in for: decode image bytes -> pixels -> pooled embedding
+    * (e.g. via a JNI-wrapped libjpeg + a vision model). Deterministic
+    * fake: k floats derived from a rolling FNV-1a hash over the bytes. */
+  def imageFeaturesStub(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](MultimodalOps.FeatureDim)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
+      out(i % MultimodalOps.FeatureDim) += ((h >>> 40).toInt & 0xffff) / 65536.0f
+      i += 1
+    }
+    out
+  }
+}

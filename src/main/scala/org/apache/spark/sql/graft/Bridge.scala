@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression lift for graft's custom Catalyst expressions.
+  *
+  * Spark 4 hides the Column(Expression) constructor behind
+  * `private[sql] classic.ExpressionUtils`, so extension libraries place a
+  * one-file bridge inside the `org.apache.spark.sql` namespace (the same
+  * pattern third-party Spark extensions use). Nothing else of graft lives
+  * outside the `graft` package.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayExprs, Vectors}
+
+/** Codegen-parity pins for the custom Catalyst expressions: the fused
+  * loops must produce bit-identical doubles to the HOF formulations they
+  * replace (same accumulation order), or the DuckDB oracle would drift. */
+class ArrayExprsSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(7)
+
+  test("FloatCosine is bit-identical to the HOF cosine on 200 random pairs") {
+    val pairs = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = spark.createDataFrame(pairs).toDF("a", "b")
+      .select(ArrayExprs.cosine(col("a"), col("b")).as("fused"),
+        Vectors.cosineHof(col("a"), col("b")).as("hof"))
+    assert(df.filter(col("fused") =!= col("hof")).count() === 0)
+  }
+
+  test("FloatCosine returns NULL on zero-norm input, like the guarded HOF") {
+    val zero = Seq.fill(8)(0.0f)
+    val v = Seq.fill(8)(1.0f)
+    val df = spark.createDataFrame(Seq((zero, v), (v, zero), (zero, zero)))
+      .toDF("a", "b")
+      .select(ArrayExprs.cosine(col("a"), col("b")).as("c"))
+    assert(df.filter(col("c").isNotNull).count() === 0)
+  }
+
+  test("SortedLongJaccard matches array_intersect/array_union on random sets") {
+    val sets = Seq.fill(200)((
+      Seq.fill(20)(rnd.nextInt(40).toLong).distinct.sorted,
+      Seq.fill(20)(rnd.nextInt(40).toLong).distinct.sorted))
+    val df = spark.createDataFrame(sets).toDF("a", "b")
+      .select(
+        ArrayExprs.sortedJaccard(col("a"), col("b")).as("fused"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b")))).as("ref"))
+    assert(df.filter(col("fused") =!= col("ref")).count() === 0)
+  }
+
+  test("SortedLongJaccard handles empty inputs (both empty -> NULL)") {
+    val df = spark.createDataFrame(Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L), Seq(1L, 2L))))
+      .toDF("a", "b")
+      .select(ArrayExprs.sortedJaccard(col("a"), col("b")).as("j"))
+    val got = df.collect().map(r => Option(r.get(0)))
+    assert(got(0).isEmpty)
+    assert(got(1).contains(0.0))
+    assert(got(2).contains(1.0))
+  }
+}
