@@ -35,6 +35,16 @@ object ArrayExprs {
   def sortedJaccard(a: Column, b: Column): Column =
     Bridge.column(SortedLongJaccard(
       Bridge.expression(a), Bridge.expression(b)))
+
+  /** k MinHash values over an ARRAY<BIGINT> token-hash set: for seed i,
+    * min over tokens of splitmix64(h ⊕ gamma·(i+1)). */
+  def minHashes(tokenHashes: Column, k: Int): Column =
+    Bridge.column(MinHashes(Bridge.expression(tokenHashes), k))
+
+  /** SimHash signature (`bits` wide, in the low bits of a long) over an
+    * ARRAY<BIGINT> token-hash set: per-bit majority vote. */
+  def simHash(tokenHashes: Column, bits: Int): Column =
+    Bridge.column(SimHash(Bridge.expression(tokenHashes), bits))
 }
 
 /** Fused dot/norms cosine over two float/double arrays (each side may be
@@ -176,4 +186,139 @@ case class SortedLongJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongJaccard =
     copy(left = newLeft, right = newRight)
+}
+
+/** k MinHash values per row in one fused loop (k × |tokens| long mixes —
+  * the `transform(sequence, array_min(transform(xxhash64)))` formulation
+  * evaluates ~5 µs per interpreted lambda call and dominated `dedup_near`).
+  * Mixing: splitmix64 finalizer over (tokenHash ⊕ seed·gamma) — an
+  * independent-enough family for banding (impl-specific; no oracle). */
+case class MinHashes(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<BIGINT>, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val m = MinHashes.mix(arr.getLong(i) ^ ((k + 1) * MinHashes.Gamma))
+        if (m < min) min = m
+        i += 1
+      }
+      out(k) = min
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val min = ctx.freshName("min"); val z = ctx.freshName("z")
+      val cls = MinHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+        |final int $n = $a.numElements();
+        |final long[] $out = new long[$numHashes];
+        |for (int $k = 0; $k < $numHashes; $k++) {
+        |  long $min = Long.MAX_VALUE;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    long $z = $cls.mix($a.getLong($i) ^ (($k + 1) * ${MinHashes.Gamma}L));
+        |    if ($z < $min) $min = $z;
+        |  }
+        |  $out[$k] = $min;
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashes =
+    copy(child = newChild)
+}
+
+object MinHashes {
+  final val Gamma = 0x9E3779B97F4A7C15L
+
+  /** splitmix64 finalizer. */
+  def mix(v0: Long): Long = {
+    var v = v0
+    v ^= v >>> 30; v *= 0xBF58476D1CE4E5B9L
+    v ^= v >>> 27; v *= 0x94D049BB133111EBL
+    v ^ (v >>> 31)
+  }
+}
+
+/** SimHash over a token-hash array: majority vote per bit, one fused loop. */
+case class SimHash(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sim_hash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<BIGINT>, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var vote = 0
+      var i = 0
+      while (i < n) {
+        if (((arr.getLong(i) >>> b) & 1L) == 1L) vote += 1 else vote -= 1
+        i += 1
+      }
+      if (vote > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val vote = ctx.freshName("vote")
+      s"""
+        |final int $n = $a.numElements();
+        |long $sig = 0L;
+        |for (int $b = 0; $b < $bits; $b++) {
+        |  int $vote = 0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ((($a.getLong($i) >>> $b) & 1L) == 1L) $vote++; else $vote--;
+        |  }
+        |  if ($vote > 0) $sig |= (1L << $b);
+        |}
+        |${ev.value} = $sig;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
 }

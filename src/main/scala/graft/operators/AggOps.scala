@@ -131,6 +131,30 @@ object AggOps {
       """)
     }),
 
+    // Exact percentiles (sort-based, linear interpolation) per status.
+    "agg_percentiles" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Pivot (conditional aggregation over a pinned value list, so the
+    // output schema is static regardless of data).
+    "agg_pivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")),
+
     // Custom UDAF: discount-weighted average price per return flag.
     "agg_custom_wavg" -> ((s, dir) => {
       val wavg = udaf(WeightedAvg,
@@ -184,6 +208,19 @@ object AggOps {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus, o_orderpriority""",
+    "agg_percentiles" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+                count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                count(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_custom_wavg" ->
       """SELECT l_returnflag,
                 round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price

@@ -49,30 +49,15 @@ object DedupOps {
   private def tokHashes(c: Column): Column =
     array_sort(transform(toks(c), t => xxhash64(t)))
 
-  /** MinHash signature: for seed i, min over tokens of xxhash64(i, token).
-    * Seeded by prepending the seed column — one pass, fully codegen'd. */
-  private def minhashes(tokens: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      i => array_min(transform(tokens, t => xxhash64(i, t))))
-
-  /** LSH band digests: band b = hash of its 4 signature rows. */
+  /** LSH band digests over the MinHash signature ([[ArrayExprs.minHashes]],
+    * codegen'd — the HOF `transform(array_min(transform(xxhash64)))`
+    * formulation cost ~12 s per pass at sf0.1): band b = hash of its 4
+    * signature rows (a 4-element transform — negligible). */
   private def bandHashes(mh: Column): Column =
     transform(sequence(lit(0), lit(Bands - 1)),
       b => xxhash64(b,
         element_at(mh, b * lit(4) + 1), element_at(mh, b * lit(4) + 2),
         element_at(mh, b * lit(4) + 3), element_at(mh, b * lit(4) + 4)))
-
-  /** 32-bit SimHash over the distinct-token set (majority vote per bit of
-    * the murmur3 token hash). 32 bits keeps the fold far from Long overflow
-    * under ANSI mode. */
-  private def simhash32(tokens: Column): Column = {
-    val hashes = transform(tokens, t => hash(t).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
-    val bits = transform(sequence(lit(0), lit(31)), i =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("getbit", h, i) === 1, 1L).otherwise(-1L)) > 0, 1L)
-        .otherwise(0L))
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-  }
 
   /** doc_id + sorted token-hash array, reused by the pairwise variants. */
   private def docHashes(s: SparkSession, dir: String): DataFrame =
@@ -94,9 +79,10 @@ object DedupOps {
     // (hash-impl-specific banding); the pair set is property-tested
     // against the exact pairwise `dedup_ngram` result in DedupSpec.
     "dedup_near" -> ((s, dir) => {
-      val sig = Tables.documents(s, dir)
+      val sig = docHashes(s, dir)
         .select(col("doc_id"),
-          posexplode(bandHashes(minhashes(toks(col("text"))))).as(Seq("band", "bh")))
+          posexplode(bandHashes(ArrayExprs.minHashes(col("th"), NumHashes)))
+            .as(Seq("band", "bh")))
       val th = docHashes(s, dir)
       // verify every candidate OCCURRENCE (a pair can match in up to 4
       // bands) and dedupe only the rare survivors: the merge-loop Jaccard
@@ -116,8 +102,8 @@ object DedupOps {
     // SimHash near-dup: 32-bit signatures, pairs within Hamming distance 3.
     // No oracle (hash-impl-specific); property-tested.
     "dedup_simhash" -> ((s, dir) => {
-      val sig = Tables.documents(s, dir)
-        .select(col("doc_id"), simhash32(toks(col("text"))).as("sh"))
+      val sig = docHashes(s, dir)
+        .select(col("doc_id"), ArrayExprs.simHash(col("th"), 32).as("sh"))
       val a = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.join(b, col("doc_a") < col("doc_b"))

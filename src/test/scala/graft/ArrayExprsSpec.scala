@@ -42,6 +42,46 @@ class ArrayExprsSpec extends SparkSpec {
     assert(df.filter(col("fused") =!= col("ref")).count() === 0)
   }
 
+  test("MinHashes/SimHash match their interpreted eval and are Jaccard-sensitive") {
+    import graft.functions.ArrayExprs
+    val sets = Seq.fill(100)(Seq.fill(30)(rnd.nextLong()).distinct.sorted)
+    val df = spark.createDataFrame(sets.map(Tuple1(_))).toDF("th")
+      .select(col("th"),
+        ArrayExprs.minHashes(col("th"), 16).as("mh"),
+        ArrayExprs.simHash(col("th"), 32).as("sh"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("mh").length === 16)
+      val sh = r.getAs[Long]("sh")
+      assert(sh >= 0 && sh <= 0xFFFFFFFFL)
+    }
+    // identical sets -> identical signatures
+    val dup = spark.createDataFrame(Seq(Tuple1(sets.head), Tuple1(sets.head))).toDF("th")
+      .select(ArrayExprs.minHashes(col("th"), 16).as("mh")).collect()
+    assert(dup(0).getAs[scala.collection.Seq[Long]](0) === dup(1).getAs[scala.collection.Seq[Long]](0))
+  }
+
+  test("GraftExtensions registers the expressions as SQL functions") {
+    val spark0 = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val c = s2.sql("SELECT float_cosine(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c").collect()(0).getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+      val j = s2.sql("SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+        .collect()(0).getDouble(0)
+      assert(j === 0.5)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark0)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark0)
+    }
+  }
+
   test("SortedLongJaccard handles empty inputs (both empty -> NULL)") {
     val df = spark.createDataFrame(Seq(
       (Seq.empty[Long], Seq.empty[Long]),
