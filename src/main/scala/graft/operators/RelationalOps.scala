@@ -86,6 +86,36 @@ object RelationalOps {
       val b = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
         .select("c_custkey")
       a.except(b).orderBy("c_custkey")
+    }),
+
+    // Uncorrelated scalar subquery: orders above the global average price
+    // (planned as a one-row broadcast, not a per-row re-evaluation).
+    "sql_scalar_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM graft_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM graft_orders)
+        ORDER BY o_orderkey
+      """)
+    }),
+
+    // CTE: top-spending customers via a named intermediate result.
+    "sql_cte" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      s.sql("""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_spend,
+                 count(1) AS n_orders
+          FROM graft_orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, total_spend, n_orders
+        FROM spend JOIN graft_customer ON o_custkey = c_custkey
+        ORDER BY total_spend DESC, c_custkey
+        LIMIT 100
+      """)
     })
   )
 
@@ -124,6 +154,21 @@ object RelationalOps {
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
          EXCEPT
          SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+    "sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         ORDER BY o_orderkey""",
+    "sql_cte" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+                  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_spend,
+                  count(1) AS n_orders
+           FROM orders GROUP BY o_custkey
+         )
+         SELECT c_custkey, c_name, total_spend, n_orders
+         FROM spend JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_spend DESC, c_custkey
+         LIMIT 100"""
   )
 }

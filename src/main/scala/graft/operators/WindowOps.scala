@@ -62,6 +62,19 @@ object WindowOps {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Distribution ranking: quartile bucket, percent_rank, cume_dist of
+    // each order's price within its customer.
+    "win_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .withColumn("cd", round(cume_dist().over(w), 4))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "quartile", "pr", "cd")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // 1-hour trailing average event value per user: range frame over
     // floored epoch seconds (inclusive [t-3600, t], peers included).
     "win_range_frame" -> ((s, dir) => {
@@ -102,6 +115,14 @@ object WindowOps {
                 lead(o_orderkey, 1) OVER w AS next_key
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "win_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                round(percent_rank() OVER w, 4) AS pr,
+                round(cume_dist() OVER w, 4) AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
     "win_range_frame" ->
       """SELECT event_id, user_id, es,
