@@ -52,14 +52,18 @@ object SimilarityOps {
         .orderBy("src", "dst")),
 
     // Top-5 most-similar neighbors per node (ties broken by dst id).
-    "sim_topk" -> ((s, dir) => {
-      val w = Window.partitionBy("src").orderBy(col("similitud").desc, col("dst"))
+    // Map-side partial top-k ([[graft.functions.TopK]]): the shuffle
+    // carries at most 5 entries per (partition, src) instead of the full
+    // pairwise row set a window formulation would move.
+    "sim_topk" -> ((s, dir) =>
       pairwise(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select("src", "dst", "similitud", "rn")
-        .orderBy("src", "rn")
-    }),
+        .groupBy("src")
+        .agg(graft.functions.TopK.topK(5)(col("dst"), col("similitud")).as("top"))
+        .select(col("src"),
+          posexplode(arrays_zip(col("top.ids"), col("top.scores"))).as(Seq("pos", "e")))
+        .select(col("src"), col("e.ids").as("dst"), col("e.scores").as("similitud"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy("src", "rn")),
 
     // Brute-force cosine top-10 for one probe vector (vec_id 42) — the
     // exact-ANN baseline. The probe is a broadcast single row, so this is
