@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{JoinOps, ProvidenciasOps}
+
+/** SURVEY §5.2 edge cases: empty results preserve schema (reference
+  * behavior A10), outer-join null extension, top-k ties, and the CSV/JSON
+  * source surface (B2 — formats come free with Spark; prove round-trip
+  * fidelity on the events table). */
+class EdgeCaseSpec extends SparkSpec {
+
+  test("empty filter result preserves schema (A10)") {
+    val df = Tables.documents(spark, SfDir).filter(col("lang") === "xx_nope")
+    assert(df.count() === 0)
+    assert(df.columns.toSeq === Seq("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  test("entry() returns rows with the reference projection (driver smoke parity)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq === Seq("origen", "destino", "similitud"))
+    assert(df.count() > 0)
+  }
+
+  test("left outer join null-extends customers without orders") {
+    val out = JoinOps.queries("join_left_outer")(spark, SfDir)
+    val withNull = out.filter(col("o_orderkey").isNull).count()
+    val anti = JoinOps.queries("join_anti")(spark, SfDir).count()
+    assert(withNull === anti)
+  }
+
+  test("similar_range is inclusive on both similitud bounds") {
+    val base = ProvidenciasOps.queries("similar_range")(spark, SfDir)
+    val vals = base.select("similitud").collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= 10.0 && v <= 90.0))
+  }
+
+  test("events survive a JSON round-trip (source format surface)") {
+    val tmp = Files.createTempDirectory("graft_json").toString
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX" // default JSON format drops sub-ms
+    val ev = Tables.events(spark, SfDir)
+    ev.write.mode("overwrite").option("timestampFormat", fmt).json(tmp)
+    val back = spark.read
+      .schema(ev.schema)
+      .option("timestampFormat", fmt)
+      .json(tmp)
+    assert(back.count() === ev.count())
+    val a = ev.agg(sum("value"), max("ts")).collect()(0)
+    val b = back.agg(sum("value"), max("ts")).collect()(0)
+    assert(a.getDouble(0) === b.getDouble(0))
+    assert(a.getTimestamp(1) === b.getTimestamp(1))
+  }
+
+  test("events survive a CSV round-trip (source format surface)") {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    val ev = Tables.events(spark, SfDir).drop("props") // commas in JSON props
+    ev.write.mode("overwrite").option("header", "true").csv(tmp)
+    val back = spark.read
+      .schema(ev.schema)
+      .option("header", "true")
+      .csv(tmp)
+    assert(back.count() === ev.count())
+    assert(back.agg(sum("value")).collect()(0).getDouble(0) ===
+      ev.agg(sum("value")).collect()(0).getDouble(0))
+  }
+}

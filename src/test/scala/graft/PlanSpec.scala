@@ -42,6 +42,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("join_asof shuffles exactly once on user_id (plus the final order-by)") {
+    val plan = JoinOps.queries("join_asof")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"as-of join should shuffle once:\n$plan")
+    assert(rangeEx === 1, plan)
+    assert(plan.contains("PushedFilters: [In(event_type"), s"type filter not pushed:\n$plan")
+  }
+
+  test("dedup_near verifies Jaccard inside broadcast joins (no wide shuffle)") {
+    val plan = graft.operators.DedupOps.queries("dedup_near")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("sorted_jaccard"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"candidate attach degraded to SMJ:\n$plan")
+  }
+
   test("window counts are conserved: tumbling windows partition the input") {
     val total = Tables.events(spark, SfDir).count()
     val windowed = StreamingOps.queries("stream_tumbling")(spark, SfDir)
