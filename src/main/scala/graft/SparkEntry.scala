@@ -32,7 +32,8 @@ object SparkEntry {
       WindowOps.queries ++
       FunctionOps.queries ++
       StreamingOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++
+      SkewOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (hash-/sketch-specific ops)
@@ -49,5 +50,6 @@ object SparkEntry {
       WindowOps.oracles ++
       FunctionOps.oracles ++
       StreamingOps.oracles ++
-      MultimodalOps.oracles
+      MultimodalOps.oracles ++
+      SkewOps.oracles
 }
