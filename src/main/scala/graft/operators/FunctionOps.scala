@@ -82,6 +82,16 @@ object FunctionOps {
           get_json_object(col("props"), "$.missing").as("absent"))
         .orderBy("event_id")),
 
+    // Unpivot (wide -> long): two part metrics melted into (metric, value).
+    "fn_unpivot" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .orderBy("p_partkey", "metric")),
+
     // Map construction + access — no DuckDB oracle (map comparison is not
     // hash-stable across engines); the MapSpec suite covers semantics.
     // Scalar projections keep the declared output oracle-comparable-shaped.
@@ -138,6 +148,11 @@ object FunctionOps {
                 round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,
                 round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot
          FROM embeddings ORDER BY vec_id""",
+    "fn_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+         ORDER BY p_partkey, metric""",
     "fn_json" ->
       """SELECT event_id,
                 json_extract_string(props, '$.k') AS k_str,
