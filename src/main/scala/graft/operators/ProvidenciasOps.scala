@@ -66,6 +66,35 @@ object ProvidenciasOps {
     "graph_node_ids" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(col("vec_id").as("id")).orderBy("id")),
 
+    // Graph extension: degree per node over the derived SIMILAR graph
+    // (undirected edges with similitud >= 30). The degree histogram is the
+    // first thing a graph UI shows next to the node list (A8).
+    "graph_degree" -> ((s, dir) => {
+      val e = SimilarityOps.queries("sim_edges")(s, dir)
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .orderBy("id")
+    }),
+
+    // Graph extension: 2-hop neighborhood of node 0 (min hop count per
+    // node) — the reference's 1-hop expansion (A9) taken one step further,
+    // expressed relationally as a self-join over the derived edge table.
+    "graph_2hop" -> ((s, dir) => {
+      val sims = SimilarityOps.pairwise(s, dir)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select("src", "dst")
+      val n1 = sims.filter(col("src") === 0).select(col("dst").as("node_id"))
+      val n2 = sims.join(n1.withColumnRenamed("node_id", "mid"),
+          col("src") === col("mid"))
+        .filter(col("dst") =!= 0)
+        .select(col("dst").as("node_id")).distinct()
+        .join(n1, Seq("node_id"), "left_anti")
+      n1.select(col("node_id"), lit(1).as("hops"))
+        .union(n2.select(col("node_id"), lit(2).as("hops")))
+        .orderBy("hops", "node_id")
+    }),
+
     // A9 — directed 1-hop SIMILAR neighborhood of node 0 with similitud in
     // [10, 90] (reference :55-71). The edge is DERIVED: one broadcastable
     // probe row joined against the embeddings table — no O(n^2) blow-up,
@@ -103,6 +132,37 @@ object ProvidenciasOps {
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "graph_node_ids" ->
       "SELECT vec_id AS id FROM embeddings ORDER BY id",
+    "graph_degree" ->
+      """WITH e AS (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         )
+         SELECT id, count(*) AS degree FROM (
+           SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+         ) GROUP BY id ORDER BY id""",
+    "graph_2hop" ->
+      """WITH sims AS (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+           ) WHERE similitud >= 30.0
+         ), n1 AS (
+           SELECT dst AS node_id FROM sims WHERE src = 0
+         ), n2 AS (
+           SELECT DISTINCT s.dst AS node_id
+           FROM sims s JOIN n1 ON s.src = n1.node_id
+           WHERE s.dst <> 0 AND s.dst NOT IN (SELECT node_id FROM n1)
+         )
+         SELECT node_id, CAST(1 AS INT) AS hops FROM n1
+         UNION ALL
+         SELECT node_id, CAST(2 AS INT) AS hops FROM n2
+         ORDER BY hops, node_id""",
     "similar_range" ->
       """SELECT * FROM (
            SELECT a.vec_id AS origen, b.vec_id AS destino,

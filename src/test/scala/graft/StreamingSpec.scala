@@ -68,6 +68,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file source -> windowed agg -> file sink runs end to end with a checkpoint") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckDir = Files.createTempDirectory("graft_stream_ck").toString
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    // seed the source directory with one file of events (the batch table)
+    val ev = Tables.events(spark, SfDir).select("ts", "event_type", "value")
+    ev.coalesce(1).write.mode("overwrite").option("timestampFormat", fmt).json(srcDir)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("timestampFormat", fmt)
+      .json(srcDir)
+    val query = graft.streaming.EventStreams.tumblingCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination(120000) finally query.stop()
+    // append mode emits only watermark-finalized windows; all but the last
+    // 10 minutes of the fixture must be present and match the batch twin
+    val streamed = spark.read.parquet(outDir)
+    val batch = graft.operators.StreamingOps.queries("stream_tumbling")(spark, SfDir)
+    val lastFinal = streamed.agg(max("wstart")).collect()(0).getTimestamp(0)
+    val batchUpTo = batch.filter(col("wstart") <= lastFinal)
+      .select("wstart", "event_type", "n_events")
+    val streamUpTo = streamed.filter(col("wstart") <= lastFinal)
+      .select("wstart", "event_type", "n_events")
+    assert(streamUpTo.count() > 0)
+    assert(batchUpTo.exceptAll(streamUpTo).count() === 0)
+    assert(streamUpTo.exceptAll(batchUpTo).count() === 0)
+  }
+
   test("flatMapGroupsWithState assembles sessions with a 30-minute gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
