@@ -45,6 +45,13 @@ object ArrayExprs {
     * ARRAY<BIGINT> token-hash set: per-bit majority vote. */
   def simHash(tokenHashes: Column, bits: Int): Column =
     Bridge.column(SimHash(Bridge.expression(tokenHashes), bits))
+
+  /** Index (0-based) of the first position where the two ARRAY<BIGINT>
+    * arguments are equal, or -1. Lets an LSH band join emit each candidate
+    * pair exactly once (at its first matching band) instead of deduping
+    * occurrence rows with a distinct shuffle. */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    Bridge.column(FirstEqualIndex(Bridge.expression(a), Bridge.expression(b)))
 }
 
 /** Fused dot/norms cosine over two float/double arrays (each side may be
@@ -185,6 +192,57 @@ case class SortedLongJaccard(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** First index at which two long arrays agree, else -1 (fused loop). */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "first_equal_index"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val res = ctx.freshName("res")
+      s"""
+        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $res = -1;
+        |for (int $i = 0; $i < $n && $res < 0; $i++) {
+        |  if ($a.getLong($i) == $b.getLong($i)) $res = $i;
+        |}
+        |${ev.value} = $res;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstEqualIndex =
     copy(left = newLeft, right = newRight)
 }
 

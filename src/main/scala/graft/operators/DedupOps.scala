@@ -79,23 +79,26 @@ object DedupOps {
     // (hash-impl-specific banding); the pair set is property-tested
     // against the exact pairwise `dedup_ngram` result in DedupSpec.
     "dedup_near" -> ((s, dir) => {
+      // signatures carry the token-hash array AND the full band digest
+      // array into the band join; the join condition (all codegen'd fused
+      // loops) keeps a candidate occurrence only when (a) this band is the
+      // FIRST band where the two signatures agree — so each pair surfaces
+      // exactly once and no distinct shuffle is needed — and (b) the exact
+      // Jaccard verification passes. Failures never materialize a row.
       val sig = docHashes(s, dir)
-        .select(col("doc_id"),
-          posexplode(bandHashes(ArrayExprs.minHashes(col("th"), NumHashes)))
-            .as(Seq("band", "bh")))
-      val th = docHashes(s, dir)
-      // verify every candidate OCCURRENCE (a pair can match in up to 4
-      // bands) and dedupe only the rare survivors: the merge-loop Jaccard
-      // is cheaper than shuffling all candidate pairs through a distinct
-      sig.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .join(broadcast(th.select(col("doc_id").as("doc_a"), col("th").as("th_a"))), "doc_a")
-        .join(broadcast(th.select(col("doc_id").as("doc_b"), col("th").as("th_b"))), "doc_b")
+        .withColumn("bands", bandHashes(ArrayExprs.minHashes(col("th"), NumHashes)))
+        .select(col("doc_id"), col("th"), col("bands"),
+          posexplode(col("bands")).as(Seq("band", "bh")))
+      val a = sig.select(col("doc_id").as("doc_a"), col("th").as("th_a"),
+        col("bands").as("bands_a"), col("band"), col("bh"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("th").as("th_b"),
+        col("bands").as("bands_b"), col("band"), col("bh"))
+      a.join(b, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b") &&
+          ArrayExprs.firstEqualIndex(col("bands_a"), col("bands_b")) === col("band") &&
+          ArrayExprs.sortedJaccard(col("th_a"), col("th_b")) >= JaccardThreshold - 1e-3)
         .select(col("doc_a"), col("doc_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-        .distinct()
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -116,21 +119,22 @@ object DedupOps {
     // Exact pairwise token-set Jaccard >= 0.9 — the ground truth the LSH
     // variants approximate. Quadratic by construction; at scale `dedup_near`
     // is the candidate pre-filter and this expression verifies candidates.
-    "dedup_ngram" -> ((s, dir) => {
-      val a = docHashes(s, dir).select(col("doc_id").as("doc_a"), col("th").as("th_a"))
-      val b = docHashes(s, dir).select(col("doc_id").as("doc_b"), col("th").as("th_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
+    // Planned by the custom SelfPairwise operator (fused broadcast loop
+    // with an in-loop prefilter 1e-3 below the threshold; the exact filter
+    // runs on the rounded column, so values stay oracle-identical).
+    "dedup_ngram" -> ((s, dir) =>
+      graft.plans.SelfPairwise(docHashes(s, dir),
+        graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+          round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
     // Embedding-cosine near-dup: top-100 most-similar document pairs by
     // embedding cosine (fixture cosines top out at ~51, so a fixed
     // threshold would be empty — rank instead).
     "dedup_embed" -> ((s, dir) =>
-      SimilarityOps.pairwise(s, dir)
-        .filter(col("src") < col("dst"))
+      SimilarityOps.pairwiseTriangular(s, dir, -200.0)
         .select(col("src").as("doc_a"), col("dst").as("doc_b"), col("similitud"))
         .orderBy(col("similitud").desc, col("doc_a"), col("doc_b"))
         .limit(100))

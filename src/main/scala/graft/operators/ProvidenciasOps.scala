@@ -81,9 +81,12 @@ object ProvidenciasOps {
     // node) — the reference's 1-hop expansion (A9) taken one step further,
     // expressed relationally as a self-join over the derived edge table.
     "graph_2hop" -> ((s, dir) => {
-      val sims = SimilarityOps.pairwise(s, dir)
+      // undirected edges = thresholded triangular pairs (in-loop
+      // prefilter) expanded to both directions — not the full n² pairwise
+      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
         .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
-        .select("src", "dst")
+      val sims = tri.select("src", "dst")
+        .union(tri.select(col("dst").as("src"), col("src").as("dst")))
       val n1 = sims.filter(col("src") === 0).select(col("dst").as("node_id"))
       val n2 = sims.join(n1.withColumnRenamed("node_id", "mid"),
           col("src") === col("mid"))

@@ -32,21 +32,33 @@ object SimilarityOps {
     * [0,100]; fixture cosines span [-55, 51] so 30 yields a sparse graph). */
   val EdgeThreshold = 30.0
 
-  /** Embeddings with columns renamed for a self-join side. */
-  private def side(s: SparkSession, dir: String, id: String, v: String): DataFrame =
-    Tables.embeddings(s, dir).select(col("vec_id").as(id), col("embedding").as(v))
-
-  /** All ordered pairs (src != dst) with their similitud, pre-threshold. */
+  /** All ordered pairs (src != dst) with their similitud, pre-threshold —
+    * planned by the custom [[graft.plans.SelfPairwise]] operator (fused
+    * broadcast loop; the BNLJ formulation materialized a candidate row per
+    * pair). The `round` Column on the raw score is the same expression the
+    * declarative form used, so values stay oracle-identical. */
   def pairwise(s: SparkSession, dir: String): DataFrame =
-    side(s, dir, "src", "va").join(side(s, dir, "dst", "vb"), col("src") =!= col("dst"))
-      .withColumn("similitud", Vectors.similitud(col("va"), col("vb")))
+    graft.plans.SelfPairwise(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      graft.plans.SelfPairwise.Cosine, Double.MinValue, triangular = false)
+      .select(col("src"), col("dst"),
+        round(col("score") * 100, 4).as("similitud"))
+
+  /** Triangular (src < dst) variant with an in-loop raw-score prefilter
+    * slightly below `minSimilitud` (exact filtering happens on the rounded
+    * column afterwards). */
+  def pairwiseTriangular(s: SparkSession, dir: String, minSimilitud: Double): DataFrame =
+    graft.plans.SelfPairwise(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      graft.plans.SelfPairwise.Cosine, (minSimilitud - 0.01) / 100.0, triangular = true)
+      .select(col("src"), col("dst"),
+        round(col("score") * 100, 4).as("similitud"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Derived SIMILAR edge table: triangular (src < dst) to halve the join,
     // thresholded to keep the edge set sparse.
     "sim_edges" -> ((s, dir) =>
-      side(s, dir, "src", "va").join(side(s, dir, "dst", "vb"), col("src") < col("dst"))
-        .withColumn("similitud", Vectors.similitud(col("va"), col("vb")))
+      pairwiseTriangular(s, dir, EdgeThreshold)
         .filter(col("similitud") >= EdgeThreshold)
         .select("src", "dst", "similitud")
         .orderBy("src", "dst")),
