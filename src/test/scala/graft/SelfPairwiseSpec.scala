@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayExprs, Vectors}
+import graft.operators.SimilarityOps
+import graft.plans.SelfPairwise
+
+/** The custom pairwise operator must be plan-visible and produce exactly
+  * the rows the declarative BNLJ formulation produces. */
+class SelfPairwiseSpec extends SparkSpec {
+
+  test("sim_edges plans through SelfPairwiseExec") {
+    val plan = SimilarityOps.queries("sim_edges")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("SelfPairwise"), plan) // nodeName strips the Exec suffix
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("SelfPairwise(Cosine) equals the declarative BNLJ formulation exactly") {
+    val e = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
+    val custom = SelfPairwise(e, SelfPairwise.Cosine, Double.MinValue, triangular = true)
+      .select(col("src"), col("dst"), round(col("score") * 100, 4).as("similitud"))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("vb"))
+    val declarative = a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        Vectors.similitud(col("va"), col("vb")).as("similitud"))
+    assert(custom.exceptAll(declarative).count() === 0)
+    assert(declarative.exceptAll(custom).count() === 0)
+  }
+
+  test("SelfPairwise(Jaccard) equals the expression-based join exactly") {
+    val th = Tables.documents(spark, SfDir)
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t))).as("th"))
+    val custom = SelfPairwise(th, SelfPairwise.Jaccard, 0.899, triangular = true)
+      .select(col("src"), col("dst"), round(col("score"), 4).as("j"))
+      .filter(col("j") >= 0.9)
+    val a = th.select(col("doc_id").as("src"), col("th").as("tha"))
+    val b = th.select(col("doc_id").as("dst"), col("th").as("thb"))
+    val declarative = a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        round(ArrayExprs.sortedJaccard(col("tha"), col("thb")), 4).as("j"))
+      .filter(col("j") >= 0.9)
+    assert(custom.exceptAll(declarative).count() === 0)
+    assert(declarative.exceptAll(custom).count() === 0)
+  }
+
+  test("in-loop threshold never drops a row that survives the exact filter") {
+    val e = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
+    val pre = SelfPairwise(e, SelfPairwise.Cosine, (30.0 - 0.01) / 100.0, triangular = true)
+      .select(col("src"), col("dst"), round(col("score") * 100, 4).as("similitud"))
+      .filter(col("similitud") >= 30.0)
+    val full = SelfPairwise(e, SelfPairwise.Cosine, Double.MinValue, triangular = true)
+      .select(col("src"), col("dst"), round(col("score") * 100, 4).as("similitud"))
+      .filter(col("similitud") >= 30.0)
+    assert(pre.exceptAll(full).count() === 0)
+    assert(full.exceptAll(pre).count() === 0)
+  }
+}
