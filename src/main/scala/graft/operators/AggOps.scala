@@ -131,6 +131,18 @@ object AggOps {
       """)
     }),
 
+    // Statistical aggregates: correlation, covariance, stddev of quantity
+    // vs extended price per return flag.
+    "agg_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qp_covar"),
+          round(stddev(col("l_quantity")), 4).as("qty_stddev"),
+          round(variance(col("l_discount")), 6).as("disc_var"))
+        .orderBy("l_returnflag")),
+
     // Exact percentiles (sort-based, linear interpolation) per status.
     "agg_percentiles" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -208,6 +220,13 @@ object AggOps {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus, o_orderpriority""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar,
+                round(stddev(l_quantity), 4) AS qty_stddev,
+                round(var_samp(l_discount), 6) AS disc_var
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_percentiles" ->
       """SELECT o_orderstatus,
                 round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

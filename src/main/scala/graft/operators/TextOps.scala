@@ -103,6 +103,17 @@ object TextOps {
           regexp_count(col("text"), lit("[a-z]+|[0-9]+")).as("bpe_tokens"))
         .orderBy("doc_id")),
 
+    // Bigram frequencies (n-gram analysis): top-100 adjacent token pairs.
+    "text_ngrams" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(explode(transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(100)
+    }),
+
     // Canonical document fingerprint: md5 over the sorted distinct token
     // set (OpenRefine-style fingerprint) — the shuffle-key form of
     // `dedup_exact` at scale.
@@ -167,6 +178,12 @@ object TextOps {
                 CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "text_ngrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)
+         SELECT bigram, count(*) AS cnt FROM bg
+         GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
