@@ -56,12 +56,22 @@ object SimilarityOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Derived SIMILAR edge table: triangular (src < dst) to halve the join,
-    // thresholded to keep the edge set sparse.
-    "sim_edges" -> ((s, dir) =>
-      pairwiseTriangular(s, dir, EdgeThreshold)
+    // thresholded to keep the edge set sparse. Written DECLARATIVELY — a
+    // plain self-join + cosine + filter, the code any Spark user would
+    // write — and rewritten to the fused [[graft.plans.SelfPairwise]]
+    // operator by the [[graft.plans.PairwiseRewrite]] optimizer rule
+    // (plan shape pinned in PairwiseRewriteSpec; parity with the explicit
+    // operator API pinned in SelfPairwiseSpec).
+    "sim_edges" -> ((s, dir) => {
+      graft.plans.PairwiseRewrite.install(s)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          round(graft.functions.ArrayExprs.cosine(
+            col("a.embedding"), col("b.embedding")) * 100, 4).as("similitud"))
         .filter(col("similitud") >= EdgeThreshold)
-        .select("src", "dst", "similitud")
-        .orderBy("src", "dst")),
+        .orderBy("src", "dst")
+    }),
 
     // Top-5 most-similar neighbors per node (ties broken by dst id).
     // Map-side partial top-k ([[graft.functions.TopK]]): the shuffle
