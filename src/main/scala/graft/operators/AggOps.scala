@@ -167,6 +167,20 @@ object AggOps {
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy("o_orderpriority")),
 
+    // Mergeable DataSketches HLL: sketch per (event_type, day) partial,
+    // then union-merge per event_type. This is THE re-aggregation pattern
+    // at 100 TB — daily sketches are tiny, persistable, and merge
+    // associatively, so a backfill or a coarser rollup never rescans raw
+    // events. Sketch bytes are impl-specific → no DuckDB oracle; the ±5%
+    // bound vs exact distinct is pinned in AggSpec.
+    "agg_hll_mergeable" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("event_type")),
+
     // Custom UDAF: discount-weighted average price per return flag.
     "agg_custom_wavg" -> ((s, dir) => {
       val wavg = udaf(WeightedAvg,

@@ -22,6 +22,20 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("mergeable HLL (daily sketches union-merged) is within 5% of exact") {
+    val approx = AggOps.queries("agg_hll_mergeable")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, SfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"$k: merged-sketch=$a exact=$n beyond 5%")
+    }
+  }
+
   test("WeightedAvg aggregator matches sum(p*d)/sum(d) directly") {
     val rows = AggOps.queries("agg_custom_wavg")(spark, SfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
