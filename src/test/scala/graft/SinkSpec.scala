@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Partitioned parquet sink + partition pruning (SURVEY §2 B2 / 100 TB
+  * design). At cluster scale the events table is laid out as
+  * `day=YYYY-MM-DD/` Hive partitions; a query with a day predicate must
+  * prune at PLANNING time (PartitionFilters on the scan) so a one-day
+  * query over a 3-year table touches 1/1000th of the files — pruning at
+  * the row level instead would still list and open every file. */
+class SinkSpec extends SparkSpec {
+
+  private def withTempDir(f: String => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft-sink").toFile
+    try f(dir.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("partitionBy sink lays out day= directories; day predicate prunes partitions") {
+    withTempDir { out =>
+      val events = Tables.events(spark, SfDir)
+        .withColumn("day", to_date(col("ts")))
+      events.write.mode("overwrite").partitionBy("day").parquet(out)
+
+      // physical layout: one directory per day
+      val dayDirs = new java.io.File(out).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      assert(dayDirs.length > 1, s"expected >1 day= partitions under $out")
+
+      val someDay = dayDirs.head.getName.stripPrefix("day=")
+      val pruned = spark.read.parquet(out).filter(col("day") === lit(someDay))
+
+      // the day predicate must appear as a PartitionFilter on the scan,
+      // NOT as a post-scan row Filter
+      val plan = pruned.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("PartitionFilters"), plan)
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+      assert(pf.contains("day"), s"day predicate not pushed to partitions:\n$plan")
+
+      // pruning reads only that day's files
+      val filesRead = pruned.select(input_file_name()).distinct().collect()
+      assert(filesRead.forall(_.getString(0).contains(s"day=$someDay")),
+        "scan touched files outside the pruned partition")
+
+      // and the result matches the unpartitioned row-filter count
+      val expected = events.filter(col("day") === lit(someDay)).count()
+      assert(pruned.count() === expected)
+    }
+  }
+
+  test("dynamic partition overwrite replaces only the written day") {
+    withTempDir { out =>
+      val events = Tables.events(spark, SfDir)
+        .withColumn("day", to_date(col("ts")))
+      events.write.mode("overwrite").partitionBy("day").parquet(out)
+      val before = spark.read.parquet(out).count()
+
+      val days = events.select("day").distinct().orderBy("day")
+        .collect().map(_.getDate(0))
+      val target = days.head
+
+      // backfill ONE day with a single sentinel row; static overwrite
+      // would wipe every other partition — dynamic must keep them
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        events.filter(col("day") === target).limit(1)
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+      } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+      val after = spark.read.parquet(out)
+      val untouched = after.filter(col("day") =!= target).count()
+      val rewritten = after.filter(col("day") === target).count()
+      val othersBefore = before - events.filter(col("day") === target).count()
+      assert(untouched === othersBefore, "dynamic overwrite clobbered sibling partitions")
+      assert(rewritten === 1L)
+    }
+  }
+}
