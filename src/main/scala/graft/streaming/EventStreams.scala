@@ -45,6 +45,29 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: attribute each click to the view by the
+    * same user within the preceding 10 minutes. Both sides carry
+    * watermarks, and the join condition bounds event-time distance, so
+    * Spark can size the join state exactly: a buffered view is dropped as
+    * soon as the click-side watermark passes `view_ts + 10 min` — state
+    * stays O(rate × window) at any input volume, never O(stream).
+    * Column names are prefixed per side because stream-stream joins
+    * cannot reference ambiguous names across sides. */
+  def clickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "10 minutes")
+    v.join(c, expr(
+      """v_user = c_user AND
+         c_ts >= v_ts AND
+         c_ts <= v_ts + interval 10 minutes"""))
+      .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"), col("c_value"))
+  }
+
   // ---- custom state: session assembly via flatMapGroupsWithState ----
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

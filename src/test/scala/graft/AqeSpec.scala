@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adaptive Query Execution behaviors that matter at 100 TB (SURVEY §4.2):
+  * runtime skew-split of a sort-merge join, and runtime conversion of a
+  * shuffle join to broadcast once real stats are known. Thresholds are
+  * forced down so the fixtures trip them; the decision logic is the same
+  * one that fires on real multi-GB partitions. */
+class AqeSpec extends SparkSpec {
+
+  private val AqeConfs = Seq(
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    "spark.sql.autoBroadcastJoinThreshold")
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = AqeConfs.map(k => k -> spark.conf.getOption(k))
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    import spark.implicits._
+    // one pathological key (0) carries 50k rows; 100 normal keys carry ~10
+    val skewed = spark.range(50000).select(lit(0L).as("k"), $"id".as("v"))
+      .union(spark.range(1000).select(($"id" % 100 + 1).as("k"), $"id".as("v")))
+    val dim = spark.range(101).select($"id".as("k"), $"id".as("rv"))
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      // keep both planning-time and AQE-time broadcast off so the join
+      // stays sort-merge and the skew path is what must save it
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = skewed.join(dim, "k")
+      // drive THIS DataFrame's QueryExecution (count() would build a new
+      // one and leave this plan un-executed / un-adapted)
+      assert(joined.collect().length === 50000 + 1000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    }
+  }
+
+  test("AQE converts a shuffle join to broadcast from runtime stats") {
+    import spark.implicits._
+    val fact = Tables.orders(spark, SfDir)
+    // planner sees no stats advantage (broadcast disabled at planning
+    // time); AQE sees the tiny filtered build side and converts
+    val dim = Tables.customer(spark, SfDir).filter($"c_custkey" < 50)
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1MB") {
+      val joined = fact.join(dim, $"o_custkey" === $"c_custkey")
+      assert(joined.collect().nonEmpty)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not convert to broadcast:\n$finalPlan")
+    }
+  }
+}

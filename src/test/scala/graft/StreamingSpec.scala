@@ -103,6 +103,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamUpTo.exceptAll(batchUpTo).count() === 0)
   }
 
+  test("stream-stream interval join attributes clicks to views within 10 minutes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val query = EventStreams.clickAttribution(
+      views.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, ts(0)), (2L, ts(0)))
+      // user 1 clicks 5 min after the view (inside the window);
+      // user 2 clicks 20 min after (outside); user 3 clicks with no view
+      clicks.addData((1L, ts(5), 1.0), (2L, ts(20), 2.0), (3L, ts(5), 3.0))
+      query.processAllAvailable()
+      // advance both watermarks so all buffered state resolves
+      views.addData((9L, ts(120)))
+      clicks.addData((9L, ts(121), 0.0))
+      query.processAllAvailable()
+      val out = spark.table("attr_test")
+        .filter(col("user_id") < 9L)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+      assert(out === Set((1L, ts(5))), s"attribution wrong: $out")
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState assembles sessions with a 30-minute gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
