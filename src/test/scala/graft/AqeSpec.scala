@@ -9,24 +9,6 @@ import org.apache.spark.sql.functions._
   * one that fires on real multi-GB partitions. */
 class AqeSpec extends SparkSpec {
 
-  private val AqeConfs = Seq(
-    "spark.sql.adaptive.enabled",
-    "spark.sql.adaptive.skewJoin.enabled",
-    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-    "spark.sql.adaptive.autoBroadcastJoinThreshold",
-    "spark.sql.autoBroadcastJoinThreshold")
-
-  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
-    val saved = AqeConfs.map(k => k -> spark.conf.getOption(k))
-    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("AQE splits the skewed partition of a sort-merge join at runtime") {
     import spark.implicits._
     // one pathological key (0) carries 50k rows; 100 normal keys carry ~10

@@ -12,6 +12,18 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Run `body` with session confs overridden, restoring prior values after —
+    * keeps per-test tuning (AQE thresholds, runtime filters) from leaking
+    * into other suites sharing the session. */
+  def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   override def afterAll(): Unit = super.afterAll()
 }
 
