@@ -181,6 +181,20 @@ object AggOps {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
         .orderBy("event_type")),
 
+    // Argmin/argmax surface: per market segment, the customer carrying the
+    // max / min account balance (struct-ordered tiebreak on the unique
+    // custkey, so the answer is deterministic under balance ties). One
+    // partial+final aggregation — no window, no sort of the whole table.
+    "agg_arg_minmax" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(
+          max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("top_name"),
+          min_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("bottom_name"),
+          max(col("c_acctbal")).as("max_bal"),
+          min(col("c_acctbal")).as("min_bal"))
+        .orderBy("c_mktsegment")),
+
     // Custom UDAF: discount-weighted average price per return flag.
     "agg_custom_wavg" -> ((s, dir) => {
       val wavg = udaf(WeightedAvg,
@@ -254,6 +268,13 @@ object AggOps {
                 count(*) FILTER (o_orderstatus = 'O') AS n_o,
                 count(*) FILTER (o_orderstatus = 'P') AS n_p
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_arg_minmax" ->
+      """SELECT c_mktsegment,
+                first(c_name ORDER BY c_acctbal DESC, c_custkey DESC) AS top_name,
+                first(c_name ORDER BY c_acctbal ASC, c_custkey ASC) AS bottom_name,
+                max(c_acctbal) AS max_bal,
+                min(c_acctbal) AS min_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "agg_custom_wavg" ->
       """SELECT l_returnflag,
                 round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price

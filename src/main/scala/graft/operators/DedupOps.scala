@@ -137,7 +137,51 @@ object DedupOps {
       SimilarityOps.pairwiseTriangular(s, dir, -200.0)
         .select(col("src").as("doc_a"), col("dst").as("doc_b"), col("similitud"))
         .orderBy(col("similitud").desc, col("doc_a"), col("doc_b"))
-        .limit(100))
+        .limit(100)),
+
+    // Near-dup CLUSTER assignment: connected components over the exact
+    // Jaccard >= 0.9 pair graph (the `dedup_ngram` edge set); every doc
+    // gets cluster_id = min doc_id of its component (singletons keep their
+    // own id). This is the step that turns a pair list into per-cluster
+    // survivor selection in a dedup pipeline.
+    //
+    // Spark-first CC: iterative min-label propagation — each round every
+    // node takes min(own label, neighbors' labels), a shuffle join per
+    // round, until a fixpoint (the GraphX/Pregel CC algorithm expressed
+    // relationally). Rounds = graph diameter; near-dup components are
+    // dup cliques, so 1-2 rounds in practice. The edge set is persisted
+    // (it is the expensive quadratic pass; at scale the LSH candidate
+    // pairs of `dedup_near` take its place) and each round's labels are
+    // localCheckpoint'ed so lineage stays flat no matter how many rounds.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.plans.SelfPairwise(docHashes(s, dir),
+        graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
+        .select(col("src"), col("dst"), round(col("score"), 4).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("src", "dst")
+        .persist()
+      val edges = pairs.select(col("src").as("a"), col("dst").as("b"))
+        .union(pairs.select(col("dst").as("a"), col("src").as("b")))
+      var labels = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val nbrMin = edges.join(labels, col("b") === col("id"))
+          .groupBy(col("a")).agg(min(col("lbl")).as("nbr"))
+        val next = labels.join(nbrMin, col("id") === col("a"), "left")
+          .select(col("id"), col("lbl").as("prev"),
+            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        changed = next.filter(col("lbl") =!= col("prev")).count()
+        labels = next.select("id", "lbl")
+        rounds += 1
+      }
+      pairs.unpersist()
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -156,6 +200,27 @@ object DedupOps {
                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                              CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
-         ORDER BY similitud DESC, doc_a, doc_b LIMIT 100"""
+         ORDER BY similitud DESC, doc_a, doc_b LIMIT 100""",
+    // transitive closure via recursive CTE — min reachable id per node is
+    // exactly the connected-component min label
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+            SELECT src, dst FROM (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     round(1.0 * len(list_intersect(list_distinct(string_split(a.text,' ')),
+                                                    list_distinct(string_split(b.text,' ')))) /
+                           len(list_distinct(string_split(a.text,' ') || string_split(b.text,' '))), 4) AS jaccard
+              FROM documents a, documents b WHERE a.doc_id < b.doc_id
+            ) WHERE jaccard >= $JaccardThreshold
+          ), edges AS (
+            SELECT src AS a, dst AS b FROM pairs
+            UNION ALL SELECT dst AS a, src AS b FROM pairs
+          ), reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id
+          )
+          SELECT id AS doc_id, min(r) AS cluster_id
+          FROM reach GROUP BY id ORDER BY doc_id"""
   )
 }

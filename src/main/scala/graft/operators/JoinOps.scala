@@ -88,6 +88,25 @@ object JoinOps {
         // the payload in the ORDER BY for a total compare order (§7.4).
         .orderBy("l_orderkey", "l_linenumber", "ship_lag_days")),
 
+    // Full outer join: per-day click totals ⟗ per-day purchase totals —
+    // days with activity on only one side survive null-extended on the
+    // other, the canonical reconciliation-report shape. Both sides
+    // pre-aggregate before the join, so the shuffled payload is one row
+    // per (day, side), not one per event.
+    "join_full_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def daily(t: String, as: String) = ev
+        .filter(col("event_type") === t)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as(as))
+      daily("click", "n_clicks")
+        .join(daily("purchase", "n_purchases"), Seq("day"), "full")
+        .select(col("day"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("day")
+    }),
+
     // As-of join: for every purchase event, the latest click by the same
     // user at-or-before the purchase (ties on ts: click wins over the
     // purchase; among clicks, the max event_id). Single shuffle on user_id.
@@ -145,6 +164,16 @@ object JoinOps {
           AND l_shipdate >= o_orderdate
           AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
          ORDER BY l_orderkey, l_linenumber, ship_lag_days""",
+    "join_full_outer" ->
+      """SELECT COALESCE(c.day, p.day) AS day,
+                COALESCE(c.n_clicks, 0) AS n_clicks,
+                COALESCE(p.n_purchases, 0) AS n_purchases
+         FROM (SELECT date_trunc('day', ts) AS day, count(*) AS n_clicks
+               FROM events WHERE event_type = 'click' GROUP BY 1) c
+         FULL JOIN (SELECT date_trunc('day', ts) AS day, count(*) AS n_purchases
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+           ON c.day = p.day
+         ORDER BY day""",
     "join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
          FROM events p LEFT JOIN events c

@@ -69,29 +69,37 @@ object ProvidenciasOps {
     // Graph extension: degree per node over the derived SIMILAR graph
     // (undirected edges with similitud >= 30). The degree histogram is the
     // first thing a graph UI shows next to the node list (A8).
-    "graph_degree" -> ((s, dir) => {
-      val e = SimilarityOps.queries("sim_edges")(s, dir)
-      e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id")))
+    // ONE pairwise pass: each triangular edge is exploded into both of its
+    // endpoints before the count. (The earlier union-of-two-projections
+    // form re-planned the whole O(n²) SelfPairwise subtree per branch —
+    // a Union does not share subtrees — doubling the dominant cost.)
+    "graph_degree" -> ((s, dir) =>
+      SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(explode(array(col("src"), col("dst"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("degree"))
-        .orderBy("id")
-    }),
+        .orderBy("id")),
 
     // Graph extension: 2-hop neighborhood of node 0 (min hop count per
-    // node) — the reference's 1-hop expansion (A9) taken one step further,
-    // expressed relationally as a self-join over the derived edge table.
+    // node) — the reference's 1-hop expansion (A9) taken one step further.
+    // No O(n²) pairwise at all: hop 1 is a single-probe scan (O(n), the
+    // similar_range shape) and hop 2 is a rectangular broadcast join of
+    // the (tiny) hop-1 frontier against the table (O(|n1|·n)) — the plan a
+    // BFS step should have at any scale: frontier broadcast, table scanned
+    // once per hop, never all-pairs.
     "graph_2hop" -> ((s, dir) => {
-      // undirected edges = thresholded triangular pairs (in-loop
-      // prefilter) expanded to both directions — not the full n² pairwise
-      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
-      val sims = tri.select("src", "dst")
-        .union(tri.select(col("dst").as("src"), col("src").as("dst")))
-      val n1 = sims.filter(col("src") === 0).select(col("dst").as("node_id"))
-      val n2 = sims.join(n1.withColumnRenamed("node_id", "mid"),
-          col("src") === col("mid"))
-        .filter(col("dst") =!= 0)
-        .select(col("dst").as("node_id")).distinct()
+      val e = Tables.embeddings(s, dir)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val frontier = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .filter(Vectors.similitud(col("embedding"), col("qv")) >=
+          SimilarityOps.EdgeThreshold)
+        .select(col("vec_id").as("mid"), col("embedding").as("memb"))
+      val n1 = frontier.select(col("mid").as("node_id"))
+      val n2 = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(frontier))
+        .filter(col("vec_id") =!= col("mid") &&
+          Vectors.similitud(col("embedding"), col("memb")) >=
+            SimilarityOps.EdgeThreshold)
+        .select(col("vec_id").as("node_id")).distinct()
         .join(n1, Seq("node_id"), "left_anti")
       n1.select(col("node_id"), lit(1).as("hops"))
         .union(n2.select(col("node_id"), lit(2).as("hops")))

@@ -88,6 +88,17 @@ object RelationalOps {
       a.except(b).orderBy("c_custkey")
     }),
 
+    // Deterministic ~12.5% sample: keep rows whose md5(key) starts with
+    // '0' or '1' (2 of 16 hex values). Unlike TABLESAMPLE/rand(), the
+    // sample is a pure function of the key — identical across engines,
+    // re-runs, retries, and partitionings — which is what a reproducible
+    // debug slice of a 100 TB table requires.
+    "sample_hash" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
     // Uncorrelated scalar subquery: orders above the global average price
     // (planned as a one-row broadcast, not a per-row re-evaluation).
     "sql_scalar_subquery" -> ((s, dir) => {
@@ -155,6 +166,10 @@ object RelationalOps {
          EXCEPT
          SELECT c_custkey FROM customer WHERE c_acctbal > 5000
          ORDER BY c_custkey""",
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+         ORDER BY o_orderkey""",
     "sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)

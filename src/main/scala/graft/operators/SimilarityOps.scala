@@ -32,6 +32,10 @@ object SimilarityOps {
     * [0,100]; fixture cosines span [-55, 51] so 30 yields a sparse graph). */
   val EdgeThreshold = 30.0
 
+  /** Random-hyperplane LSH: signature bits / fixture embedding dim. */
+  val LshPlanes = 8
+  val EmbedDim  = 64
+
   /** All ordered pairs (src != dst) with their similitud, pre-threshold —
     * planned by the custom [[graft.plans.SelfPairwise]] operator (fused
     * broadcast loop; the BNLJ formulation materialized a candidate row per
@@ -76,9 +80,17 @@ object SimilarityOps {
     // Top-5 most-similar neighbors per node (ties broken by dst id).
     // Map-side partial top-k ([[graft.functions.TopK]]): the shuffle
     // carries at most 5 entries per (partition, src) instead of the full
-    // pairwise row set a window formulation would move.
+    // pairwise row set a window formulation would move. Cosine is
+    // symmetric, so each unordered pair is scored ONCE (triangular loop)
+    // and exploded into both orientations — half the cosine evaluations
+    // of the all-ordered-pairs form.
     "sim_topk" -> ((s, dir) =>
-      pairwise(s, dir)
+      pairwiseTriangular(s, dir, Double.MinValue)
+        .select(explode(array(
+          struct(col("src"), col("dst"), col("similitud")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("similitud")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.similitud").as("similitud"))
         .groupBy("src")
         .agg(graft.functions.TopK.topK(5)(col("dst"), col("similitud")).as("top"))
         .select(col("src"),
@@ -95,6 +107,37 @@ object SimilarityOps {
         .select(col("embedding").as("qv"))
       Tables.embeddings(s, dir).filter(col("vec_id") =!= 42)
         .crossJoin(broadcast(q))
+        .select(col("vec_id"), Vectors.similitud(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // LSH ANN (the other scale path, complementing `ann_ivf`): 8
+    // random-hyperplane sign bits pack each vector into a 1-byte bucket
+    // signature (SimHash over the continuous space). The probe inspects
+    // only buckets within Hamming distance 1 of its own (multi-probe), so
+    // the exact-cosine work is |few buckets|, not |table|; hyperplanes are
+    // a fixed-seed broadcast and the whole query is one linear scan + one
+    // tiny shuffle. No oracle (hyperplane-set-specific); recall vs
+    // `ann_brute` is pinned in SimilaritySpec.
+    "ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val rng = new scala.util.Random(42)
+      val planes = Seq.tabulate(LshPlanes)(_ =>
+        Seq.fill(EmbedDim)(rng.nextGaussian().toFloat))
+      import s.implicits._
+      val pdf = planes.zipWithIndex.map { case (v, i) => (i, v) }.toDF("pid", "pvec")
+      val bits = e.crossJoin(broadcast(pdf))
+        .select(col("vec_id"),
+          when(graft.functions.ArrayExprs.cosine(
+            col("embedding"), col("pvec")) > 0,
+            expr("shiftleft(1, pid)")).otherwise(0).as("bit"))
+      val buckets = bits.groupBy("vec_id").agg(sum(col("bit")).as("bucket"))
+      val withB = e.join(buckets, "vec_id")
+      val probeB = withB.filter(col("vec_id") === 42)
+        .select(col("bucket").as("qb"), col("embedding").as("qv"))
+      withB.filter(col("vec_id") =!= 42).crossJoin(broadcast(probeB))
+        .filter(bit_count(col("bucket").bitwiseXOR(col("qb"))) <= 1)
         .select(col("vec_id"), Vectors.similitud(col("embedding"), col("qv")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)

@@ -104,14 +104,45 @@ object TextOps {
         .orderBy("doc_id")),
 
     // Bigram frequencies (n-gram analysis): top-100 adjacent token pairs.
+    // Adjacent pairs come from zipping the token array against itself
+    // shifted by one (slice + arrays_zip, all codegen'd built-ins) — the
+    // transform(sequence(...), i => element_at(...)) form evaluated its
+    // lambda interpreted per token (~12× slower at sf0.1).
     "text_ngrams" -> ((s, dir) => {
       val t = tokens(col("text"))
       Tables.documents(s, dir)
-        .select(explode(transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("bigram"))
+        .select(explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
+        .select(concat_ws(" ",
+          col("p").getField("0"), col("p").getField("1")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(100)
+    }),
+
+    // TF-IDF: top-5 terms per document by tf × ln(N/df). Three shuffles —
+    // tf groupBy (doc_id, token), df groupBy token, top-k window per doc —
+    // each on a different key; N rides in as a broadcast single-row cross
+    // join (never collected to the driver). The classic "what is this
+    // document about" ranking every retrieval pipeline starts from.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") *
+            log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("doc_id", "token", "tfidf")
+        .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
     }),
 
     // Canonical document fingerprint: md5 over the sorted distinct token
@@ -187,6 +218,23 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "text_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token
+         ), df AS (
+           SELECT token, count(*) AS df FROM tf GROUP BY token
+         ), n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, token, tfidf FROM (
+           SELECT tf.doc_id, tf.token,
+                  round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf,
+                  row_number() OVER (
+                    PARTITION BY tf.doc_id
+                    ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) DESC,
+                             tf.token) AS rn
+           FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+         ) WHERE rn <= 5 ORDER BY doc_id, tfidf DESC, token"""
   )
 }

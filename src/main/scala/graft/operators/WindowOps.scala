@@ -75,6 +75,21 @@ object WindowOps {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Value navigation across the whole partition: first / last / nth
+    // order price per customer (frame = entire partition, so last_value
+    // sees the true last row, not the default running frame).
+    "win_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .withColumn("last_price", last(col("o_totalprice")).over(w))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+        .select("o_custkey", "o_orderkey", "first_price", "last_price", "second_price")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // 1-hour trailing average event value per user: range frame over
     // floored epoch seconds (inclusive [t-3600, t], peers included).
     "win_range_frame" -> ((s, dir) => {
@@ -123,6 +138,15 @@ object WindowOps {
                 round(cume_dist() OVER w, 4) AS cd
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+                first_value(o_totalprice) OVER w AS first_price,
+                last_value(o_totalprice) OVER w AS last_price,
+                nth_value(o_totalprice, 2) OVER w AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_custkey, o_orderkey""",
     "win_range_frame" ->
       """SELECT event_id, user_id, es,

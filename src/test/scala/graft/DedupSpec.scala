@@ -42,6 +42,24 @@ class DedupSpec extends SparkSpec {
     assert(sh.filter(col("hamming") > DedupOps.HammingMax).count() === 0)
   }
 
+  test("dedup_clusters is a valid CC labeling of the dedup_ngram pair graph") {
+    val labels = q("dedup_clusters")
+    val docs = Tables.documents(spark, SfDir)
+    // total function: one label per doc, label <= id (min-label), and the
+    // label is itself a doc that carries the same label (canonical root)
+    assert(labels.count() === docs.count())
+    assert(labels.filter(col("cluster_id") > col("doc_id")).count() === 0)
+    val roots = labels.select(col("cluster_id").as("doc_id")).distinct()
+      .join(labels, "doc_id")
+    assert(roots.filter(col("cluster_id") =!= col("doc_id")).count() === 0)
+    // every near-dup pair's endpoints share a cluster
+    val pairs = q("dedup_ngram").select("doc_a", "doc_b")
+    val la = labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
+    assert(pairs.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("ca") =!= col("cb")).count() === 0)
+  }
+
   test("dedup_embed returns the top-100 pairs ordered by similarity") {
     val rows = q("dedup_embed").collect()
     assert(rows.length === 100)

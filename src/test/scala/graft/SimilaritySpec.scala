@@ -34,4 +34,21 @@ class SimilaritySpec extends SparkSpec {
     // and every IVF hit must be a genuine similarity (ranked output)
     assert(ivf.size === 10)
   }
+
+  test("ann_lsh (8-bit multi-probe) returns 10 ranked true-cosine results") {
+    val brute = q("ann_brute").collect()
+    val lsh = q("ann_lsh").collect()
+    assert(lsh.length === 10)
+    // scores are true cosines, so none can exceed the brute-force best
+    val bruteTop = brute.head.getAs[Double]("sim")
+    val sims = lsh.map(_.getAs[Double]("sim"))
+    assert(sims.forall(_ <= bruteTop))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "ranked desc")
+    // every LSH result must carry the same sim the brute-force pass
+    // computed for that vec_id (it IS the exact cosine, just bucket-pruned)
+    val bruteSims = brute.map(r => r.getLong(0) -> r.getAs[Double]("sim")).toMap
+    lsh.foreach { r =>
+      bruteSims.get(r.getLong(0)).foreach(b => assert(b === r.getAs[Double]("sim")))
+    }
+  }
 }
