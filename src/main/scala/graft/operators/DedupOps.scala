@@ -154,21 +154,31 @@ object DedupOps {
     // pairs of `dedup_near` take its place) and each round's labels are
     // localCheckpoint'ed so lineage stays flat no matter how many rounds.
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = graft.plans.SelfPairwise(docHashes(s, dir),
+      // ONE quadratic pass: each surviving pair is exploded into both
+      // orientations and the edge set is persisted — it is read once per
+      // propagation round and must not re-run the pairwise join.
+      val edges = graft.plans.SelfPairwise(docHashes(s, dir),
         graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
         .select(col("src"), col("dst"), round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-        .select("src", "dst")
+        .select(explode(array(
+          struct(col("src").as("a"), col("dst").as("b")),
+          struct(col("dst").as("a"), col("src").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
         .persist()
-      val edges = pairs.select(col("src").as("a"), col("dst").as("b"))
-        .union(pairs.select(col("dst").as("a"), col("src").as("b")))
       var labels = Tables.documents(s, dir)
         .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
         .localCheckpoint()
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
-        val nbrMin = edges.join(labels, col("b") === col("id"))
+        // labels is one row per doc — broadcast it so the (much larger)
+        // edge list is never shuffled; the partial min() then shrinks the
+        // per-round shuffle to one row per (partition, node). A
+        // checkpointed frame has no stats, so the hint is load-bearing.
+        // (At a scale where the label table itself outgrows broadcast,
+        // drop the hint and this becomes the standard shuffle-join CC.)
+        val nbrMin = edges.join(broadcast(labels), col("b") === col("id"))
           .groupBy(col("a")).agg(min(col("lbl")).as("nbr"))
         val next = labels.join(nbrMin, col("id") === col("a"), "left")
           .select(col("id"), col("lbl").as("prev"),
@@ -178,7 +188,7 @@ object DedupOps {
         labels = next.select("id", "lbl")
         rounds += 1
       }
-      pairs.unpersist()
+      edges.unpersist()
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     })

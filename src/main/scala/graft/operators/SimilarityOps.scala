@@ -84,7 +84,11 @@ object SimilarityOps {
     // symmetric, so each unordered pair is scored ONCE (triangular loop)
     // and exploded into both orientations — half the cosine evaluations
     // of the all-ordered-pairs form.
-    "sim_topk" -> ((s, dir) =>
+    "sim_topk" -> ((s, dir) => {
+      // the TopK partial agg is an ObjectHashAggregate; at the default
+      // 128-entry fallback threshold a 2k-group partition degrades to
+      // sorting every pairwise row — size the map to the group count
+      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       pairwiseTriangular(s, dir, Double.MinValue)
         .select(explode(array(
           struct(col("src"), col("dst"), col("similitud")),
@@ -97,7 +101,8 @@ object SimilarityOps {
           posexplode(arrays_zip(col("top.ids"), col("top.scores"))).as(Seq("pos", "e")))
         .select(col("src"), col("e.ids").as("dst"), col("e.scores").as("similitud"),
           (col("pos") + 1).cast("int").as("rn"))
-        .orderBy("src", "rn")),
+        .orderBy("src", "rn")
+    }),
 
     // Brute-force cosine top-10 for one probe vector (vec_id 42) — the
     // exact-ANN baseline. The probe is a broadcast single row, so this is

@@ -130,12 +130,16 @@ object TextOps {
       val tf = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // tf has one row per (doc, token), so df = rows per token — a
+      // window over tf, not a second tokenize pass + join (a df-subquery
+      // formulation re-runs the whole explode/groupBy subtree)
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("token")
       val n = docs.agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("token"))
-      tf.join(df, "token").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(wDf))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(col("tf") *
             log(col("n").cast("double") / col("df")), 4).as("tfidf"))
