@@ -17,15 +17,32 @@ object Bench {
       Tables.documents(spark, sfDir).count()
       Tables.events(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    // The driver captures only the LAST ~2000 chars of sbt output (and
+    // sbt appends a "[success] ..." trailer), so the JSON line must stay
+    // comfortably under that or it arrives head-truncated and unparseable
+    // (BENCH_r01–r03 all recorded parsed:null for exactly this reason).
+    // Emit at 3-decimal precision; degrade to 2 decimals, then to the
+    // slowest-N subset (total stays exact), until the line fits.
+    def line(dp: Int, keep: Int): String = {
+      val kept = results.sortBy(-_._2).take(keep).sortBy(_._1)
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+        .mkString("{", ",", "}")
+      val omitted = results.length - kept.length
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+    }
+    val MaxLen = 1800
+    val out = Iterator((3, results.length), (2, results.length), (2, 60), (2, 40))
+      .map { case (dp, keep) => line(dp, keep) }
+      .find(_.length <= MaxLen)
+      .getOrElse(line(2, 30))
+    println(out)
     spark.stop()
   }
 }

@@ -113,17 +113,28 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
     val collected = child.executeCollect()
     val ids = new Array[Long](collected.length)
     val floatVecs = if (isCosine) new Array[Array[Float]](collected.length) else null
+    // inverse L2 norms, precomputed ONCE per build vector (0 for a zero
+    // vector → every score 0*x < any positive threshold, and the exact
+    // round/filter Columns downstream still see the raw invalid-pair
+    // semantics because a zero norm made the pair invalid anyway)
+    val invNorms = if (isCosine) new Array[Double](collected.length) else null
     val longVecs = if (!isCosine) new Array[Array[Long]](collected.length) else null
     var i = 0
     while (i < collected.length) {
       val row = collected(i)
       ids(i) = row.getLong(0)
-      if (isCosine) floatVecs(i) = row.getArray(1).toFloatArray()
-      else longVecs(i) = row.getArray(1).toLongArray()
+      if (isCosine) {
+        val v = row.getArray(1).toFloatArray()
+        floatVecs(i) = v
+        var nn = 0.0; var k = 0
+        while (k < v.length) { val x = v(k).toDouble; nn += x * x; k += 1 }
+        invNorms(i) = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
+      } else longVecs(i) = row.getArray(1).toLongArray()
       i += 1
     }
     val bcIds = sparkContext.broadcast(ids)
     val bcF = if (isCosine) sparkContext.broadcast(floatVecs) else null
+    val bcN = if (isCosine) sparkContext.broadcast(invNorms) else null
     val bcL = if (!isCosine) sparkContext.broadcast(longVecs) else null
     val tri = triangular
     val minS = minScore
