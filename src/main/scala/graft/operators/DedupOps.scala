@@ -79,24 +79,35 @@ object DedupOps {
     // (hash-impl-specific banding); the pair set is property-tested
     // against the exact pairwise `dedup_ngram` result in DedupSpec.
     "dedup_near" -> ((s, dir) => {
-      // signatures carry the token-hash array AND the full band digest
-      // array into the band join; the join condition (all codegen'd fused
-      // loops) keeps a candidate occurrence only when (a) this band is the
-      // FIRST band where the two signatures agree — so each pair surfaces
-      // exactly once and no distinct shuffle is needed — and (b) the exact
-      // Jaccard verification passes. Failures never materialize a row.
+      // Only (doc_id, bands) ride the candidate shuffle — the wide
+      // token-hash arrays stay out of the band join entirely and are
+      // broadcast-joined back for the verify step (the signature table is
+      // per-doc, orders of magnitude smaller than the candidate set). The
+      // join keeps a candidate occurrence only when this band is the FIRST
+      // band where the two signatures agree ([[ArrayExprs.firstEqualIndex]],
+      // a 4-element codegen'd loop), so each pair surfaces exactly once and
+      // no distinct shuffle is needed; exact Jaccard verification then runs
+      // once per unique candidate pair.
+      // (sig is recomputed by the two broadcast sides — tokenize+minhash
+      // of the per-doc table is negligible next to the candidate join, and
+      // skipping persist() avoids a cache entry outliving the query)
       val sig = docHashes(s, dir)
         .withColumn("bands", bandHashes(ArrayExprs.minHashes(col("th"), NumHashes)))
-        .select(col("doc_id"), col("th"), col("bands"),
-          posexplode(col("bands")).as(Seq("band", "bh")))
-      val a = sig.select(col("doc_id").as("doc_a"), col("th").as("th_a"),
-        col("bands").as("bands_a"), col("band"), col("bh"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("th").as("th_b"),
-        col("bands").as("bands_b"), col("band"), col("bh"))
-      a.join(b, Seq("band", "bh"))
+      val slim = sig.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+      val a = slim.select(col("doc_id").as("doc_a"), col("bands").as("bands_a"),
+        col("band"), col("bh"))
+      val b = slim.select(col("doc_id").as("doc_b"), col("bands").as("bands_b"),
+        col("band"), col("bh"))
+      val cand = a.join(b, Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b") &&
-          ArrayExprs.firstEqualIndex(col("bands_a"), col("bands_b")) === col("band") &&
-          ArrayExprs.sortedJaccard(col("th_a"), col("th_b")) >= JaccardThreshold - 1e-3)
+          ArrayExprs.firstEqualIndex(col("bands_a"), col("bands_b")) === col("band"))
+        .select("doc_a", "doc_b")
+      val th = sig.select(col("doc_id"), col("th"))
+      cand
+        .join(broadcast(th.select(col("doc_id").as("doc_a"), col("th").as("th_a"))), "doc_a")
+        .join(broadcast(th.select(col("doc_id").as("doc_b"), col("th").as("th_b"))), "doc_b")
+        .filter(ArrayExprs.sortedJaccard(col("th_a"), col("th_b")) >= JaccardThreshold - 1e-3)
         .select(col("doc_a"), col("doc_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
         .orderBy("doc_a", "doc_b")
@@ -155,8 +166,10 @@ object DedupOps {
     // localCheckpoint'ed so lineage stays flat no matter how many rounds.
     "dedup_clusters" -> ((s, dir) => {
       // ONE quadratic pass: each surviving pair is exploded into both
-      // orientations and the edge set is persisted — it is read once per
-      // propagation round and must not re-run the pairwise join.
+      // orientations, a self-loop is added per doc, and the adjacency is
+      // persisted — it is read once per propagation round and must not
+      // re-run the pairwise join.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
       val edges = graft.plans.SelfPairwise(docHashes(s, dir),
         graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
         .select(col("src"), col("dst"), round(col("score"), 4).as("jaccard"))
@@ -165,27 +178,37 @@ object DedupOps {
           struct(col("src").as("a"), col("dst").as("b")),
           struct(col("dst").as("a"), col("src").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
+        .union(docs.select(col("doc_id").as("a"), col("doc_id").as("b")))
         .persist()
-      var labels = Tables.documents(s, dir)
-        .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      // Min-label propagation with the self-loop folded into the
+      // adjacency: new label = min over {labels of b : (a,b) in edges} is
+      // ONE broadcast join + ONE aggregation per round (the self-loop
+      // replaces the old least()/left-join recombination step).
+      // Convergence: labels only ever decrease, so sum(lbl) is strictly
+      // decreasing until the fixpoint — comparing two Long sums per round
+      // replaces the filter+count job over a prev/next join.
+      var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
         .localCheckpoint()
-      var changed = 1L
+      def lblSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("lbl"))).first().getLong(0)
+      var prevSum = lblSum(labels)
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
+      var converged = false
+      while (!converged && rounds < 50) {
         // labels is one row per doc — broadcast it so the (much larger)
         // edge list is never shuffled; the partial min() then shrinks the
         // per-round shuffle to one row per (partition, node). A
         // checkpointed frame has no stats, so the hint is load-bearing.
         // (At a scale where the label table itself outgrows broadcast,
         // drop the hint and this becomes the standard shuffle-join CC.)
-        val nbrMin = edges.join(broadcast(labels), col("b") === col("id"))
-          .groupBy(col("a")).agg(min(col("lbl")).as("nbr"))
-        val next = labels.join(nbrMin, col("id") === col("a"), "left")
-          .select(col("id"), col("lbl").as("prev"),
-            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        val next = edges.join(broadcast(labels), col("b") === col("id"))
+          .groupBy(col("a")).agg(min(col("lbl")).as("lbl"))
+          .select(col("a").as("id"), col("lbl"))
           .localCheckpoint()
-        changed = next.filter(col("lbl") =!= col("prev")).count()
-        labels = next.select("id", "lbl")
+        val nextSum = lblSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        labels = next
         rounds += 1
       }
       edges.unpersist()

@@ -78,29 +78,23 @@ object SimilarityOps {
     }),
 
     // Top-5 most-similar neighbors per node (ties broken by dst id).
-    // Map-side partial top-k ([[graft.functions.TopK]]): the shuffle
-    // carries at most 5 entries per (partition, src) instead of the full
-    // pairwise row set a window formulation would move. Cosine is
-    // symmetric, so each unordered pair is scored ONCE (triangular loop)
-    // and exploded into both orientations — half the cosine evaluations
-    // of the all-ordered-pairs form.
+    // Planned by [[graft.plans.SelfPairwise]] in top-k mode: each probe
+    // row keeps a bounded 5-entry buffer ordered by (rounded score DESC,
+    // dst ASC) inside the fused scan, so only n*5 rows ever materialize —
+    // no 2n^2-row explode, no wide aggregation, no big shuffle. The tiny
+    // downstream window re-ranks those n*5 rows with Spark's own round()
+    // so rn is engine-exact. (The earlier formulation — triangular pairs
+    // exploded both ways into a map-side partial TopK Aggregator
+    // [[graft.functions.TopK]] — is kept as the generic-shuffle-topk
+    // component and parity-pinned in SimilaritySpec.)
     "sim_topk" -> ((s, dir) => {
-      // the TopK partial agg is an ObjectHashAggregate; at the default
-      // 128-entry fallback threshold a 2k-group partition degrades to
-      // sorting every pairwise row — size the map to the group count
-      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
-      pairwiseTriangular(s, dir, Double.MinValue)
-        .select(explode(array(
-          struct(col("src"), col("dst"), col("similitud")),
-          struct(col("dst").as("src"), col("src").as("dst"), col("similitud")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"),
-          col("e.similitud").as("similitud"))
-        .groupBy("src")
-        .agg(graft.functions.TopK.topK(5)(col("dst"), col("similitud")).as("top"))
-        .select(col("src"),
-          posexplode(arrays_zip(col("top.ids"), col("top.scores"))).as(Seq("pos", "e")))
-        .select(col("src"), col("e.ids").as("dst"), col("e.scores").as("similitud"),
-          (col("pos") + 1).cast("int").as("rn"))
+      val w = Window.partitionBy("src").orderBy(col("similitud").desc, col("dst"))
+      graft.plans.SelfPairwise(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        graft.plans.SelfPairwise.Cosine, Double.MinValue,
+        triangular = false, topK = 5)
+        .select(col("src"), col("dst"), round(col("score") * 100, 4).as("similitud"))
+        .withColumn("rn", row_number().over(w).cast("int"))
         .orderBy("src", "rn")
     }),
 

@@ -172,7 +172,8 @@ object PairwiseRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case a: Attribute if a.exprId == idR.exprId => dstA
     }
     val node = SelfPairwiseNode(
-      Project(Seq(idL, vecL), left), SelfPairwise.Cosine, minScore, triangular, out)
+      Project(Seq(idL, vecL), left), SelfPairwise.Cosine, minScore, triangular,
+      topK = 0, out)
     val filterCond = rest.map(subst).reduce(And)
     val newProjs: Seq[NamedExpression] = projs.map { ne =>
       val base = ne match { case Alias(c, _) => c; case other => other }

@@ -49,9 +49,18 @@ object SelfPairwise {
     * (id: LONG, vec: ARRAY<FLOAT|BIGINT>). Output: (src, dst, score).
     * `minScore` is the conservative in-loop prefilter on the RAW score
     * (Double.MinValue = keep everything); `triangular` keeps src < dst,
-    * otherwise all ordered pairs src != dst. */
+    * otherwise all ordered pairs src != dst.
+    *
+    * `topK > 0` switches the operator into per-src top-k mode: instead of
+    * emitting every surviving pair, each stream row keeps a bounded
+    * k-buffer ordered by (round(score*100, 4) DESC, dst ASC) — the exact
+    * ordering the `sim_topk` window/oracle specifies — and emits only
+    * those k rows. This replaces `pairwise -> explode -> 25M-row
+    * ObjectHashAggregate` with a fused scan that materializes n*k rows
+    * total; the tiny downstream window re-ranks with Spark's own `round`,
+    * so final rn values are engine-exact. */
   def apply(df: DataFrame, score: Score, minScore: Double,
-            triangular: Boolean): DataFrame = {
+            triangular: Boolean, topK: Int = 0): DataFrame = {
     val spark = df.sparkSession
     // idempotently register the planning strategy on whatever session the
     // driver hands us (ExperimentalMethods is the runtime hook; the
@@ -67,12 +76,12 @@ object SelfPairwise {
       AttributeReference("dst", LongType, nullable = false)(),
       AttributeReference("score", DoubleType, nullable = false)())
     Bridge.ofRows(spark,
-      SelfPairwiseNode(Bridge.logicalPlan(df), score, minScore, triangular, out))
+      SelfPairwiseNode(Bridge.logicalPlan(df), score, minScore, triangular, topK, out))
   }
 }
 
 case class SelfPairwiseNode(child: LogicalPlan, score: SelfPairwise.Score,
-                            minScore: Double, triangular: Boolean,
+                            minScore: Double, triangular: Boolean, topK: Int,
                             output: Seq[Attribute])
     extends UnaryNode {
   // the operator GENERATES these attrs (they don't come from the child)
@@ -91,13 +100,13 @@ class SelfPairwiseStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: SelfPairwiseNode =>
       SelfPairwiseExec(planLater(n.child), n.score, n.minScore, n.triangular,
-        n.output) :: Nil
+        n.topK, n.output) :: Nil
     case _ => Nil
   }
 }
 
 case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
-                            minScore: Double, triangular: Boolean,
+                            minScore: Double, triangular: Boolean, topK: Int,
                             output: Seq[Attribute])
     extends UnaryExecNode {
 
@@ -113,11 +122,12 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
     val collected = child.executeCollect()
     val ids = new Array[Long](collected.length)
     val floatVecs = if (isCosine) new Array[Array[Float]](collected.length) else null
-    // inverse L2 norms, precomputed ONCE per build vector (0 for a zero
-    // vector → every score 0*x < any positive threshold, and the exact
-    // round/filter Columns downstream still see the raw invalid-pair
-    // semantics because a zero norm made the pair invalid anyway)
-    val invNorms = if (isCosine) new Array[Double](collected.length) else null
+    // squared L2 norms, precomputed ONCE per build vector with the same
+    // k-ascending accumulation order the fused per-pair loop used — the
+    // per-pair expression stays `dot / (sqrt(na) * sqrt(nb))`, so scores
+    // are bit-identical to the declarative FloatCosine formulation while
+    // the inner loop drops from 3 to 1 multiply-add per element
+    val norms = if (isCosine) new Array[Double](collected.length) else null
     val longVecs = if (!isCosine) new Array[Array[Long]](collected.length) else null
     var i = 0
     while (i < collected.length) {
@@ -128,26 +138,123 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
         floatVecs(i) = v
         var nn = 0.0; var k = 0
         while (k < v.length) { val x = v(k).toDouble; nn += x * x; k += 1 }
-        invNorms(i) = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
+        norms(i) = nn
       } else longVecs(i) = row.getArray(1).toLongArray()
       i += 1
     }
     val bcIds = sparkContext.broadcast(ids)
     val bcF = if (isCosine) sparkContext.broadcast(floatVecs) else null
-    val bcN = if (isCosine) sparkContext.broadcast(invNorms) else null
+    val bcN = if (isCosine) sparkContext.broadcast(norms) else null
     val bcL = if (!isCosine) sparkContext.broadcast(longVecs) else null
     val tri = triangular
     val minS = minScore
+    val k0 = topK
 
-    child.execute().mapPartitions { iter =>
+    // HALF_UP decimal(4) rounding of score*100 — the ordering key the
+    // sim_topk oracle ranks by (Spark's round() is BigDecimal HALF_UP;
+    // for cosine magnitudes the scaled floor form is equivalent)
+    def round4x100(s: Double): Double = {
+      val x = s * 100.0
+      if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4 else math.ceil(x * 1e4 - 0.5) / 1e4
+    }
+
+    if (k0 > 0) {
+      // per-src top-k mode: bounded insertion buffer ordered by
+      // (round(score*100,4) DESC, dst ASC); emits k rows per stream row
+      child.execute().mapPartitions { iter =>
+        val bIds = bcIds.value
+        val bF = if (bcF != null) bcF.value else null
+        val bN = if (bcN != null) bcN.value else null
+        val bL = if (bcL != null) bcL.value else null
+        val writer = new UnsafeRowWriter(3)
+        iter.flatMap { row =>
+          val src = row.getLong(0)
+          val va: Array[Float] = if (bF != null) row.getArray(1).toFloatArray() else null
+          val la: Array[Long] = if (bL != null) row.getArray(1).toLongArray() else null
+          var na = 0.0
+          if (va != null) {
+            var k = 0
+            while (k < va.length) { val x = va(k).toDouble; na += x * x; k += 1 }
+          }
+          val topIds = new Array[Long](k0)
+          val topRaw = new Array[Double](k0)
+          val topRnd = new Array[Double](k0)
+          var size = 0
+          var j = 0
+          while (j < bIds.length) {
+            val dst = bIds(j)
+            val keepPair = if (tri) src < dst else src != dst
+            if (keepPair) {
+              var s = 0.0
+              var valid = true
+              if (bF != null) {
+                val vb = bF(j)
+                val n = math.min(va.length, vb.length)
+                var dot = 0.0
+                var k = 0
+                while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+                val den = math.sqrt(na) * math.sqrt(bN(j))
+                if (den == 0.0) valid = false else s = dot / den
+              } else {
+                val lb = bL(j)
+                var p = 0; var q = 0; var inter = 0
+                while (p < la.length && q < lb.length) {
+                  val xv = la(p); val yv = lb(q)
+                  if (xv == yv) { inter += 1; p += 1; q += 1 }
+                  else if (xv < yv) p += 1
+                  else q += 1
+                }
+                val union = la.length + lb.length - inter
+                if (union == 0) valid = false else s = inter.toDouble / union
+              }
+              if (valid && s >= minS) {
+                val r = round4x100(s)
+                val last = size - 1
+                if (size < k0 || r > topRnd(last) ||
+                    (r == topRnd(last) && dst < topIds(last))) {
+                  var pos = if (size < k0) size else last
+                  while (pos > 0 && (topRnd(pos - 1) < r ||
+                      (topRnd(pos - 1) == r && topIds(pos - 1) > dst))) {
+                    topIds(pos) = topIds(pos - 1)
+                    topRaw(pos) = topRaw(pos - 1)
+                    topRnd(pos) = topRnd(pos - 1)
+                    pos -= 1
+                  }
+                  topIds(pos) = dst; topRaw(pos) = s; topRnd(pos) = r
+                  if (size < k0) size += 1
+                }
+              }
+            }
+            j += 1
+          }
+          val rows = new Array[InternalRow](size)
+          var o = 0
+          while (o < size) {
+            writer.reset()
+            writer.write(0, src)
+            writer.write(1, topIds(o))
+            writer.write(2, topRaw(o))
+            rows(o) = writer.getRow.copy()
+            o += 1
+          }
+          rows
+        }
+      }
+    } else child.execute().mapPartitions { iter =>
       val bIds = bcIds.value
       val bF = if (bcF != null) bcF.value else null
+      val bN = if (bcN != null) bcN.value else null
       val bL = if (bcL != null) bcL.value else null
       val writer = new UnsafeRowWriter(3)
       iter.flatMap { row =>
         val src = row.getLong(0)
         val va: Array[Float] = if (bF != null) row.getArray(1).toFloatArray() else null
         val la: Array[Long] = if (bL != null) row.getArray(1).toLongArray() else null
+        var naStream = 0.0
+        if (va != null) {
+          var k = 0
+          while (k < va.length) { val x = va(k).toDouble; naStream += x * x; k += 1 }
+        }
         new Iterator[InternalRow] {
           private var j = 0
           private var nextRow: InternalRow = _
@@ -162,26 +269,37 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
                 if (bF != null) {
                   val vb = bF(j)
                   val n = math.min(va.length, vb.length)
-                  var dot = 0.0; var na = 0.0; var nb = 0.0
+                  var dot = 0.0
                   var k = 0
-                  while (k < n) {
-                    val x = va(k).toDouble; val y = vb(k).toDouble
-                    dot += x * y; na += x * x; nb += y * y
-                    k += 1
-                  }
-                  val den = math.sqrt(na) * math.sqrt(nb)
+                  while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+                  val den = math.sqrt(naStream) * math.sqrt(bN(j))
                   if (den == 0.0) valid = false else s = dot / den
                 } else {
                   val lb = bL(j)
                   var p = 0; var q = 0; var inter = 0
-                  while (p < la.length && q < lb.length) {
+                  var prune = false
+                  while (!prune && p < la.length && q < lb.length) {
                     val xv = la(p); val yv = lb(q)
                     if (xv == yv) { inter += 1; p += 1; q += 1 }
-                    else if (xv < yv) p += 1
-                    else q += 1
+                    else {
+                      if (xv < yv) p += 1 else q += 1
+                      // upper bound on the final Jaccard if every remaining
+                      // element matched; below minS → the pair can never
+                      // survive the filter, stop merging (minS <= 0 means
+                      // the caller wants every pair — skip the check)
+                      if (minS > 0) {
+                        val rem = math.min(la.length - p, lb.length - q)
+                        val maxInter = inter + rem
+                        if (maxInter.toDouble <
+                            minS * (la.length + lb.length - maxInter)) prune = true
+                      }
+                    }
                   }
-                  val union = la.length + lb.length - inter
-                  if (union == 0) valid = false else s = inter.toDouble / union
+                  if (prune) valid = false
+                  else {
+                    val union = la.length + lb.length - inter
+                    if (union == 0) valid = false else s = inter.toDouble / union
+                  }
                 }
                 if (valid && s >= minS) {
                   writer.reset()

@@ -49,6 +49,41 @@ class SelfPairwiseSpec extends SparkSpec {
     assert(declarative.exceptAll(custom).count() === 0)
   }
 
+  test("SelfPairwise top-k mode equals the window top-k formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
+    val topk = SelfPairwise(e, SelfPairwise.Cosine, Double.MinValue,
+      triangular = false, topK = 5)
+      .select(col("src"), col("dst"), round(col("score") * 100, 4).as("similitud"))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("vb"))
+    val w = Window.partitionBy("src").orderBy(col("similitud").desc, col("dst"))
+    val windowed = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        Vectors.similitud(col("va"), col("vb")).as("similitud"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+    assert(topk.exceptAll(windowed).count() === 0)
+    assert(windowed.exceptAll(topk).count() === 0)
+  }
+
+  test("Jaccard early-exit bound never drops a survivor (minScore prefilter)") {
+    val th = Tables.documents(spark, SfDir)
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t))).as("th"))
+    // with the bound active (minScore 0.899) vs inactive (MinValue), the
+    // rows surviving the exact rounded filter must be identical
+    val bounded = SelfPairwise(th, SelfPairwise.Jaccard, 0.899, triangular = true)
+      .select(col("src"), col("dst"), round(col("score"), 4).as("j"))
+      .filter(col("j") >= 0.9)
+    val unbounded = SelfPairwise(th, SelfPairwise.Jaccard, Double.MinValue, triangular = true)
+      .select(col("src"), col("dst"), round(col("score"), 4).as("j"))
+      .filter(col("j") >= 0.9)
+    assert(bounded.exceptAll(unbounded).count() === 0)
+    assert(unbounded.exceptAll(bounded).count() === 0)
+  }
+
   test("in-loop threshold never drops a row that survives the exact filter") {
     val e = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
     val pre = SelfPairwise(e, SelfPairwise.Cosine, (30.0 - 0.01) / 100.0, triangular = true)

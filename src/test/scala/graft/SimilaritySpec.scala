@@ -17,6 +17,29 @@ class SimilaritySpec extends SparkSpec {
     assert(perSrc.filter(col("max_rn") > 5).count() === 0)
   }
 
+  test("TopK partial aggregator matches the window top-k formulation") {
+    // generic shuffle-topk component (map-side bounded buffer): no longer
+    // on the sim_topk path (SelfPairwise top-k mode replaced it) but kept
+    // as the reusable aggregation primitive for non-broadcastable inputs
+    import org.apache.spark.sql.expressions.Window
+    // built twice: SelfPairwiseNode generates its output attrs, so a
+    // self-combination of one instance trips conflicting-reference checks
+    // (leaf relations dedup via MultiInstanceRelation; custom unary nodes
+    // don't) — two instances give each side independent exprIds
+    val pairs = SimilarityOps.pairwise(spark, SfDir)
+    val pairs2 = SimilarityOps.pairwise(spark, SfDir)
+    val viaAgg = pairs.groupBy("src")
+      .agg(graft.functions.TopK.topK(3)(col("dst"), col("similitud")).as("top"))
+      .select(col("src"),
+        posexplode(arrays_zip(col("top.ids"), col("top.scores"))).as(Seq("pos", "e")))
+      .select(col("src"), col("e.ids").as("dst"), col("e.scores").as("similitud"))
+    val w = Window.partitionBy("src").orderBy(col("similitud").desc, col("dst"))
+    val viaWindow = pairs2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(viaAgg.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaAgg).count() === 0)
+  }
+
   test("sim_edges is triangular (src < dst) and above threshold") {
     val e = q("sim_edges")
     assert(e.filter(col("src") >= col("dst")).count() === 0)
