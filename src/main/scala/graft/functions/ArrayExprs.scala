@@ -52,6 +52,17 @@ object ArrayExprs {
     * occurrence rows with a distinct shuffle. */
   def firstEqualIndex(a: Column, b: Column): Column =
     Bridge.column(FirstEqualIndex(Bridge.expression(a), Bridge.expression(b)))
+
+  /** LSH band digests over an ARRAY<BIGINT> token-hash set, in ONE fused
+    * loop: band b = splitmix64 fold of its `rowsPerBand` MinHash rows
+    * (seeds b·rowsPerBand … b·rowsPerBand+rowsPerBand−1). Composing this
+    * from `minHashes` + per-band `xxhash64(element_at(mh,…)…)` Columns
+    * re-inlines the whole MinHash subtree into EVERY element_at (lambda
+    * bodies see no common-subexpression elimination): at 32 bands × 16
+    * rows that is 512 copies × 512 hashes per row — the plan never
+    * finished at sf0.1. Here signature cost is bands·rows·|tokens| total. */
+  def minHashBands(tokenHashes: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(MinHashBands(Bridge.expression(tokenHashes), bands, rowsPerBand))
 }
 
 /** Fused dot/norms cosine over two float/double arrays (each side may be
@@ -321,6 +332,85 @@ object MinHashes {
     v ^= v >>> 27; v *= 0x94D049BB133111EBL
     v ^ (v >>> 31)
   }
+}
+
+/** MinHash + LSH banding fused: band digest b = splitmix64 fold over the
+  * band's `rowsPerBand` MinHash values, each MinHash computed inline (min
+  * over tokens of splitmix64(tok ⊕ gamma·(seed+1)), same family as
+  * [[MinHashes]]). One bands·rows·|tokens| loop nest per row — the
+  * signature never materializes as an intermediate array column. */
+case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_hash_bands"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<BIGINT>, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = MinHashes.mix(b.toLong + 1L)
+      var r = 0
+      while (r < rowsPerBand) {
+        val k = b * rowsPerBand + r
+        var min = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val m = MinHashes.mix(arr.getLong(i) ^ ((k + 1) * MinHashes.Gamma))
+          if (m < min) min = m
+          i += 1
+        }
+        h = MinHashes.mix(h ^ min)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val r = ctx.freshName("r")
+      val b = ctx.freshName("b"); val k = ctx.freshName("k")
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val min = ctx.freshName("min"); val z = ctx.freshName("z")
+      val h = ctx.freshName("h")
+      val cls = MinHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+        |final int $n = $a.numElements();
+        |final long[] $out = new long[$bands];
+        |for (int $b = 0; $b < $bands; $b++) {
+        |  long $h = $cls.mix((long) $b + 1L);
+        |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+        |    final int $k = $b * $rowsPerBand + $r;
+        |    long $min = Long.MAX_VALUE;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      long $z = $cls.mix($a.getLong($i) ^ (($k + 1) * ${MinHashes.Gamma}L));
+        |      if ($z < $min) $min = $z;
+        |    }
+        |    $h = $cls.mix($h ^ $min);
+        |  }
+        |  $out[$b] = $h;
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
 }
 
 /** SimHash over a token-hash array: majority vote per bit, one fused loop. */

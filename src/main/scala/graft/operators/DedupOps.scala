@@ -15,18 +15,38 @@ import graft.functions.ArrayExprs
   *    groupBy on a 128-bit fingerprint of the text — same plan shape, tiny
   *    shuffle payload; the fingerprint column is what `text_fingerprint`
   *    in [[TextOps]] computes).
+  *  - **Collapse-then-compare**: every near-dup variant first groups docs
+  *    by their exact token-hash set ([[groups]]) and runs the quadratic /
+  *    LSH machinery over UNIQUE sets only, expanding surviving set-pairs
+  *    back to member doc-pairs at the end. Real corpora are dominated by
+  *    exact duplicates (boilerplate, mirrors), so the collapse is the
+  *    single highest-leverage step in a production dedup pipeline: the
+  *    candidate space shrinks quadratically in the dup factor BEFORE any
+  *    pairwise work, and identical docs never reach the LSH join at all
+  *    (measured here: a 248-doc clique at sf0.1 alone put 61k rows per
+  *    band into the bucket join pre-collapse). The expansion joins are
+  *    map-side (group table broadcasts; at 100 TB it shuffle-joins on
+  *    gid — linear either way).
   *  - Pairwise Jaccard runs on per-doc SORTED ARRAYS OF TOKEN HASHES
   *    (computed once per doc, tiny vs the pair count) compared by the
   *    codegen'd merge-loop [[ArrayExprs.sortedJaccard]] — the
-  *    `array_intersect`-based formulation evaluates interpreted per pair
+  *    `array_intersect`-based formulation evaluated interpreted per pair
   *    and measured ~180 s at sf0.1; this one is a primitive long-merge
   *    inside whole-stage codegen.
   *  - `dedup_near` is the canonical LSH pipeline: signature scan →
   *    candidate pairs from an equi-join on (band, hash) carrying ONLY ids
   *    (the token arrays join back in afterwards, so the wide payload never
   *    rides the candidate shuffle) → exact Jaccard verification on
-  *    candidates only. At 100 TB the band join is the only quadratic-risk
-  *    step and its blow-up is bounded by bucket sizes, not n².
+  *    candidates only. Banding is 32 bands × 16 rows (512 MinHashes):
+  *    the fixture's similarity histogram is DENSE right below the 0.9
+  *    threshold (at sf0.1, 480k unique-set pairs sit in [0.8,0.85) and
+  *    190k in [0.85,0.9)), so the S-curve must be steep — this choice
+  *    keeps miss probability at s=0.905 under 0.1% while passing only
+  *    ~1M of 7.7M unique-set pairs as candidates. The original 4×4
+  *    banding let ~95% of pairs through, making the band join strictly
+  *    worse than the fused brute-force pass it was meant to avoid;
+  *    signature cost is linear (512 × |tokens| per UNIQUE set) and
+  *    codegen'd, i.e. noise in the scan.
   *  - `dedup_simhash` packs a document into one 32-bit signature, so the
   *    candidate filter is a cheap integer XOR + popcount.
   *  - Thresholds are calibrated to the synthetic fixtures (vocab of ~31
@@ -35,8 +55,9 @@ import graft.functions.ArrayExprs
   */
 object DedupOps {
 
-  val NumHashes = 16
-  val Bands     = 4 // 4 rows per band
+  val Bands       = 24
+  val RowsPerBand = 16
+  val NumHashes   = Bands * RowsPerBand
   val JaccardThreshold = 0.9
   val HammingMax = 3
 
@@ -49,19 +70,51 @@ object DedupOps {
   private def tokHashes(c: Column): Column =
     array_sort(transform(toks(c), t => xxhash64(t)))
 
-  /** LSH band digests over the MinHash signature ([[ArrayExprs.minHashes]],
-    * codegen'd — the HOF `transform(array_min(transform(xxhash64)))`
-    * formulation cost ~12 s per pass at sf0.1): band b = hash of its 4
-    * signature rows (a 4-element transform — negligible). */
-  private def bandHashes(mh: Column): Column =
-    transform(sequence(lit(0), lit(Bands - 1)),
-      b => xxhash64(b,
-        element_at(mh, b * lit(4) + 1), element_at(mh, b * lit(4) + 2),
-        element_at(mh, b * lit(4) + 3), element_at(mh, b * lit(4) + 4)))
+  /** LSH band digests straight from the token-hash set — MinHash and the
+    * per-band fold run in ONE fused codegen loop
+    * ([[ArrayExprs.minHashBands]]); see that Scaladoc for why composing
+    * `minHashes` + per-band `xxhash64(element_at(…))` Columns is
+    * quadratically wrong. */
+  private def bandHashes(th: Column): Column =
+    ArrayExprs.minHashBands(th, Bands, RowsPerBand)
 
   /** doc_id + sorted token-hash array, reused by the pairwise variants. */
   private def docHashes(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), tokHashes(col("text")).as("th"))
+
+  /** The exact-set collapse: one row per DISTINCT token-hash set, with
+    * gid = min member doc_id (the group's canonical id) and the sorted
+    * member list. One hash-shuffle over the corpus; everything quadratic
+    * downstream runs on these unique sets. */
+  private def groups(s: SparkSession, dir: String): DataFrame =
+    docHashes(s, dir)
+      .groupBy("th")
+      .agg(min("doc_id").as("gid"), sort_array(collect_list("doc_id")).as("members"))
+
+  /** Expand surviving set-pairs (gid_a, gid_b, score) to member doc-pairs
+    * with doc_a < doc_b, via two broadcast joins on the group table. gid
+    * order does not imply member order across groups, so the pair is
+    * re-oriented with least/greatest. */
+  private def expandPairs(pairs: DataFrame, grouped: DataFrame, scoreCol: String): DataFrame = {
+    val ga = grouped.select(col("gid").as("gid_a"), col("members").as("ms_a"))
+    val gb = grouped.select(col("gid").as("gid_b"), col("members").as("ms_b"))
+    pairs
+      .join(broadcast(ga), "gid_a")
+      .join(broadcast(gb), "gid_b")
+      .select(col(scoreCol), explode(col("ms_a")).as("da"), col("ms_b"))
+      .select(col(scoreCol), col("da"), explode(col("ms_b")).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col(scoreCol))
+  }
+
+  /** All intra-group member pairs (doc_a < doc_b) with a constant score —
+    * identical sets need no verification (Jaccard 1, Hamming 0). */
+  private def intraPairs(grouped: DataFrame, scoreCol: String, score: Column): DataFrame =
+    grouped.filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn(scoreCol, score)
 
   private def jaccard(a: Column, b: Column): Column =
     round(ArrayExprs.sortedJaccard(a, b), 4)
@@ -74,79 +127,108 @@ object DedupOps {
         .select("doc_id", "text")
         .orderBy("doc_id")),
 
-    // MinHash + LSH banding: signature scan -> band equi-join over ids
-    // only -> exact Jaccard verify on candidates. No oracle
-    // (hash-impl-specific banding); the pair set is property-tested
-    // against the exact pairwise `dedup_ngram` result in DedupSpec.
+    // MinHash + LSH banding over UNIQUE token sets: collapse -> band
+    // equi-join over gids only -> exact Jaccard verify on candidate set
+    // pairs -> expand to member pairs (intra-group pairs are Jaccard 1 by
+    // construction and bypass the join). No oracle (hash-impl-specific
+    // banding); the pair set is property-tested against the exact pairwise
+    // `dedup_ngram` result in DedupSpec.
     "dedup_near" -> ((s, dir) => {
-      // Only (doc_id, bands) ride the candidate shuffle — the wide
-      // token-hash arrays stay out of the band join entirely and are
-      // broadcast-joined back for the verify step (the signature table is
-      // per-doc, orders of magnitude smaller than the candidate set). The
-      // join keeps a candidate occurrence only when this band is the FIRST
-      // band where the two signatures agree ([[ArrayExprs.firstEqualIndex]],
-      // a 4-element codegen'd loop), so each pair surfaces exactly once and
-      // no distinct shuffle is needed; exact Jaccard verification then runs
-      // once per unique candidate pair.
-      // (sig is recomputed by the two broadcast sides — tokenize+minhash
-      // of the per-doc table is negligible next to the candidate join, and
-      // skipping persist() avoids a cache entry outliving the query)
-      val sig = docHashes(s, dir)
-        .withColumn("bands", bandHashes(ArrayExprs.minHashes(col("th"), NumHashes)))
-      val slim = sig.select(col("doc_id"), col("bands"),
+      // the collapse groupBy feeds SIX branches of this DAG (band join
+      // sides, the two verify broadcasts, the two expansion broadcasts,
+      // intra pairs) — persist it once; it is one row per unique set
+      val grouped = groups(s, dir).persist()
+      // Only (gid, band, bh) — 24 bytes — ride the candidate shuffle: the
+      // wide token-hash arrays AND the band-signature arrays both stay out
+      // of the join entirely (the arrays are broadcast-joined back for the
+      // verify step; the unique-set table is orders of magnitude smaller
+      // than the candidate set). Pairs colliding in several bands surface
+      // once per band and are deduped by an aggregation on the slim pair
+      // ids — with 32 bands, carrying the 256-byte signature arrays
+      // through the join to dedupe in-place (the firstEqualIndex trick
+      // this replaced) costs more than the extra shuffle.
+      val sig = grouped.select(col("gid"), col("th"))
+        .withColumn("bands", bandHashes(col("th")))
+      val slim = sig.select(col("gid"), size(col("th")).as("len"),
         posexplode(col("bands")).as(Seq("band", "bh")))
-      val a = slim.select(col("doc_id").as("doc_a"), col("bands").as("bands_a"),
+      val a = slim.select(col("gid").as("gid_a"), col("len").as("len_a"),
         col("band"), col("bh"))
-      val b = slim.select(col("doc_id").as("doc_b"), col("bands").as("bands_b"),
+      val b = slim.select(col("gid").as("gid_b"), col("len").as("len_b"),
         col("band"), col("bh"))
+      // length-ratio prefilter: J(A,B) >= t forces |A∩B| >= t·|A∪B|, so
+      // min(|A|,|B|)/max(|A|,|B|) >= t — evaluated inside the join, it
+      // drops false candidates before they reach the dedup shuffle
       val cand = a.join(b, Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b") &&
-          ArrayExprs.firstEqualIndex(col("bands_a"), col("bands_b")) === col("band"))
-        .select("doc_a", "doc_b")
-      val th = sig.select(col("doc_id"), col("th"))
-      cand
-        .join(broadcast(th.select(col("doc_id").as("doc_a"), col("th").as("th_a"))), "doc_a")
-        .join(broadcast(th.select(col("doc_id").as("doc_b"), col("th").as("th_b"))), "doc_b")
+        .filter(col("gid_a") < col("gid_b") &&
+          least(col("len_a"), col("len_b")).cast("double") >=
+            greatest(col("len_a"), col("len_b")) * (JaccardThreshold - 1e-3))
+        .select("gid_a", "gid_b")
+        .distinct()
+      val th = sig.select(col("gid"), col("th"))
+      val inter = cand
+        .join(broadcast(th.select(col("gid").as("gid_a"), col("th").as("th_a"))), "gid_a")
+        .join(broadcast(th.select(col("gid").as("gid_b"), col("th").as("th_b"))), "gid_b")
         .filter(ArrayExprs.sortedJaccard(col("th_a"), col("th_b")) >= JaccardThreshold - 1e-3)
-        .select(col("doc_a"), col("doc_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
+        .select(col("gid_a"), col("gid_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
+      expandPairs(inter, grouped, "jaccard")
+        .union(intraPairs(grouped, "jaccard", lit(1.0)))
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash near-dup: 32-bit signatures, pairs within Hamming distance 3.
-    // No oracle (hash-impl-specific); property-tested.
+    // SimHash near-dup: 32-bit signatures over unique token sets, set
+    // pairs within Hamming distance 3, expanded to member pairs
+    // (identical sets are Hamming 0). No oracle (hash-impl-specific);
+    // property-tested.
     "dedup_simhash" -> ((s, dir) => {
-      val sig = docHashes(s, dir)
-        .select(col("doc_id"), ArrayExprs.simHash(col("th"), 32).as("sh"))
-      val a = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      val grouped = groups(s, dir).persist()
+      val sig = grouped.select(col("gid"), ArrayExprs.simHash(col("th"), 32).as("sh"))
+      val a = sig.select(col("gid").as("gid_a"), col("sh").as("sh_a"))
+      val b = sig.select(col("gid").as("gid_b"), col("sh").as("sh_b"))
+      val inter = a.join(b, col("gid_a") < col("gid_b"))
         .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
         .filter(col("hamming") <= HammingMax)
-        .select("doc_a", "doc_b", "hamming")
+        .select(col("gid_a"), col("gid_b"), col("hamming"))
+      expandPairs(inter, grouped, "hamming")
+        .union(intraPairs(grouped, "hamming", lit(0).cast("int")))
         .orderBy("doc_a", "doc_b")
     }),
 
     // Exact pairwise token-set Jaccard >= 0.9 — the ground truth the LSH
-    // variants approximate. Quadratic by construction; at scale `dedup_near`
-    // is the candidate pre-filter and this expression verifies candidates.
-    // Planned by the custom SelfPairwise operator (fused broadcast loop
-    // with an in-loop prefilter 1e-3 below the threshold; the exact filter
-    // runs on the rounded column, so values stay oracle-identical).
-    "dedup_ngram" -> ((s, dir) =>
-      graft.plans.SelfPairwise(docHashes(s, dir),
+    // variants approximate. Quadratic over UNIQUE sets by construction; at
+    // scale `dedup_near` is the candidate pre-filter and this expression
+    // verifies candidates. Set pairs are planned by the custom SelfPairwise
+    // operator (fused broadcast loop with an in-loop prefilter 1e-3 below
+    // the threshold; the exact filter runs on the rounded column, so values
+    // stay oracle-identical — intra-group pairs are exactly 1.0 and
+    // round(1.0) == 1.0 on both engines).
+    "dedup_ngram" -> ((s, dir) => {
+      val grouped = groups(s, dir).persist()
+      val inter = graft.plans.SelfPairwise(grouped.select(col("gid"), col("th")),
         graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
-        .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+        .select(col("src").as("gid_a"), col("dst").as("gid_b"),
           round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-        .orderBy("doc_a", "doc_b")),
+      expandPairs(inter, grouped, "jaccard")
+        .union(intraPairs(grouped, "jaccard", lit(1.0)))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Embedding-cosine near-dup: top-100 most-similar document pairs by
     // embedding cosine (fixture cosines top out at ~51, so a fixed
-    // threshold would be empty — rank instead).
+    // threshold would be empty — rank instead). Planned by SelfPairwise in
+    // per-src top-k mode: each src's 100-entry buffer is ordered by the
+    // same (rounded score DESC, dst ASC) key the global sort uses, so the
+    // global top-100 is contained in the n*100 emitted rows (any pair
+    // outside its src's top-100 has 100 globally-earlier pairs) — the
+    // 12.5M-pair materialization + sort this replaced measured 3.4 s.
     "dedup_embed" -> ((s, dir) =>
-      SimilarityOps.pairwiseTriangular(s, dir, -200.0)
-        .select(col("src").as("doc_a"), col("dst").as("doc_b"), col("similitud"))
+      graft.plans.SelfPairwise(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        graft.plans.SelfPairwise.Cosine, Double.MinValue,
+        triangular = true, topK = 100)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+          round(col("score") * 100, 4).as("similitud"))
         .orderBy(col("similitud").desc, col("doc_a"), col("doc_b"))
         .limit(100)),
 
@@ -156,21 +238,30 @@ object DedupOps {
     // own id). This is the step that turns a pair list into per-cluster
     // survivor selection in a dedup pipeline.
     //
-    // Spark-first CC: iterative min-label propagation — each round every
-    // node takes min(own label, neighbors' labels), a shuffle join per
-    // round, until a fixpoint (the GraphX/Pregel CC algorithm expressed
-    // relationally). Rounds = graph diameter; near-dup components are
-    // dup cliques, so 1-2 rounds in practice. The edge set is persisted
-    // (it is the expensive quadratic pass; at scale the LSH candidate
-    // pairs of `dedup_near` take its place) and each round's labels are
-    // localCheckpoint'ed so lineage stays flat no matter how many rounds.
+    // Spark-first CC with the collapse folded in: docs with identical
+    // token sets are connected by definition, so CC runs on the CONTRACTED
+    // graph — one node per unique set (gid), edges = set pairs with
+    // Jaccard >= 0.9 (one fused SelfPairwise pass, never expanded to
+    // member pairs). Each doc then inherits its group's component label.
+    // Contraction preserves connectivity exactly: an intra-group doc pair
+    // maps to one node, and a surviving cross-group doc pair implies the
+    // same score for ALL member pairs of those two sets, i.e. exactly the
+    // contracted edge. Label propagation is the GraphX/Pregel CC algorithm
+    // expressed relationally — each round every node takes min(own label,
+    // neighbors' labels) — and runs on the tiny contracted edge list
+    // (pre-collapse it iterated over every member pair: 1.9M rows per
+    // round at sf0.1, measured 8.1 s total).
     "dedup_clusters" -> ((s, dir) => {
-      // ONE quadratic pass: each surviving pair is exploded into both
-      // orientations, a self-loop is added per doc, and the adjacency is
-      // persisted — it is read once per propagation round and must not
-      // re-run the pairwise join.
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val edges = graft.plans.SelfPairwise(docHashes(s, dir),
+      val grouped = groups(s, dir).persist()
+      // gid = min doc_id of its group, so min gid over a component = min
+      // doc_id over the component: seeding labels with gid yields the
+      // final min-doc labeling directly.
+      val nodes = grouped.select(col("gid"))
+      // the contracted edge list is tiny relative to the corpus — coalesce
+      // before persisting so each propagation round schedules a handful of
+      // tasks, not one per upstream partition (at a scale where it isn't
+      // tiny, drop the coalesce; the rounds become ordinary shuffle joins)
+      val edges = graft.plans.SelfPairwise(grouped.select(col("gid"), col("th")),
         graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
         .select(col("src"), col("dst"), round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
@@ -178,33 +269,46 @@ object DedupOps {
           struct(col("src").as("a"), col("dst").as("b")),
           struct(col("dst").as("a"), col("src").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
-        .union(docs.select(col("doc_id").as("a"), col("doc_id").as("b")))
+        .union(nodes.select(col("gid").as("a"), col("gid").as("b")))
+        .coalesce(8)
         .persist()
-      // Min-label propagation with the self-loop folded into the
-      // adjacency: new label = min over {labels of b : (a,b) in edges} is
-      // ONE broadcast join + ONE aggregation per round (the self-loop
-      // replaces the old least()/left-join recombination step).
-      // Convergence: labels only ever decrease, so sum(lbl) is strictly
-      // decreasing until the fixpoint — comparing two Long sums per round
-      // replaces the filter+count job over a prev/next join.
-      var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      // Min-label propagation + pointer jumping. Near-dup components are
+      // NOT all cliques — sets chain through 0.9-neighbors (A~B~C with
+      // A̸~C), so plain per-edge propagation needs diameter-many edge
+      // joins (measured: still unconverged after 3 rounds at sf0.1). Each
+      // cycle therefore runs
+      //   relax:    lbl(a) := min over edges (a,b) of lbl(b)   (edge join;
+      //             the self-loop in the adjacency folds in lbl(a) itself)
+      //   shortcut: lbl(a) := lbl(lbl(a)), twice                (label
+      //             self-joins on the node-sized table — pointer jumping)
+      // which contracts path lengths geometrically: O(log diameter)
+      // expensive edge joins, the standard two-phase relational CC.
+      // Labels are one row per unique set — broadcast them so the edge
+      // list is never shuffled (a checkpointed frame has no stats, so the
+      // hint is load-bearing; at broadcast-busting scale drop it and
+      // these become shuffle joins). Convergence: labels only ever
+      // decrease, so sum(lbl) is strictly decreasing until the fixpoint —
+      // comparing two Long sums per cycle replaces a filter+count job
+      // over a prev/next join.
+      var labels = nodes.select(col("gid").as("id"), col("gid").as("lbl"))
         .localCheckpoint()
-      def lblSum(df: org.apache.spark.sql.DataFrame): Long =
+      def lblSum(df: DataFrame): Long =
         df.agg(sum(col("lbl"))).first().getLong(0)
       var prevSum = lblSum(labels)
       var rounds = 0
       var converged = false
       while (!converged && rounds < 50) {
-        // labels is one row per doc — broadcast it so the (much larger)
-        // edge list is never shuffled; the partial min() then shrinks the
-        // per-round shuffle to one row per (partition, node). A
-        // checkpointed frame has no stats, so the hint is load-bearing.
-        // (At a scale where the label table itself outgrows broadcast,
-        // drop the hint and this becomes the standard shuffle-join CC.)
-        val next = edges.join(broadcast(labels), col("b") === col("id"))
+        val relaxed = edges.join(broadcast(labels), col("b") === col("id"))
           .groupBy(col("a")).agg(min(col("lbl")).as("lbl"))
           .select(col("a").as("id"), col("lbl"))
           .localCheckpoint()
+        var next = relaxed
+        for (_ <- 1 to 2)
+          next = next.as("x")
+            .join(broadcast(next.select(col("id").as("rid"), col("lbl").as("rlbl"))),
+              col("x.lbl") === col("rid"))
+            .select(col("x.id").as("id"), col("rlbl").as("lbl"))
+            .localCheckpoint()
         val nextSum = lblSum(next)
         converged = nextSum == prevSum
         prevSum = nextSum
@@ -212,8 +316,13 @@ object DedupOps {
         rounds += 1
       }
       edges.unpersist()
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      val out = grouped
+        .select(explode(col("members")).as("doc_id"), col("gid").as("id"))
+        .join(broadcast(labels), "id")
+        .select(col("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
+      grouped.unpersist()
+      out
     })
   )
 

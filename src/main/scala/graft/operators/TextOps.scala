@@ -130,15 +130,18 @@ object TextOps {
       val tf = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      // tf has one row per (doc, token), so df = rows per token — a
-      // window over tf, not a second tokenize pass + join (a df-subquery
-      // formulation re-runs the whole explode/groupBy subtree)
-      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("token")
+      // tf has one row per (doc, token), so df aggregates tf — not a
+      // second tokenize pass. A vocab-sized groupBy + broadcast join, NOT
+      // a count() window partitioned by token: token frequencies are
+      // Zipfian, so the window form sorts a giant partition per common
+      // token (pure skew), while the partial-aggregated groupBy ships one
+      // row per (partition, token) and the df table broadcasts back.
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("token"))
-      tf.withColumn("df", count(lit(1)).over(wDf))
+      tf.join(broadcast(df_), "token")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(col("tf") *
