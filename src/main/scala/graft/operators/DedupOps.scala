@@ -290,6 +290,13 @@ object DedupOps {
       // decrease, so sum(lbl) is strictly decreasing until the fixpoint —
       // comparing two Long sums per cycle replaces a filter+count job
       // over a prev/next join.
+      // Two Spark jobs per cycle: `relaxed` is persist-marked so its four
+      // occurrences inside the shortcut composition compute once, and one
+      // eager localCheckpoint materializes the whole cycle. The checkpoint
+      // also keeps every cycle's logical plan flat (an RDD-backed scan) —
+      // chaining persist() alone snowballs the plan tree 4× per cycle
+      // (each shortcut hop references its input twice) and OOMs on plan
+      // objects long before the data matters.
       var labels = nodes.select(col("gid").as("id"), col("gid").as("lbl"))
         .localCheckpoint()
       def lblSum(df: DataFrame): Long =
@@ -301,17 +308,18 @@ object DedupOps {
         val relaxed = edges.join(broadcast(labels), col("b") === col("id"))
           .groupBy(col("a")).agg(min(col("lbl")).as("lbl"))
           .select(col("a").as("id"), col("lbl"))
-          .localCheckpoint()
+          .persist()
         var next = relaxed
         for (_ <- 1 to 2)
           next = next.as("x")
             .join(broadcast(next.select(col("id").as("rid"), col("lbl").as("rlbl"))),
               col("x.lbl") === col("rid"))
             .select(col("x.id").as("id"), col("rlbl").as("lbl"))
-            .localCheckpoint()
+        next = next.localCheckpoint()
         val nextSum = lblSum(next)
         converged = nextSum == prevSum
         prevSum = nextSum
+        relaxed.unpersist()
         labels = next
         rounds += 1
       }
