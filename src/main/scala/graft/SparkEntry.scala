@@ -33,7 +33,8 @@ object SparkEntry {
       FunctionOps.queries ++
       StreamingOps.queries ++
       MultimodalOps.queries ++
-      SkewOps.queries
+      SkewOps.queries ++
+      PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (hash-/sketch-specific ops)
@@ -51,5 +52,6 @@ object SparkEntry {
       FunctionOps.oracles ++
       StreamingOps.oracles ++
       MultimodalOps.oracles ++
-      SkewOps.oracles
+      SkewOps.oracles ++
+      PipelineOps.oracles
 }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline operators (north star: the ops a 100 TB
+  * LLM-corpus build needs between raw scrape and tokenizer, beyond the
+  * dedup/similarity/text suites): deterministic stratified sampling,
+  * per-cluster survivor selection, PII scrubbing, dataset mixing, and a
+  * behavioral funnel over the event stream.
+  *
+  * Scale notes (100 TB design):
+  *  - Sampling/mixing/scrubbing are single-scan, shuffle-free maps —
+  *    embarrassingly parallel, they keep whole-stage codegen intact.
+  *    Sampling is HASH-deterministic (md5 of the key), not `rand()`: the
+  *    sample is reproducible across retries, engines, and partitionings,
+  *    which is what makes a corpus build auditable.
+  *  - Survivor selection is one hash-shuffle on the fingerprint key + a
+  *    rank-1 window — the standard "keep best copy per dup cluster" step
+  *    downstream of [[DedupOps]]; payload columns ride the single shuffle.
+  *  - The funnel is one shuffle on user_id: conditional aggregation over
+  *    a tagged union beats joining the stream to itself (the join form
+  *    shuffles events twice and explodes on hot users).
+  */
+object PipelineOps {
+
+  /** Per-language keep rates as 16ths of the md5 first-hex-digit space
+    * (en 8/16, es 4/16, fr 2/16, others 1/16), expressed as the admitted
+    * hex characters — string membership is engine-portable where hex→int
+    * conversion is not. */
+  val HexDigits = "0123456789abcdef"
+  val StratRates: Map[String, Int] = Map("en" -> 8, "es" -> 4, "fr" -> 2)
+  val DefaultRate = 1
+
+  private def admitted(rate: Int): Seq[String] =
+    HexDigits.take(rate).map(_.toString)
+
+  /** Mixing epochs per language: en twice, everything else once. */
+  val MixEpochs: Map[String, Int] = Map("en" -> 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic stratified sample: language-dependent keep rate via
+    // the first hex digit of md5(doc_id) — reproducible under retries and
+    // repartitioning, auditable (the keep decision is a pure function of
+    // the row), and a single codegen'd scan.
+    "pipe_sample_stratified" -> ((s, dir) => {
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val keep = StratRates.foldLeft(bucket.isin(admitted(DefaultRate): _*)) {
+        case (acc, (l, r)) =>
+          when(col("lang") === l, bucket.isin(admitted(r): _*)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .filter(keep)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Survivor selection: one kept doc per exact-content cluster
+    // (fingerprint = md5 over the sorted distinct token set, the same key
+    // `text_fingerprint` emits), preferring the longest text and breaking
+    // ties by min doc_id. The window partitions on the fingerprint —
+    // exactly the dedup-pipeline step that turns clusters into a corpus.
+    "pipe_survivor" -> ((s, dir) => {
+      val fp = md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))))
+      val w = Window.partitionBy("fp")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("fp", fp)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "fp", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub: mask digit runs and @-handles, count the redactions —
+    // the pre-training hygiene pass. Pure per-row regex map, no shuffle.
+    "pipe_pii_scrub" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"),
+            "[0-9]+", "<NUM>"), "@[a-z0-9]+", "<HANDLE>").as("scrubbed"),
+          (regexp_count(col("text"), lit("[0-9]+")) +
+            regexp_count(col("text"), lit("@[a-z0-9]+"))).as("n_masked"))
+        .orderBy("doc_id")),
+
+    // Dataset mixing: replicate each doc `epochs(lang)` times with a copy
+    // index — sampling-with-replacement weights for corpus mixing,
+    // expressed as a generator (explode of a sequence), not a union of
+    // per-source scans.
+    "pipe_dataset_mix" -> ((s, dir) => {
+      val epochs = MixEpochs.foldLeft(lit(1)) { case (acc, (l, n)) =>
+        when(col("lang") === l, lit(n)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .withColumn("copy", explode(sequence(lit(1), epochs)))
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")
+    }),
+
+    // Conversion funnel: per user, first click and whether a purchase
+    // follows it within 1 hour. ONE shuffle on user_id via conditional
+    // aggregation (min over tagged timestamps), then a flag — no
+    // self-join of the event stream.
+    "pipe_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+      ev.groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          count(when(col("event_type") === "click", 1)).as("n_clicks"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+        .filter(col("first_click").isNotNull)
+        .join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts")),
+          Seq("user_id"), "left")
+        .groupBy("user_id", "first_click", "n_clicks", "n_purchases")
+        .agg(max(col("p_ts").isNotNull &&
+          col("p_ts") >= col("first_click") &&
+          col("p_ts") <= col("first_click") + expr("INTERVAL 1 HOUR")).as("converted"))
+        .orderBy("user_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pipe_sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+           SELECT *, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+           FROM documents
+         )
+         WHERE CASE lang
+                 WHEN 'en' THEN bucket IN ('0','1','2','3','4','5','6','7')
+                 WHEN 'es' THEN bucket IN ('0','1','2','3')
+                 WHEN 'fr' THEN bucket IN ('0','1')
+                 ELSE bucket IN ('0') END
+         ORDER BY doc_id""",
+    "pipe_survivor" ->
+      """SELECT doc_id, fp, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+                  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+           FROM documents
+         )
+         QUALIFY row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) = 1
+         ORDER BY doc_id""",
+    "pipe_pii_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                               '@[a-z0-9]+', '<HANDLE>', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(text, '[0-9]+')) +
+                     len(regexp_extract_all(text, '@[a-z0-9]+')) AS INT) AS n_masked
+         FROM documents ORDER BY doc_id""",
+    "pipe_dataset_mix" ->
+      """SELECT doc_id, lang,
+                CAST(unnest(generate_series(1,
+                  CASE lang WHEN 'en' THEN 2 ELSE 1 END)) AS INT) AS copy
+         FROM documents ORDER BY doc_id, copy""",
+    "pipe_funnel" ->
+      """WITH base AS (
+           SELECT user_id, ts, event_type FROM events
+           WHERE event_type IN ('click', 'purchase')
+         ), agg AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+                  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+           FROM base GROUP BY user_id
+         )
+         SELECT a.user_id, a.first_click, a.n_clicks, a.n_purchases,
+                coalesce(bool_or(p.ts >= a.first_click AND
+                                 p.ts <= a.first_click + INTERVAL 1 HOUR), false) AS converted
+         FROM agg a
+         LEFT JOIN base p ON p.user_id = a.user_id AND p.event_type = 'purchase'
+         WHERE a.first_click IS NOT NULL
+         GROUP BY a.user_id, a.first_click, a.n_clicks, a.n_purchases
+         ORDER BY a.user_id"""
+  )
+}

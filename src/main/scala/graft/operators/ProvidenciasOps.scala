@@ -80,6 +80,32 @@ object ProvidenciasOps {
         .groupBy("id").agg(count(lit(1)).as("degree"))
         .orderBy("id")),
 
+    // Graph extension: per-node triangle counts over the SIMILAR graph —
+    // the clustering-coefficient numerator, i.e. "how clique-ish is this
+    // ruling's neighborhood". src < dst edge orientation makes every
+    // triangle appear exactly once as a < b < c, so the count is two
+    // self-equi-joins on the (persisted) edge list and a credit explode —
+    // the standard distributed triangle enumeration; at scale the same
+    // plan shuffle-joins on the edge keys and degree-based orientation
+    // keeps the skew bounded.
+    "graph_triangles" -> ((s, dir) => {
+      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+        .persist()
+      // per-role projections (aliases mint fresh exprIds, so the three
+      // self-join sides stay unambiguous)
+      val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = e.select(col("src").as("b2"), col("dst").as("c"))
+      val e3 = e.select(col("src").as("a3"), col("dst").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
+        .orderBy("node_id")
+    }),
+
     // Graph extension: 2-hop neighborhood of node 0 (min hop count per
     // node) — the reference's 1-hop expansion (A9) taken one step further.
     // No O(n²) pairwise at all: hop 1 is a single-probe scan (O(n), the
@@ -155,6 +181,25 @@ object ProvidenciasOps {
          SELECT id, count(*) AS degree FROM (
            SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
          ) GROUP BY id ORDER BY id""",
+    "graph_triangles" ->
+      """WITH e AS (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), tri AS (
+           SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+           FROM e e1
+           JOIN e e2 ON e2.src = e1.dst
+           JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+         )
+         SELECT node_id, count(*) AS n_tri FROM (
+           SELECT a AS node_id FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri
+         ) GROUP BY node_id ORDER BY node_id""",
     "graph_2hop" ->
       """WITH sims AS (
            SELECT * FROM (
