@@ -16,7 +16,7 @@ import graft.functions.ArrayExprs
   *    shuffle payload; the fingerprint column is what `text_fingerprint`
   *    in [[TextOps]] computes).
   *  - **Collapse-then-compare**: every near-dup variant first groups docs
-  *    by their exact token-hash set ([[groups]]) and runs the quadratic /
+  *    by their exact token-hash set ([[collapsed]]) and runs the quadratic /
   *    LSH machinery over UNIQUE sets only, expanding surviving set-pairs
   *    back to member doc-pairs at the end. Real corpora are dominated by
   *    exact duplicates (boilerplate, mirrors), so the collapse is the
@@ -37,7 +37,7 @@ import graft.functions.ArrayExprs
   *    candidate pairs from an equi-join on (band, hash) carrying ONLY ids
   *    (the token arrays join back in afterwards, so the wide payload never
   *    rides the candidate shuffle) → exact Jaccard verification on
-  *    candidates only. Banding is 32 bands × 16 rows (512 MinHashes):
+  *    candidates only. Banding is 24 bands × 16 rows (384 MinHashes):
   *    the fixture's similarity histogram is DENSE right below the 0.9
   *    threshold (at sf0.1, 480k unique-set pairs sit in [0.8,0.85) and
   *    190k in [0.85,0.9)), so the S-curve must be steep — this choice
@@ -82,42 +82,151 @@ object DedupOps {
   private def docHashes(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), tokHashes(col("text")).as("th"))
 
-  /** The exact-set collapse: one row per DISTINCT token-hash set, with
-    * gid = min member doc_id (the group's canonical id) and the sorted
-    * member list. One hash-shuffle over the corpus; everything quadratic
-    * downstream runs on these unique sets. */
-  private def groups(s: SparkSession, dir: String): DataFrame =
+  /** The exact-set collapse: every doc tagged with gid = min doc_id of
+    * its identical-token-set group, via a window min over the set key —
+    * one hash-shuffle over the corpus, plain codegen aggregation (a
+    * `collect_list` members-array formulation pays ObjectHashAggregate +
+    * nested-array cache encoding; the slim map below replaces it).
+    * Everything quadratic downstream runs on [[uniqueSets]] only.
+    * persist(), deliberately: the columnar encode of the ARRAY<BIGINT>
+    * column costs ~10× the computation itself (measured 2.0 s encode vs
+    * 0.22 s compute at sf0.1), but the canonical plan is identical across
+    * the four near-dup queries, so the cache entry is built once per
+    * session and every later query reads it for ~0.2 s — an RDD
+    * localCheckpoint materializes faster but is per-query and
+    * stats-less, and measured 2-3× worse across the family. */
+  private def collapsed(s: SparkSession, dir: String): DataFrame =
     docHashes(s, dir)
-      .groupBy("th")
-      .agg(min("doc_id").as("gid"), sort_array(collect_list("doc_id")).as("members"))
+      .withColumn("gid",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("th")))
+      .persist()
+
+  /** One row per DISTINCT token-hash set: the canonical member carries
+    * the set for the whole group. */
+  private def uniqueSets(c: DataFrame): DataFrame =
+    c.filter(col("doc_id") === col("gid")).select(col("gid"), col("th"))
+
+  /** Slim doc_id → gid map; the only thing expansion joins need. */
+  private def docMap(c: DataFrame): DataFrame = c.select("doc_id", "gid")
 
   /** Expand surviving set-pairs (gid_a, gid_b, score) to member doc-pairs
-    * with doc_a < doc_b, via two broadcast joins on the group table. gid
+    * with doc_a < doc_b, via two broadcast joins on the slim doc map. gid
     * order does not imply member order across groups, so the pair is
     * re-oriented with least/greatest. */
-  private def expandPairs(pairs: DataFrame, grouped: DataFrame, scoreCol: String): DataFrame = {
-    val ga = grouped.select(col("gid").as("gid_a"), col("members").as("ms_a"))
-    val gb = grouped.select(col("gid").as("gid_b"), col("members").as("ms_b"))
+  private def expandPairs(pairs: DataFrame, c: DataFrame, scoreCol: String): DataFrame = {
+    val m = docMap(c)
     pairs
-      .join(broadcast(ga), "gid_a")
-      .join(broadcast(gb), "gid_b")
-      .select(col(scoreCol), explode(col("ms_a")).as("da"), col("ms_b"))
-      .select(col(scoreCol), col("da"), explode(col("ms_b")).as("db"))
+      .join(broadcast(m.select(col("doc_id").as("da"), col("gid").as("gid_a"))), "gid_a")
+      .join(broadcast(m.select(col("doc_id").as("db"), col("gid").as("gid_b"))), "gid_b")
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col(scoreCol))
   }
 
   /** All intra-group member pairs (doc_a < doc_b) with a constant score —
     * identical sets need no verification (Jaccard 1, Hamming 0). */
-  private def intraPairs(grouped: DataFrame, scoreCol: String, score: Column): DataFrame =
-    grouped.filter(size(col("members")) >= 2)
-      .select(explode(col("members")).as("doc_a"), col("members"))
-      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+  private def intraPairs(c: DataFrame, scoreCol: String, score: Column): DataFrame = {
+    val m = docMap(c)
+    m.select(col("doc_id").as("doc_a"), col("gid"))
+      .join(broadcast(m.select(col("doc_id").as("doc_b"), col("gid"))), "gid")
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .withColumn(scoreCol, score)
+  }
 
   private def jaccard(a: Column, b: Column): Column =
     round(ArrayExprs.sortedJaccard(a, b), 4)
+
+  /** Contracted-graph edge count below which [[localCC]] solves the
+    * components in one task instead of the iterative relational loop. */
+  val LocalCCMaxEdges = 5_000_000L
+
+  /** Single-task min-label connected components over a (a, b) edge list —
+    * union-find with path compression, union-by-min so the root IS the
+    * component's min id. Runs as ONE executor task (`mapPartitions` after
+    * `coalesce(1)`), not on the driver: after contraction the component
+    * graph is usually tiny relative to the corpus, and a local solve
+    * replaces diameter-many join rounds — the same data-size-adaptive
+    * trade Spark itself makes when it broadcasts a small join side. The
+    * iterative pointer-jump loop below remains the path for contracted
+    * graphs beyond single-task scale. */
+  private[graft] def localCC(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.select(col("a"), col("b")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val ks = parent.keys.toArray
+        ks.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "lbl")
+  }
+
+  /** Iterative relational min-label CC — the at-scale path. Near-dup
+    * components are NOT all cliques (sets chain through 0.9-neighbors:
+    * A~B~C with A̸~C), so plain per-edge propagation needs diameter-many
+    * edge joins. Each cycle therefore runs
+    *   relax:    lbl(a) := min over edges (a,b) of lbl(b)   (edge join;
+    *             a self-loop per node folds in lbl(a) itself)
+    *   shortcut: lbl(a) := lbl(lbl(a)), twice               (label
+    *             self-joins on the node-sized table — pointer jumping)
+    * which contracts path lengths geometrically: O(log diameter)
+    * expensive edge joins, the standard two-phase relational CC.
+    * Labels are one row per unique set — broadcast them so the edge list
+    * is never shuffled (a checkpointed frame has no stats, so the hint is
+    * load-bearing; at broadcast-busting scale drop it and these become
+    * shuffle joins). Convergence: labels only ever decrease, so sum(lbl)
+    * is strictly decreasing until the fixpoint — comparing two Long sums
+    * per cycle replaces a filter+count job over a prev/next join.
+    * Two Spark jobs per cycle: `relaxed` is persist-marked so its four
+    * occurrences inside the shortcut composition compute once, and one
+    * eager localCheckpoint materializes the whole cycle. The checkpoint
+    * also keeps every cycle's logical plan flat (an RDD-backed scan) —
+    * chaining persist() alone snowballs the plan tree 4× per cycle (each
+    * shortcut hop references its input twice) and OOMs on plan objects
+    * long before the data matters. */
+  private[graft] def iterativeCC(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    var labels = nodes.select(col("gid").as("id"), col("gid").as("lbl"))
+      .localCheckpoint()
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).first().getLong(0)
+    var prevSum = lblSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 50) {
+      val relaxed = edges.join(broadcast(labels), col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("lbl"))
+        .select(col("a").as("id"), col("lbl"))
+        .persist()
+      var next = relaxed
+      for (_ <- 1 to 2)
+        next = next.as("x")
+          .join(broadcast(next.select(col("id").as("rid"), col("lbl").as("rlbl"))),
+            col("x.lbl") === col("rid"))
+          .select(col("x.id").as("id"), col("rlbl").as("lbl"))
+      next = next.localCheckpoint()
+      val nextSum = lblSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      relaxed.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical survivor = min doc_id per identical text.
@@ -134,10 +243,10 @@ object DedupOps {
     // banding); the pair set is property-tested against the exact pairwise
     // `dedup_ngram` result in DedupSpec.
     "dedup_near" -> ((s, dir) => {
-      // the collapse groupBy feeds SIX branches of this DAG (band join
-      // sides, the two verify broadcasts, the two expansion broadcasts,
-      // intra pairs) — persist it once; it is one row per unique set
-      val grouped = groups(s, dir).persist()
+      // the collapse feeds SIX branches of this DAG (band join sides, the
+      // two verify broadcasts, the two expansion broadcasts, intra pairs)
+      // — the shared persist in [[collapsed]] materializes it once
+      val c = collapsed(s, dir)
       // Only (gid, band, bh) — 24 bytes — ride the candidate shuffle: the
       // wide token-hash arrays AND the band-signature arrays both stay out
       // of the join entirely (the arrays are broadcast-joined back for the
@@ -147,7 +256,7 @@ object DedupOps {
       // ids — with 32 bands, carrying the 256-byte signature arrays
       // through the join to dedupe in-place (the firstEqualIndex trick
       // this replaced) costs more than the extra shuffle.
-      val sig = grouped.select(col("gid"), col("th"))
+      val sig = uniqueSets(c)
         .withColumn("bands", bandHashes(col("th")))
       val slim = sig.select(col("gid"), size(col("th")).as("len"),
         posexplode(col("bands")).as(Seq("band", "bh")))
@@ -171,8 +280,8 @@ object DedupOps {
         .filter(ArrayExprs.sortedJaccard(col("th_a"), col("th_b")) >= JaccardThreshold - 1e-3)
         .select(col("gid_a"), col("gid_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-      expandPairs(inter, grouped, "jaccard")
-        .union(intraPairs(grouped, "jaccard", lit(1.0)))
+      expandPairs(inter, c, "jaccard")
+        .union(intraPairs(c, "jaccard", lit(1.0)))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -181,16 +290,19 @@ object DedupOps {
     // (identical sets are Hamming 0). No oracle (hash-impl-specific);
     // property-tested.
     "dedup_simhash" -> ((s, dir) => {
-      val grouped = groups(s, dir).persist()
-      val sig = grouped.select(col("gid"), ArrayExprs.simHash(col("th"), 32).as("sh"))
-      val a = sig.select(col("gid").as("gid_a"), col("sh").as("sh_a"))
-      val b = sig.select(col("gid").as("gid_b"), col("sh").as("sh_b"))
-      val inter = a.join(b, col("gid_a") < col("gid_b"))
-        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-        .filter(col("hamming") <= HammingMax)
-        .select(col("gid_a"), col("gid_b"), col("hamming"))
-      expandPairs(inter, grouped, "hamming")
-        .union(intraPairs(grouped, "hamming", lit(0).cast("int")))
+      val c = collapsed(s, dir)
+      // one-word signature, but shipped as ARRAY<BIGINT> so the pair scan
+      // is the fused SelfPairwise Hamming loop (the declarative
+      // `a < b` BNLJ materializes a joined row for every one of the n²/2
+      // candidate pairs BEFORE the popcount filter runs)
+      val sig = uniqueSets(c).select(col("gid"),
+        array(ArrayExprs.simHash(col("th"), 32)).as("sh"))
+      val inter = graft.plans.SelfPairwise(sig,
+        graft.plans.SelfPairwise.Hamming, -HammingMax.toDouble, triangular = true)
+        .select(col("src").as("gid_a"), col("dst").as("gid_b"),
+          (-col("score")).cast("int").as("hamming"))
+      expandPairs(inter, c, "hamming")
+        .union(intraPairs(c, "hamming", lit(0).cast("int")))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -203,14 +315,14 @@ object DedupOps {
     // stay oracle-identical — intra-group pairs are exactly 1.0 and
     // round(1.0) == 1.0 on both engines).
     "dedup_ngram" -> ((s, dir) => {
-      val grouped = groups(s, dir).persist()
-      val inter = graft.plans.SelfPairwise(grouped.select(col("gid"), col("th")),
+      val c = collapsed(s, dir)
+      val inter = graft.plans.SelfPairwise(uniqueSets(c),
         graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
         .select(col("src").as("gid_a"), col("dst").as("gid_b"),
           round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-      expandPairs(inter, grouped, "jaccard")
-        .union(intraPairs(grouped, "jaccard", lit(1.0)))
+      expandPairs(inter, c, "jaccard")
+        .union(intraPairs(c, "jaccard", lit(1.0)))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -252,16 +364,17 @@ object DedupOps {
     // (pre-collapse it iterated over every member pair: 1.9M rows per
     // round at sf0.1, measured 8.1 s total).
     "dedup_clusters" -> ((s, dir) => {
-      val grouped = groups(s, dir).persist()
+      val c = collapsed(s, dir)
       // gid = min doc_id of its group, so min gid over a component = min
       // doc_id over the component: seeding labels with gid yields the
       // final min-doc labeling directly.
-      val nodes = grouped.select(col("gid"))
+      val uniq = uniqueSets(c)
+      val nodes = uniq.select(col("gid"))
       // the contracted edge list is tiny relative to the corpus — coalesce
       // before persisting so each propagation round schedules a handful of
       // tasks, not one per upstream partition (at a scale where it isn't
       // tiny, drop the coalesce; the rounds become ordinary shuffle joins)
-      val edges = graft.plans.SelfPairwise(grouped.select(col("gid"), col("th")),
+      val edges = graft.plans.SelfPairwise(uniq,
         graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
         .select(col("src"), col("dst"), round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
@@ -272,65 +385,19 @@ object DedupOps {
         .union(nodes.select(col("gid").as("a"), col("gid").as("b")))
         .coalesce(8)
         .persist()
-      // Min-label propagation + pointer jumping. Near-dup components are
-      // NOT all cliques — sets chain through 0.9-neighbors (A~B~C with
-      // A̸~C), so plain per-edge propagation needs diameter-many edge
-      // joins (measured: still unconverged after 3 rounds at sf0.1). Each
-      // cycle therefore runs
-      //   relax:    lbl(a) := min over edges (a,b) of lbl(b)   (edge join;
-      //             the self-loop in the adjacency folds in lbl(a) itself)
-      //   shortcut: lbl(a) := lbl(lbl(a)), twice                (label
-      //             self-joins on the node-sized table — pointer jumping)
-      // which contracts path lengths geometrically: O(log diameter)
-      // expensive edge joins, the standard two-phase relational CC.
-      // Labels are one row per unique set — broadcast them so the edge
-      // list is never shuffled (a checkpointed frame has no stats, so the
-      // hint is load-bearing; at broadcast-busting scale drop it and
-      // these become shuffle joins). Convergence: labels only ever
-      // decrease, so sum(lbl) is strictly decreasing until the fixpoint —
-      // comparing two Long sums per cycle replaces a filter+count job
-      // over a prev/next join.
-      // Two Spark jobs per cycle: `relaxed` is persist-marked so its four
-      // occurrences inside the shortcut composition compute once, and one
-      // eager localCheckpoint materializes the whole cycle. The checkpoint
-      // also keeps every cycle's logical plan flat (an RDD-backed scan) —
-      // chaining persist() alone snowballs the plan tree 4× per cycle
-      // (each shortcut hop references its input twice) and OOMs on plan
-      // objects long before the data matters.
-      var labels = nodes.select(col("gid").as("id"), col("gid").as("lbl"))
-        .localCheckpoint()
-      def lblSum(df: DataFrame): Long =
-        df.agg(sum(col("lbl"))).first().getLong(0)
-      var prevSum = lblSum(labels)
-      var rounds = 0
-      var converged = false
-      while (!converged && rounds < 50) {
-        val relaxed = edges.join(broadcast(labels), col("b") === col("id"))
-          .groupBy(col("a")).agg(min(col("lbl")).as("lbl"))
-          .select(col("a").as("id"), col("lbl"))
-          .persist()
-        var next = relaxed
-        for (_ <- 1 to 2)
-          next = next.as("x")
-            .join(broadcast(next.select(col("id").as("rid"), col("lbl").as("rlbl"))),
-              col("x.lbl") === col("rid"))
-            .select(col("x.id").as("id"), col("rlbl").as("lbl"))
-        next = next.localCheckpoint()
-        val nextSum = lblSum(next)
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        relaxed.unpersist()
-        labels = next
-        rounds += 1
-      }
+      // The contracted graph is solved by [[localCC]] (one union-find
+      // task) when it is small — the measured common case: contraction
+      // leaves one node per unique set — and by the iterative relational
+      // loop below beyond [[LocalCCMaxEdges]].
+      val labels =
+        if (edges.count() <= LocalCCMaxEdges) localCC(edges)
+        else iterativeCC(edges, nodes)
       edges.unpersist()
-      val out = grouped
-        .select(explode(col("members")).as("doc_id"), col("gid").as("id"))
+      docMap(c)
+        .select(col("doc_id"), col("gid").as("id"))
         .join(broadcast(labels), "id")
         .select(col("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
-      grouped.unpersist()
-      out
     })
   )
 

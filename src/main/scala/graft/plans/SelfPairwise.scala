@@ -44,6 +44,11 @@ object SelfPairwise {
   case object Cosine extends Score
   /** Jaccard over sorted distinct ARRAY<BIGINT>, raw in [0, 1]. */
   case object Jaccard extends Score
+  /** NEGATED Hamming distance over ARRAY<BIGINT> signature words
+    * (element-wise XOR popcount, summed over min length): score =
+    * -distance, so "distance <= h" is the in-loop prefilter
+    * `minScore = -h` and larger still means more similar. */
+  case object Hamming extends Score
 
   /** Build the operator over `df` whose first two columns are
     * (id: LONG, vec: ARRAY<FLOAT|BIGINT>). Output: (src, dst, score).
@@ -118,6 +123,7 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val isCosine = score == SelfPairwise.Cosine
+    val isHamming = score == SelfPairwise.Hamming
     // build side: same contract as BroadcastExchange — collect + broadcast
     val collected = child.executeCollect()
     val ids = new Array[Long](collected.length)
@@ -195,6 +201,13 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
                 while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
                 val den = math.sqrt(na) * math.sqrt(bN(j))
                 if (den == 0.0) valid = false else s = dot / den
+              } else if (isHamming) {
+                val lb = bL(j)
+                val n = math.min(la.length, lb.length)
+                var d = 0L
+                var k = 0
+                while (k < n) { d += java.lang.Long.bitCount(la(k) ^ lb(k)); k += 1 }
+                s = -d.toDouble
               } else {
                 val lb = bL(j)
                 var p = 0; var q = 0; var inter = 0
@@ -274,6 +287,13 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
                   while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
                   val den = math.sqrt(naStream) * math.sqrt(bN(j))
                   if (den == 0.0) valid = false else s = dot / den
+                } else if (isHamming) {
+                  val lb = bL(j)
+                  val n = math.min(la.length, lb.length)
+                  var d = 0L
+                  var k = 0
+                  while (k < n) { d += java.lang.Long.bitCount(la(k) ^ lb(k)); k += 1 }
+                  s = -d.toDouble
                 } else {
                   val lb = bL(j)
                   var p = 0; var q = 0; var inter = 0

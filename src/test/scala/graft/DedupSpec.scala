@@ -60,6 +60,24 @@ class DedupSpec extends SparkSpec {
       .filter(col("ca") =!= col("cb")).count() === 0)
   }
 
+  test("localCC union-find equals the iterative relational CC labeling") {
+    import org.apache.spark.sql.functions._
+    // small synthetic graph: two chains, one singleton, one clique
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),      // chain 1-2-3
+      (10L, 11L), (11L, 10L),                       // pair
+      (20L, 21L), (21L, 20L), (20L, 22L), (22L, 20L), (21L, 22L), (22L, 21L),
+      (1L, 1L), (2L, 2L), (3L, 3L), (10L, 10L), (11L, 11L),
+      (20L, 20L), (21L, 21L), (22L, 22L), (30L, 30L) // self-loops incl singleton 30
+    )).toDF("a", "b")
+    val nodes = edges.select(col("a").as("gid")).distinct()
+    val local = DedupOps.localCC(edges).orderBy("id")
+    val iter = DedupOps.iterativeCC(edges, nodes).orderBy("id")
+    assert(local.collect().toSeq === iter.collect().toSeq)
+    assert(local.filter(col("id") === 3L).head().getLong(1) === 1L)
+    assert(local.filter(col("id") === 30L).head().getLong(1) === 30L)
+  }
+
   test("dedup_embed returns the top-100 pairs ordered by similarity") {
     val rows = q("dedup_embed").collect()
     assert(rows.length === 100)

@@ -49,6 +49,24 @@ class SelfPairwiseSpec extends SparkSpec {
     assert(declarative.exceptAll(custom).count() === 0)
   }
 
+  test("SelfPairwise(Hamming) equals the declarative popcount join exactly") {
+    val sig = Tables.documents(spark, SfDir)
+      .select(col("doc_id"),
+        array(graft.functions.ArrayExprs.simHash(
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            t => xxhash64(t))), 32)).as("sh"))
+    val custom = SelfPairwise(sig, SelfPairwise.Hamming, -3.0, triangular = true)
+      .select(col("src"), col("dst"), (-col("score")).cast("int").as("hamming"))
+    val a = sig.select(col("doc_id").as("src"), element_at(col("sh"), 1).as("sha"))
+    val b = sig.select(col("doc_id").as("dst"), element_at(col("sh"), 1).as("shb"))
+    val declarative = a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(custom.exceptAll(declarative).count() === 0)
+    assert(declarative.exceptAll(custom).count() === 0)
+  }
+
   test("SelfPairwise top-k mode equals the window top-k formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
