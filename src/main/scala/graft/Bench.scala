@@ -10,12 +10,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM (codegen compiler, parquet readers, shuffle machinery)
-    // so the first timed queries don't absorb one-time startup cost
+    // warm the JVM (codegen compiler, parquet readers, shuffle machinery,
+    // broadcast exchange, window exec, and the custom pairwise operator)
+    // on BOUNDED inputs so the first timed queries don't absorb one-time
+    // startup + JIT cost
     try {
+      import org.apache.spark.sql.functions._
       Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
-      Tables.documents(spark, sfDir).count()
       Tables.events(spark, sfDir).count()
+      val docs = Tables.documents(spark, sfDir).limit(200)
+        .select(col("doc_id"),
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            t => xxhash64(t))).as("th"))
+      graft.plans.SelfPairwise(docs, graft.plans.SelfPairwise.Jaccard,
+        0.5, triangular = true).count()
+      val emb = Tables.embeddings(spark, sfDir).limit(200)
+        .select(col("vec_id"), col("embedding"))
+      graft.plans.SelfPairwise(emb, graft.plans.SelfPairwise.Cosine,
+        Double.MinValue, triangular = true, topK = 3).count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.orders(spark, sfDir).limit(2000)
+        .withColumn("rn", row_number().over(w)).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()

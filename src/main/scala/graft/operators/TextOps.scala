@@ -127,9 +127,14 @@ object TextOps {
     // document about" ranking every retrieval pipeline starts from.
     "text_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // tf is persisted because BOTH the tf-idf product and the df
+      // aggregation consume it — exchange reuse does not fire across the
+      // broadcast boundary, so without the cache the explode+groupBy
+      // subtree runs twice (verified on the physical plan).
       val tf = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist()
       // tf has one row per (doc, token), so df aggregates tf — not a
       // second tokenize pass. A vocab-sized groupBy + broadcast join, NOT
       // a count() window partitioned by token: token frequencies are
