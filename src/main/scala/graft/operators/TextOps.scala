@@ -157,6 +157,20 @@ object TextOps {
         .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
     }),
 
+    // Frequent-items (SpaceSaving) sketch over tokens: the mergeable
+    // bounded-memory path for "top tokens at corpus scale" — a full
+    // `text_tokens` groupBy shuffles every distinct item; the sketch
+    // ships at most `capacity` counters per partial. No oracle
+    // (sketch-impl-specific); with capacity ≥ the fixture vocabulary the
+    // sketch is exact, pinned against `text_tokens` in AggSpec.
+    "text_topk_sketch" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .agg(graft.functions.FreqSketch.freqItems(64)(col("token")).as("sk"))
+        .select(explode(arrays_zip(col("sk.items"), col("sk.counts"))).as("e"))
+        .select(col("e.items").as("token"), col("e.counts").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))),
+
     // Canonical document fingerprint: md5 over the sorted distinct token
     // set (OpenRefine-style fingerprint) — the shuffle-key form of
     // `dedup_exact` at scale.

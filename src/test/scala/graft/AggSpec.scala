@@ -8,6 +8,15 @@ import graft.operators.AggOps
   * the UDAF surface. */
 class AggSpec extends SparkSpec {
 
+  test("text_topk_sketch (SpaceSaving) is exact when capacity exceeds the vocabulary") {
+    val sketch = graft.operators.TextOps.queries("text_topk_sketch")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.TextOps.queries("text_tokens")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size <= 64, "fixture vocabulary must fit the sketch capacity")
+    assert(sketch === exact)
+  }
+
   test("approx_count_distinct is within 5% of exact per event_type") {
     val approx = AggOps.queries("agg_approx_distinct")(spark, SfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PipelineOps
+
+/** Semantic properties of the corpus-build pipeline ops on sf0.001 —
+  * complements the DuckDB oracle (which pins values) with the invariants
+  * a pipeline consumer relies on. */
+class PipelineSpec extends SparkSpec {
+
+  private def q(name: String) = PipelineOps.queries(name)(spark, SfDir)
+
+  test("pipe_sample_stratified is deterministic and a per-language subset") {
+    val s1 = q("pipe_sample_stratified").collect().toSeq
+    val s2 = q("pipe_sample_stratified").collect().toSeq
+    assert(s1 === s2, "hash sampling must be reproducible run-to-run")
+    val docs = Tables.documents(spark, SfDir)
+    assert(q("pipe_sample_stratified").join(docs, "doc_id", "left_anti").count() === 0)
+    // languages with a higher rate keep a larger fraction (en 8/16 vs de 1/16)
+    val kept = q("pipe_sample_stratified").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l, n) <- kept if all(l) >= 20 && !PipelineOps.StratRates.contains(l))
+      assert(n.toDouble / all(l) < 0.5, s"default-rate lang $l kept $n/${all(l)}")
+  }
+
+  test("pipe_survivor keeps exactly one doc per fingerprint, the best one") {
+    val surv = q("pipe_survivor")
+    assert(surv.groupBy("fp").count().filter(col("count") > 1).count() === 0)
+    // survivor count == distinct fingerprint count over the corpus
+    val fps = Tables.documents(spark, SfDir)
+      .select(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+      .distinct().count()
+    assert(surv.count() === fps)
+  }
+
+  test("pipe_pii_scrub leaves no digit runs and counts masks") {
+    val scrubbed = q("pipe_pii_scrub")
+    assert(scrubbed.filter(col("scrubbed").rlike("[0-9]")).count() === 0)
+    assert(scrubbed.filter(col("n_masked") < 0).count() === 0)
+    // rows with masks actually changed
+    val joined = scrubbed.join(Tables.documents(spark, SfDir), "doc_id")
+    assert(joined.filter(col("n_masked") > 0 && col("scrubbed") === col("text"))
+      .count() === 0)
+  }
+
+  test("pipe_dataset_mix replicates per-language epochs exactly") {
+    val mix = q("pipe_dataset_mix")
+    val docs = Tables.documents(spark, SfDir)
+    val nEn = docs.filter(col("lang") === "en").count()
+    val nOther = docs.filter(col("lang") =!= "en").count()
+    assert(mix.count() === 2 * nEn + nOther)
+    assert(mix.filter(col("lang") === "en").groupBy("doc_id").count()
+      .filter(col("count") =!= 2).count() === 0)
+  }
+
+  test("pipe_funnel conversions imply a purchase after the first click") {
+    val f = q("pipe_funnel")
+    // every user with a conversion has at least one purchase event
+    val purch = Tables.events(spark, SfDir)
+      .filter(col("event_type") === "purchase").select("user_id").distinct()
+    assert(f.filter(col("converted"))
+      .join(purch, Seq("user_id"), "left_anti").count() === 0)
+    // users with zero purchases never convert
+    assert(f.filter(col("n_purchases") === 0 && col("converted")).count() === 0)
+  }
+}
