@@ -53,7 +53,28 @@ object StreamingOps {
           sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
         .select(col("session_window.start").as("session_start"), col("user_id"),
           col("n_events"), col("sum_value"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // Batch twin of the watermarked stream-stream interval join (the
+    // incremental form — withWatermark on both sides + the same
+    // time-range condition, which is what bounds each side's state — is
+    // exercised on a MemoryStream in StreamingSpec): every click by the
+    // same user in the hour before each purchase. Equi key on user_id +
+    // range predicate → one shuffle, SMJ with a post-join filter, no
+    // time-bucket explosion.
+    "stream_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      p.join(c, Seq("user_id"))
+        .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"), col("user_id"),
+          (col("p_ts").cast("long") - col("c_ts").cast("long")).as("lag_s"))
+        .orderBy("p_id", "c_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -96,6 +117,13 @@ object StreamingOps {
          SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
                 CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM grouped GROUP BY user_id, grp
-         ORDER BY user_id, session_start"""
+         ORDER BY user_id, session_start""",
+    "stream_interval_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+                CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_s
+         FROM events p JOIN events c ON p.user_id = c.user_id
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         ORDER BY p_id, c_id"""
   )
 }
