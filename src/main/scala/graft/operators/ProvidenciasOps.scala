@@ -116,10 +116,13 @@ object ProvidenciasOps {
     "graph_2hop" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // persisted: the hop-1 frontier feeds n1, the hop-2 broadcast, AND
+      // the anti-join — without the cache the probe scan runs three times
       val frontier = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
         .filter(Vectors.similitud(col("embedding"), col("qv")) >=
           SimilarityOps.EdgeThreshold)
         .select(col("vec_id").as("mid"), col("embedding").as("memb"))
+        .persist()
       val n1 = frontier.select(col("mid").as("node_id"))
       val n2 = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(frontier))
         .filter(col("vec_id") =!= col("mid") &&

@@ -153,6 +153,9 @@ object SimilarityOps {
     // validated by the SimilaritySpec recall test.
     "ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // persisted: the tiny centroid table feeds both the assignment pass
+      // and the probe-list ranking — without the cache the 64×n posexplode
+      // aggregation (the "training" scan) runs twice
       val centroids = e
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("label", "pos").agg(avg("v").as("v"))
@@ -160,6 +163,7 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("label").as("list_id"),
           transform(col("pv"), x => x.getField("v")).as("centroid"))
+        .persist()
       val assigned = e.crossJoin(broadcast(centroids))
         .withColumn("csim", Vectors.cosine(col("embedding"), col("centroid")))
         .groupBy("vec_id")
