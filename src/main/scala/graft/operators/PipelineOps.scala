@@ -41,6 +41,11 @@ object PipelineOps {
   /** Mixing epochs per language: en twice, everything else once. */
   val MixEpochs: Map[String, Int] = Map("en" -> 2)
 
+  /** Chunking window / stride (tokens) and packing bin budget (tokens). */
+  val ChunkSize   = 50
+  val ChunkStride = 40
+  val PackBudget  = 1000
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic stratified sample: language-dependent keep rate via
     // the first hex digit of md5(doc_id) — reproducible under retries and
@@ -101,6 +106,39 @@ object PipelineOps {
         .orderBy("doc_id", "copy")
     }),
 
+    // Context-window chunking: split each doc into ChunkSize-token
+    // windows advancing by ChunkStride (trailing window kept short) — the
+    // tokenize-and-cut step before packing. A generator expression per
+    // row (sequence + slice, all codegen'd), no shuffle, no UDF.
+    "pipe_chunk" -> ((s, dir) => {
+      val t = split(col("text"), " ")
+      val k = greatest(lit(0),
+        ceil((size(t) - lit(ChunkSize)).cast("double") / ChunkStride)).cast("int")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), k),
+            i => slice(t, i * ChunkStride + 1, lit(ChunkSize)))).as(Seq("chunk_id", "toks")))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          concat_ws(" ", col("toks")).as("chunk"),
+          size(col("toks")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Sequence packing: concatenate docs per language in doc_id order and
+    // cut into PackBudget-token bins — each doc's bin is determined by
+    // its running start offset (window cumsum minus own length), exactly
+    // the "concat then cut at context length" packing an LLM training run
+    // performs. One shuffle on the language key.
+    "pipe_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("bin", floor(col("start_offset") / PackBudget).cast("int"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Conversion funnel: per user, first click and whether a purchase
     // follows it within 1 hour. ONE shuffle on user_id via conditional
     // aggregation (min over tagged timestamps), then a flag — no
@@ -159,6 +197,29 @@ object PipelineOps {
                 CAST(unnest(generate_series(1,
                   CASE lang WHEN 'en' THEN 2 ELSE 1 END)) AS INT) AS copy
          FROM documents ORDER BY doc_id, copy""",
+    "pipe_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         ), c AS (
+           SELECT doc_id, toks,
+                  unnest(generate_series(0,
+                    CAST(greatest(0, ceil((len(toks) - 50.0) / 40.0)) AS INT))) AS chunk_id
+           FROM t
+         )
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                array_to_string(toks[chunk_id*40+1 : chunk_id*40+50], ' ') AS chunk,
+                CAST(len(toks[chunk_id*40+1 : chunk_id*40+50]) AS INT) AS n_tokens
+         FROM c ORDER BY doc_id, chunk_id""",
+    "pipe_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset,
+                CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 1000) AS INT) AS bin
+         FROM (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+               FROM documents)
+         ORDER BY lang, doc_id""",
     "pipe_funnel" ->
       """WITH base AS (
            SELECT user_id, ts, event_type FROM events

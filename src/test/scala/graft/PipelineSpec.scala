@@ -57,6 +57,37 @@ class PipelineSpec extends SparkSpec {
       .filter(col("count") =!= 2).count() === 0)
   }
 
+  test("pipe_chunk covers every token and respects the stride geometry") {
+    val chunks = q("pipe_chunk")
+    val docs = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    // chunk 0 always exists; every chunk is non-empty and at most ChunkSize
+    assert(chunks.filter(col("chunk_id") === 0).count() === docs.count())
+    assert(chunks.filter(col("n_tokens") < 1 ||
+      col("n_tokens") > PipelineOps.ChunkSize).count() === 0)
+    // windows advance by stride: chunk k starts at token k*stride, so the
+    // last chunk reaches the end of the doc
+    val last = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_id")).as("k"), max(col("chunk_id") * PipelineOps.ChunkStride +
+        col("n_tokens")).as("reach"))
+      .join(docs, "doc_id")
+    assert(last.filter(col("reach") < col("n")).count() === 0)
+  }
+
+  test("pipe_pack offsets are contiguous per language and bins respect the budget") {
+    val packed = q("pipe_pack").collect()
+      .groupBy(_.getAs[String]("lang"))
+    for ((_, rows) <- packed) {
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var expect = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("start_offset") === expect)
+        assert(r.getAs[Int]("bin") === (expect / PipelineOps.PackBudget).toInt)
+        expect += r.getAs[Int]("n_tokens")
+      }
+    }
+  }
+
   test("pipe_funnel conversions imply a purchase after the first click") {
     val f = q("pipe_funnel")
     // every user with a conversion has at least one purchase event
