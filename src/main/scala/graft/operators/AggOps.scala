@@ -195,6 +195,25 @@ object AggOps {
           min(col("c_acctbal")).as("min_bal"))
         .orderBy("c_mktsegment")),
 
+    // Ordered string aggregation (LISTAGG/STRING_AGG): csv of the distinct
+    // line statuses per return flag. Built as collect_set -> array_sort ->
+    // concat_ws so the order is deterministic without WITHIN GROUP support.
+    "agg_listagg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus")))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Bitwise aggregates over the line numbers per return flag.
+    "agg_bitwise" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(bit_and(col("l_linenumber")).as("band"),
+          bit_or(col("l_linenumber")).as("bor"),
+          bit_xor(col("l_linenumber")).as("bxor"))
+        .orderBy("l_returnflag")),
+
     // Custom UDAF: discount-weighted average price per return flag.
     "agg_custom_wavg" -> ((s, dir) => {
       val wavg = udaf(WeightedAvg,
@@ -207,6 +226,17 @@ object AggOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "agg_listagg" ->
+      """SELECT l_returnflag,
+                string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_bitwise" ->
+      """SELECT l_returnflag,
+                CAST(bit_and(l_linenumber) AS INT) AS band,
+                CAST(bit_or(l_linenumber) AS INT) AS bor,
+                CAST(bit_xor(l_linenumber) AS INT) AS bxor
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_group_q1" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,

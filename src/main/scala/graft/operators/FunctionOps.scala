@@ -43,6 +43,19 @@ object FunctionOps {
           datediff(current_date(), col("o_orderdate")).isNotNull.as("has_age"))
         .orderBy("o_orderkey")),
 
+    // Calendar functions: quarter, ISO weekday, last day of month, and a
+    // make_date reconstruction (engine-portable: Spark weekday() is
+    // 0=Monday, DuckDB isodow is 1=Monday — emitted as isodow).
+    "fn_calendar" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          quarter(col("o_orderdate")).as("q"),
+          (weekday(col("o_orderdate")) + 1).as("isodow"),
+          last_day(col("o_orderdate")).as("month_end"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+            .as("month_first"))
+        .orderBy("o_orderkey")),
+
     // Math + conditional functions over lineitem prices.
     "fn_math" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -108,6 +121,14 @@ object FunctionOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "fn_calendar" ->
+      """SELECT o_orderkey,
+                CAST(quarter(o_orderdate) AS INT) AS q,
+                CAST(isodow(o_orderdate) AS INT) AS isodow,
+                CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+                make_date(CAST(year(o_orderdate) AS INT),
+                          CAST(month(o_orderdate) AS INT), 1) AS month_first
+         FROM orders ORDER BY o_orderkey""",
     "fn_string" ->
       """SELECT p_partkey,
                 upper(p_name) AS up,

@@ -111,6 +111,25 @@ object RelationalOps {
       """)
     }),
 
+    // NOT IN three-valued-logic semantics: one NULL in the subquery list
+    // annihilates every NOT IN row (x <> NULL is unknown), while the
+    // null-free list behaves like an anti join. Both engines must agree
+    // on both counts — the classic SQL-semantics trap, pinned as data.
+    "sql_not_in_null" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM graft_customer
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM graft_orders WHERE o_totalprice > 100000)) AS without_null,
+          (SELECT count(*) FROM graft_customer
+           WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_totalprice > 100000 THEN o_custkey END
+              FROM graft_orders)) AS with_null
+      """)
+    }),
+
     // CTE: top-spending customers via a named intermediate result.
     "sql_cte" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
@@ -174,6 +193,15 @@ object RelationalOps {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
          ORDER BY o_orderkey""",
+    "sql_not_in_null" ->
+      """SELECT
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)) AS without_null,
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT CASE WHEN o_totalprice > 100000 THEN o_custkey END
+               FROM orders)) AS with_null""",
     "sql_cte" ->
       """WITH spend AS (
            SELECT o_custkey,

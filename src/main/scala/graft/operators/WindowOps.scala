@@ -90,6 +90,22 @@ object WindowOps {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Distinct count over a window — Spark (like most engines) rejects
+    // COUNT(DISTINCT) OVER, so this is the standard two-window idiom:
+    // dense_rank over the ordered key, then max of that rank over the
+    // full partition. Same shuffle as a single window (both partition on
+    // l_orderkey).
+    "win_distinct_count" -> ((s, dir) => {
+      val w1 = Window.partitionBy("l_orderkey").orderBy("l_suppkey")
+      val w2 = Window.partitionBy("l_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, dir)
+        .withColumn("dr", dense_rank().over(w1))
+        .withColumn("n_distinct_supp", max(col("dr")).over(w2).cast("int"))
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "n_distinct_supp")
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
+    }),
+
     // 1-hour trailing average event value per user: range frame over
     // floored epoch seconds (inclusive [t-3600, t], peers included).
     "win_range_frame" -> ((s, dir) => {
@@ -105,6 +121,16 @@ object WindowOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "win_distinct_count" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+                CAST(max(dr) OVER (PARTITION BY l_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS INT)
+                  AS n_distinct_supp
+         FROM (
+           SELECT l_orderkey, l_linenumber, l_suppkey,
+                  dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_suppkey) AS dr
+           FROM lineitem
+         ) ORDER BY l_orderkey, l_linenumber, l_suppkey""",
     "win_rank_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
