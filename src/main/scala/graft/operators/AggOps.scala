@@ -205,6 +205,16 @@ object AggOps {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Boolean aggregates: universally/existentially quantified predicates
+    // per group (every/any — SQL bool_and/bool_or).
+    "agg_bool" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(every(col("c_acctbal") > -1000).as("all_above_min"),
+          some(col("c_acctbal") > 9000).as("any_rich"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
     // Bitwise aggregates over the line numbers per return flag.
     "agg_bitwise" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -231,6 +241,12 @@ object AggOps {
                 string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_bool" ->
+      """SELECT c_mktsegment,
+                bool_and(c_acctbal > -1000) AS all_above_min,
+                bool_or(c_acctbal > 9000) AS any_rich,
+                count(*) AS n
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "agg_bitwise" ->
       """SELECT l_returnflag,
                 CAST(bit_and(l_linenumber) AS INT) AS band,

@@ -56,6 +56,17 @@ object FunctionOps {
             .as("month_first"))
         .orderBy("o_orderkey")),
 
+    // ANSI-safe error handling: try_divide / try_cast return NULL instead
+    // of failing the job — the difference between one malformed row
+    // killing a 100 TB pass and it landing in a quarantine column.
+    "fn_try" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(try_divide(col("l_extendedprice"), col("l_discount")), 4)
+            .as("price_per_disc"),
+          expr("try_cast(l_returnflag AS INT)").as("flag_as_int"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
     // Math + conditional functions over lineitem prices.
     "fn_math" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -121,6 +132,11 @@ object FunctionOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "fn_try" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                round(l_extendedprice / NULLIF(l_discount, 0), 4) AS price_per_disc,
+                TRY_CAST(l_returnflag AS INT) AS flag_as_int
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "fn_calendar" ->
       """SELECT o_orderkey,
                 CAST(quarter(o_orderdate) AS INT) AS q,
