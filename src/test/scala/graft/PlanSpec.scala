@@ -59,6 +59,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"candidate attach degraded to SMJ:\n$plan")
   }
 
+  test("pipe_chunk is a shuffle-free generator scan (plus the final order-by)") {
+    val plan = graft.operators.PipelineOps.queries("pipe_chunk")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), s"expected a generator (posexplode):\n$plan")
+  }
+
+  test("pipe_pack shuffles exactly once on the language key") {
+    val plan = graft.operators.PipelineOps.queries("pipe_pack")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"packing should shuffle once:\n$plan")
+  }
+
+  test("win_distinct_count reuses one shuffle for both windows") {
+    val plan = graft.operators.WindowOps.queries("win_distinct_count")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1,
+      s"both windows partition on l_orderkey — one exchange expected:\n$plan")
+  }
+
   test("window counts are conserved: tumbling windows partition the input") {
     val total = Tables.events(spark, SfDir).count()
     val windowed = StreamingOps.queries("stream_tumbling")(spark, SfDir)
