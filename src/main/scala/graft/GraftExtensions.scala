@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatCosine, SortedLongJaccard}
+import graft.functions.{FloatCosine, MinHashBands, MinHashes, SimHash, SortedLongJaccard}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions (so `spark.sql("SELECT float_cosine(a, b)")`
@@ -29,5 +29,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_jaccard"),
       new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_jaccard"),
       (args: Seq[Expression]) => SortedLongJaccard(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("min_hashes"),
+      new ExpressionInfo(classOf[MinHashes].getName, "min_hashes"),
+      (args: Seq[Expression]) => MinHashes(args(0), intArg(args(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("min_hash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "min_hash_bands"),
+      (args: Seq[Expression]) => MinHashBands(args(0), intArg(args(1)), intArg(args(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("sim_hash"),
+      new ExpressionInfo(classOf[SimHash].getName, "sim_hash"),
+      (args: Seq[Expression]) => SimHash(args(0), intArg(args(1)))))
+  }
+
+  /** Foldable-int SQL argument (e.g. `min_hashes(th, 16)`). */
+  private def intArg(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected a literal integer argument, got $other")
   }
 }

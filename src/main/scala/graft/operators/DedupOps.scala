@@ -253,7 +253,7 @@ object DedupOps {
       // verify step; the unique-set table is orders of magnitude smaller
       // than the candidate set). Pairs colliding in several bands surface
       // once per band and are deduped by an aggregation on the slim pair
-      // ids — with 32 bands, carrying the 256-byte signature arrays
+      // ids — at this band count, carrying the wide signature arrays
       // through the join to dedupe in-place (the firstEqualIndex trick
       // this replaced) costs more than the extra shuffle.
       val sig = uniqueSets(c)

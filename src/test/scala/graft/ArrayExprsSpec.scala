@@ -76,6 +76,16 @@ class ArrayExprsSpec extends SparkSpec {
       val j = s2.sql("SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
         .collect()(0).getDouble(0)
       assert(j === 0.5)
+      val mh = s2.sql("SELECT size(min_hashes(array(1L, 2L), 16)) AS n")
+        .collect()(0).getInt(0)
+      assert(mh === 16)
+      val mb = s2.sql("SELECT size(min_hash_bands(array(1L, 2L), 4, 8)) AS n")
+        .collect()(0).getInt(0)
+      assert(mb === 4)
+      val sh = s2.sql(
+        "SELECT sim_hash(array(1L, 2L), 32) = sim_hash(array(1L, 2L), 32) AS eq")
+        .collect()(0).getBoolean(0)
+      assert(sh)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(spark0)
       org.apache.spark.sql.SparkSession.setActiveSession(spark0)
