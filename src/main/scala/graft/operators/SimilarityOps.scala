@@ -98,6 +98,30 @@ object SimilarityOps {
         .orderBy("src", "rn")
     }),
 
+    // Time-series pattern search (cf. "Time Series Similarity Search for
+    // Streaming Data", EDBT 2019): each user's trailing 8-event value
+    // window, cosine-matched against a fixed probe shape, top-20 users.
+    // One shuffle (the per-user series aggregation); the window extract
+    // and the scoring are codegen'd array expressions. At scale the
+    // series aggregation is the same partial+final shape as any groupBy,
+    // and the probe is a literal — no join at all.
+    "ts_pattern_topk" -> ((s, dir) => {
+      val probe = array(Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 0.0).map(lit): _*)
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+        .withColumn("n", size(col("evs")))
+        .filter(col("n") >= 8)
+        .select(col("user_id"),
+          transform(slice(col("evs"), col("n") - 7, lit(8)),
+            e => e.getField("value")).as("tail"))
+        .select(col("user_id"),
+          round(graft.functions.ArrayExprs.cosine(col("tail"), probe) * 100, 4).as("sim"))
+        .orderBy(col("sim").desc, col("user_id"))
+        .limit(20)
+    }),
+
     // Brute-force cosine top-10 for one probe vector (vec_id 42) — the
     // exact-ANN baseline. The probe is a broadcast single row, so this is
     // one scan of the table regardless of size.
@@ -204,6 +228,15 @@ object SimilarityOps {
                              b.vec_id) AS rn
            FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
          ) WHERE rn <= 5 ORDER BY src, rn""",
+    "ts_pattern_topk" ->
+      """SELECT user_id, sim FROM (
+           SELECT user_id,
+                  round(list_cosine_similarity(CAST(vals[-8:] AS DOUBLE[]),
+                    [1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 0.0]) * 100, 4) AS sim
+           FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                 FROM events GROUP BY user_id)
+           WHERE len(vals) >= 8
+         ) ORDER BY sim DESC, user_id LIMIT 20""",
     "ann_brute" ->
       """SELECT vec_id,
                 round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
