@@ -205,6 +205,18 @@ object AggOps {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Histogram: fixed-width price buckets via portable arithmetic
+    // (floor(x / w)) — the one-pass distribution profile every OLAP
+    // engine exposes; engine-specific width_bucket variants disagree on
+    // edge semantics, plain arithmetic does not.
+    "agg_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 4).as("lo"),
+          round(max(col("o_totalprice")), 4).as("hi"))
+        .orderBy("bucket")),
+
     // Boolean aggregates: universally/existentially quantified predicates
     // per group (every/any — SQL bool_and/bool_or).
     "agg_bool" -> ((s, dir) =>
@@ -241,6 +253,12 @@ object AggOps {
                 string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+                count(*) AS n,
+                round(min(o_totalprice), 4) AS lo,
+                round(max(o_totalprice), 4) AS hi
+         FROM orders GROUP BY bucket ORDER BY bucket""",
     "agg_bool" ->
       """SELECT c_mktsegment,
                 bool_and(c_acctbal > -1000) AS all_above_min,

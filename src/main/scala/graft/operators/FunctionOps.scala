@@ -56,6 +56,17 @@ object FunctionOps {
             .as("month_first"))
         .orderBy("o_orderkey")),
 
+    // Null-handling family: nullif / coalesce / two-branch defaulting
+    // over a computed nullable column (zero discounts become NULL).
+    "fn_null" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+          coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_defaulted"),
+          when(nullif(col("l_discount"), lit(0.0)).isNull, "none")
+            .otherwise("some").as("disc_label"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
     // ANSI-safe error handling: try_divide / try_cast return NULL instead
     // of failing the job — the difference between one malformed row
     // killing a 100 TB pass and it landing in a quarantine column.
@@ -132,6 +143,13 @@ object FunctionOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "fn_null" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                nullif(l_discount, 0.0) AS disc_or_null,
+                coalesce(nullif(l_discount, 0.0), -1.0) AS disc_defaulted,
+                CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 'none'
+                     ELSE 'some' END AS disc_label
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "fn_try" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
                 round(l_extendedprice / NULLIF(l_discount, 0), 4) AS price_per_disc,
