@@ -45,7 +45,7 @@ import graft.functions.ArrayExprs
   *    ~1M of 7.7M unique-set pairs as candidates. The original 4×4
   *    banding let ~95% of pairs through, making the band join strictly
   *    worse than the fused brute-force pass it was meant to avoid;
-  *    signature cost is linear (512 × |tokens| per UNIQUE set) and
+  *    signature cost is linear (384 × |tokens| per UNIQUE set) and
   *    codegen'd, i.e. noise in the scan.
   *  - `dedup_simhash` packs a document into one 32-bit signature, so the
   *    candidate filter is a cheap integer XOR + popcount.
