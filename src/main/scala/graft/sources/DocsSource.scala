@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 batch source: a deterministic synthetic `documents`
+  * generator (`spark.read.format("graft-docs").option("rows", n)
+  * .option("partitions", p)`), shaped like the fixture table
+  * (doc_id, text, lang, source, n_chars).
+  *
+  * Purpose: the engine's source surface beyond file formats — the DSv2
+  * contract a warehouse/table connector implements. Scale properties the
+  * implementation demonstrates:
+  *  - **Partition planning**: `rows` split into `partitions` contiguous
+  *    id ranges, one `InputPartition` each — parallelism is declared at
+  *    planning time, rows are generated executor-side, nothing
+  *    materializes on the driver.
+  *  - **Column pruning pushdown** (`SupportsPushDownRequiredColumns`):
+  *    the reader generates ONLY the projected columns — `select(doc_id)`
+  *    never synthesizes text (asserted on the scan output in SourceSpec).
+  *  - **Determinism**: every cell is a pure function of doc_id (splitmix
+  *    mixing), so retried/speculated tasks produce identical rows — the
+  *    same property the hash-sampling ops rely on.
+  */
+class DocsSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-docs"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocsSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new DocsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object DocsSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  val Langs: Array[String] = Array("en", "en", "en", "es", "fr", "de")
+  val Sources: Array[String] = Array("web", "wiki", "news", "forum")
+  val Vocab: Array[String] =
+    ("the a of and to in merge join spark shuffle partition broadcast " +
+      "codegen filter scan window stream batch hash sort agg map reduce " +
+      "plan query data table row column").split(" ")
+
+  def mix(v0: Long): Long = {
+    var v = v0 + 0x9E3779B97F4A7C15L
+    v ^= v >>> 30; v *= 0xBF58476D1CE4E5B9L
+    v ^= v >>> 27; v *= 0x94D049BB133111EBL
+    v ^ (v >>> 31)
+  }
+
+  def textOf(id: Long): String = {
+    val n = 20 + (math.floorMod(mix(id), 30L)).toInt
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(Vocab(math.floorMod(mix(id * 31 + i), Vocab.length.toLong).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+class DocsTable(rows: Long, parts: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_docs($rows)"
+  override def schema(): StructType = DocsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocsScanBuilder(rows, parts)
+}
+
+class DocsScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = DocsSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new DocsScan(rows, parts, required)
+}
+
+case class DocsRange(start: Long, end: Long) extends InputPartition
+
+class DocsScan(rows: Long, parts: Int, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + parts - 1) / parts)
+    (0L until rows by per).map(s => DocsRange(s, math.min(rows, s + per))).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fields = required.fieldNames
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val r = partition.asInstanceOf[DocsRange]
+        new PartitionReader[InternalRow] {
+          private var id = r.start - 1
+          override def next(): Boolean = { id += 1; id < r.end }
+          override def get(): InternalRow = {
+            // generate only the projected columns; text is the expensive
+            // one and is synthesized at most once per row
+            lazy val text = DocsSource.textOf(id)
+            val values: Array[Any] = fields.map {
+              case "doc_id" => id
+              case "text"   => UTF8String.fromString(text)
+              case "lang"   => UTF8String.fromString(
+                DocsSource.Langs(math.floorMod(DocsSource.mix(id + 7),
+                  DocsSource.Langs.length.toLong).toInt))
+              case "source" => UTF8String.fromString(
+                DocsSource.Sources(math.floorMod(DocsSource.mix(id + 13),
+                  DocsSource.Sources.length.toLong).toInt))
+              case "n_chars" => text.length.toLong
+              case other => throw new IllegalArgumentException(s"unknown column $other")
+            }
+            InternalRow.fromSeq(values.toIndexedSeq)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DSv2 contract of the synthetic documents source (graft.sources.DocsSource):
+  * declared partitioning, executor-side generation, column-pruning
+  * pushdown, and retry-safe determinism. */
+class SourceSpec extends SparkSpec {
+
+  private def read(rows: Int, parts: Int) =
+    spark.read.format("graft-docs")
+      .option("rows", rows).option("partitions", parts).load()
+
+  test("generates the requested rows across the requested partitions") {
+    val df = read(1000, 5)
+    assert(df.count() === 1000)
+    assert(df.rdd.getNumPartitions === 5)
+    assert(df.select("doc_id").distinct().count() === 1000)
+  }
+
+  test("is deterministic across reads (retry/speculation safety)") {
+    val a = read(200, 3).orderBy("doc_id").collect()
+    val b = read(200, 3).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("column pruning reaches the scan: projected reads synthesize only what is asked") {
+    val df = read(100, 2).select("doc_id", "lang")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(scans.head.output.map(_.name).toSet === Set("doc_id", "lang"),
+      s"scan not pruned: ${scans.head.output}")
+  }
+
+  test("n_chars agrees with the generated text and lang is from the declared set") {
+    val df = read(300, 4)
+    assert(df.filter(length(col("text")) =!= col("n_chars")).count() === 0)
+    assert(df.filter(!col("lang").isin("en", "es", "fr", "de")).count() === 0)
+  }
+}
