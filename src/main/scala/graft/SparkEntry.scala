@@ -34,7 +34,8 @@ object SparkEntry {
       StreamingOps.queries ++
       MultimodalOps.queries ++
       SkewOps.queries ++
-      PipelineOps.queries
+      PipelineOps.queries ++
+      MergeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (hash-/sketch-specific ops)
@@ -53,5 +54,6 @@ object SparkEntry {
       StreamingOps.oracles ++
       MultimodalOps.oracles ++
       SkewOps.oracles ++
-      PipelineOps.oracles
+      PipelineOps.oracles ++
+      MergeOps.oracles
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Merge / upsert / change-data-capture suite — the maintenance half of a
+  * warehouse engine. The reference delegates all mutation to managed
+  * services (MongoDB Atlas upserts server-side; streamlit_app.py:32 only
+  * reads); here the three canonical maintenance shapes are declarative
+  * batch plans over the fixture tables, so the DuckDB oracle can replay
+  * them:
+  *
+  *  - `merge_upsert` — MERGE INTO (incremental dimension load): an
+  *    existing snapshot (even-keyed customers) merged with per-customer
+  *    aggregates from the latest order batch (orders from 2001 on — an
+  *    incremental slice, the way a real MERGE source arrives). Matched keys
+  *    update the balance, source-only keys insert, target-only keys carry
+  *    through unchanged — the three MERGE branches surfaced as a `status`
+  *    column.
+  *  - `merge_scd2` — slowly-changing-dimension type 2: collapse each
+  *    user's event-type timeline to change points, then derive
+  *    [valid_from, valid_to) versioned rows with an `is_current` flag.
+  *  - `merge_compact` — CDC log compaction: latest record per key from an
+  *    append-only changelog (`row_number() = 1` descending), the batch twin
+  *    of a streaming upsert-materialize.
+  *
+  * Scale notes (100 TB design):
+  *  - `merge_upsert` pre-aggregates the source to one row per key (partial
+  *    agg map-side) BEFORE the full-outer join, so the join input is
+  *    |keys|, not |orders|; the join itself is a sort-merge on the merge
+  *    key — the same single-shuffle shape Delta/Iceberg MERGE compiles to
+  *    when the source is too big to broadcast.
+  *  - `merge_scd2` uses one window partitioning (user_id, ordered by
+  *    ts, event_id) for both the change-collapse and the validity lookahead
+  *    — the filter between them preserves partitioning and order, so
+  *    Catalyst plans ONE exchange+sort, not two (asserted in MergeSpec).
+  *  - `merge_compact` is a per-key top-1: row_number + filter pushes the
+  *    rank computation into one shuffle; at cluster scale AQE handles a
+  *    hot key by splitting its partition (ordering stays deterministic via
+  *    the (ts, event_id) tiebreak).
+  *  - Sums fold in DECIMAL(28,10) so the merge arithmetic is exact and
+  *    order-independent across engines (SURVEY §7.4), rounded to 4 places
+  *    before the final DOUBLE cast on both sides.
+  */
+object MergeOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MERGE INTO: even-keyed customer snapshot <- per-custkey order totals.
+    "merge_upsert" -> ((s, dir) => {
+      val tgt = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val src = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(28,10)"))
+            .cast("decimal(28,10)").as("delta"),
+          count(lit(1)).as("n_orders"))
+      tgt.join(src, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_name"),
+            concat(lit("NEW-"), col("o_custkey").cast("string"))).as("name"),
+          round(
+            coalesce(col("c_acctbal").cast("decimal(28,10)"),
+              lit(0).cast("decimal(28,10)")) +
+              coalesce(col("delta"), lit(0).cast("decimal(28,10)")), 4)
+            .cast("double").as("acctbal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "updated")
+            .when(col("c_custkey").isNull, "inserted")
+            .otherwise("unchanged").as("status"))
+        .orderBy("custkey")
+    }),
+
+    // SCD2: change-point collapse then [valid_from, valid_to) versioning.
+    "merge_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(
+          col("user_id"),
+          col("event_type").as("attr"),
+          col("ts").as("valid_from"),
+          lead("ts", 1).over(w).as("valid_to"),
+          lead("ts", 1).over(w).isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "attr")
+    }),
+
+    // CDC compaction: latest event per user_id (deterministic tiebreak).
+    "merge_compact" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"),
+          col("event_type").as("last_event_type"),
+          col("ts").as("last_ts"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH tgt AS (
+           SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+         ), src AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS delta,
+                  count(*) AS n_orders
+           FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY o_custkey
+         )
+         SELECT coalesce(t.c_custkey, s.o_custkey) AS custkey,
+                coalesce(t.c_name, 'NEW-' || CAST(s.o_custkey AS VARCHAR)) AS name,
+                CAST(round(coalesce(CAST(t.c_acctbal AS DECIMAL(28,10)), 0)
+                           + coalesce(s.delta, 0), 4) AS DOUBLE) AS acctbal,
+                coalesce(s.n_orders, 0) AS n_orders,
+                CASE WHEN t.c_custkey IS NOT NULL AND s.o_custkey IS NOT NULL THEN 'updated'
+                     WHEN t.c_custkey IS NULL THEN 'inserted'
+                     ELSE 'unchanged' END AS status
+         FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.o_custkey
+         ORDER BY custkey""",
+    "merge_scd2" ->
+      """WITH ordered AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events
+         ), changes AS (
+           SELECT user_id, event_type, ts, event_id FROM ordered
+           WHERE prev IS NULL OR prev <> event_type
+         )
+         SELECT user_id, event_type AS attr, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+         FROM changes
+         ORDER BY user_id, valid_from, attr""",
+    "merge_compact" ->
+      """SELECT user_id, event_type AS last_event_type,
+                CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
+         FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events
+         ) WHERE rn = 1
+         ORDER BY user_id""")
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.MergeOps
+
+/** Merge / CDC suite semantics + plan shape (values are oracle-checked via
+  * `graft.Verify`; these pin the properties the row hash can't see). */
+class MergeSpec extends SparkSpec {
+
+  test("merge_upsert exercises all three MERGE branches and keeps keys unique") {
+    val out = MergeOps.queries("merge_upsert")(spark, SfDir).cache()
+    try {
+      val statuses = out.select("status").distinct().collect().map(_.getString(0)).toSet
+      assert(statuses === Set("updated", "inserted", "unchanged"), statuses)
+      assert(out.count() === out.select("custkey").distinct().count(),
+        "merge output must have one row per key")
+      // inserted rows come only from the source (odd keys with orders)
+      assert(out.filter(col("status") === "inserted" && col("custkey") % 2 === 0).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("merge_upsert pre-aggregates the source before a single sort-merge full outer join") {
+    val plan = MergeOps.queries("merge_upsert")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // partial+final HashAggregate around the source's shuffle (map-side combine)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("merge_scd2 versions are non-overlapping per user with exactly one current row") {
+    val out = MergeOps.queries("merge_scd2")(spark, SfDir).cache()
+    try {
+      val users = out.select("user_id").distinct().count()
+      assert(out.filter(col("is_current")).count() === users,
+        "exactly one open-ended version per user")
+      // valid_to of each closed version equals the next version's valid_from
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("valid_from")
+      val bad = out
+        .withColumn("next_from", lead("valid_from", 1).over(w))
+        .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+        .count()
+      assert(bad === 0, s"$bad gapped/overlapping versions")
+      // consecutive versions always change the attribute
+      val rep = out.withColumn("prev_attr", lag("attr", 1).over(w))
+        .filter(col("prev_attr") === col("attr")).count()
+      assert(rep === 0, s"$rep uncollapsed consecutive versions")
+    } finally out.unpersist()
+  }
+
+  test("merge_scd2 plans one exchange for both window passes") {
+    val plan = MergeOps.queries("merge_scd2")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"change-collapse and validity windows should share one shuffle:\n$plan")
+  }
+
+  test("merge_compact keeps exactly the latest record per key") {
+    val out = MergeOps.queries("merge_compact")(spark, SfDir)
+    val events = Tables.events(spark, SfDir)
+    assert(out.count() === events.select("user_id").distinct().count())
+    // spot-check: every kept ts is the max ts for that user
+    val maxTs = events.groupBy("user_id").agg(max("ts").as("mx"))
+    val mismatched = out.join(maxTs, "user_id").filter(col("last_ts") =!= col("mx")).count()
+    assert(mismatched === 0)
+  }
+}
