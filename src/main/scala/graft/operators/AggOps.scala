@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -236,6 +236,24 @@ object AggOps {
           bit_xor(col("l_linenumber")).as("bxor"))
         .orderBy("l_returnflag")),
 
+    // Mode (most frequent value) per group with a deterministic tiebreak:
+    // built as count + rank-1 window rather than the engine's `mode()`,
+    // whose tie choice is implementation-defined — the two-level
+    // (count desc, value asc) key pins one answer on every engine. The
+    // pre-aggregation shrinks the window input to |groups|×|values| rows,
+    // so the sort is over counts, not raw events.
+    "agg_mode" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+        .orderBy("user_id")
+    }),
+
     // Custom UDAF: discount-weighted average price per return flag.
     "agg_custom_wavg" -> ((s, dir) => {
       val wavg = udaf(WeightedAvg,
@@ -248,6 +266,13 @@ object AggOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """SELECT user_id, event_type AS mode_event, n FROM (
+           SELECT user_id, event_type, count(*) AS n,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY count(*) DESC, event_type) AS rn
+           FROM events GROUP BY user_id, event_type
+         ) WHERE rn = 1 ORDER BY user_id""",
     "agg_listagg" ->
       """SELECT l_returnflag,
                 string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,

@@ -46,6 +46,9 @@ object PipelineOps {
   val ChunkStride = 40
   val PackBudget  = 1000
 
+  /** Decontamination shingle width (tokens). */
+  val DecontamNGram = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic stratified sample: language-dependent keep rate via
     // the first hex digit of md5(doc_id) — reproducible under retries and
@@ -139,6 +142,31 @@ object PipelineOps {
         .orderBy("lang", "doc_id")
     }),
 
+    // Benchmark decontamination: flag training docs that share any
+    // 8-token shingle with the held-out eval slice (doc_id % 97 == 0) —
+    // the n-gram-overlap scrub every pre-training corpus runs against its
+    // eval benchmarks. Shingles are generated executor-side (sequence +
+    // slice, codegen'd); the join key is the shingle string. At 100 TB the
+    // eval side is tiny by construction (a benchmark suite, not the
+    // corpus), so Catalyst broadcasts it and the training side streams
+    // through map-side — no all-pairs comparison anywhere.
+    "pipe_decontaminate" -> ((s, dir) => {
+      val t = split(col("text"), " ")
+      val idxs = when(size(t) >= DecontamNGram,
+        sequence(lit(0), size(t) - DecontamNGram))
+        .otherwise(array().cast("array<int>"))
+      val shingled = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(transform(idxs,
+            i => array_join(slice(t, i + 1, lit(DecontamNGram)), " "))).as("sh"))
+      val evalSet = shingled.filter(col("doc_id") % 97 === 0)
+        .select("sh").distinct()
+      shingled.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSet), "sh")
+        .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // Conversion funnel: per user, first click and whether a purchase
     // follows it within 1 hour. ONE shuffle on user_id via conditional
     // aggregation (min over tagged timestamps), then a flag — no
@@ -220,6 +248,20 @@ object PipelineOps {
                       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
                FROM documents)
          ORDER BY lang, doc_id""",
+    "pipe_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(0, len(toks) - 8),
+                         i -> array_to_string(toks[i+1 : i+8], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 8
+         ), ev AS (
+           SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+         )
+         SELECT t.doc_id, count(DISTINCT t.sh) AS n_hits
+         FROM sh t JOIN ev USING (sh)
+         WHERE t.doc_id % 97 <> 0
+         GROUP BY t.doc_id ORDER BY doc_id""",
     "pipe_funnel" ->
       """WITH base AS (
            SELECT user_id, ts, event_type FROM events

@@ -106,6 +106,46 @@ object ProvidenciasOps {
         .orderBy("node_id")
     }),
 
+    // Graph extension: 3-iteration PageRank (d = 0.85, dangling mass
+    // redistributed uniformly) over the SIMILAR graph — "which rulings are
+    // central in the similarity network". Iterations are unrolled into one
+    // declarative plan: each is a hash-join of the (persisted, small) edge
+    // list against the previous rank vector + a groupBy on the destination
+    // — exactly the shuffle-per-superstep shape Pregel-style systems use,
+    // so the plan scales to any edge count. N and the iteration count are
+    // plan-construction scalars, not per-row driver work.
+    "graph_pagerank" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+      val n = nodes.count().toDouble
+      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+      val und = tri.select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("s"), col("e.d").as("d"))
+      val outdeg = und.groupBy("s").agg(count(lit(1)).cast("double").as("od"))
+      // persisted: re-deriving the edge list would re-run the O(n²)
+      // pairwise scan once per iteration term that references it
+      val edges = und.join(outdeg, "s").persist()
+      val ranks0 = nodes.withColumn("rank", lit(1.0 / n))
+      val ranksN = (1 to 3).foldLeft(ranks0) { (r, _) =>
+        val contrib = edges.join(r, edges("s") === r("id"))
+          .groupBy(edges("d")).agg(sum(col("rank") / col("od")).as("c"))
+          .withColumnRenamed("d", "cid")
+        val dang = r.join(edges.select(col("s").as("id")).distinct(),
+            Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+        nodes.join(contrib, nodes("id") === contrib("cid"), "left")
+          .crossJoin(dang)
+          .select(nodes("id"),
+            (lit(0.15 / n) + lit(0.85) *
+              (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
+      }
+      ranksN.select(col("id"), round(col("rank"), 6).as("pagerank"))
+        .orderBy("id")
+    }),
+
     // Graph extension: 2-hop neighborhood of node 0 (min hop count per
     // node) — the reference's 1-hop expansion (A9) taken one step further.
     // No O(n²) pairwise at all: hop 1 is a single-probe scan (O(n), the
@@ -203,6 +243,37 @@ object ProvidenciasOps {
            UNION ALL SELECT b FROM tri
            UNION ALL SELECT c FROM tri
          ) GROUP BY node_id ORDER BY node_id""",
+    "graph_pagerank" ->
+      """WITH tri AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), e AS MATERIALIZED (
+           SELECT src AS s, dst AS d FROM tri UNION ALL SELECT dst, src FROM tri
+         ), outdeg AS MATERIALIZED (
+           SELECT s, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY s
+         ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         nodes AS (SELECT vec_id AS id FROM embeddings),
+         r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+         c1 AS (SELECT e.d AS cid, sum(r.rank / o.od) AS c
+                FROM e JOIN r0 r ON e.s = r.id JOIN outdeg o ON e.s = o.s GROUP BY e.d),
+         d1 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r0 WHERE id NOT IN (SELECT s FROM outdeg)),
+         r1 AS (SELECT nodes.id, 0.15/(SELECT n FROM nn) + 0.85*(coalesce(c1.c, 0.0) + (SELECT dm FROM d1)/(SELECT n FROM nn)) AS rank
+                FROM nodes LEFT JOIN c1 ON nodes.id = c1.cid),
+         c2 AS (SELECT e.d AS cid, sum(r.rank / o.od) AS c
+                FROM e JOIN r1 r ON e.s = r.id JOIN outdeg o ON e.s = o.s GROUP BY e.d),
+         d2 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r1 WHERE id NOT IN (SELECT s FROM outdeg)),
+         r2 AS (SELECT nodes.id, 0.15/(SELECT n FROM nn) + 0.85*(coalesce(c2.c, 0.0) + (SELECT dm FROM d2)/(SELECT n FROM nn)) AS rank
+                FROM nodes LEFT JOIN c2 ON nodes.id = c2.cid),
+         c3 AS (SELECT e.d AS cid, sum(r.rank / o.od) AS c
+                FROM e JOIN r2 r ON e.s = r.id JOIN outdeg o ON e.s = o.s GROUP BY e.d),
+         d3 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r2 WHERE id NOT IN (SELECT s FROM outdeg)),
+         r3 AS (SELECT nodes.id, 0.15/(SELECT n FROM nn) + 0.85*(coalesce(c3.c, 0.0) + (SELECT dm FROM d3)/(SELECT n FROM nn)) AS rank
+                FROM nodes LEFT JOIN c3 ON nodes.id = c3.cid)
+         SELECT id, round(rank, 6) AS pagerank FROM r3 ORDER BY id""",
     "graph_2hop" ->
       """WITH sims AS (
            SELECT * FROM (

@@ -146,6 +146,52 @@ object RelationalOps {
         ORDER BY total_spend DESC, c_custkey
         LIMIT 100
       """)
+    }),
+
+    // Correlated EXISTS: customers holding at least one high-value order.
+    // Catalyst decorrelates this into a left-semi hash join (no per-row
+    // re-execution) — same physical shape as `join_semi`, but exercising
+    // the subquery-rewrite path of the SQL surface.
+    "sql_exists_correlated" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      s.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM graft_customer c
+        WHERE EXISTS (SELECT 1 FROM graft_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+      """)
+    }),
+
+    // IN (subquery): orders of BUILDING-segment customers. Decorrelates to
+    // a left-semi join on the subquery output with null-aware semantics.
+    "sql_in_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graft_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM graft_customer
+                            WHERE c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey
+      """)
+    }),
+
+    // LATERAL VIEW explode (UDTF surface in SQL form): per-document hit
+    // counts for the search terms. Generate runs inside the scan stage —
+    // no shuffle until the final aggregation.
+    "sql_lateral" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+      s.sql("""
+        SELECT doc_id, tok, count(1) AS n
+        FROM graft_documents
+        LATERAL VIEW explode(split(text, ' ')) t AS tok
+        WHERE tok IN ('spark', 'merge')
+        GROUP BY doc_id, tok
+        ORDER BY doc_id, tok
+      """)
     })
   )
 
@@ -212,6 +258,26 @@ object RelationalOps {
          SELECT c_custkey, c_name, total_spend, n_orders
          FROM spend JOIN customer ON o_custkey = c_custkey
          ORDER BY total_spend DESC, c_custkey
-         LIMIT 100"""
+         LIMIT 100""",
+    "sql_exists_correlated" ->
+      """SELECT c_custkey, c_name, c_acctbal
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "sql_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+    "sql_lateral" ->
+      """SELECT doc_id, tok, count(1) AS n
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         WHERE tok IN ('spark', 'merge')
+         GROUP BY doc_id, tok
+         ORDER BY doc_id, tok"""
   )
 }

@@ -74,6 +74,32 @@ object StreamingOps {
         .select(col("p_id"), col("c_id"), col("user_id"),
           (col("p_ts").cast("long") - col("c_ts").cast("long")).as("lag_s"))
         .orderBy("p_id", "c_id")
+    }),
+
+    // Time-series resample: per-user hourly buckets with gap-fill — the
+    // missing hours are generated (sequence + explode, executor-side, no
+    // driver loop) and the value forward-filled by a `last ignoring nulls`
+    // running window. The spine is one row per (user, hour-in-range):
+    // proportional to the covered time range, not the event count, and
+    // built from a pre-aggregated min/max per user, so the generate step
+    // adds no shuffle beyond the per-user aggregation it rides on.
+    "ts_resample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(28,10)")).cast("double").as("v"))
+      val spine = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("h")
+        .rowsBetween(Long.MinValue, 0)
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"), col("v").isNull.as("gap"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
+        .orderBy("user_id", "h")
     })
   )
 
@@ -124,6 +150,24 @@ object StreamingOps {
          FROM events p JOIN events c ON p.user_id = c.user_id
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-         ORDER BY p_id, c_id"""
+         ORDER BY p_id, c_id""",
+    "ts_resample" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS v
+           FROM events GROUP BY user_id, h
+         ), spine AS (
+           SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM (SELECT user_id,
+                        date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+                        date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+                 FROM events GROUP BY user_id)
+         )
+         SELECT s.user_id, s.h, (v IS NULL) AS gap,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+         FROM spine s LEFT JOIN hourly USING (user_id, h)
+         ORDER BY user_id, h"""
   )
 }

@@ -179,13 +179,64 @@ object TextOps {
         .select(col("doc_id"),
           md5(concat_ws(" ",
             array_sort(array_distinct(tokens(col("text")))))).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // BM25 ranked retrieval (k1=1.2, b=0.75, Lucene-style idf with the
+    // +1 smoothing) over the search terms — the relevance ranking `$text`
+    // search implies but the reference never surfaces (no score projected,
+    // streamlit_app.py:147). Same shuffle skeleton as `text_tfidf`: tf on
+    // (doc, term), df and corpus stats broadcast back, one final groupBy
+    // per doc — terms are filtered before the tf shuffle, so the exchange
+    // carries only matching (doc, term) rows regardless of corpus size.
+    "text_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = ProvidenciasOps.SearchTerms
+      val lens = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("double").as("dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+      val df_ = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+        avg(size(tokens(col("text")))).as("avgdl"))
+      tf.join(broadcast(df_), "token")
+        .crossJoin(broadcast(stats))
+        .join(lens, "doc_id")
+        .select(col("doc_id"),
+          (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("s0"))
+        .groupBy("doc_id").agg(round(sum(col("s0")), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+    })
   )
 
   private def duckStop(list: Seq[String]): String =
     list.mkString("['", "','", "']")
 
   def oracles: Map[String, String] = Map(
+    "text_bm25" ->
+      """WITH tf AS (
+           SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           WHERE token IN ('spark', 'merge') GROUP BY doc_id, token
+         ), df AS (
+           SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+         ), lens AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents
+         ), stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  avg(len(string_split(text, ' '))) AS avgdl
+           FROM documents
+         )
+         SELECT doc_id,
+                round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+                          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN df USING (token) CROSS JOIN stats JOIN lens USING (doc_id)
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id""",
     "text_tokens" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
