@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProvidenciasOps
+
+/** Invariants of the graph extensions on sf0.001 — complements the DuckDB
+  * oracle (which pins values) with the structural properties a graph
+  * consumer relies on. */
+class GraphSpec extends SparkSpec {
+
+  private def q(name: String) = ProvidenciasOps.queries(name)(spark, SfDir)
+
+  test("graph_pagerank conserves probability mass and covers every node") {
+    val pr = q("graph_pagerank").persist()
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(pr.count() === n, "one rank per node, isolated nodes included")
+    // dangling redistribution keeps the rank vector a distribution
+    val mass = pr.agg(sum("pagerank")).head.getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass was $mass")
+    assert(pr.filter(col("pagerank") <= 0).count() === 0, "ranks are positive")
+    // isolated nodes all share the same (minimal) rank; any linked node
+    // with degree > 0 receives at least the teleport floor
+    val floor = 0.15 / n
+    assert(pr.filter(col("pagerank") < floor - 1e-9).count() === 0)
+    pr.unpersist()
+  }
+
+  test("graph_triangles credits exactly the mutually-adjacent triples") {
+    val tri = q("graph_triangles")
+    // total credit is divisible by 3 (each triangle credits 3 nodes once)
+    val total = tri.agg(sum("n_tri")).head.getLong(0)
+    assert(total % 3 === 0, s"total triangle credit $total not divisible by 3")
+    // every credited node has degree >= 2 in the thresholded graph
+    val deg = q("graph_degree")
+    assert(tri.join(deg, tri("node_id") === deg("id"))
+      .filter(col("degree") < 2).count() === 0)
+  }
+}

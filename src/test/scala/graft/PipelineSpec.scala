@@ -88,6 +88,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pipe_decontaminate flags only training docs that share an eval shingle") {
+    val d = q("pipe_decontaminate")
+    // eval-slice docs are never themselves in the output
+    assert(d.filter(col("doc_id") % 97 === 0).count() === 0)
+    // every flagged doc genuinely shares at least one 8-token window with
+    // some eval doc (re-derive the shingle sets independently with a
+    // different construction: sliding arrays_zip-free slice loop)
+    val toks = split(col("text"), " ")
+    val sh = Tables.documents(spark, SfDir)
+      .filter(size(toks) >= PipelineOps.DecontamNGram)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(toks) - PipelineOps.DecontamNGram),
+        i => array_join(slice(toks, i + 1, lit(PipelineOps.DecontamNGram)), " "))).as("sh"))
+    val evalSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(evalSh, "sh").select("doc_id").distinct()
+    assert(d.select("doc_id").except(contaminated).count() === 0)
+    assert(contaminated.except(d.select("doc_id")).count() === 0)
+  }
+
   test("pipe_funnel conversions imply a purchase after the first click") {
     val f = q("pipe_funnel")
     // every user with a conversion has at least one purchase event
