@@ -88,6 +88,34 @@ object JoinOps {
         // the payload in the ORDER BY for a total compare order (§7.4).
         .orderBy("l_orderkey", "l_linenumber", "ship_lag_days")),
 
+    // Pure interval join (NO equi key): lineitems shipped inside each
+    // high-value order's 2-day window. Naively this is a broadcast
+    // nested-loop over |orders|×|lineitem| — quadratic, the one plan shape
+    // that cannot survive 100 TB. Rewritten as the textbook bucketed range
+    // join: both sides bucket time by the window width, the build side
+    // emits its two candidate buckets, the join becomes a shuffled
+    // EQUI-join on the bucket key with an exact post-filter. Each matching
+    // pair meets exactly one (order-bucket, lineitem-bucket) emission, so
+    // no dedup is needed, and the exchange carries only bucket-local
+    // candidates — linear in input + output, skew bounded by rows-per-
+    // window-width.
+    "join_range_bucket" -> ((s, dir) => {
+      val width = 2L * 86400L // bucket = window width (2 days), in seconds
+      val ob = floor(unix_timestamp(col("o_orderdate")) / width)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("b", explode(array(ob, ob + 1)))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_shipdate"))
+        .withColumn("b", floor(unix_timestamp(col("l_shipdate")) / width))
+      o.join(l, "b")
+        .filter(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    }),
+
     // Full outer join: per-day click totals ⟗ per-day purchase totals —
     // days with activity on only one side survive null-extended on the
     // other, the canonical reconciliation-report shape. Both sides
@@ -164,6 +192,13 @@ object JoinOps {
           AND l_shipdate >= o_orderdate
           AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
          ORDER BY l_orderkey, l_linenumber, ship_lag_days""",
+    "join_range_bucket" ->
+      """SELECT o_orderkey, count(*) AS n_shipped
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
+         WHERE o.o_totalprice > 400000
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
     "join_full_outer" ->
       """SELECT COALESCE(c.day, p.day) AS day,
                 COALESCE(c.n_clicks, 0) AS n_clicks,
