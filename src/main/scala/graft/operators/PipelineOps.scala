@@ -46,8 +46,11 @@ object PipelineOps {
   val ChunkStride = 40
   val PackBudget  = 1000
 
-  /** Decontamination shingle width (tokens). */
-  val DecontamNGram = 8
+  /** Decontamination shingle width (tokens). Real corpora use 8-13-gram
+    * overlap; the fixture's synthetic text has near-zero 8-gram collision
+    * mass, so 4 is the width at which the declared query pins non-trivial
+    * behavior (8 contaminated docs at sf0.01) instead of an empty set. */
+  val DecontamNGram = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic stratified sample: language-dependent keep rate via
@@ -143,7 +146,7 @@ object PipelineOps {
     }),
 
     // Benchmark decontamination: flag training docs that share any
-    // 8-token shingle with the held-out eval slice (doc_id % 97 == 0) —
+    // 4-token shingle with the held-out eval slice (doc_id % 97 == 0) —
     // the n-gram-overlap scrub every pre-training corpus runs against its
     // eval benchmarks. Shingles are generated executor-side (sequence +
     // slice, codegen'd); the join key is the shingle string. At 100 TB the
@@ -155,10 +158,15 @@ object PipelineOps {
       val idxs = when(size(t) >= DecontamNGram,
         sequence(lit(0), size(t) - DecontamNGram))
         .otherwise(array().cast("array<int>"))
+      // persisted: both the eval-set distinct and the training-side probe
+      // consume the exploded shingles, and exchange reuse does not fire
+      // across the broadcast boundary — without the cache the tokenize+
+      // explode subtree runs twice over the corpus
       val shingled = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(transform(idxs,
             i => array_join(slice(t, i + 1, lit(DecontamNGram)), " "))).as("sh"))
+        .persist()
       val evalSet = shingled.filter(col("doc_id") % 97 === 0)
         .select("sh").distinct()
       shingled.filter(col("doc_id") % 97 =!= 0)
@@ -251,10 +259,10 @@ object PipelineOps {
     "pipe_decontaminate" ->
       """WITH sh AS (
            SELECT doc_id,
-                  unnest(list_transform(generate_series(0, len(toks) - 8),
-                         i -> array_to_string(toks[i+1 : i+8], ' '))) AS sh
+                  unnest(list_transform(generate_series(0, len(toks) - 4),
+                         i -> array_to_string(toks[i+1 : i+4], ' '))) AS sh
            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-           WHERE len(toks) >= 8
+           WHERE len(toks) >= 4
          ), ev AS (
            SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
          )

@@ -100,6 +100,26 @@ object StreamingOps {
         .select(col("user_id"), col("h"), col("v").isNull.as("gap"),
           last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
         .orderBy("user_id", "h")
+    }),
+
+    // Time-series anomaly flagging: events whose value is a >2.5σ outlier
+    // against the emitter's own distribution. Per-user stats are a
+    // partial+final aggregation broadcast back onto the stream — one scan
+    // plus a map-side join, no window sort; the per-key model table is
+    // |users|-sized regardless of event volume.
+    "ts_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy("user_id")
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sd"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 20 && col("sd") > 0)
+      ev.join(broadcast(stats), "user_id")
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_id")
     })
   )
 
@@ -168,6 +188,15 @@ object StreamingOps {
                   PARTITION BY s.user_id ORDER BY s.h
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          FROM spine s LEFT JOIN hourly USING (user_id, h)
-         ORDER BY user_id, h"""
+         ORDER BY user_id, h""",
+    "ts_anomaly" ->
+      """WITH stats AS (
+           SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd, count(*) AS n
+           FROM events GROUP BY user_id
+         )
+         SELECT event_id, e.user_id, value, round((value - mu) / sd, 4) AS z
+         FROM events e JOIN stats USING (user_id)
+         WHERE n >= 20 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+         ORDER BY event_id"""
   )
 }

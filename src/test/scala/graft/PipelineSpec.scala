@@ -92,7 +92,7 @@ class PipelineSpec extends SparkSpec {
     val d = q("pipe_decontaminate")
     // eval-slice docs are never themselves in the output
     assert(d.filter(col("doc_id") % 97 === 0).count() === 0)
-    // every flagged doc genuinely shares at least one 8-token window with
+    // every flagged doc genuinely shares at least one n-token window with
     // some eval doc (re-derive the shingle sets independently with a
     // different construction: sliding arrays_zip-free slice loop)
     val toks = split(col("text"), " ")
