@@ -68,6 +68,27 @@ object EventStreams {
       .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"), col("c_value"))
   }
 
+  /** Left-outer variant of [[clickAttribution]]: views with no click
+    * inside the window are emitted null-extended once the watermark
+    * passes their join horizon (v_ts + 10 min + watermark delay) — the
+    * state-eviction semantics that make outer stream-stream joins safe:
+    * the unmatched row can only be emitted when no future click could
+    * still match it, and the same watermark bounds the buffered state. */
+  def clickAttributionOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "10 minutes")
+    v.join(c, expr(
+      """v_user = c_user AND
+         c_ts >= v_ts AND
+         c_ts <= v_ts + interval 10 minutes"""), "leftOuter")
+      .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"), col("c_value"))
+  }
+
   // ---- custom state: session assembly via flatMapGroupsWithState ----
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -82,6 +82,23 @@ class PlanSpec extends SparkSpec {
       s"both windows partition on l_orderkey — one exchange expected:\n$plan")
   }
 
+  test("join_range_bucket plans an equi-join on the bucket key, never a nested loop") {
+    val plan = JoinOps.queries("join_range_bucket")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degraded to a quadratic plan:\n$plan")
+    assert(plan.contains("Join") || plan.contains("HashJoin"),
+      s"expected an equi join on the bucket key:\n$plan")
+  }
+
+  test("ts_anomaly broadcasts the per-user model onto the stream") {
+    val plan = StreamingOps.queries("ts_anomaly")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join should be map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("window counts are conserved: tumbling windows partition the input") {
     val total = Tables.events(spark, SfDir).count()
     val windowed = StreamingOps.queries("stream_tumbling")(spark, SfDir)

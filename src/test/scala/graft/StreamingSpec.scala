@@ -130,6 +130,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched views after the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val query = EventStreams.clickAttributionOuter(
+      views.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode("append").start()
+    try {
+      // user 1 matches; user 2's view never gets a click
+      views.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(5), 1.0))
+      query.processAllAvailable()
+      // march the watermark well past user 2's join horizon (0 + 10 + 10)
+      views.addData((9L, ts(120)))
+      clicks.addData((9L, ts(121), 0.0))
+      query.processAllAvailable()
+      views.addData((8L, ts(240)))
+      clicks.addData((8L, ts(241), 0.0))
+      query.processAllAvailable()
+      val out = spark.table("attr_outer_test")
+        .filter(col("user_id") < 8L)
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(2)))).toSet
+      assert(out === Set((1L, Some(ts(5))), (2L, None)),
+        s"outer join emissions wrong: $out")
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState assembles sessions with a 30-minute gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
