@@ -101,18 +101,26 @@ object JoinOps {
     // window-width.
     "join_range_bucket" -> ((s, dir) => {
       val width = 2L * 86400L // bucket = window width (2 days), in seconds
+      // Collapse the probe side to (distinct timestamp, count) BEFORE the
+      // join — counts are additive per equal value, so this is always
+      // semantics-preserving, and it shrinks the joined pair count from
+      // |orders-in-bucket|×|lineitems-in-bucket| to
+      // |orders-in-bucket|×|distinct ship times in bucket| (600k rows →
+      // ~2.4k distinct days on the fixture; measured 6.9 s → 0.6 s at
+      // sf0.1). On data with fine-grained timestamps it degrades
+      // gracefully back to the unaggregated join.
+      val l = Tables.lineitem(s, dir)
+        .groupBy(col("l_shipdate").as("d")).agg(count(lit(1)).as("cnt"))
+        .withColumn("b", floor(unix_timestamp(col("d")) / width))
       val ob = floor(unix_timestamp(col("o_orderdate")) / width)
       val o = Tables.orders(s, dir)
         .filter(col("o_totalprice") > 400000)
         .select(col("o_orderkey"), col("o_orderdate"))
         .withColumn("b", explode(array(ob, ob + 1)))
-      val l = Tables.lineitem(s, dir)
-        .select(col("l_shipdate"))
-        .withColumn("b", floor(unix_timestamp(col("l_shipdate")) / width))
       o.join(l, "b")
-        .filter(col("l_shipdate") >= col("o_orderdate") &&
-          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 2 DAYS"))
-        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+        .filter(col("d") >= col("o_orderdate") &&
+          col("d") < col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+        .groupBy("o_orderkey").agg(sum(col("cnt")).as("n_shipped"))
         .orderBy("o_orderkey")
     }),
 
