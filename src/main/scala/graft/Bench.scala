@@ -36,7 +36,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop intermediates the query persisted for its own reuse —
+      // without this, 100+ cached plans accumulate across the run and the
+      // later queries pay their GC bill (measured: multi-second noise)
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val total = results.map(_._2).sum
     // The driver captures only the LAST ~2000 chars of sbt output (and

@@ -236,6 +236,22 @@ object AggOps {
           bit_xor(col("l_linenumber")).as("bxor"))
         .orderBy("l_returnflag")),
 
+    // Mergeable approximate percentiles (Greenwald-Khanna style sketch):
+    // the bounded-memory path for quantiles at corpus scale — the exact
+    // `percentile` buffers every value per group; this sketch ships
+    // O(accuracy) centroids per partial and merges associatively, the
+    // same partial/final contract the HLL and SpaceSaving entries pin.
+    // No oracle (sketch-impl-specific); AggSpec bounds it against the
+    // exact percentiles.
+    "agg_approx_percentile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+        .select(col("o_orderstatus"),
+          col("ps")(0).as("p50"), col("ps")(1).as("p90"), col("ps")(2).as("p99"))
+        .orderBy("o_orderstatus")),
+
     // Mode (most frequent value) per group with a deterministic tiebreak:
     // built as count + rank-1 window rather than the engine's `mode()`,
     // whose tie choice is implementation-defined — the two-level

@@ -158,18 +158,19 @@ object PipelineOps {
       val idxs = when(size(t) >= DecontamNGram,
         sequence(lit(0), size(t) - DecontamNGram))
         .otherwise(array().cast("array<int>"))
-      // persisted: both the eval-set distinct and the training-side probe
-      // consume the exploded shingles, and exchange reuse does not fire
-      // across the broadcast boundary — without the cache the tokenize+
-      // explode subtree runs twice over the corpus
-      val shingled = Tables.documents(s, dir)
-        .select(col("doc_id"),
+      // The doc_id slice filters run BEFORE the shingle explode, so the
+      // eval pass tokenizes only its 1/97 of the corpus instead of
+      // exploding everything and filtering rows after (measured: ~2× on
+      // the whole query; caching the full shingle table was slower than
+      // the second pruned scan).
+      def shingles(df: DataFrame): DataFrame =
+        df.select(col("doc_id"),
           explode(transform(idxs,
             i => array_join(slice(t, i + 1, lit(DecontamNGram)), " "))).as("sh"))
-        .persist()
-      val evalSet = shingled.filter(col("doc_id") % 97 === 0)
+      val docs = Tables.documents(s, dir)
+      val evalSet = shingles(docs.filter(col("doc_id") % 97 === 0))
         .select("sh").distinct()
-      shingled.filter(col("doc_id") % 97 =!= 0)
+      shingles(docs.filter(col("doc_id") % 97 =!= 0))
         .join(broadcast(evalSet), "sh")
         .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
         .orderBy("doc_id")

@@ -45,6 +45,19 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("approximate percentiles land within 2% of the exact quantiles") {
+    val approx = AggOps.queries("agg_approx_percentile")(spark, SfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = AggOps.queries("agg_percentiles")(spark, SfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (a50, a90, a99)) <- approx; (e50, e90, e99) = exact(k);
+         (a, e) <- Seq((a50, e50), (a90, e90), (a99, e99)))
+      assert(math.abs(a - e) / e <= 0.02, s"$k: approx=$a exact=$e beyond 2%")
+  }
+
   test("WeightedAvg aggregator matches sum(p*d)/sum(d) directly") {
     val rows = AggOps.queries("agg_custom_wavg")(spark, SfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
