@@ -5,8 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,6 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Column pruning pushdown** (`SupportsPushDownRequiredColumns`):
   *    the reader generates ONLY the projected columns — `select(doc_id)`
   *    never synthesizes text (asserted on the scan output in SourceSpec).
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): doc_id range
+  *    predicates narrow the id span at PLANNING time (whole input
+  *    partitions outside the range are never created — the connector
+  *    analogue of partition pruning), and `lang = v` is evaluated
+  *    reader-side before any other column is synthesized. Accepted
+  *    filters are removed from the query plan; everything else stays a
+  *    residual Spark re-applies.
   *  - **Determinism**: every cell is a pure function of doc_id (splitmix
   *    mixing), so retried/speculated tasks produce identical rows — the
   *    same property the hash-sampling ops rely on.
@@ -66,6 +73,9 @@ object DocsSource {
     v ^ (v >>> 31)
   }
 
+  def langOf(id: Long): String =
+    Langs(math.floorMod(mix(id + 7), Langs.length.toLong).toInt)
+
   def textOf(id: Long): String = {
     val n = 20 + (math.floorMod(mix(id), 30L)).toInt
     val sb = new StringBuilder
@@ -89,32 +99,80 @@ class DocsTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class DocsScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = DocsSource.Schema
+  private var lo = 0L
+  private var hi = rows
+  private var langEq: Option[String] = None
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DocsScan(rows, parts, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case EqualTo("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1); true
+      case GreaterThan("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue + 1); true
+      case GreaterThanOrEqual("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue); true
+      case LessThan("doc_id", v: Number) =>
+        hi = math.min(hi, v.longValue); true
+      case LessThanOrEqual("doc_id", v: Number) =>
+        hi = math.min(hi, v.longValue + 1); true
+      case EqualTo("lang", v: String) =>
+        langEq = Some(v); true
+      case IsNotNull(_) => true // every generated column is non-null
+      case _ => false
+    }
+    accepted = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new DocsScan(rows, parts, required, lo, hi, langEq)
 }
 
 case class DocsRange(start: Long, end: Long) extends InputPartition
 
-class DocsScan(rows: Long, parts: Int, required: StructType) extends Scan with Batch {
+class DocsScan(rows: Long, parts: Int, required: StructType,
+               lo: Long, hi: Long, langEq: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docs rows=$rows range=[$lo,$hi)${langEq.fold("")(l => s" lang=$l")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // fixed id-range partitioning over the FULL table, intersected with
+    // the pushed [lo, hi) — out-of-range partitions are pruned at
+    // planning time, mirroring how a partitioned table prunes directories
     val per = math.max(1L, (rows + parts - 1) / parts)
-    (0L until rows by per).map(s => DocsRange(s, math.min(rows, s + per))).toArray
+    (0L until rows by per)
+      .map(s => DocsRange(math.max(s, lo), math.min(math.min(rows, s + per), hi)))
+      .filter(r => r.start < r.end)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames
+    // local copies: the factory ships to executors and must not capture
+    // this (non-serializable) Scan
+    val langEq = this.langEq
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val r = partition.asInstanceOf[DocsRange]
         new PartitionReader[InternalRow] {
           private var id = r.start - 1
-          override def next(): Boolean = { id += 1; id < r.end }
+          override def next(): Boolean = {
+            // the pushed lang filter is checked BEFORE any other column
+            // is synthesized — non-matching ids cost one hash each
+            id += 1
+            while (id < r.end && langEq.exists(_ != DocsSource.langOf(id))) id += 1
+            id < r.end
+          }
           override def get(): InternalRow = {
             // generate only the projected columns; text is the expensive
             // one and is synthesized at most once per row
@@ -122,9 +180,7 @@ class DocsScan(rows: Long, parts: Int, required: StructType) extends Scan with B
             val values: Array[Any] = fields.map {
               case "doc_id" => id
               case "text"   => UTF8String.fromString(text)
-              case "lang"   => UTF8String.fromString(
-                DocsSource.Langs(math.floorMod(DocsSource.mix(id + 7),
-                  DocsSource.Langs.length.toLong).toInt))
+              case "lang"   => UTF8String.fromString(DocsSource.langOf(id))
               case "source" => UTF8String.fromString(
                 DocsSource.Sources(math.floorMod(DocsSource.mix(id + 13),
                   DocsSource.Sources.length.toLong).toInt))

@@ -89,6 +89,62 @@ object EventStreams {
       .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"), col("c_value"))
   }
 
+  /** Incremental upsert-materialization: a CDC changelog stream
+    * (`key, op ∈ {upsert, delete}, value, seq`) applied to a versioned
+    * parquet target via `foreachBatch` — the streaming half of
+    * [[graft.operators.MergeOps]]'s `merge_compact`/`merge_upsert`.
+    *
+    * Each micro-batch (1) self-compacts to the latest op per key
+    * (`row_number` by seq desc — a batch may carry several ops for one
+    * key), (2) reads the previous target version, (3) merges: carried-
+    * through rows are the anti-join on batch keys, upserts replace or
+    * insert, deletes drop, and (4) writes the result as a NEW version
+    * directory `v=<batchId>` — versioned rewrite instead of in-place
+    * overwrite because a parquet path cannot be read and overwritten in
+    * the same job, and it is exactly the copy-on-write commit shape
+    * table formats use (readers keep a consistent snapshot; the
+    * micro-batch commit is atomic at the directory level).
+    *
+    * Scale notes: the merge joins |target-keys| against |batch-keys| —
+    * the batch side is micro-batch-sized, so Catalyst broadcasts it and
+    * the target streams through map-side; the rewrite cost is the
+    * copy-on-write trade-off every non-indexed table format makes (at
+    * 100 TB the target would be partitioned and only touched partitions
+    * rewritten — dynamic partition overwrite, proven in SinkSpec). */
+  def cdcApply(changes: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("seq").desc)
+        val compacted = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val root = new java.io.File(targetDir)
+        val prev = Option(root.listFiles).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("v="))
+          .map(_.getName.stripPrefix("v=").toLong)
+          .sorted.lastOption
+        val target = prev match {
+          case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
+          case None =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("key",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("value",
+                  org.apache.spark.sql.types.DoubleType))))
+        }
+        val merged = target
+          .join(compacted.select("key"), Seq("key"), "left_anti")
+          .unionByName(compacted.filter(col("op") === "upsert")
+            .select(col("key"), col("value")))
+        merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+        ()
+    }
+
   // ---- custom state: session assembly via flatMapGroupsWithState ----
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -33,6 +33,32 @@ class SourceSpec extends SparkSpec {
       s"scan not pruned: ${scans.head.output}")
   }
 
+  test("doc_id range pushdown prunes input partitions at planning time") {
+    val df = read(1000, 4).filter(col("doc_id") >= 250 && col("doc_id") < 500)
+    // ranges are [0,250) [250,500) [500,750) [750,1000): one survives
+    assert(df.rdd.getNumPartitions === 1,
+      s"expected pruning to 1 partition, got ${df.rdd.getNumPartitions}")
+    assert(df.count() === 250)
+    val ids = df.agg(min("doc_id"), max("doc_id")).head
+    assert(ids.getLong(0) === 250 && ids.getLong(1) === 499)
+  }
+
+  test("lang equality pushdown removes the post-scan filter and keeps results exact") {
+    val pushed = read(500, 4).filter(col("lang") === "es")
+    // accepted filters are removed from the plan: no Filter node remains
+    val plan = pushed.queryExecution.executedPlan.toString
+    // no Filter NODE ("Filter (...)") — the scan's own "RuntimeFilters: []"
+    // tag is not a residual
+    assert(!plan.contains("Filter ("), s"pushed filter should leave no residual:\n$plan")
+    assert(plan.contains("lang=es"), s"scan should report the pushed filter:\n$plan")
+    // reader-side skip returns exactly what an unpushed filter would
+    val expected = read(500, 4).select("doc_id", "lang").collect()
+      .filter(_.getString(1) == "es").map(_.getLong(0)).toSet
+    val got = pushed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("n_chars agrees with the generated text and lang is from the declared set") {
     val df = read(300, 4)
     assert(df.filter(length(col("text")) =!= col("n_chars")).count() === 0)

@@ -160,6 +160,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch CDC apply materializes upserts and deletes across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toFile
+    val changes = MemoryStream[(Long, String, Double, Long)]
+    val query = EventStreams.cdcApply(
+      changes.toDF().toDF("key", "op", "value", "seq"),
+      dir.getAbsolutePath)
+      .outputMode("update").start()
+    try {
+      // batch 0: two inserts, plus an intra-batch overwrite of key 1
+      changes.addData((1L, "upsert", 10.0, 1L), (2L, "upsert", 20.0, 2L),
+        (1L, "upsert", 11.0, 3L))
+      query.processAllAvailable()
+      // batch 1: delete key 1, update key 2, insert key 3
+      changes.addData((1L, "delete", 0.0, 4L), (2L, "upsert", 21.0, 5L),
+        (3L, "upsert", 30.0, 6L))
+      query.processAllAvailable()
+      val versions = dir.listFiles.filter(_.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong).sorted
+      assert(versions.length === 2, s"expected 2 versions, got ${versions.toSeq}")
+      val v0 = spark.read.parquet(s"$dir/v=${versions(0)}")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(v0 === Map(1L -> 11.0, 2L -> 20.0),
+        s"batch-0 snapshot wrong (intra-batch compaction): $v0")
+      val v1 = spark.read.parquet(s"$dir/v=${versions(1)}")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(v1 === Map(2L -> 21.0, 3L -> 30.0), s"batch-1 snapshot wrong: $v1")
+    } finally {
+      query.stop()
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("flatMapGroupsWithState assembles sessions with a 30-minute gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
