@@ -146,6 +146,36 @@ object ProvidenciasOps {
         .orderBy("id")
     }),
 
+    // Graph extension: link prediction by neighbor-set Jaccard — node
+    // pairs that share neighbors, scored |N(a)∩N(b)| / |N(a)∪N(b)|; the
+    // classic "these two rulings cite the same cluster" signal. Common
+    // neighbors come from one self-equi-join of the (persisted) edge list
+    // on the middle node — never an all-pairs comparison; degrees ride in
+    // on two broadcast joins of the |nodes|-sized degree table.
+    "graph_jaccard_neighbors" -> ((s, dir) => {
+      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+      val und = tri.select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("s"), col("e.d").as("d"))
+        .persist()
+      val deg = und.groupBy(col("s").as("n")).agg(count(lit(1)).as("deg"))
+      val common = und.select(col("s").as("a"), col("d").as("m"))
+        .join(und.select(col("s").as("m"), col("d").as("b")), "m")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      common
+        .join(broadcast(deg.select(col("n").as("a"), col("deg").as("deg_a"))), "a")
+        .join(broadcast(deg.select(col("n").as("b"), col("deg").as("deg_b"))), "b")
+        .select(col("a"), col("b"),
+          round(col("inter") / (col("deg_a") + col("deg_b") - col("inter")), 4)
+            .as("jacc"))
+        .filter(col("jacc") >= 0.3)
+        .orderBy(col("jacc").desc, col("a"), col("b"))
+    }),
+
     // Graph extension: 2-hop neighborhood of node 0 (min hop count per
     // node) — the reference's 1-hop expansion (A9) taken one step further.
     // No O(n²) pairwise at all: hop 1 is a single-probe scan (O(n), the
@@ -274,6 +304,31 @@ object ProvidenciasOps {
          r3 AS (SELECT nodes.id, 0.15/(SELECT n FROM nn) + 0.85*(coalesce(c3.c, 0.0) + (SELECT dm FROM d3)/(SELECT n FROM nn)) AS rank
                 FROM nodes LEFT JOIN c3 ON nodes.id = c3.cid)
          SELECT id, round(rank, 6) AS pagerank FROM r3 ORDER BY id""",
+    "graph_jaccard_neighbors" ->
+      """WITH tri AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), e AS MATERIALIZED (
+           SELECT src AS s, dst AS d FROM tri UNION ALL SELECT dst, src FROM tri
+         ), deg AS (
+           SELECT s AS n, count(*) AS deg FROM e GROUP BY s
+         ), common AS (
+           SELECT e1.s AS a, e2.d AS b, count(*) AS inter
+           FROM e e1 JOIN e e2 ON e1.d = e2.s
+           WHERE e1.s < e2.d GROUP BY e1.s, e2.d
+         )
+         SELECT a, b, jacc FROM (
+           SELECT a, b,
+                  round(1.0 * inter / (da.deg + db.deg - inter), 4) AS jacc
+           FROM common
+           JOIN deg da ON da.n = a
+           JOIN deg db ON db.n = b
+         ) WHERE jacc >= 0.3
+         ORDER BY jacc DESC, a, b""",
     "graph_2hop" ->
       """WITH sims AS (
            SELECT * FROM (

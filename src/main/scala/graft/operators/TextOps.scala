@@ -181,6 +181,34 @@ object TextOps {
             array_sort(array_distinct(tokens(col("text")))))).as("fp"))
         .orderBy("doc_id")),
 
+    // Collocations: bigrams whose parts co-occur far more than chance —
+    // PMI over the bigram space, ln(c_ab·N / (c1_a·c2_b)) with marginals
+    // c1/c2 derived FROM the bigram counts (one tokenize pass feeds all
+    // four aggregates; the marginal and total tables are vocabulary-sized
+    // and broadcast back). The count floor keeps the estimator out of the
+    // sparse-count noise regime.
+    "text_collocations" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val big = Tables.documents(s, dir)
+        .select(explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
+        .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .persist()
+      val left = big.groupBy("w1").agg(sum(col("c_ab")).as("c1"))
+      val right = big.groupBy("w2").agg(sum(col("c_ab")).as("c2"))
+      val n = big.agg(sum(col("c_ab")).as("n"))
+      big.filter(col("c_ab") >= 5)
+        .join(broadcast(left), "w1")
+        .join(broadcast(right), "w2")
+        .crossJoin(broadcast(n))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c_ab"),
+          round(log(col("c_ab").cast("double") * col("n") /
+            (col("c1") * col("c2"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(100)
+    }),
+
     // BM25 ranked retrieval (k1=1.2, b=0.75, Lucene-style idf with the
     // +1 smoothing) over the search terms — the relevance ranking `$text`
     // search implies but the reference never surfaces (no score projected,
@@ -217,6 +245,23 @@ object TextOps {
     list.mkString("['", "','", "']")
 
   def oracles: Map[String, String] = Map(
+    "text_collocations" ->
+      """WITH big AS MATERIALIZED (
+           SELECT w1, w2, count(*) AS c_ab FROM (
+             SELECT toks[i] AS w1, toks[i+1] AS w2 FROM (
+               SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+               FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+               WHERE len(toks) >= 2)
+           ) GROUP BY w1, w2
+         ), l AS (SELECT w1, sum(c_ab) AS c1 FROM big GROUP BY w1),
+            r AS (SELECT w2, sum(c_ab) AS c2 FROM big GROUP BY w2),
+            nn AS (SELECT sum(c_ab) AS n FROM big)
+         SELECT concat_ws(' ', w1, w2) AS bigram, c_ab,
+                round(ln(1.0 * c_ab * (SELECT n FROM nn) / (c1 * c2)), 4) AS pmi
+         FROM big JOIN l USING (w1) JOIN r USING (w2)
+         WHERE c_ab >= 5
+         ORDER BY pmi DESC, bigram
+         LIMIT 100""",
     "text_bm25" ->
       """WITH tf AS (
            SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
