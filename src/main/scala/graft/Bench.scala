@@ -33,7 +33,15 @@ object Bench {
       Tables.orders(spark, sfDir).limit(2000)
         .withColumn("rn", row_number().over(w)).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q1,q2 times a subset (driver leaves it
+    // unset and measures everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
+      case None     => SparkEntry.queries
+    }
+    val results = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -16,7 +16,7 @@ import graft.functions.ArrayExprs
   *    shuffle payload; the fingerprint column is what `text_fingerprint`
   *    in [[TextOps]] computes).
   *  - **Collapse-then-compare**: every near-dup variant first groups docs
-  *    by their exact token-hash set ([[collapsed]]) and runs the quadratic /
+  *    by their exact token-hash set ([[collapse]]) and runs the quadratic /
   *    LSH machinery over UNIQUE sets only, expanding surviving set-pairs
   *    back to member doc-pairs at the end. Real corpora are dominated by
   *    exact duplicates (boilerplate, mirrors), so the collapse is the
@@ -82,56 +82,53 @@ object DedupOps {
   private def docHashes(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), tokHashes(col("text")).as("th"))
 
-  /** The exact-set collapse: every doc tagged with gid = min doc_id of
-    * its identical-token-set group, via a window min over the set key —
-    * one hash-shuffle over the corpus, plain codegen aggregation (a
-    * `collect_list` members-array formulation pays ObjectHashAggregate +
-    * nested-array cache encoding; the slim map below replaces it).
-    * Everything quadratic downstream runs on [[uniqueSets]] only.
-    * persist(), deliberately: the columnar encode of the ARRAY<BIGINT>
-    * column costs ~10× the computation itself (measured 2.0 s encode vs
-    * 0.22 s compute at sf0.1), but the canonical plan is identical across
-    * the four near-dup queries, so the cache entry is built once per
-    * session and every later query reads it for ~0.2 s — an RDD
-    * localCheckpoint materializes faster but is per-query and
-    * stats-less, and measured 2-3× worse across the family. */
-  private def collapsed(s: SparkSession, dir: String): DataFrame =
-    docHashes(s, dir)
-      .withColumn("gid",
-        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("th")))
-      .persist()
+  /** The exact-set collapse, split into the two frames downstream actually
+    * joins on. Earlier rounds persisted one wide (doc_id, th, gid) frame;
+    * the columnar cache encode of the ARRAY<BIGINT> column cost ~10× the
+    * computation itself (measured 2.0 s encode vs 0.22 s compute at
+    * sf0.1) and was paid once per query. The collapse key is now a 64-bit
+    * fingerprint of the sorted token-hash set, so
+    *   - the grouping shuffles 8-byte keys, not arrays;
+    *   - only two all-long frames persist ([[Collapse.gidMap]] one row
+    *     per unique set, [[Collapse.docMap]] one per doc) — their encode
+    *     is noise;
+    *   - the token arrays are re-derived from the scan on demand
+    *     ([[Collapse.uniq]], ~0.2 s) instead of being cached.
+    * Fingerprint collisions would silently merge distinct sets; at 64
+    * bits and n unique sets the chance is ~n²/2⁶⁵ (≈1e-9 even at 10M
+    * sets) — at 100 TB corpus scale swap xxhash64 for a 128-bit digest
+    * and this layout is unchanged. */
+  private[graft] case class Collapse(docMap: DataFrame, gidMap: DataFrame,
+      uniq: () => DataFrame)
 
-  /** One row per DISTINCT token-hash set: the canonical member carries
-    * the set for the whole group. */
-  private def uniqueSets(c: DataFrame): DataFrame =
-    c.filter(col("doc_id") === col("gid")).select(col("gid"), col("th"))
-
-  /** Slim doc_id → gid map; the only thing expansion joins need. */
-  private def docMap(c: DataFrame): DataFrame = c.select("doc_id", "gid")
+  private def collapse(s: SparkSession, dir: String): Collapse = {
+    val df = docHashes(s, dir).withColumn("fp", xxhash64(col("th")))
+    val gidMap = df.groupBy("fp").agg(min("doc_id").as("gid")).persist()
+    val docMap = df.join(broadcast(gidMap), "fp").select("doc_id", "gid").persist()
+    val uniq = () => df.join(broadcast(gidMap), "fp")
+      .filter(col("doc_id") === col("gid")).select(col("gid"), col("th"))
+    Collapse(docMap, gidMap, uniq)
+  }
 
   /** Expand surviving set-pairs (gid_a, gid_b, score) to member doc-pairs
     * with doc_a < doc_b, via two broadcast joins on the slim doc map. gid
     * order does not imply member order across groups, so the pair is
     * re-oriented with least/greatest. */
-  private def expandPairs(pairs: DataFrame, c: DataFrame, scoreCol: String): DataFrame = {
-    val m = docMap(c)
+  private def expandPairs(pairs: DataFrame, m: DataFrame, scoreCol: String): DataFrame =
     pairs
       .join(broadcast(m.select(col("doc_id").as("da"), col("gid").as("gid_a"))), "gid_a")
       .join(broadcast(m.select(col("doc_id").as("db"), col("gid").as("gid_b"))), "gid_b")
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col(scoreCol))
-  }
 
   /** All intra-group member pairs (doc_a < doc_b) with a constant score —
     * identical sets need no verification (Jaccard 1, Hamming 0). */
-  private def intraPairs(c: DataFrame, scoreCol: String, score: Column): DataFrame = {
-    val m = docMap(c)
+  private def intraPairs(m: DataFrame, scoreCol: String, score: Column): DataFrame =
     m.select(col("doc_id").as("doc_a"), col("gid"))
       .join(broadcast(m.select(col("doc_id").as("doc_b"), col("gid"))), "gid")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .withColumn(scoreCol, score)
-  }
 
   private def jaccard(a: Column, b: Column): Column =
     round(ArrayExprs.sortedJaccard(a, b), 4)
@@ -245,8 +242,8 @@ object DedupOps {
     "dedup_near" -> ((s, dir) => {
       // the collapse feeds SIX branches of this DAG (band join sides, the
       // two verify broadcasts, the two expansion broadcasts, intra pairs)
-      // — the shared persist in [[collapsed]] materializes it once
-      val c = collapsed(s, dir)
+      // — the slim persists in [[collapse]] materialize the maps once
+      val c = collapse(s, dir)
       // Only (gid, band, bh) — 24 bytes — ride the candidate shuffle: the
       // wide token-hash arrays AND the band-signature arrays both stay out
       // of the join entirely (the arrays are broadcast-joined back for the
@@ -256,7 +253,7 @@ object DedupOps {
       // ids — at this band count, carrying the wide signature arrays
       // through the join to dedupe in-place (the firstEqualIndex trick
       // this replaced) costs more than the extra shuffle.
-      val sig = uniqueSets(c)
+      val sig = c.uniq()
         .withColumn("bands", bandHashes(col("th")))
       val slim = sig.select(col("gid"), size(col("th")).as("len"),
         posexplode(col("bands")).as(Seq("band", "bh")))
@@ -280,8 +277,8 @@ object DedupOps {
         .filter(ArrayExprs.sortedJaccard(col("th_a"), col("th_b")) >= JaccardThreshold - 1e-3)
         .select(col("gid_a"), col("gid_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-      expandPairs(inter, c, "jaccard")
-        .union(intraPairs(c, "jaccard", lit(1.0)))
+      expandPairs(inter, c.docMap, "jaccard")
+        .union(intraPairs(c.docMap, "jaccard", lit(1.0)))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -290,19 +287,19 @@ object DedupOps {
     // (identical sets are Hamming 0). No oracle (hash-impl-specific);
     // property-tested.
     "dedup_simhash" -> ((s, dir) => {
-      val c = collapsed(s, dir)
+      val c = collapse(s, dir)
       // one-word signature, but shipped as ARRAY<BIGINT> so the pair scan
       // is the fused SelfPairwise Hamming loop (the declarative
       // `a < b` BNLJ materializes a joined row for every one of the n²/2
       // candidate pairs BEFORE the popcount filter runs)
-      val sig = uniqueSets(c).select(col("gid"),
+      val sig = c.uniq().select(col("gid"),
         array(ArrayExprs.simHash(col("th"), 32)).as("sh"))
       val inter = graft.plans.SelfPairwise(sig,
         graft.plans.SelfPairwise.Hamming, -HammingMax.toDouble, triangular = true)
         .select(col("src").as("gid_a"), col("dst").as("gid_b"),
           (-col("score")).cast("int").as("hamming"))
-      expandPairs(inter, c, "hamming")
-        .union(intraPairs(c, "hamming", lit(0).cast("int")))
+      expandPairs(inter, c.docMap, "hamming")
+        .union(intraPairs(c.docMap, "hamming", lit(0).cast("int")))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -315,14 +312,14 @@ object DedupOps {
     // stay oracle-identical — intra-group pairs are exactly 1.0 and
     // round(1.0) == 1.0 on both engines).
     "dedup_ngram" -> ((s, dir) => {
-      val c = collapsed(s, dir)
-      val inter = graft.plans.SelfPairwise(uniqueSets(c),
+      val c = collapse(s, dir)
+      val inter = graft.plans.SelfPairwise(c.uniq(),
         graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
         .select(col("src").as("gid_a"), col("dst").as("gid_b"),
           round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-      expandPairs(inter, c, "jaccard")
-        .union(intraPairs(c, "jaccard", lit(1.0)))
+      expandPairs(inter, c.docMap, "jaccard")
+        .union(intraPairs(c.docMap, "jaccard", lit(1.0)))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -364,12 +361,12 @@ object DedupOps {
     // (pre-collapse it iterated over every member pair: 1.9M rows per
     // round at sf0.1, measured 8.1 s total).
     "dedup_clusters" -> ((s, dir) => {
-      val c = collapsed(s, dir)
+      val c = collapse(s, dir)
       // gid = min doc_id of its group, so min gid over a component = min
       // doc_id over the component: seeding labels with gid yields the
       // final min-doc labeling directly.
-      val uniq = uniqueSets(c)
-      val nodes = uniq.select(col("gid"))
+      val uniq = c.uniq()
+      val nodes = c.gidMap.select(col("gid"))
       // the contracted edge list is tiny relative to the corpus — coalesce
       // before persisting so each propagation round schedules a handful of
       // tasks, not one per upstream partition (at a scale where it isn't
@@ -393,7 +390,7 @@ object DedupOps {
         if (edges.count() <= LocalCCMaxEdges) localCC(edges)
         else iterativeCC(edges, nodes)
       edges.unpersist()
-      docMap(c)
+      c.docMap
         .select(col("doc_id"), col("gid").as("id"))
         .join(broadcast(labels), "id")
         .select(col("doc_id"), col("lbl").as("cluster_id"))
