@@ -41,14 +41,22 @@ object Bench {
       case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
       case None     => SparkEntry.queries
     }
+    // Dev loop: SPARK_GRAFT_REPEAT=N times each query N times in one JVM
+    // and reports the per-query MIN — isolates plan cost from JIT/GC
+    // noise (driver leaves it unset: every query timed once, cold).
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = selected.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop intermediates the query persisted for its own reuse —
-      // without this, 100+ cached plans accumulate across the run and the
-      // later queries pay their GC bill (measured: multi-second noise)
-      spark.sharedState.cacheManager.clearCache()
+      val dt = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        // drop intermediates the query persisted for its own reuse —
+        // without this, 100+ cached plans accumulate across the run and
+        // the later queries pay their GC bill (measured: multi-second
+        // noise)
+        spark.sharedState.cacheManager.clearCache()
+        t
+      }.min
       name -> dt
     }
     val total = results.map(_._2).sum

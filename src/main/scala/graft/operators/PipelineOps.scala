@@ -149,14 +149,26 @@ object PipelineOps {
     // 4-token shingle with the held-out eval slice (doc_id % 97 == 0) —
     // the n-gram-overlap scrub every pre-training corpus runs against its
     // eval benchmarks. Shingles are generated executor-side (sequence +
-    // slice, codegen'd); the join key is the shingle string. At 100 TB the
-    // eval side is tiny by construction (a benchmark suite, not the
-    // corpus), so Catalyst broadcasts it and the training side streams
-    // through map-side — no all-pairs comparison anywhere.
+    // slice, codegen'd) and IMMEDIATELY collapsed to a 64-bit hash of the
+    // token-hash slice: no shingle string is ever materialized, the
+    // broadcast set / join keys / distinct-count all operate on longs
+    // (hashing token hashes, not re-joined text, keeps the 4-gram
+    // identity exact up to 64-bit collisions — same trade as the dedup
+    // collapse fingerprint). At 100 TB the eval side is tiny by
+    // construction (a benchmark suite, not the corpus), so Catalyst
+    // broadcasts it and the training side streams through map-side — no
+    // all-pairs comparison anywhere.
     "pipe_decontaminate" -> ((s, dir) => {
-      val t = split(col("text"), " ")
-      val idxs = when(size(t) >= DecontamNGram,
-        sequence(lit(0), size(t) - DecontamNGram))
+      // th materializes as a real column BEFORE the per-shingle lambda:
+      // expression trees referenced inside lambda bodies are re-inlined
+      // per element (no CSE), so slicing the tokenize-and-hash expression
+      // directly would re-hash the whole document once per shingle index
+      // — O(tokens²) per doc (same trap [[ArrayExprs.minHashBands]]
+      // documents for band extraction).
+      def withTh(df: DataFrame): DataFrame =
+        df.withColumn("th", transform(split(col("text"), " "), t => xxhash64(t)))
+      val idxs = when(size(col("th")) >= DecontamNGram,
+        sequence(lit(0), size(col("th")) - DecontamNGram))
         .otherwise(array().cast("array<int>"))
       // The doc_id slice filters run BEFORE the shingle explode, so the
       // eval pass tokenizes only its 1/97 of the corpus instead of
@@ -164,9 +176,9 @@ object PipelineOps {
       // the whole query; caching the full shingle table was slower than
       // the second pruned scan).
       def shingles(df: DataFrame): DataFrame =
-        df.select(col("doc_id"),
+        withTh(df).select(col("doc_id"),
           explode(transform(idxs,
-            i => array_join(slice(t, i + 1, lit(DecontamNGram)), " "))).as("sh"))
+            i => xxhash64(slice(col("th"), i + 1, lit(DecontamNGram))))).as("sh"))
       val docs = Tables.documents(s, dir)
       val evalSet = shingles(docs.filter(col("doc_id") % 97 === 0))
         .select("sh").distinct()

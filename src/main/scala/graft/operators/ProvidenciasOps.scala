@@ -126,17 +126,24 @@ object ProvidenciasOps {
         .select(col("e.s").as("s"), col("e.d").as("d"))
       val outdeg = und.groupBy("s").agg(count(lit(1)).cast("double").as("od"))
       // persisted: re-deriving the edge list would re-run the O(n²)
-      // pairwise scan once per iteration term that references it
-      val edges = und.join(outdeg, "s").persist()
+      // pairwise scan once per iteration term that references it; the
+      // coalesce keeps each iteration's joins at a handful of tasks (the
+      // contracted edge list is small next to the corpus — at a scale
+      // where it isn't, drop it and these become ordinary shuffle joins)
+      val edges = und.join(outdeg, "s").coalesce(8).persist()
       val ranks0 = nodes.withColumn("rank", lit(1.0 / n))
+      // the rank table is |nodes| rows of (id, rank) — broadcast it into
+      // the edge join each iteration so the persisted edge list is never
+      // reshuffled (the standard small-messages PageRank layout; at
+      // broadcast-busting node counts drop the hints for shuffle joins)
       val ranksN = (1 to 3).foldLeft(ranks0) { (r, _) =>
-        val contrib = edges.join(r, edges("s") === r("id"))
+        val contrib = edges.join(broadcast(r), edges("s") === r("id"))
           .groupBy(edges("d")).agg(sum(col("rank") / col("od")).as("c"))
           .withColumnRenamed("d", "cid")
-        val dang = r.join(edges.select(col("s").as("id")).distinct(),
+        val dang = r.join(broadcast(edges.select(col("s").as("id")).distinct()),
             Seq("id"), "left_anti")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-        nodes.join(contrib, nodes("id") === contrib("cid"), "left")
+        nodes.join(broadcast(contrib), nodes("id") === contrib("cid"), "left")
           .crossJoin(dang)
           .select(nodes("id"),
             (lit(0.15 / n) + lit(0.85) *
