@@ -323,6 +323,26 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Containment dedup: doc pairs whose SMALLER token set is entirely
+    // inside the larger one (overlap coefficient |A∩B| / min(|A|,|B|)
+    // = 1) — the scrub that catches a snippet embedded in a longer page,
+    // which Jaccard structurally misses (10 tokens inside 100 is J≈0.1).
+    // Same collapse-then-compare shape as the other variants; the
+    // SelfPairwise Overlap metric prunes the merge loop against the
+    // containment bound, and identical sets are containment 1 by
+    // definition (intra pairs bypass the scan).
+    "dedup_contain" -> ((s, dir) => {
+      val c = collapse(s, dir)
+      val inter = graft.plans.SelfPairwise(c.uniq(),
+        graft.plans.SelfPairwise.Overlap, 1.0 - 1e-9, triangular = true)
+        .select(col("src").as("gid_a"), col("dst").as("gid_b"),
+          round(col("score"), 4).as("containment"))
+        .filter(col("containment") >= 1.0)
+      expandPairs(inter, c.docMap, "containment")
+        .union(intraPairs(c.docMap, "containment", lit(1.0)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Embedding-cosine near-dup: top-100 most-similar document pairs by
     // embedding cosine (fixture cosines top out at ~51, so a fixed
     // threshold would be empty — rank instead). Planned by SelfPairwise in
@@ -409,6 +429,15 @@ object DedupOps {
                         len(list_distinct(string_split(a.text,' ') || string_split(b.text,' '))), 4) AS jaccard
            FROM documents a, documents b WHERE a.doc_id < b.doc_id
          ) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+    "dedup_contain" ->
+      """SELECT * FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(1.0 * len(list_intersect(list_distinct(string_split(a.text,' ')),
+                                                 list_distinct(string_split(b.text,' ')))) /
+                        least(len(list_distinct(string_split(a.text,' '))),
+                              len(list_distinct(string_split(b.text,' ')))), 4) AS containment
+           FROM documents a, documents b WHERE a.doc_id < b.doc_id
+         ) WHERE containment >= 1.0 ORDER BY doc_a, doc_b""",
     "dedup_embed" ->
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -31,6 +31,21 @@ object FunctionOps {
           size(split(col("p_name"), " ")).as("n_words"))
         .orderBy("p_partkey")),
 
+    // Regex family beyond the single extract in fn_string: extract-all,
+    // global replace, and boolean match. Patterns stay in the
+    // POSIX-class subset both engines' regex dialects (Java util.regex /
+    // RE2) interpret identically — all codegen'd string expressions, no
+    // UDF.
+    "fn_regex" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+            .as("n_vowel_runs"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+          col("p_name").rlike("red").as("has_red"))
+        .orderBy("p_partkey")),
+
     // Date/time functions over order dates.
     "fn_date" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -163,6 +178,13 @@ object FunctionOps {
                 make_date(CAST(year(o_orderdate) AS INT),
                           CAST(month(o_orderdate) AS INT), 1) AS month_first
          FROM orders ORDER BY o_orderkey""",
+    "fn_regex" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+                CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT) AS n_vowel_runs,
+                regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+                regexp_matches(p_name, 'red') AS has_red
+         FROM part ORDER BY p_partkey""",
     "fn_string" ->
       """SELECT p_partkey,
                 upper(p_name) AS up,

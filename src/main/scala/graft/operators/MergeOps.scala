@@ -92,6 +92,36 @@ object MergeOps {
         .orderBy("user_id", "valid_from", "attr")
     }),
 
+    // Snapshot diff: given two versions of a table, emit every changed
+    // row tagged insert / delete / update — the reconciliation step that
+    // turns two warehouse snapshots into a CDC feed (Delta CHANGE DATA
+    // FEED computed after the fact). The "new" snapshot derives
+    // deterministically from the fixture (keys %13 deleted, %7 price-
+    // bumped, %17 re-keyed as inserts), so the oracle replays it exactly.
+    // One full-outer sort-merge join on the key; unchanged rows (the
+    // overwhelming majority at scale) are filtered before the final sort,
+    // so output is |changes|, not |table|.
+    "merge_diff" -> ((s, dir) => {
+      val old = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val neu = old.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .union(old.filter(col("o_orderkey") % 17 === 0)
+          .select(col("o_orderkey") + 100000000L, col("o_totalprice")))
+      old.select(col("o_orderkey").as("key"), col("o_totalprice").as("old_price"))
+        .join(neu.select(col("o_orderkey").as("key"), col("o_totalprice").as("new_price")),
+          Seq("key"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_price").isNull, "insert")
+            .when(col("new_price").isNull, "delete")
+            .when(col("old_price") =!= col("new_price"), "update")
+            .otherwise("unchanged"))
+        .filter(col("change_type") =!= "unchanged")
+        .select("key", "change_type", "old_price", "new_price")
+        .orderBy("key")
+    }),
+
     // CDC compaction: latest event per user_id (deterministic tiebreak).
     "merge_compact" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
@@ -141,6 +171,29 @@ object MergeOps {
                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
          FROM changes
          ORDER BY user_id, valid_from, attr""",
+    "merge_diff" ->
+      """WITH old AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+         ), neu AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM old WHERE o_orderkey % 13 <> 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_totalprice
+           FROM old WHERE o_orderkey % 17 = 0
+         )
+         SELECT * FROM (
+           SELECT coalesce(o.o_orderkey, n.o_orderkey) AS key,
+                  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                       WHEN n.o_orderkey IS NULL THEN 'delete'
+                       WHEN o.o_totalprice <> n.o_totalprice THEN 'update'
+                       ELSE 'unchanged' END AS change_type,
+                  o.o_totalprice AS old_price,
+                  n.o_totalprice AS new_price
+           FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey
+         ) WHERE change_type <> 'unchanged'
+         ORDER BY key""",
     "merge_compact" ->
       """SELECT user_id, event_type AS last_event_type,
                 CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value

@@ -99,6 +99,57 @@ object RelationalOps {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")),
 
+    // 2-D skyline (Pareto frontier): urgent orders not dominated on
+    // (maximize o_totalprice, minimize o_orderdate). The naive form is a
+    // quadratic NOT-EXISTS self-join (that IS the oracle); this plan is
+    // the linear-pass equivalent for 2-D: keep each price's earliest
+    // date (one hash shuffle), then a running min over prices in
+    // descending order marks the staircase — a row survives iff no
+    // strictly-higher price has an equal-or-earlier date. The global
+    // window runs over DISTINCT prices only (already aggregated), which
+    // at 100 TB is the standard two-step: per-partition local skylines
+    // (each partition's frontier is a superset member of the global one),
+    // then the small union re-filtered — same algebra as partial+final
+    // aggregation.
+    "sort_skyline" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      val reps = o.groupBy("o_totalprice").agg(min("o_orderdate").as("mn_d"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val live = reps
+        .withColumn("prev_mn", min(col("mn_d")).over(wCum))
+        .filter(col("prev_mn").isNull || col("prev_mn") > col("mn_d"))
+        .select(col("o_totalprice"), col("mn_d").as("o_orderdate"))
+      o.join(live, Seq("o_totalprice", "o_orderdate"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // Z-order clustering key: interleave the low 16 bits of
+    // (o_custkey, days-since-epoch(o_orderdate)) into one BIGINT so rows
+    // close in BOTH dimensions sort near each other — the layout trick
+    // behind multi-dimensional data skipping (write the table ordered by
+    // zval and min/max row-group stats prune on either column). The key
+    // is pure bit arithmetic, fully codegen'd, identical math in the
+    // oracle; top-100 by the key witnesses the ordering.
+    "zorder_layout" -> ((s, dir) => {
+      val x = col("o_custkey").cast("bigint").bitwiseAND(lit(65535L))
+      val y = datediff(col("o_orderdate"), lit("1992-01-01"))
+        .cast("bigint").bitwiseAND(lit(65535L))
+      val zval = (0 until 16).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+          .plus(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ plus _)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          zval.as("zval"))
+        .orderBy(col("zval"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Uncorrelated scalar subquery: orders above the global average price
     // (planned as a one-row broadcast, not a per-row re-evaluation).
     "sql_scalar_subquery" -> ((s, dir) => {
@@ -235,6 +286,30 @@ object RelationalOps {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
          ORDER BY o_orderkey""",
+    "sort_skyline" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+         FROM orders o
+         WHERE o_orderpriority = '1-URGENT'
+           AND NOT EXISTS (
+             SELECT 1 FROM orders b
+             WHERE b.o_orderpriority = '1-URGENT'
+               AND b.o_totalprice >= o.o_totalprice
+               AND b.o_orderdate <= o.o_orderdate
+               AND (b.o_totalprice > o.o_totalprice
+                    OR b.o_orderdate < o.o_orderdate))
+         ORDER BY o_totalprice DESC, o_orderkey""",
+    "zorder_layout" -> {
+      val terms = (0 until 16).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""SELECT o_orderkey, o_custkey, o_orderdate, $terms AS zval
+         FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                      o_custkey & 65535 AS x,
+                      date_diff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE)) & 65535 AS y
+               FROM orders)
+         ORDER BY zval, o_orderkey LIMIT 100"""
+    },
     "sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)

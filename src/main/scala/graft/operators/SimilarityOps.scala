@@ -135,6 +135,22 @@ object SimilarityOps {
         .limit(10)
     }),
 
+    // Radius search: every vector within a cosine radius of the probe
+    // (vec_id 42) — the "all matches above a similarity floor" dual of
+    // top-k ANN. Same one-scan shape as `ann_brute`: the probe broadcasts,
+    // the table streams through codegen'd cosine, the threshold prunes
+    // before anything shuffles; at scale the LSH/IVF bucketing above
+    // pre-filters the scan identically.
+    "ann_range" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
+        .select(col("embedding").as("qv"))
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 42)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), Vectors.similitud(col("embedding"), col("qv")).as("sim"))
+        .filter(col("sim") >= 20.0)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // LSH ANN (the other scale path, complementing `ann_ivf`): 8
     // random-hyperplane sign bits pack each vector into a 1-byte bucket
     // signature (SimHash over the continuous space). The probe inspects
@@ -237,6 +253,13 @@ object SimilarityOps {
                  FROM events GROUP BY user_id)
            WHERE len(vals) >= 8
          ) ORDER BY sim DESC, user_id LIMIT 20""",
+    "ann_range" ->
+      """SELECT vec_id, sim FROM (
+           SELECT vec_id,
+                  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                    CAST((SELECT embedding FROM embeddings WHERE vec_id = 42) AS DOUBLE[])) * 100, 4) AS sim
+           FROM embeddings WHERE vec_id <> 42
+         ) WHERE sim >= 20.0 ORDER BY sim DESC, vec_id""",
     "ann_brute" ->
       """SELECT vec_id,
                 round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -49,6 +49,12 @@ object SelfPairwise {
     * -distance, so "distance <= h" is the in-loop prefilter
     * `minScore = -h` and larger still means more similar. */
   case object Hamming extends Score
+  /** Overlap coefficient |A∩B| / min(|A|,|B|) over sorted distinct
+    * ARRAY<BIGINT> — the symmetric containment score near-dup pipelines
+    * use to catch a document nearly contained in a longer one (Jaccard
+    * misses those: a 10-token doc inside a 100-token doc has J≈0.1 but
+    * containment 1.0). Raw in [0, 1]. */
+  case object Overlap extends Score
 
   /** Build the operator over `df` whose first two columns are
     * (id: LONG, vec: ARRAY<FLOAT|BIGINT>). Output: (src, dst, score).
@@ -124,6 +130,7 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
   override protected def doExecute(): RDD[InternalRow] = {
     val isCosine = score == SelfPairwise.Cosine
     val isHamming = score == SelfPairwise.Hamming
+    val isOverlap = score == SelfPairwise.Overlap
     // build side: same contract as BroadcastExchange — collect + broadcast
     val collected = child.executeCollect()
     val ids = new Array[Long](collected.length)
@@ -217,8 +224,9 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
                   else if (xv < yv) p += 1
                   else q += 1
                 }
-                val union = la.length + lb.length - inter
-                if (union == 0) valid = false else s = inter.toDouble / union
+                val den = if (isOverlap) math.min(la.length, lb.length)
+                          else la.length + lb.length - inter
+                if (den == 0) valid = false else s = inter.toDouble / den
               }
               if (valid && s >= minS) {
                 val r = round4x100(s)
@@ -310,15 +318,24 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
                       if (minS > 0) {
                         val rem = math.min(la.length - p, lb.length - q)
                         val maxInter = inter + rem
-                        if (maxInter.toDouble <
-                            minS * (la.length + lb.length - maxInter)) prune = true
+                        // the largest possible final score given the
+                        // merge position: overlap divides by the fixed
+                        // min length, Jaccard by the smallest possible
+                        // union
+                        val bound =
+                          if (isOverlap)
+                            maxInter.toDouble / math.min(la.length, lb.length)
+                          else maxInter.toDouble /
+                            (la.length + lb.length - maxInter)
+                        if (bound < minS) prune = true
                       }
                     }
                   }
                   if (prune) valid = false
                   else {
-                    val union = la.length + lb.length - inter
-                    if (union == 0) valid = false else s = inter.toDouble / union
+                    val den = if (isOverlap) math.min(la.length, lb.length)
+                              else la.length + lb.length - inter
+                    if (den == 0) valid = false else s = inter.toDouble / den
                   }
                 }
                 if (valid && s >= minS) {

@@ -67,6 +67,27 @@ class SelfPairwiseSpec extends SparkSpec {
     assert(declarative.exceptAll(custom).count() === 0)
   }
 
+  test("SelfPairwise(Overlap) equals the declarative containment join exactly") {
+    val th = Tables.documents(spark, SfDir)
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t))).as("th"))
+    // bounded (prefilter just below 1.0) vs the declarative form with no
+    // early exit — both filtered on the exact rounded containment
+    val custom = SelfPairwise(th, SelfPairwise.Overlap, 1.0 - 1e-9, triangular = true)
+      .select(col("src"), col("dst"), round(col("score"), 4).as("c"))
+      .filter(col("c") >= 1.0)
+    val a = th.select(col("doc_id").as("src"), col("th").as("tha"))
+    val b = th.select(col("doc_id").as("dst"), col("th").as("thb"))
+    val declarative = a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        round(size(array_intersect(col("tha"), col("thb"))) /
+          least(size(col("tha")), size(col("thb"))).cast("double"), 4).as("c"))
+      .filter(col("c") >= 1.0)
+    assert(custom.exceptAll(declarative).count() === 0)
+    assert(declarative.exceptAll(custom).count() === 0)
+  }
+
   test("SelfPairwise top-k mode equals the window top-k formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
