@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import java.sql.Timestamp
 
@@ -192,5 +193,38 @@ object EventStreams {
             closed.result().iterator
           }
       }
+  }
+
+  case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user lifetime totals via `transformWithState` — the Spark 4.x
+    * arbitrary-state API (StatefulProcessor + typed state variables) that
+    * succeeds `mapGroupsWithState`. One ValueState cell per user holds
+    * (count, sum); every micro-batch emits the updated totals for the
+    * users it touched (update semantics). Requires the RocksDB state
+    * store provider — state lives off-heap and spills to disk, so
+    * per-key state count is bounded by storage, not executor memory,
+    * which is exactly the 100 TB-keyspace design point. */
+  class RunningTotalProcessor
+      extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserTotal] = {
+      var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      totals.update((n, sum))
+      Iterator(UserTotal(key, n, sum))
+    }
+  }
+
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }
