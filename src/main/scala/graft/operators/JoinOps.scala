@@ -124,6 +124,53 @@ object JoinOps {
         .orderBy("o_orderkey")
     }),
 
+    // Fuzzy string self-join: same-length part-name pairs within Hamming
+    // distance 3 (the entity-resolution "few-character typo" match). The
+    // quadratic form is the oracle; this plan uses lossless pigeonhole
+    // blocking — split each name into FOUR segments, and any pair within
+    // distance 3 agrees EXACTLY on at least one segment (3 substitutions
+    // touch at most 3 of the 4; same-length means no alignment shift) —
+    // so the candidate set comes from four equi-joins on (length,
+    // segment_i), deduped, then verified by the exact character-mismatch
+    // count. Linear in candidates, never all-pairs; distance k needs k+1
+    // segments.
+    "join_fuzzy" -> ((s, dir) => {
+      // collapse-then-compare (same move as the dedup suite): the name
+      // column is massively duplicated (64 distinct names over 20k parts
+      // at sf0.1), so the fuzzy machinery runs over DISTINCT names only,
+      // each carrying its multiplicity — the output reports matched-pair
+      // counts without ever materializing the quadratic id×id expansion
+      // (3.1M pairs on the fixture at sf0.1).
+      val NSeg = 4
+      val names = (0 until NSeg).foldLeft(
+        Tables.part(s, dir)
+          .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+          .withColumn("len", length(col("name")))) { (df, i) =>
+        val from = floor(col("len") * i / NSeg).cast("int")
+        val to = floor(col("len") * (i + 1) / NSeg).cast("int")
+        df.withColumn(s"seg$i", col("name").substr(from + 1, to - from))
+      }
+      def cands(seg: String) =
+        names.select(col("name").as("name_a"), col("cnt").as("cnt_a"),
+            col("len"), col(seg))
+          .join(names.select(col("name").as("name_b"), col("cnt").as("cnt_b"),
+            col("len"), col(seg)), Seq("len", seg))
+          .filter(col("name_a") < col("name_b"))
+          .select("name_a", "name_b", "cnt_a", "cnt_b")
+      val ham = aggregate(
+        zip_with(split(col("name_a"), ""), split(col("name_b"), ""),
+          (x, y) => when(x === y, 0).otherwise(1)),
+        lit(0), (acc, x) => acc + x)
+      (0 until NSeg).map(i => cands(s"seg$i")).reduce(_ union _)
+        .groupBy("name_a", "name_b")
+        .agg(first("cnt_a").as("cnt_a"), first("cnt_b").as("cnt_b"))
+        .withColumn("hamming", ham)
+        .filter(col("hamming") <= 3)
+        .select(col("name_a"), col("name_b"), col("hamming"),
+          (col("cnt_a") * col("cnt_b")).as("n_pairs"))
+        .orderBy("name_a", "name_b")
+    }),
+
     // Full outer join: per-day click totals ⟗ per-day purchase totals —
     // days with activity on only one side survive null-extended on the
     // other, the canonical reconciliation-report shape. Both sides
@@ -207,6 +254,18 @@ object JoinOps {
           AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
          WHERE o.o_totalprice > 400000
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "join_fuzzy" ->
+      """WITH names AS (
+           SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY p_name
+         )
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(hamming(a.name, b.name) AS INT) AS hamming,
+                a.cnt * b.cnt AS n_pairs
+         FROM names a, names b
+         WHERE a.name < b.name
+           AND len(a.name) = len(b.name)
+           AND hamming(a.name, b.name) <= 3
+         ORDER BY name_a, name_b""",
     "join_full_outer" ->
       """SELECT COALESCE(c.day, p.day) AS day,
                 COALESCE(c.n_clicks, 0) AS n_clicks,
