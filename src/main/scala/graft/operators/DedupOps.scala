@@ -264,7 +264,11 @@ object DedupOps {
       // length-ratio prefilter: J(A,B) >= t forces |A∩B| >= t·|A∪B|, so
       // min(|A|,|B|)/max(|A|,|B|) >= t — evaluated inside the join, it
       // drops false candidates before they reach the dedup shuffle
-      val cand = a.join(b, Seq("band", "bh"))
+      // the candidate join needs no ordering — hint it to a shuffled HASH
+      // join so neither 94k-row band side pays a sort (without the hint
+      // the planner defaults to SMJ now that the inputs are raw scans
+      // with no cached stats)
+      val cand = a.hint("shuffle_hash").join(b, Seq("band", "bh"))
         .filter(col("gid_a") < col("gid_b") &&
           least(col("len_a"), col("len_b")).cast("double") >=
             greatest(col("len_a"), col("len_b")) * (JaccardThreshold - 1e-3))

@@ -99,6 +99,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("sort_skyline never plans a nested-loop join (the oracle's quadratic shape)") {
+    val plan = RelationalOps.queries("sort_skyline")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the staircase filter is one window over the aggregated reps
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("join_fuzzy blocks via equi-joins, never a cartesian candidate space") {
+    val plan = JoinOps.queries("join_fuzzy")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("zorder_layout is a pure project + top-k (no shuffle beyond the limit)") {
+    val plan = RelationalOps.queries("zorder_layout")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("window counts are conserved: tumbling windows partition the input") {
     val total = Tables.events(spark, SfDir).count()
     val windowed = StreamingOps.queries("stream_tumbling")(spark, SfDir)
