@@ -154,6 +154,31 @@ object AggOps {
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // Equi-DEPTH histogram (each bucket holds ~the same row count —
+    // the quantile-binning step behind learned optimizers and balanced
+    // range partitioning), as two linear passes: exact decile cutpoints
+    // from one percentile aggregation (a tiny 1-row broadcast), then a
+    // codegen'd bin assignment + per-bin rollup. Never a global
+    // ntile-style sort: the window form serializes the table through one
+    // partition, this form is partial+final aggregation twice. Cutpoints
+    // are rounded to 4dp on BOTH engines before binning so the strict->
+    // comparison is bit-identical.
+    "agg_equidepth" -> ((s, dir) => {
+      val cuts = Tables.orders(s, dir)
+        .agg(expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("cuts"))
+        .select(transform(col("cuts"), c => round(c, 4)).as("cuts"))
+      Tables.orders(s, dir)
+        .crossJoin(broadcast(cuts))
+        .select(col("o_totalprice"),
+          size(filter(col("cuts"), c => col("o_totalprice") > c)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 4).as("lo"),
+          round(max("o_totalprice"), 4).as("hi"))
+        .orderBy("bucket")
+    }),
+
     // Pivot (conditional aggregation over a pinned value list, so the
     // output schema is static regardless of data).
     "agg_pivot" -> ((s, dir) =>
@@ -367,6 +392,22 @@ object AggOps {
                 round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
                 count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_equidepth" ->
+      """WITH cuts AS (
+           SELECT list_transform(
+             quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             c -> round(c, 4)) AS cuts
+           FROM orders
+         )
+         SELECT bucket, count(*) AS n,
+                round(min(o_totalprice), 4) AS lo,
+                round(max(o_totalprice), 4) AS hi
+         FROM (
+           SELECT o_totalprice,
+                  CAST(len(list_filter((SELECT cuts FROM cuts),
+                                       c -> o_totalprice > c)) AS INT) AS bucket
+           FROM orders
+         ) GROUP BY bucket ORDER BY bucket""",
     "agg_pivot" ->
       """SELECT o_orderpriority,
                 count(*) FILTER (o_orderstatus = 'F') AS n_f,

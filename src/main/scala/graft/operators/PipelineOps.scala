@@ -188,6 +188,27 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Data-quality audit (the dbt-test / Great-Expectations step a corpus
+    // or warehouse load runs before publishing): null-rate, domain, and
+    // referential-integrity violation counts in ONE scan of the fact
+    // table plus one key-level anti join. Conditional sums keep the scan
+    // single-pass and codegen'd; the orphan check pre-collapses to
+    // DISTINCT keys so the anti join shuffles |keys|, not |rows|. Output
+    // is a one-row report — the shape a pipeline gate asserts on.
+    "pipe_expectations" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val scanChecks = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_shipdate").isNull, 1).otherwise(0)).as("null_shipdate"),
+        sum(when(!col("l_quantity").between(1, 50), 1).otherwise(0)).as("bad_quantity"),
+        sum(when(!col("l_discount").between(0, 1), 1).otherwise(0)).as("bad_discount"))
+      val orphans = li.select("l_orderkey").distinct()
+        .join(Tables.orders(s, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orderkeys"))
+      scanChecks.crossJoin(orphans)
+    }),
+
     // Conversion funnel: per user, first click and whether a purchase
     // follows it within 1 hour. ONE shuffle on user_id via conditional
     // aggregation (min over tagged timestamps), then a flag — no
@@ -269,6 +290,17 @@ object PipelineOps {
                       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
                FROM documents)
          ORDER BY lang, doc_id""",
+    "pipe_expectations" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+                (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) AS null_shipdate,
+                (SELECT count(*) FROM lineitem
+                 WHERE l_quantity NOT BETWEEN 1 AND 50) AS bad_quantity,
+                (SELECT count(*) FROM lineitem
+                 WHERE l_discount NOT BETWEEN 0 AND 1) AS bad_discount,
+                (SELECT count(*) FROM (
+                   SELECT DISTINCT l_orderkey FROM lineitem
+                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+                 )) AS orphan_orderkeys""",
     "pipe_decontaminate" ->
       """WITH sh AS (
            SELECT doc_id,
