@@ -46,6 +46,16 @@ object MultimodalOps {
           octet_length(to_binary(col("text"), lit("utf-8"))).cast("long").as("n_bytes")).as("meta"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact media dedup by content hash: one hash-shuffle over 128-bit
+    // digests (never the payloads — the md5 computes scan-side, so a
+    // 100 TB blob column contributes 16 bytes/row to the exchange),
+    // canonical copy = min doc_id. The binary twin of `dedup_exact`.
+    "mm_dedup" -> ((s, dir) =>
+      media(s, dir)
+        .groupBy(md5(col("payload")).as("content_md5"))
+        .agg(min("doc_id").as("canonical_doc"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_doc")),
+
     // Metadata projection over opaque payloads: size, format, content hash.
     "mm_meta" -> ((s, dir) =>
       media(s, dir)
@@ -100,6 +110,10 @@ object MultimodalOps {
   // DuckDB's md5/substring take VARCHAR; the fixture text is ASCII, so the
   // varchar forms are byte-identical to Spark's binary forms.
   def oracles: Map[String, String] = Map(
+    "mm_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_doc,
+                count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY canonical_doc""",
     "mm_meta" ->
       """SELECT doc_id, 'text/plain' AS format,
                 octet_length(encode(text)) AS n_bytes,

@@ -37,6 +37,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(vals.forall(v => v >= 10.0 && v <= 90.0))
   }
 
+  test("typed Dataset[T] pipeline agrees with the untyped DataFrame plan") {
+    import spark.implicits._
+    // the B-design's "Dataset[T] where type safety helps": case-class
+    // encoder, compile-time field access in filter/map, typed groupByKey
+    val ds = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[(Long, String, Long)]
+    val typed = ds
+      .filter(_._3 > 100)
+      .map { case (_, lang, n) => (lang, n) }
+      .groupByKey(_._1)
+      .mapGroups { (lang, rows) =>
+        val ns = rows.map(_._2).toSeq
+        (lang, ns.length.toLong, ns.sum)
+      }
+      .toDF("lang", "n_docs", "total_chars")
+    val untyped = Tables.documents(spark, SfDir)
+      .filter(col("n_chars") > 100)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    assert(typed.exceptAll(untyped).count() === 0)
+    assert(untyped.exceptAll(typed).count() === 0)
+  }
+
   test("events survive a JSON round-trip (source format surface)") {
     val tmp = Files.createTempDirectory("graft_json").toString
     val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX" // default JSON format drops sub-ms
