@@ -106,6 +106,32 @@ object ProvidenciasOps {
         .orderBy("node_id")
     }),
 
+    // Graph extension: connected components over the SIMILAR graph —
+    // every node labeled with the min vec_id of its component ("which
+    // rulings form one similarity island"). Reuses the dedup CC
+    // machinery ([[DedupOps.localCC]] union-find when the edge list is
+    // single-task-sized, the pointer-jumping relational loop beyond):
+    // the edge list here is the thresholded pairwise output, already
+    // tiny relative to the corpus, and singletons ride in as self-loops.
+    "graph_components" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("gid"))
+      val edges = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(explode(array(
+          struct(col("src").as("a"), col("dst").as("b")),
+          struct(col("dst").as("a"), col("src").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .union(nodes.select(col("gid").as("a"), col("gid").as("b")))
+        .coalesce(8)
+        .persist()
+      val labels =
+        if (edges.count() <= DedupOps.LocalCCMaxEdges) DedupOps.localCC(edges)
+        else DedupOps.iterativeCC(edges, nodes)
+      edges.unpersist()
+      labels.select(col("id").as("node_id"), col("lbl").as("component_id"))
+        .orderBy("node_id")
+    }),
+
     // Graph extension: 3-iteration PageRank (d = 0.85, dangling mass
     // redistributed uniformly) over the SIMILAR graph — "which rulings are
     // central in the similarity network". Iterations are unrolled into one
@@ -280,6 +306,24 @@ object ProvidenciasOps {
            UNION ALL SELECT b FROM tri
            UNION ALL SELECT c FROM tri
          ) GROUP BY node_id ORDER BY node_id""",
+    "graph_components" ->
+      """WITH RECURSIVE tri AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), e AS MATERIALIZED (
+           SELECT src AS a, dst AS b FROM tri
+           UNION ALL SELECT dst, src FROM tri
+         ), reach(id, r) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.a, reach.r FROM reach JOIN e ON e.b = reach.id
+         )
+         SELECT id AS node_id, min(r) AS component_id
+         FROM reach GROUP BY id ORDER BY node_id""",
     "graph_pagerank" ->
       """WITH tri AS MATERIALIZED (
            SELECT * FROM (

@@ -26,6 +26,30 @@ class GraphSpec extends SparkSpec {
     pr.unpersist()
   }
 
+  test("graph_components labels both endpoints of every edge identically") {
+    import graft.operators.SimilarityOps
+    val comp = q("graph_components").persist()
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(comp.count() === n, "one label per node, singletons included")
+    val edges = SimilarityOps.pairwiseTriangular(spark, SfDir, SimilarityOps.EdgeThreshold)
+      .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      .select("src", "dst")
+    val violations = edges
+      .join(comp.withColumnRenamed("node_id", "src")
+        .withColumnRenamed("component_id", "c_src"), "src")
+      .join(comp.withColumnRenamed("node_id", "dst")
+        .withColumnRenamed("component_id", "c_dst"), "dst")
+      .filter(col("c_src") =!= col("c_dst"))
+      .count()
+    assert(violations === 0, s"$violations edges cross component labels")
+    // every component label is the min member id (canonical labeling)
+    val badLabel = comp.groupBy("component_id").agg(min("node_id").as("mn"))
+      .filter(col("component_id") =!= col("mn")).count()
+    assert(badLabel === 0, "component label must be the component's min node id")
+    comp.unpersist()
+    ()
+  }
+
   test("graph_triangles credits exactly the mutually-adjacent triples") {
     val tri = q("graph_triangles")
     // total credit is divisible by 3 (each triangle credits 3 nodes once)
