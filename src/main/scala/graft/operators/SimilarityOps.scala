@@ -77,6 +77,21 @@ object SimilarityOps {
         .orderBy("src", "dst")
     }),
 
+    // The same SIMILAR edge table computed by the GRID-distributed
+    // all-pairs path ([[graft.plans.GridPairwise]], 8×8 blocks) — the
+    // plan used when the build side outgrows broadcast: both sides
+    // shuffle on the grid key, no executor ever holds more than one
+    // block pair. Values are identical to `sim_edges` (same score and
+    // round expressions), so the same oracle pins it.
+    "sim_edges_grid" -> ((s, dir) =>
+      graft.plans.GridPairwise(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        8,
+        (x, y) => round(graft.functions.ArrayExprs.cosine(x, y) * 100, 4),
+        lit(EdgeThreshold))
+        .withColumnRenamed("score", "similitud")
+        .orderBy("src", "dst")),
+
     // Top-5 most-similar neighbors per node (ties broken by dst id).
     // Planned by [[graft.plans.SelfPairwise]] in top-k mode: each probe
     // row keeps a bounded 5-entry buffer ordered by (rounded score DESC,
@@ -226,6 +241,13 @@ object SimilarityOps {
 
   def oracles: Map[String, String] = Map(
     "sim_edges" ->
+      s"""SELECT * FROM (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+         ) WHERE similitud >= $EdgeThreshold ORDER BY src, dst""",
+    "sim_edges_grid" ->
       s"""SELECT * FROM (
            SELECT a.vec_id AS src, b.vec_id AS dst,
                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

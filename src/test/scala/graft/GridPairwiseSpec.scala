@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayExprs
+import graft.plans.{GridPairwise, SelfPairwise}
+
+/** The grid-partitioned all-pairs path must produce exactly the broadcast
+  * operator's pairs (it exists for build sides beyond broadcast scale) and
+  * must plan as a shuffled join — no broadcast of either replicated side,
+  * no CartesianProduct. */
+class GridPairwiseSpec extends SparkSpec {
+
+  private def embeddings =
+    Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
+
+  test("GridPairwise(cosine) equals SelfPairwise exactly, for several grid sizes") {
+    val viaBroadcast = SelfPairwise(embeddings, SelfPairwise.Cosine,
+      Double.MinValue, triangular = true)
+      .select(col("src"), col("dst"), round(col("score") * 100, 4).as("similitud"))
+      .filter(col("similitud") >= 30.0)
+    for (b <- Seq(1, 3, 8)) {
+      val viaGrid = GridPairwise(embeddings, b,
+        (x, y) => round(ArrayExprs.cosine(x, y) * 100, 4), lit(30.0))
+        .withColumnRenamed("score", "similitud")
+      assert(viaGrid.exceptAll(viaBroadcast).count() === 0, s"b=$b extra pairs")
+      assert(viaBroadcast.exceptAll(viaGrid).count() === 0, s"b=$b missing pairs")
+    }
+  }
+
+  test("every unordered pair meets in exactly one grid cell (no dup, no loss)") {
+    val n = embeddings.count()
+    val pairs = GridPairwise(embeddings, 5, (_, _) => lit(0.0), lit(-1.0))
+    assert(pairs.count() === n * (n - 1) / 2, "pair multiset must be exact")
+    assert(pairs.select("src", "dst").distinct().count() === n * (n - 1) / 2)
+  }
+
+  test("plans a shuffled join on the grid key — no broadcast, no cartesian") {
+    val plan = GridPairwise(embeddings, 8,
+      (x, y) => ArrayExprs.cosine(x, y), lit(0.0))
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+}
