@@ -188,6 +188,23 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Feature normalization: per-language z-score of document length —
+    // the standardize-before-training step of any feature pipeline.
+    // Group stats come from ONE partial+final aggregation and broadcast
+    // back onto the scan (never a window: an all-rows window re-sorts
+    // the corpus inside each group for two scalar moments; the join form
+    // is two linear passes and the stats table is |groups| rows).
+    "pipe_normalize" -> ((s, dir) => {
+      val stats = Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(avg("n_chars").as("mu"), stddev_samp("n_chars").as("sigma"))
+      Tables.documents(s, dir)
+        .join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"),
+          round((col("n_chars") - col("mu")) / col("sigma"), 4).as("z_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Data-quality audit (the dbt-test / Great-Expectations step a corpus
     // or warehouse load runs before publishing): null-rate, domain, and
     // referential-integrity violation counts in ONE scan of the fact
@@ -290,6 +307,14 @@ object PipelineOps {
                       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
                FROM documents)
          ORDER BY lang, doc_id""",
+    "pipe_normalize" ->
+      """WITH stats AS (
+           SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sigma
+           FROM documents GROUP BY lang
+         )
+         SELECT doc_id, d.lang, round((n_chars - mu) / sigma, 4) AS z_chars
+         FROM documents d JOIN stats USING (lang)
+         ORDER BY doc_id""",
     "pipe_expectations" ->
       """SELECT (SELECT count(*) FROM lineitem) AS n_rows,
                 (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) AS null_shipdate,
