@@ -230,6 +230,33 @@ object RelationalOps {
       """)
     }),
 
+    // Recursive CTE (Spark 4.x UnionLoop execution): BFS hop distance
+    // from node 42 over the SIMILAR graph, bounded to 3 hops. The
+    // recursion re-joins the frontier to the edge list each step —
+    // exactly the iterative-join shape the CC/PageRank operators build
+    // by hand, but through the SQL parser path. min(hop) collapses the
+    // path multiset to distances.
+    "sql_recursive" -> ((s, dir) => {
+      SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+        .createOrReplaceTempView("graft_sim_edges")
+      s.sql("""
+        WITH RECURSIVE hops(id, hop) AS (
+          SELECT CAST(42 AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, h.hop + 1
+          FROM hops h
+          JOIN (SELECT src, dst FROM graft_sim_edges
+                UNION ALL SELECT dst, src FROM graft_sim_edges) e
+            ON e.src = h.id
+          WHERE h.hop < 3
+        )
+        SELECT id, CAST(min(hop) AS INT) AS hop
+        FROM hops GROUP BY id ORDER BY id
+      """)
+    }),
+
     // LATERAL VIEW explode (UDTF surface in SQL form): per-document hit
     // counts for the search terms. Generate runs inside the scan stage —
     // no shuffle until the final aggregation.
@@ -347,6 +374,25 @@ object RelationalOps {
          WHERE o_custkey IN (SELECT c_custkey FROM customer
                              WHERE c_mktsegment = 'BUILDING')
          ORDER BY o_orderkey""",
+    "sql_recursive" ->
+      """WITH RECURSIVE sim AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), e AS MATERIALIZED (
+           SELECT src, dst FROM sim UNION ALL SELECT dst, src FROM sim
+         ), hops(id, hop) AS (
+           SELECT CAST(42 AS BIGINT), 0
+           UNION ALL
+           SELECT e.dst, h.hop + 1
+           FROM hops h JOIN e ON e.src = h.id
+           WHERE h.hop < 3
+         )
+         SELECT id, CAST(min(hop) AS INT) AS hop
+         FROM hops GROUP BY id ORDER BY id""",
     "sql_lateral" ->
       """SELECT doc_id, tok, count(1) AS n
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
