@@ -124,6 +124,26 @@ object JoinOps {
         .orderBy("o_orderkey")
     }),
 
+    // Null-safe equi-join (<=>): NULL keys match each other instead of
+    // vanishing — the semantics a data-vault / late-arriving-dimension
+    // join needs. EqualNullSafe is a legal equi-join key, so Catalyst
+    // still plans a hash/sort-merge join (never a nested loop); the
+    // fixture derives sparse NULLs deterministically and the output
+    // aggregates to match counts by key-nullness, pinning that the
+    // null↔null bucket joins while ordinary equality would drop it.
+    "join_null_safe" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        when(col("c_custkey") % 199 === 0, lit(null))
+          .otherwise(col("c_nationkey")).as("c_nk"))
+      val sp = Tables.supplier(s, dir).select(
+        when(col("s_suppkey") % 97 === 0, lit(null))
+          .otherwise(col("s_nationkey")).as("s_nk"))
+      c.join(sp, col("c_nk") <=> col("s_nk"))
+        .groupBy(col("c_nk").isNull.as("null_key"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy("null_key")
+    }),
+
     // Fuzzy string self-join: same-length part-name pairs within Hamming
     // distance 3 (the entity-resolution "few-character typo" match). The
     // quadratic form is the oracle; this plan uses lossless pigeonhole
@@ -254,6 +274,17 @@ object JoinOps {
           AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
          WHERE o.o_totalprice > 400000
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "join_null_safe" ->
+      """WITH c AS (
+           SELECT CASE WHEN c_custkey % 199 = 0 THEN NULL
+                       ELSE c_nationkey END AS c_nk FROM customer
+         ), s AS (
+           SELECT CASE WHEN s_suppkey % 97 = 0 THEN NULL
+                       ELSE s_nationkey END AS s_nk FROM supplier
+         )
+         SELECT c_nk IS NULL AS null_key, count(*) AS n_matches
+         FROM c JOIN s ON c_nk IS NOT DISTINCT FROM s_nk
+         GROUP BY 1 ORDER BY 1""",
     "join_fuzzy" ->
       """WITH names AS (
            SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY p_name

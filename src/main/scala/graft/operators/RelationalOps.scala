@@ -237,9 +237,13 @@ object RelationalOps {
     // by hand, but through the SQL parser path. min(hop) collapses the
     // path multiset to distances.
     "sql_recursive" -> ((s, dir) => {
+      // persisted: UnionLoop re-reads the edge relation on every
+      // recursion step — without the cache the O(n²) pairwise derivation
+      // would re-execute per hop
       SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
         .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
         .select(col("src"), col("dst"))
+        .persist()
         .createOrReplaceTempView("graft_sim_edges")
       s.sql("""
         WITH RECURSIVE hops(id, hop) AS (
