@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{lit, round}
+
+/** Stats-driven front door for pairwise similarity: picks the broadcast
+  * operator ([[SelfPairwise]]) or the grid-distributed plan
+  * ([[GridPairwise]]) from the OPTIMIZED plan's size estimate — the same
+  * signal (and the same threshold conf) Spark's planner uses to choose
+  * BroadcastHashJoin vs a shuffled join. No data is read to decide:
+  * Catalyst's stats propagate from the Parquet footers through the
+  * projection, so the choice is free at plan time and robust to the
+  * caller not knowing their input's scale.
+  *
+  * Grid size is chosen so one block ≈ the broadcast threshold — each
+  * grid cell then holds roughly what a broadcast build side would have,
+  * keeping per-task memory bounded by the same knob a cluster already
+  * tunes.
+  */
+object Pairwise {
+
+  /** Cosine pairs (src < dst, score scaled ×100 and rounded like
+    * `sim_edges`) with `similitud >= minSimilitud`, planned by broadcast
+    * or grid according to the session's autoBroadcastJoinThreshold. */
+  def cosineAuto(df: DataFrame, minSimilitud: Double): DataFrame = {
+    val threshold =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // threshold <= 0 is Spark's "never broadcast" setting → grid path
+    if (threshold > 0 && bytes <= BigInt(threshold))
+      SelfPairwise(df, SelfPairwise.Cosine, (minSimilitud - 0.01) / 100.0,
+        triangular = true)
+        .select(org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("dst"),
+          round(org.apache.spark.sql.functions.col("score") * 100, 4)
+            .as("similitud"))
+        .filter(org.apache.spark.sql.functions.col("similitud") >= minSimilitud)
+    else {
+      // one block per threshold-sized slice (10 MB default slice when
+      // broadcasting is disabled outright), at least 2 so the plan is
+      // genuinely distributed, capped so replication stays sane
+      val slice = if (threshold > 0) threshold else 10L << 20
+      val blocks = math.min(256, math.max(2, (bytes / BigInt(slice)).toInt))
+      GridPairwise(df, blocks,
+        (x, y) => round(graft.functions.ArrayExprs.cosine(x, y) * 100, 4),
+        lit(minSimilitud))
+        .withColumnRenamed("score", "similitud")
+    }
+  }
+
+  /** Exposed for tests: the byte estimate the decision reads. */
+  def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+}

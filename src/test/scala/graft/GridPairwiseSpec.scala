@@ -36,6 +36,30 @@ class GridPairwiseSpec extends SparkSpec {
     assert(pairs.select("src", "dst").distinct().count() === n * (n - 1) / 2)
   }
 
+  test("Pairwise.cosineAuto picks broadcast vs grid from plan-time stats") {
+    import graft.plans.Pairwise
+    // fixture is far under the default 10MB threshold → broadcast operator
+    val small = Pairwise.cosineAuto(embeddings, 30.0)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(small.contains("SelfPairwise"), small)
+    // force "never broadcast" → the grid plan, same rows
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = Pairwise.cosineAuto(embeddings, 30.0)
+      val plan = forced.queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      assert(!plan.contains("SelfPairwise"), plan)
+      val viaSelf = SelfPairwise(embeddings, SelfPairwise.Cosine,
+        Double.MinValue, triangular = true)
+        .select(col("src"), col("dst"),
+          round(col("score") * 100, 4).as("similitud"))
+        .filter(col("similitud") >= 30.0)
+      assert(forced.exceptAll(viaSelf).count() === 0)
+      assert(viaSelf.exceptAll(forced).count() === 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("plans a shuffled join on the grid key — no broadcast, no cartesian") {
     val plan = GridPairwise(embeddings, 8,
       (x, y) => ArrayExprs.cosine(x, y), lit(0.0))
