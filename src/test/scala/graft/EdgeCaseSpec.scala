@@ -77,6 +77,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a.getTimestamp(1) === b.getTimestamp(1))
   }
 
+  test("malformed JSON records land in _corrupt_record, never fail the scan") {
+    // at corpus scale some fraction of any feed is garbage; PERMISSIVE
+    // mode must keep the pipeline running and quarantine the bad rows
+    val dir = Files.createTempDirectory("graft_corrupt")
+    Files.write(dir.resolve("part-0.json"), java.util.Arrays.asList(
+      """{"id": 1, "v": 10.0}""",
+      """{"id": 2, "v": NOT_JSON""",
+      """{"id": 3, "v": 30.0}"""))
+    val schema = "id LONG, v DOUBLE, _corrupt_record STRING"
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // corrupt-record column requires a materialized scan
+    assert(df.count() === 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(df.filter(col("_corrupt_record").isNull)
+      .agg(sum("v")).collect()(0).getDouble(0) === 40.0)
+    df.unpersist()
+    ()
+  }
+
   test("events survive a CSV round-trip (source format surface)") {
     val tmp = Files.createTempDirectory("graft_csv").toString
     val ev = Tables.events(spark, SfDir).drop("props") // commas in JSON props
