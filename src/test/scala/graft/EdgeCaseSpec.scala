@@ -77,6 +77,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a.getTimestamp(1) === b.getTimestamp(1))
   }
 
+  test("events survive an ORC round-trip (columnar format beyond Parquet)") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val ev = Tables.events(spark, SfDir)
+    ev.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp)
+    assert(back.count() === ev.count())
+    val a = ev.agg(sum("value"), max("ts")).collect()(0)
+    val b = back.agg(sum("value"), max("ts")).collect()(0)
+    assert(a.getDouble(0) === b.getDouble(0))
+    assert(a.getTimestamp(1) === b.getTimestamp(1))
+    // ORC scans take predicate pushdown like Parquet — pin it
+    val plan = back.filter(col("value") > 100)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)]"), plan)
+  }
+
   test("malformed JSON records land in _corrupt_record, never fail the scan") {
     // at corpus scale some fraction of any feed is garbage; PERMISSIVE
     // mode must keep the pipeline running and quarantine the bad rows
