@@ -132,6 +132,24 @@ object FunctionOps {
           get_json_object(col("props"), "$.missing").as("absent"))
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT (the open semi-structured type): parse once into a
+    // binary variant, then typed path extraction — the columnar-shredded
+    // answer to schemaless JSON at scale (parse cost paid once per row,
+    // extraction is a codegen'd path walk, not a string re-parse per
+    // field). from_json with an explicit schema rides along as the
+    // schema-ful twin.
+    "fn_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("st",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "long").as("k_variant"),
+          col("st.k").as("k_struct"),
+          try_variant_get(col("v"), "$.missing", "string").as("absent"))
+        .orderBy("event_id")),
+
     // Unpivot (wide -> long): two part metrics melted into (metric, value).
     "fn_unpivot" -> ((s, dir) =>
       Tables.part(s, dir)
@@ -234,6 +252,12 @@ object FunctionOps {
       """SELECT event_id,
                 json_extract_string(props, '$.k') AS k_str,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+                json_extract_string(props, '$.missing') AS absent
+         FROM events ORDER BY event_id""",
+    "fn_variant" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
                 json_extract_string(props, '$.missing') AS absent
          FROM events ORDER BY event_id"""
   )
