@@ -57,6 +57,24 @@ object ProvidenciasOps {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // A5 (full $text semantics) — MongoDB's search string grammar beyond
+    // OR-of-terms: a quoted "exact phrase" must appear verbatim, and a
+    // -negated term excludes the document. The reference forwards user
+    // input straight to $text (streamlit_app.py:146-148), so this is the
+    // behavior a search box actually gets: ("spark merge" phrase) OR
+    // plain terms, minus -filter docs. All of it evaluates as codegen'd
+    // string predicates inside the scan — no index required, and at
+    // 100 TB the same expression runs behind the inverted-index
+    // candidate fetch the ranked variant models.
+    "text_search_phrase" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(
+          (col("text").contains("spark merge") ||
+            arrays_overlap(split(col("text"), " "), lit(SearchTerms.toArray))) &&
+            !col("text").contains("filter"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // A6 — projection dropping the id/_body column (reference :39)
     "project_drop_col" -> ((s, dir) =>
       docs(s, dir).select("doc_id", "lang", "source", "n_chars")
@@ -270,6 +288,12 @@ object ProvidenciasOps {
     "text_search" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE len(list_intersect(string_split(text, ' '), ['spark','merge'])) > 0
+         ORDER BY doc_id""",
+    "text_search_phrase" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (contains(text, 'spark merge')
+                OR len(list_intersect(string_split(text, ' '), ['spark','merge'])) > 0)
+           AND NOT contains(text, 'filter')
          ORDER BY doc_id""",
     "project_drop_col" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
