@@ -37,6 +37,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(vals.forall(v => v >= 10.0 && v <= 90.0))
   }
 
+  test("ProvidenciasApi.buscar applies exactly one predicate, first-match-wins (A7)") {
+    import graft.operators.ProvidenciasApi
+    // lang outranks source: with both set, the source filter must NOT run
+    val both = ProvidenciasApi.buscar(spark, SfDir,
+      lang = Some("es"), source = Some("no_such_source"))
+    val langOnly = ProvidenciasApi.buscar(spark, SfDir, lang = Some("es"))
+    assert(both.count() === langOnly.count())
+    assert(both.count() > 0)
+    // no facets = full scan; _id analogue is dropped from every result
+    val all = ProvidenciasApi.buscar(spark, SfDir)
+    assert(all.count() === Tables.documents(spark, SfDir).count())
+    assert(!all.columns.contains("doc_id"))
+    // texto facet reaches the $text tokenizer semantics
+    val text = ProvidenciasApi.buscar(spark, SfDir, texto = Some("SPARK merge"))
+    assert(text.count() > 0)
+  }
+
   test("typed Dataset[T] pipeline agrees with the untyped DataFrame plan") {
     import spark.implicits._
     // the B-design's "Dataset[T] where type safety helps": case-class
