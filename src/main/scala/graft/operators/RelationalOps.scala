@@ -128,22 +128,31 @@ object RelationalOps {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }),
 
-    // Z-order clustering key: interleave the low 16 bits of
-    // (o_custkey, days-since-epoch(o_orderdate)) into one BIGINT so rows
-    // close in BOTH dimensions sort near each other — the layout trick
-    // behind multi-dimensional data skipping (write the table ordered by
-    // zval and min/max row-group stats prune on either column). The key
-    // is pure bit arithmetic, fully codegen'd, identical math in the
-    // oracle; top-100 by the key witnesses the ordering.
+    // Z-order clustering key: normalize (o_custkey, days-since-epoch)
+    // each to the full 16-bit range by their observed max (a one-row
+    // broadcast — without normalization a dimension using fewer raw bits
+    // loses the high-bit interleave and the curve degenerates toward a
+    // single-dimension sort), then interleave into one BIGINT so rows
+    // close in BOTH dimensions sort near each other — the layout behind
+    // multi-dimensional data skipping (write ordered by zval; min/max
+    // row-group stats then prune on either column — SinkSpec measures
+    // the narrowed footers). Pure codegen'd bit arithmetic, identical
+    // math in the oracle; top-100 by the key witnesses the ordering.
     "zorder_layout" -> ((s, dir) => {
-      val x = col("o_custkey").cast("bigint").bitwiseAND(lit(65535L))
-      val y = datediff(col("o_orderdate"), lit("1992-01-01"))
-        .cast("bigint").bitwiseAND(lit(65535L))
+      val stats = Tables.orders(s, dir).agg(
+        max(col("o_custkey").cast("bigint")).as("mx_ck"),
+        max(datediff(col("o_orderdate"), lit("1992-01-01")).cast("bigint"))
+          .as("mx_day"))
+      val x = floor(col("o_custkey").cast("bigint") * 65535L / col("mx_ck"))
+        .cast("bigint")
+      val y = floor(datediff(col("o_orderdate"), lit("1992-01-01"))
+        .cast("bigint") * 65535L / col("mx_day")).cast("bigint")
       val zval = (0 until 16).map { i =>
         shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
           .plus(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
       }.reduce(_ plus _)
       Tables.orders(s, dir)
+        .crossJoin(broadcast(stats))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           zval.as("zval"))
         .orderBy(col("zval"), col("o_orderkey"))
@@ -333,12 +342,19 @@ object RelationalOps {
       val terms = (0 until 16).map { i =>
         s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
       }.mkString(" + ")
-      s"""SELECT o_orderkey, o_custkey, o_orderdate, $terms AS zval
+      s"""WITH stats AS (
+           SELECT max(o_custkey) AS mx_ck,
+                  max(date_diff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE))) AS mx_day
+           FROM orders
+         )
+         SELECT o_orderkey, o_custkey, o_orderdate, $terms AS zval
          FROM (SELECT o_orderkey, o_custkey, o_orderdate,
-                      o_custkey & 65535 AS x,
-                      date_diff('day', DATE '1992-01-01',
-                                CAST(o_orderdate AS DATE)) & 65535 AS y
-               FROM orders)
+                      CAST(floor(o_custkey * 65535.0 / mx_ck) AS BIGINT) AS x,
+                      CAST(floor(date_diff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE)) * 65535.0 / mx_day)
+                           AS BIGINT) AS y
+               FROM orders, stats)
          ORDER BY zval, o_orderkey LIMIT 100"""
     },
     "sql_scalar_subquery" ->

@@ -57,6 +57,78 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout narrows per-row-group stats on BOTH dimensions (data skipping)") {
+    // the payoff of zorder_layout: written in zval order with small row
+    // groups, every row group's footer min/max covers a narrow slice of
+    // EACH interleaved dimension, so a reader with a predicate on either
+    // column skips most groups. Footer stats are read directly — this is
+    // exactly the metadata a scan prunes on.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    // both dimensions are NORMALIZED to the full 16-bit range before
+    // interleaving — with raw values a dimension that uses fewer bits
+    // (custkey ~11 bits vs day ~12 here) loses the high-bit interleave
+    // and the curve degenerates toward a single-dimension sort; real
+    // z-order writers always scale by the observed min/max first
+    val raw = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_custkey").cast("bigint").as("ck"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("bigint").as("day"))
+    val Array(maxCk, maxDay) =
+      raw.agg(max("ck"), max("day")).collect()(0).toSeq.toArray.map {
+        case l: Long => l
+      }
+    val x = col("ck") * 65535L / maxCk
+    val y = col("day") * 65535L / maxDay
+    val zval = (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .plus(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ plus _)
+    val base = raw.withColumn("zval", zval)
+    def avgSpanFraction(dir: String, column: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val spans = files.flatMap { f =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration))
+        try rd.getFooter.getBlocks.asScala.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == column).get
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[Long].toDouble,
+            st.genericGetMax.asInstanceOf[Long].toDouble)
+        }.toSeq
+        finally rd.close()
+      }
+      val lo = spans.map(_._1).min
+      val hi = spans.map(_._2).max
+      assert(spans.length >= 8, s"need many row groups, got ${spans.length}")
+      spans.map { case (a, b) => (b - a) / math.max(hi - lo, 1.0) }
+        .sum / spans.length
+    }
+    withTempDir { plain =>
+      withTempDir { zsorted =>
+        val opts = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096")
+        // "plain" = the natural arrival order (by key), "zsorted" = the
+        // layout zorder_layout computes; same rows, same row-group size
+        base.orderBy("ck").coalesce(1).write.options(opts)
+          .mode("overwrite").parquet(plain)
+        base.orderBy("zval").coalesce(1).write.options(opts)
+          .mode("overwrite").parquet(zsorted)
+        val dayPlain = avgSpanFraction(plain, "day")
+        val dayZ = avgSpanFraction(zsorted, "day")
+        val ckZ = avgSpanFraction(zsorted, "ck")
+        // key-ordered layout leaves the date dimension unclustered: each
+        // row group spans ~the whole date range; z-order narrows both
+        assert(dayPlain > 0.6, s"unsorted day span $dayPlain should be wide")
+        assert(dayZ < dayPlain / 2, s"z-sorted day span $dayZ vs $dayPlain")
+        assert(ckZ < 0.6, s"z-sorted custkey span $ckZ should stay clustered")
+      }
+    }
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     withTempDir { out =>
       val events = Tables.events(spark, SfDir)
