@@ -46,6 +46,9 @@ object PipelineOps {
   val ChunkStride = 40
   val PackBudget  = 1000
 
+  /** Mixture-sampling temperature exponent (p^alpha). */
+  val MixAlpha = 0.5
+
   /** Decontamination shingle width (tokens). Real corpora use 8-13-gram
     * overlap; the fixture's synthetic text has near-zero 8-gram collision
     * mass, so 4 is the width at which the declared query pins non-trivial
@@ -110,6 +113,29 @@ object PipelineOps {
         .withColumn("copy", explode(sequence(lit(1), epochs)))
         .select("doc_id", "lang", "copy")
         .orderBy("doc_id", "copy")
+    }),
+
+    // Temperature-scaled mixture weights (the XLM-R / multilingual-
+    // pretraining recipe): per-source sampling probability ∝ p^α with
+    // α = 0.5, so low-resource sources are up-weighted relative to their
+    // share without dominating. One tiny aggregation per source + a
+    // window over the |sources|-row table — the output is the sampling
+    // TABLE a corpus builder feeds its weighted sampler, with the
+    // up/down-weighting factor made explicit.
+    "pipe_mix_temperature" -> ((s, dir) => {
+      val bySource = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      bySource
+        .withColumn("p", col("n_docs") / sum("n_docs").over(tot))
+        .withColumn("q",
+          pow(col("p"), MixAlpha) / sum(pow(col("p"), MixAlpha)).over(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("p"), 4).as("p"),
+          round(col("q"), 4).as("q"),
+          round(col("q") / col("p"), 4).as("boost"))
+        .orderBy("source")
     }),
 
     // Context-window chunking: split each doc into ChunkSize-token
@@ -279,6 +305,20 @@ object PipelineOps {
                 CAST(len(regexp_extract_all(text, '[0-9]+')) +
                      len(regexp_extract_all(text, '@[a-z0-9]+')) AS INT) AS n_masked
          FROM documents ORDER BY doc_id""",
+    "pipe_mix_temperature" ->
+      """WITH src AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+         ), w1 AS (
+           SELECT source, n_docs, n_docs * 1.0 / sum(n_docs) OVER () AS p
+           FROM src
+         ), w2 AS (
+           SELECT source, n_docs, p,
+                  pow(p, 0.5) / sum(pow(p, 0.5)) OVER () AS q
+           FROM w1
+         )
+         SELECT source, n_docs, round(p, 4) AS p, round(q, 4) AS q,
+                round(q / p, 4) AS boost
+         FROM w2 ORDER BY source""",
     "pipe_dataset_mix" ->
       """SELECT doc_id, lang,
                 CAST(unnest(generate_series(1,

@@ -48,6 +48,24 @@ object Pairwise {
     }
   }
 
+  /** Token-set Jaccard twin of [[cosineAuto]]: raw score in [0,1],
+    * caller-side rounding/thresholding as in the dedup suite. */
+  def jaccardAuto(df: DataFrame, minJaccard: Double): DataFrame = {
+    val threshold =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && bytes <= BigInt(threshold))
+      SelfPairwise(df, SelfPairwise.Jaccard, minJaccard - 1e-3,
+        triangular = true)
+    else {
+      val slice = if (threshold > 0) threshold else 10L << 20
+      val blocks = math.min(256, math.max(2, (bytes / BigInt(slice)).toInt))
+      GridPairwise(df, blocks,
+        (x, y) => graft.functions.ArrayExprs.sortedJaccard(x, y),
+        lit(minJaccard - 1e-3))
+    }
+  }
+
   /** Exposed for tests: the byte estimate the decision reads. */
   def estimatedBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -60,6 +60,26 @@ class GridPairwiseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Pairwise.jaccardAuto grid branch matches the broadcast operator") {
+    import graft.plans.Pairwise
+    val th = Tables.documents(spark, SfDir)
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t))).as("th"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val grid = Pairwise.jaccardAuto(th, 0.9)
+        .select(col("src"), col("dst"), round(col("score"), 4).as("j"))
+        .filter(col("j") >= 0.9)
+      val bcast = SelfPairwise(th, SelfPairwise.Jaccard, 0.899, triangular = true)
+        .select(col("src"), col("dst"), round(col("score"), 4).as("j"))
+        .filter(col("j") >= 0.9)
+      assert(grid.exceptAll(bcast).count() === 0)
+      assert(bcast.exceptAll(grid).count() === 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("plans a shuffled join on the grid key — no broadcast, no cartesian") {
     val plan = GridPairwise(embeddings, 8,
       (x, y) => ArrayExprs.cosine(x, y), lit(0.0))
