@@ -106,6 +106,19 @@ object WindowOps {
         .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
     }),
 
+    // Exact median as a window aggregate (full-partition frame): each
+    // order carries its customer's median price — the sort-based exact
+    // percentile, not the approximate sketch, running once per partition
+    // over the same single shuffle as the other windows.
+    "win_median" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .withColumn("median_price", round(median(col("o_totalprice")).over(w), 4))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "median_price")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // 1-hour trailing average event value per user: range frame over
     // floored epoch seconds (inclusive [t-3600, t], peers included).
     "win_range_frame" -> ((s, dir) => {
@@ -174,6 +187,11 @@ object WindowOps {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_custkey, o_orderkey""",
+    "win_median" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                round(median(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+                  AS median_price
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "win_range_frame" ->
       """SELECT event_id, user_id, es,
                 round(avg(value) OVER (
