@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 batch SINK (`df.write.format("graft-mem").option("name", t)`)
+  * — the write half of the connector contract [[DocsSource]] demonstrates
+  * for reads, with the full two-phase commit protocol:
+  *
+  *  - each task's [[DataWriter]] buffers ITS OWN rows and surrenders them
+  *    only inside its `commit()` message — an aborted/speculated task's
+  *    buffer is discarded by `abort()` and never reaches the table, which
+  *    is exactly how DSv2 achieves task-level atomicity;
+  *  - the driver-side [[BatchWrite.commit]] installs all task messages
+  *    atomically (append or truncate-then-install for overwrite mode),
+  *    so readers never observe a half-written table;
+  *  - `SupportsTruncate` maps `mode("overwrite")` onto the builder.
+  *
+  * The backing store is an in-JVM registry keyed by table name — the
+  * right scale model for TESTS of the protocol (local[n] executors share
+  * the JVM); a production connector swaps the registry for its remote
+  * store and the protocol code is unchanged. SourceSpec drives append,
+  * overwrite, and read-back.
+  */
+class MemSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mem"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MemSink.tables.get(MemSink.nameOf(options))
+      .map(_._1).getOrElse(new StructType())
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new MemTable(properties.getOrDefault("name", "default"), schema)
+}
+
+object MemSink {
+  /** table name -> (schema, committed rows). Rows are stored as plain
+    * Seq[Any] copies so they're independent of Spark's reused buffers. */
+  val tables: TrieMap[String, (StructType, Vector[Seq[Any]])] = TrieMap.empty
+
+  def nameOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("name")).getOrElse("default")
+
+  def rows(name: String): Vector[Seq[Any]] =
+    tables.get(name).map(_._2).getOrElse(Vector.empty)
+}
+
+class MemTable(name: String, writeSchema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft_mem($name)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MemWriteBuilder(name, info.schema(), truncate = false)
+}
+
+class MemWriteBuilder(name: String, schema: StructType, truncate: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new MemWriteBuilder(name, schema, truncate = true)
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new MemBatchWrite(name, schema, truncate)
+  }
+}
+
+/** One task's committed rows, shipped to the driver commit. */
+case class MemCommit(rows: Vector[Seq[Any]]) extends WriterCommitMessage
+
+class MemBatchWrite(name: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val s = schema
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+        new DataWriter[InternalRow] {
+          private var buf = Vector.empty[Seq[Any]]
+          override def write(record: InternalRow): Unit =
+            // copy out of Spark's reused row buffer immediately
+            buf = buf :+ record.toSeq(s).map {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case other => other
+            }
+          override def commit(): WriterCommitMessage = MemCommit(buf)
+          override def abort(): Unit = buf = Vector.empty
+          override def close(): Unit = ()
+        }
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val incoming = messages.toVector.flatMap {
+      case MemCommit(rows) => rows
+      case other => throw new IllegalStateException(s"unexpected commit $other")
+    }
+    // driver-side atomic install: overwrite replaces, append extends
+    MemSink.tables.updateWith(name) {
+      case Some((sch, existing)) if !truncate => Some((sch, existing ++ incoming))
+      case _ => Some((schema, incoming))
+    }
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}

@@ -64,4 +64,26 @@ class SourceSpec extends SparkSpec {
     assert(df.filter(length(col("text")) =!= col("n_chars")).count() === 0)
     assert(df.filter(!col("lang").isin("en", "es", "fr", "de")).count() === 0)
   }
+
+  test("graft-mem sink: two-phase commit appends, overwrite truncates, rows read back") {
+    import graft.sources.MemSink
+    import spark.implicits._
+    val name = "sink_spec_t1"
+    MemSink.tables.remove(name)
+    val df1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(3) // several tasks -> several commit messages
+    df1.write.format("graft-mem").option("name", name).mode("append").save()
+    assert(MemSink.rows(name).map(r => (r(0), r(1))).toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // append mode extends the committed set
+    Seq((4L, "d")).toDF("id", "v").write.format("graft-mem")
+      .option("name", name).mode("append").save()
+    assert(MemSink.rows(name).length === 4)
+    // overwrite truncates atomically at driver commit
+    Seq((9L, "z")).toDF("id", "v").write.format("graft-mem")
+      .option("name", name).mode("overwrite").save()
+    assert(MemSink.rows(name).map(r => (r(0), r(1))) === Vector((9L, "z")))
+    MemSink.tables.remove(name)
+    ()
+  }
 }
