@@ -328,6 +328,29 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Boilerplate (paragraph-level) dedup: cut every document into
+    // non-overlapping 10-token segments and report segments appearing in
+    // MORE THAN ONE document — the C4/RefinedWeb "repeated line" scrub
+    // that removes navigation chrome and license headers which
+    // whole-document dedup can't see. One generator explode + one
+    // hash-shuffle on the segment key; at 100 TB the segment id would be
+    // its 128-bit digest and the group-by shape is unchanged.
+    "dedup_paragraph" -> ((s, dir) => {
+      val seg = 10
+      val t = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(t) - 1) / lit(seg)).cast("int")),
+            i => concat_ws(" ", slice(t, i * seg + 1, lit(seg)))))
+            .as(Seq("seg_idx", "segment")))
+        .groupBy("segment")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("segment")
+    }),
+
     // Containment dedup: doc pairs whose SMALLER token set is entirely
     // inside the larger one (overlap coefficient |A∩B| / min(|A|,|B|)
     // = 1) — the scrub that catches a snippet embedded in a longer page,
@@ -392,10 +415,11 @@ object DedupOps {
       // final min-doc labeling directly.
       val uniq = c.uniq()
       val nodes = c.gidMap.select(col("gid"))
-      // the contracted edge list is tiny relative to the corpus — coalesce
-      // before persisting so each propagation round schedules a handful of
-      // tasks, not one per upstream partition (at a scale where it isn't
-      // tiny, drop the coalesce; the rounds become ordinary shuffle joins)
+      // No coalesce here: with no exchange between SelfPairwise and the
+      // persist, a coalesce(8) propagates UP the plan and runs the
+      // quadratic pair scan itself on 8 tasks (measured 7.6 s vs 2 s at
+      // sf0.1). localCC narrows to one task from the CACHED edge blocks,
+      // which is free; the iterative path reads the cache per round.
       val edges = graft.plans.SelfPairwise(uniq,
         graft.plans.SelfPairwise.Jaccard, JaccardThreshold - 1e-3, triangular = true)
         .select(col("src"), col("dst"), round(col("score"), 4).as("jaccard"))
@@ -405,7 +429,6 @@ object DedupOps {
           struct(col("dst").as("a"), col("src").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .union(nodes.select(col("gid").as("a"), col("gid").as("b")))
-        .coalesce(8)
         .persist()
       // The contracted graph is solved by [[localCC]] (one union-find
       // task) when it is small — the measured common case: contraction
@@ -434,6 +457,18 @@ object DedupOps {
                         len(list_distinct(string_split(a.text,' ') || string_split(b.text,' '))), 4) AS jaccard
            FROM documents a, documents b WHERE a.doc_id < b.doc_id
          ) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+    "dedup_paragraph" ->
+      """SELECT segment, count(DISTINCT doc_id) AS n_docs,
+                min(doc_id) AS first_doc
+         FROM (
+           SELECT doc_id,
+                  unnest(list_transform(
+                    generate_series(0, (len(toks) - 1) // 10),
+                    i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS segment
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         )
+         GROUP BY segment HAVING count(DISTINCT doc_id) > 1
+         ORDER BY segment""",
     "dedup_contain" ->
       """SELECT * FROM (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
