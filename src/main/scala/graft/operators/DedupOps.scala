@@ -328,6 +328,23 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Soft dedup: instead of DROPPING duplicates, weight each doc by
+    // 1/|exact-content cluster| so a page mirrored 1000× contributes one
+    // doc's worth of gradient mass — the sampling-weight alternative to
+    // hard dedup. Cluster sizes aggregate on the 128-bit content digest
+    // (the payload never rides the shuffle) and join back on the same
+    // digest — agg and join share one exchange, so the whole query is a
+    // single hash shuffle at any corpus size.
+    "dedup_soft" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val sizes = d.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+      d.join(sizes, "fp")
+        .select(col("doc_id"), col("n_copies"),
+          round(lit(1.0) / col("n_copies"), 4).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate (paragraph-level) dedup: cut every document into
     // non-overlapping 10-token segments and report segments appearing in
     // MORE THAN ONE document — the C4/RefinedWeb "repeated line" scrub
@@ -457,6 +474,12 @@ object DedupOps {
                         len(list_distinct(string_split(a.text,' ') || string_split(b.text,' '))), 4) AS jaccard
            FROM documents a, documents b WHERE a.doc_id < b.doc_id
          ) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
+    "dedup_soft" ->
+      """SELECT doc_id, n_copies, round(1.0 / n_copies, 4) AS weight
+         FROM (
+           SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n_copies
+           FROM documents
+         ) ORDER BY doc_id""",
     "dedup_paragraph" ->
       """SELECT segment, count(DISTINCT doc_id) AS n_docs,
                 min(doc_id) AS first_doc

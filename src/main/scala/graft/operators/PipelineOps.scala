@@ -90,6 +90,25 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split: bucket = the first two hex
+    // digits of md5(doc_id) as an integer mod 100 — 80/10/10. The split
+    // is a pure function of the row (stable under retries, repartitioning,
+    // and incremental appends — a doc NEVER migrates between splits when
+    // the corpus grows, which row_number()-based splits can't promise).
+    // One codegen'd scan, no shuffle before the final order.
+    "pipe_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 100
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    }),
+
     // PII scrub: mask digit runs and @-handles, count the redactions —
     // the pre-training hygiene pass. Pure per-row regex map, no shuffle.
     "pipe_pii_scrub" -> ((s, dir) =>
@@ -298,6 +317,16 @@ object PipelineOps {
          )
          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) = 1
          ORDER BY doc_id""",
+    "pipe_split" ->
+      """SELECT doc_id, source,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id, source,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 100 AS bucket
+           FROM documents
+         ) ORDER BY doc_id""",
     "pipe_pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),

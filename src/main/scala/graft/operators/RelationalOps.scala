@@ -88,6 +88,27 @@ object RelationalOps {
       a.except(b).orderBy("c_custkey")
     }),
 
+    // INTERSECT ALL / EXCEPT ALL (bag semantics — multiplicities carry:
+    // min(m_a, m_b) and max(0, m_a − m_b) copies respectively). Same
+    // single hash shuffle as the set forms; Spark plans both as an
+    // aggregate that counts per side, never a join explosion. Customers
+    // place many orders, so o_custkey is a genuine multiset on each side.
+    "set_intersect_all" -> ((s, dir) => {
+      val a = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val b = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+        .select("o_custkey")
+      a.intersectAll(b).orderBy("o_custkey")
+    }),
+
+    "set_except_all" -> ((s, dir) => {
+      val a = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val b = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+        .select("o_custkey")
+      a.exceptAll(b).orderBy("o_custkey")
+    }),
+
     // Deterministic ~12.5% sample: keep rows whose md5(key) starts with
     // '0' or '1' (2 of 16 hex values). Unlike TABLESAMPLE/rand(), the
     // sample is a pure function of the key — identical across engines,
@@ -322,6 +343,16 @@ object RelationalOps {
          EXCEPT
          SELECT c_custkey FROM customer WHERE c_acctbal > 5000
          ORDER BY c_custkey""",
+    "set_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         ORDER BY o_custkey""",
+    "set_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         ORDER BY o_custkey""",
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')

@@ -33,6 +33,25 @@ object StreamingOps {
           col("n_events"), col("sum_value"))
         .orderBy("wstart", "event_type")),
 
+    // Windowed top-k leaderboard: the top-2 event types per 15-minute
+    // tumbling window by count (ties to the lexicographically first type)
+    // — the "trending now" query every event pipeline serves. Two
+    // exchanges, but only the first sees event-scale data: the rank
+    // re-shuffles the AGGREGATED rows (windows × event types — bounded by
+    // time × vocabulary, not by corpus size), so the plan's cost is one
+    // partial+final count shuffle no matter how many events arrive.
+    "stream_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("wstart")
+        .orderBy(col("n_events").desc, col("event_type"))
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("n_events"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .orderBy("wstart", "rank")
+    }),
+
     // 10-minute windows sliding every 5 minutes (each event lands in 2).
     "stream_sliding" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -132,6 +151,18 @@ object StreamingOps {
                 CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events GROUP BY wstart, event_type
          ORDER BY wstart, event_type""",
+    "stream_topk" ->
+      """SELECT wstart, event_type, n_events, rank FROM (
+           SELECT wstart, event_type, n_events,
+                  CAST(row_number() OVER (
+                    PARTITION BY wstart
+                    ORDER BY n_events DESC, event_type) AS INT) AS rank
+           FROM (
+             SELECT time_bucket(INTERVAL 15 MINUTES, CAST(ts AS TIMESTAMP)) AS wstart,
+                    event_type, count(*) AS n_events
+             FROM events GROUP BY wstart, event_type
+           )
+         ) WHERE rank <= 2 ORDER BY wstart, rank""",
     "stream_sliding" ->
       """SELECT wstart, event_type, count(*) AS n_events,
                 CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value

@@ -209,6 +209,52 @@ object TextOps {
         .limit(100)
     }),
 
+    // Repetition quality filter (the Gopher "repetition" gates): per doc,
+    // the duplicate-token and duplicate-bigram fractions — boilerplate and
+    // degenerate generations repeat n-grams far above natural prose.
+    // Everything computes inside one codegen'd projection over the token
+    // array (no explode, no shuffle except the final order): at 100 TB
+    // this is a pure map over the scan.
+    "text_repetition" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val bg = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(t).as("n_tokens"),
+          size(array_distinct(t)).as("d_tokens"),
+          size(bg).as("n_bigrams"), size(array_distinct(bg)).as("d_bigrams"))
+        .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+          round(lit(1.0) - col("d_tokens").cast("double") /
+            nullif(col("n_tokens"), lit(0)), 4).as("dup_token_frac"),
+          round(lit(1.0) - col("d_bigrams").cast("double") /
+            nullif(col("n_bigrams"), lit(0)), 4).as("dup_bigram_frac"))
+        .withColumn("flag",
+          when(col("dup_bigram_frac") > 0.2, "repetitive").otherwise("ok"))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram-LM quality score (the perplexity-proxy filter): corpus
+    // unigram probabilities from one tokenize pass, then per-doc
+    // cross-entropy H = Σ tf·(−ln p) / Σ tf. Low-H docs are stopword soup,
+    // high-H docs are noise — the mid-band survives. The frequency table
+    // is vocabulary-sized and broadcasts back; the per-doc aggregation
+    // shuffles (doc_id, token) partials only, so the plan is two linear
+    // scans + one bounded shuffle at any corpus size.
+    "text_unigram_ppl" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+        .persist()
+      val freq = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      tf.join(broadcast(freq), "token")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(sum(col("tf") * -log(col("cnt") / col("total"))) /
+          sum(col("tf")), 4).as("cross_entropy"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 ranked retrieval (k1=1.2, b=0.75, Lucene-style idf with the
     // +1 smoothing) over the search terms — the relevance ranking `$text`
     // search implies but the reference never surfaces (no score projected,
@@ -282,6 +328,36 @@ object TextOps {
          FROM tf JOIN df USING (token) CROSS JOIN stats JOIN lens USING (doc_id)
          GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id""",
+    "text_repetition" ->
+      """SELECT doc_id, n_tokens, n_bigrams,
+                round(1.0 - CAST(d_tokens AS DOUBLE) / nullif(n_tokens, 0), 4) AS dup_token_frac,
+                round(1.0 - CAST(d_bigrams AS DOUBLE) / nullif(n_bigrams, 0), 4) AS dup_bigram_frac,
+                CASE WHEN round(1.0 - CAST(d_bigrams AS DOUBLE) / nullif(n_bigrams, 0), 4) > 0.2
+                     THEN 'repetitive' ELSE 'ok' END AS flag
+         FROM (
+           SELECT doc_id,
+                  CAST(len(toks) AS INT) AS n_tokens,
+                  CAST(len(list_distinct(toks)) AS INT) AS d_tokens,
+                  CAST(len(bgs) AS INT) AS n_bigrams,
+                  CAST(len(list_distinct(bgs)) AS INT) AS d_bigrams
+           FROM (
+             SELECT doc_id, toks,
+                    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           )
+         ) ORDER BY doc_id""",
+    "text_unigram_ppl" ->
+      """WITH tf AS (
+           SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token
+         ), freq AS (
+           SELECT token, sum(tf) AS cnt FROM tf GROUP BY token
+         ), tot AS (SELECT sum(cnt) AS total FROM freq)
+         SELECT doc_id,
+                round(sum(tf * -ln(cnt / total)) / sum(tf), 4) AS cross_entropy
+         FROM tf JOIN freq USING (token) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_tokens" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
