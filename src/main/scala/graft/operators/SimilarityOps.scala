@@ -36,6 +36,11 @@ object SimilarityOps {
   val LshPlanes = 8
   val EmbedDim  = 64
 
+  /** Product quantization: M subspaces × K centroids, sub-dim = dim/M. */
+  val PqM   = 4
+  val PqK   = 16
+  val PqSub = EmbedDim / PqM
+
   /** All ordered pairs (src != dst) with their similitud, pre-threshold —
     * planned by the custom [[graft.plans.SelfPairwise]] operator (fused
     * broadcast loop; the BNLJ formulation materialized a candidate row per
@@ -235,6 +240,80 @@ object SimilarityOps {
         .crossJoin(broadcast(q))
         .select(col("vec_id"), Vectors.similitud(col("embedding"), col("qv")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Product-quantization ANN (the memory-scale path: at 100 TB the raw
+    // vectors don't fit the cluster's RAM, but M-byte PQ codes do — 64
+    // float dims compress to M=4 code bytes, 64×). Train: per-subspace
+    // K=16 codebooks by 2 Lloyd iterations, the k-means loop UNROLLED into
+    // one declarative plan (the `graph_pagerank` trick): seeds are an
+    // md5-ordered deterministic sample, assignment is an
+    // `array_min(struct(dist, cid))` argmin over the BROADCAST codebook —
+    // a pure codegen'd map, no shuffle — and only the centroid-mean
+    // recompute shuffles (posexplode + groupBy, linear in n·dim).
+    // Encode: each vector → M code bytes via the same argmin. Probe (ADC,
+    // asymmetric distance computation): one 64-entry (m, cid) → distance
+    // table from the query's raw subvectors, broadcast into the code
+    // table; approx dist = Σ_m table[m, code_m] — the scan touches CODES
+    // only, never raw vectors. The top-50 by ADC re-rank by exact L2
+    // (fetch-then-rerank, the standard PQ serving shape). No DuckDB
+    // oracle (fp-mean argmins are not SQL-stable); recall vs the exact
+    // L2 top-10 is pinned in SimilaritySpec.
+    "ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // (vec_id, m, sub): M subvectors of EmbedDim/M dims each; feeds the
+      // two training assignments + the encode pass
+      val subs = e.select(col("vec_id"), posexplode(
+          transform(sequence(lit(0), lit(PqM - 1)),
+            m => slice(col("embedding"), m * PqSub + 1, lit(PqSub)))).as(Seq("m", "sub")))
+        .persist()
+      // codebook as one array row per subspace → the argmin is in-row
+      def pack(c: DataFrame): DataFrame =
+        c.groupBy("m").agg(collect_list(struct(col("cid"), col("cvec"))).as("carr"))
+      // argmin centroid per (vec, m): struct ordering compares dist first,
+      // cid second — deterministic tiebreak without a window
+      def assign(cb: DataFrame): DataFrame =
+        subs.join(broadcast(cb), "m")
+          .select(col("vec_id"), col("m"), col("sub"),
+            array_min(transform(col("carr"), c =>
+              struct(Vectors.l2sq(col("sub"), c.getField("cvec")).as("d"),
+                c.getField("cid").as("cid")))).getField("cid").as("cid"))
+      val wSeed = org.apache.spark.sql.expressions.Window.partitionBy("m")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      // each iteration's codebook is eagerly localCheckpoint'ed (M rows):
+      // downstream consumers (next iteration, encode, ADC table) would
+      // otherwise each re-run the whole training chain lazily, and the
+      // nested plan tree doubles per iteration (the iterativeCC lesson)
+      var codebook = pack(subs
+        .withColumn("rn", row_number().over(wSeed))
+        .filter(col("rn") <= PqK)
+        .select(col("m"), (col("rn") - 1).cast("int").as("cid"), col("sub").as("cvec")))
+        .localCheckpoint()
+      for (_ <- 1 to 2)
+        codebook = pack(assign(codebook)
+          .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
+          .groupBy("m", "cid", "pos").agg(avg(col("v")).as("mv"))
+          .groupBy("m", "cid")
+          .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
+          .select(col("m"), col("cid"),
+            transform(col("pv"), p => p.getField("mv").cast("float")).as("cvec")))
+          .localCheckpoint()
+      val codes = assign(codebook).select("vec_id", "m", "cid")
+      // ADC distance table: query subvector × every centroid, 64 rows
+      val qsubs = subs.filter(col("vec_id") === 42).select(col("m"), col("sub").as("qsub"))
+      val dtab = codebook.join(broadcast(qsubs), "m")
+        .select(col("m"), posexplode(col("carr")).as(Seq("_i", "c")), col("qsub"))
+        .select(col("m"), col("c.cid").as("cid"),
+          Vectors.l2sq(col("c.cvec"), col("qsub")).as("dq"))
+      val cand = codes.join(broadcast(dtab), Seq("m", "cid"))
+        .groupBy("vec_id").agg(sum(col("dq")).as("adist"))
+        .filter(col("vec_id") =!= 42)
+        .orderBy(col("adist"), col("vec_id")).limit(50)
+      val q = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+      cand.join(e, "vec_id").crossJoin(broadcast(q))
+        .select(col("vec_id"), round(Vectors.l2sq(col("embedding"), col("qv")), 4).as("l2sq"))
+        .orderBy(col("l2sq"), col("vec_id"))
         .limit(10)
     })
   )

@@ -58,6 +58,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size === 10)
   }
 
+  test("ann_pq (M=4, K=16, ADC + exact re-rank) recalls the exact-L2 top-10") {
+    import graft.functions.Vectors
+    import graft.Tables
+    val e = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
+    val qv = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+    val exact = e.filter(col("vec_id") =!= 42).crossJoin(broadcast(qv))
+      .select(col("vec_id"), Vectors.l2sq(col("embedding"), col("qv")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = q("ann_pq").collect()
+    assert(pq.length === 10)
+    // re-ranked output is ordered by exact L2 asc
+    val ds = pq.map(_.getAs[Double]("l2sq"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "ranked asc")
+    val recall = pq.map(_.getLong(0)).toSet.intersect(exact).size
+    // 4-byte codes over 64 dims is a 64× compression; with a 50-candidate
+    // ADC cut and exact re-rank the true top-10 must mostly survive
+    assert(recall >= 6, s"PQ recalled only $recall/10 of the exact-L2 top-10")
+  }
+
   test("ann_lsh (8-bit multi-probe) returns 10 ranked true-cosine results") {
     val brute = q("ann_brute").collect()
     val lsh = q("ann_lsh").collect()
