@@ -74,6 +74,12 @@ def main():
         for c in got.columns:
             gv, ev = got[c].tolist(), exp[c].tolist()
             for i, (g, e) in enumerate(zip(gv, ev)):
+                # array-valued cells (numpy arrays from parquet lists) break
+                # scalar `!=`; normalize to python lists first
+                if hasattr(g, "tolist"):
+                    g = g.tolist()
+                if hasattr(e, "tolist"):
+                    e = e.tolist()
                 if g != e and not (g is None and e is None) \
                         and not (isinstance(g, float) and isinstance(e, float)
                                  and g != g and e != e) \

@@ -294,6 +294,50 @@ object PipelineOps {
           col("p_ts") >= col("first_click") &&
           col("p_ts") <= col("first_click") + expr("INTERVAL 1 HOUR")).as("converted"))
         .orderBy("user_id")
+    }),
+
+    // Token → vocabulary-id mapping (the tokenizer-prep step before
+    // packing): vocabulary ids assigned by frequency rank (count desc,
+    // token asc — the byte-pair-encoding convention of "most frequent =
+    // smallest id"), each doc re-emitted as its id sequence. The id
+    // assignment is a window over the VOCABULARY (one row per distinct
+    // token — bounded by language, not corpus; a single-partition sort of
+    // vocab size is fine even when the corpus is 100 TB), and the doc
+    // re-encode is one explode + broadcast vocab join + one groupBy back
+    // to (doc, ordered id array).
+    "pipe_vocab" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .withColumn("id", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+        .select("token", "id")
+      toks.join(broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("pi"))
+        // serialized as a space-joined string: the declared-query contract
+        // keeps output columns scalar (the hash compare is defined on
+        // scalars; an ARRAY column would be the only one in the surface)
+        .select(col("doc_id"), size(col("pi")).as("n_tokens"),
+          concat_ws(" ", transform(col("pi"),
+            p => p.getField("id").cast("string"))).as("ids"))
+        .orderBy("doc_id")
+    }),
+
+    // Cohort retention matrix: users bucketed by first-seen day, the
+    // classic "how many of day-D's new users were active k days later".
+    // Two aggregations — first-seen per user (one shuffle on user_id,
+    // reused by the join since the activity scan shuffles on the same
+    // key), then distinct users per (cohort, offset). The matrix itself
+    // is days × days — bounded by the calendar, never by event volume.
+    "pipe_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firsts = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      ev.join(firsts, "user_id")
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "day_offset")
     })
   )
 
@@ -317,6 +361,33 @@ object PipelineOps {
          )
          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) = 1
          ORDER BY doc_id""",
+    "pipe_vocab" ->
+      """WITH toks AS (
+           SELECT doc_id, pos, token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                    unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+             FROM documents
+           )
+         ), vocab AS (
+           SELECT token,
+                  row_number() OVER (ORDER BY count(*) DESC, token) AS id
+           FROM toks GROUP BY token
+         )
+         SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                array_to_string(list(id ORDER BY pos), ' ') AS ids
+         FROM toks JOIN vocab USING (token)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "pipe_retention" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events
+         ), firsts AS (
+           SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id
+         )
+         SELECT cohort, CAST(day - cohort AS INT) AS day_offset,
+                count(DISTINCT user_id) AS n_users
+         FROM ev JOIN firsts USING (user_id)
+         GROUP BY cohort, day_offset
+         ORDER BY cohort, day_offset""",
     "pipe_split" ->
       """SELECT doc_id, source,
                 CASE WHEN bucket < 80 THEN 'train'
