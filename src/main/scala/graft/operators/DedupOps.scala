@@ -451,9 +451,13 @@ object DedupOps {
       // task) when it is small — the measured common case: contraction
       // leaves one node per unique set — and by the iterative relational
       // loop below beyond [[LocalCCMaxEdges]].
+      // The labels are localCheckpoint'ed EAGERLY before the unpersist:
+      // cache substitution happens at each action's planning, so a lazy
+      // labels plan executed after unpersist would re-derive the whole
+      // pair scan uncached — inside localCC's coalesce(1), serially.
       val labels =
-        if (edges.count() <= LocalCCMaxEdges) localCC(edges)
-        else iterativeCC(edges, nodes)
+        (if (edges.count() <= LocalCCMaxEdges) localCC(edges)
+         else iterativeCC(edges, nodes)).localCheckpoint()
       edges.unpersist()
       c.docMap
         .select(col("doc_id"), col("gid").as("id"))

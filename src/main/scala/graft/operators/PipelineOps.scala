@@ -90,14 +90,17 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
-    // Deterministic train/val/test split: bucket = the first two hex
-    // digits of md5(doc_id) as an integer mod 100 — 80/10/10. The split
-    // is a pure function of the row (stable under retries, repartitioning,
-    // and incremental appends — a doc NEVER migrates between splits when
-    // the corpus grows, which row_number()-based splits can't promise).
-    // One codegen'd scan, no shuffle before the final order.
+    // Deterministic train/val/test split: bucket = the first FOUR hex
+    // digits of md5(doc_id) as an integer mod 100 — 80/10/10. Four digits
+    // matter: two (0..255) mod 100 is modulo-biased to ~84.4/7.8/7.8
+    // (residues 0..55 occur three times, 56..99 twice); 65536 % 100 = 36
+    // leaves the bias under 0.06%. The split is a pure function of the
+    // row (stable under retries, repartitioning, and incremental appends
+    // — a doc NEVER migrates between splits when the corpus grows, which
+    // row_number()-based splits can't promise). One codegen'd scan, no
+    // shuffle before the final order.
     "pipe_split" -> ((s, dir) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("int") % 100
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), bucket.as("bucket"))
@@ -306,6 +309,14 @@ object PipelineOps {
     // re-encode is one explode + broadcast vocab join + one groupBy back
     // to (doc, ordered id array).
     "pipe_vocab" -> ((s, dir) => {
+      // toks feeds both the vocab aggregation and the re-encode probe, so
+      // the tokenize+explode runs twice (the probe side of a broadcast
+      // join has no exchange for ReuseExchange to dedupe). DELIBERATE:
+      // the alternative — persisting the corpus-sized exploded token
+      // table — costs more to materialize than the second linear scan
+      // saves (measured 0.45→0.69 s at sf0.1), and at 100 TB an
+      // n×tokens-row cache doesn't fit memory at all; re-deriving from
+      // the columnar scan is the scale-correct trade.
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -395,7 +406,7 @@ object PipelineOps {
                      ELSE 'test' END AS split
          FROM (
            SELECT doc_id, source,
-                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 100 AS bucket
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
            FROM documents
          ) ORDER BY doc_id""",
     "pipe_pii_scrub" ->

@@ -142,9 +142,12 @@ object ProvidenciasOps {
         .union(nodes.select(col("gid").as("a"), col("gid").as("b")))
         .coalesce(8)
         .persist()
+      // eager checkpoint before the unpersist — a lazy labels plan
+      // executed afterwards would re-run the pairwise scan uncached in
+      // localCC's single task (see the dedup_clusters note)
       val labels =
-        if (edges.count() <= DedupOps.LocalCCMaxEdges) DedupOps.localCC(edges)
-        else DedupOps.iterativeCC(edges, nodes)
+        (if (edges.count() <= DedupOps.LocalCCMaxEdges) DedupOps.localCC(edges)
+         else DedupOps.iterativeCC(edges, nodes)).localCheckpoint()
       edges.unpersist()
       labels.select(col("id").as("node_id"), col("lbl").as("component_id"))
         .orderBy("node_id")

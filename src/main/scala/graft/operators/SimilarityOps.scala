@@ -263,7 +263,11 @@ object SimilarityOps {
     "ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       // (vec_id, m, sub): M subvectors of EmbedDim/M dims each; feeds the
-      // two training assignments + the encode pass
+      // two training assignments + the encode pass. Not unpersisted here —
+      // the returned plan executes after this builder returns, and an
+      // eager unpersist would force the encode to re-derive (the
+      // execute-after-unpersist trap); the harness clears the cache
+      // between queries (Verify/Bench clearCache).
       val subs = e.select(col("vec_id"), posexplode(
           transform(sequence(lit(0), lit(PqM - 1)),
             m => slice(col("embedding"), m * PqSub + 1, lit(PqSub)))).as(Seq("m", "sub")))
