@@ -94,11 +94,18 @@ case class FloatCosine(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Unequal lengths → NULL: cosine of different-dimension vectors is
+  // undefined, and this matches the declarative HOF form exactly —
+  // zip_with pads the shorter array with nulls, which null-propagates
+  // through the dot product. (An earlier min-length truncation silently
+  // DISAGREED with the HOF form and with per-row precomputed norms in
+  // SelfPairwiseExec.)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lf = isFloat(left); val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -124,15 +131,17 @@ case class FloatCosine(left: Expression, right: Expression)
       val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  final double $xi = $getX;
-        |  final double $yi = $getY;
-        |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        |final int $n = $a.numElements();
+        |if ($b.numElements() != $n) { ${ev.isNull} = true; } else {
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $xi = $getX;
+        |    final double $yi = $getY;
+        |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        |  }
+        |  final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        |  if ($den == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $den; }
         |}
-        |final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-        |if ($den == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $den; }
       """.stripMargin
     })
 

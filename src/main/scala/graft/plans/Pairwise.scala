@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{lit, round}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Stats-driven front door for pairwise similarity: picks the broadcast
   * operator ([[SelfPairwise]]) or the grid-distributed plan
@@ -19,52 +19,65 @@ import org.apache.spark.sql.functions.{lit, round}
   */
 object Pairwise {
 
-  /** Cosine pairs (src < dst, score scaled ×100 and rounded like
-    * `sim_edges`) with `similitud >= minSimilitud`, planned by broadcast
-    * or grid according to the session's autoBroadcastJoinThreshold. */
-  def cosineAuto(df: DataFrame, minSimilitud: Double): DataFrame = {
+  /** The broadcast-vs-grid decision both entry points share: None →
+    * broadcast ([[SelfPairwise]]); Some(blocks) → grid with that block
+    * count. The block arithmetic stays in BigInt space until after the
+    * cap: stats-less inputs carry Catalyst's defaultSizeInBytes
+    * (Long.MaxValue), whose block count overflows Int and a bare
+    * `.toInt` would wrap NEGATIVE — clamping the hugest inputs to the
+    * 2-block minimum, the exact opposite of what they need. */
+  private def gridBlocks(df: DataFrame): Option[Int] = {
     val threshold =
       org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // threshold <= 0 is Spark's "never broadcast" setting → grid path
-    if (threshold > 0 && bytes <= BigInt(threshold))
-      SelfPairwise(df, SelfPairwise.Cosine, (minSimilitud - 0.01) / 100.0,
-        triangular = true)
-        .select(org.apache.spark.sql.functions.col("src"),
-          org.apache.spark.sql.functions.col("dst"),
-          round(org.apache.spark.sql.functions.col("score") * 100, 4)
-            .as("similitud"))
-        .filter(org.apache.spark.sql.functions.col("similitud") >= minSimilitud)
+    if (threshold > 0 && bytes <= BigInt(threshold)) None
     else {
       // one block per threshold-sized slice (10 MB default slice when
       // broadcasting is disabled outright), at least 2 so the plan is
       // genuinely distributed, capped so replication stays sane
       val slice = if (threshold > 0) threshold else 10L << 20
-      val blocks = math.min(256, math.max(2, (bytes / BigInt(slice)).toInt))
-      GridPairwise(df, blocks,
-        (x, y) => round(graft.functions.ArrayExprs.cosine(x, y) * 100, 4),
-        lit(minSimilitud))
-        .withColumnRenamed("score", "similitud")
+      Some((bytes / BigInt(slice)).max(2).min(256).toInt)
     }
   }
 
+  /** (id, vec) projection of the first two columns — the only ones the
+    * pairwise operators read. SelfPairwiseNode deliberately blocks
+    * ColumnPruning (it reads positionally), so without this a wide
+    * caller frame would be collected and broadcast whole. */
+  private def slim(df: DataFrame): DataFrame =
+    df.select(df.columns.take(2).map(col): _*)
+
+  /** Cosine pairs (src < dst, score scaled ×100 and rounded like
+    * `sim_edges`) with `similitud >= minSimilitud`, planned by broadcast
+    * or grid according to the session's autoBroadcastJoinThreshold. */
+  def cosineAuto(df: DataFrame, minSimilitud: Double): DataFrame =
+    gridBlocks(df) match {
+      case None =>
+        SelfPairwise(slim(df), SelfPairwise.Cosine, (minSimilitud - 0.01) / 100.0,
+          triangular = true)
+          .select(col("src"), col("dst"),
+            org.apache.spark.sql.functions.round(col("score") * 100, 4).as("similitud"))
+          .filter(col("similitud") >= minSimilitud)
+      case Some(blocks) =>
+        GridPairwise(slim(df), blocks,
+          (x, y) => graft.functions.Vectors.similitud(x, y),
+          lit(minSimilitud))
+          .withColumnRenamed("score", "similitud")
+    }
+
   /** Token-set Jaccard twin of [[cosineAuto]]: raw score in [0,1],
     * caller-side rounding/thresholding as in the dedup suite. */
-  def jaccardAuto(df: DataFrame, minJaccard: Double): DataFrame = {
-    val threshold =
-      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (threshold > 0 && bytes <= BigInt(threshold))
-      SelfPairwise(df, SelfPairwise.Jaccard, minJaccard - 1e-3,
-        triangular = true)
-    else {
-      val slice = if (threshold > 0) threshold else 10L << 20
-      val blocks = math.min(256, math.max(2, (bytes / BigInt(slice)).toInt))
-      GridPairwise(df, blocks,
-        (x, y) => graft.functions.ArrayExprs.sortedJaccard(x, y),
-        lit(minJaccard - 1e-3))
+  def jaccardAuto(df: DataFrame, minJaccard: Double): DataFrame =
+    gridBlocks(df) match {
+      case None =>
+        SelfPairwise(slim(df), SelfPairwise.Jaccard, minJaccard - 1e-3,
+          triangular = true)
+      case Some(blocks) =>
+        GridPairwise(slim(df), blocks,
+          (x, y) => graft.functions.ArrayExprs.sortedJaccard(x, y),
+          lit(minJaccard - 1e-3))
     }
-  }
 
   /** Exposed for tests: the byte estimate the decision reads. */
   def estimatedBytes(df: DataFrame): BigInt =

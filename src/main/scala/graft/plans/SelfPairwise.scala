@@ -131,8 +131,13 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
     val isCosine = score == SelfPairwise.Cosine
     val isHamming = score == SelfPairwise.Hamming
     val isOverlap = score == SelfPairwise.Overlap
-    // build side: same contract as BroadcastExchange — collect + broadcast
+    // build side: same contract as BroadcastExchange — collect + broadcast.
+    // NULL id/vec rows are dropped here and on the stream side: the
+    // declarative self-join form drops them via null-propagating
+    // comparisons, so the fused operator must too (a null array would
+    // otherwise NPE the build loop).
     val collected = child.executeCollect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
     val ids = new Array[Long](collected.length)
     val floatVecs = if (isCosine) new Array[Array[Float]](collected.length) else null
     // squared L2 norms, precomputed ONCE per build vector with the same
@@ -164,11 +169,21 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
     val k0 = topK
 
     // HALF_UP decimal(4) rounding of score*100 — the ordering key the
-    // sim_topk oracle ranks by (Spark's round() is BigDecimal HALF_UP;
-    // for cosine magnitudes the scaled floor form is equivalent)
+    // sim_topk oracle ranks by. Spark's round() on a double is
+    // BigDecimal.valueOf (shortest decimal repr) + setScale(4, HALF_UP);
+    // the fast scaled-floor form agrees except within ~1e-6 of a .5
+    // boundary, where the binary product can land on the other side of
+    // the shortest-repr decimal — those rare cases defer to the exact
+    // BigDecimal path so buffer eviction order always matches the engine.
     def round4x100(s: Double): Double = {
       val x = s * 100.0
-      if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4 else math.ceil(x * 1e4 - 0.5) / 1e4
+      val scaled = x * 1e4
+      val frac = scaled - math.floor(scaled)
+      if (math.abs(frac - 0.5) < 1e-6)
+        java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      else if (x >= 0) math.floor(scaled + 0.5) / 1e4
+      else math.ceil(scaled - 0.5) / 1e4
     }
 
     if (k0 > 0) {
@@ -180,7 +195,7 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
         val bN = if (bcN != null) bcN.value else null
         val bL = if (bcL != null) bcL.value else null
         val writer = new UnsafeRowWriter(3)
-        iter.flatMap { row =>
+        iter.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { row =>
           val src = row.getLong(0)
           val va: Array[Float] = if (bF != null) row.getArray(1).toFloatArray() else null
           val la: Array[Long] = if (bL != null) row.getArray(1).toLongArray() else null
@@ -202,12 +217,17 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
               var valid = true
               if (bF != null) {
                 val vb = bF(j)
-                val n = math.min(va.length, vb.length)
-                var dot = 0.0
-                var k = 0
-                while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-                val den = math.sqrt(na) * math.sqrt(bN(j))
-                if (den == 0.0) valid = false else s = dot / den
+                // unequal lengths → skipped, matching FloatCosine's NULL
+                // (the precomputed norms are full-length, so a truncated
+                // dot would silently disagree with the declarative form)
+                if (vb.length != va.length) valid = false
+                else {
+                  var dot = 0.0
+                  var k = 0
+                  while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+                  val den = math.sqrt(na) * math.sqrt(bN(j))
+                  if (den == 0.0) valid = false else s = dot / den
+                }
               } else if (isHamming) {
                 val lb = bL(j)
                 val n = math.min(la.length, lb.length)
@@ -267,7 +287,7 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
       val bN = if (bcN != null) bcN.value else null
       val bL = if (bcL != null) bcL.value else null
       val writer = new UnsafeRowWriter(3)
-      iter.flatMap { row =>
+      iter.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).flatMap { row =>
         val src = row.getLong(0)
         val va: Array[Float] = if (bF != null) row.getArray(1).toFloatArray() else null
         val la: Array[Long] = if (bL != null) row.getArray(1).toLongArray() else null
@@ -289,12 +309,15 @@ case class SelfPairwiseExec(child: SparkPlan, score: SelfPairwise.Score,
                 var valid = true
                 if (bF != null) {
                   val vb = bF(j)
-                  val n = math.min(va.length, vb.length)
-                  var dot = 0.0
-                  var k = 0
-                  while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-                  val den = math.sqrt(naStream) * math.sqrt(bN(j))
-                  if (den == 0.0) valid = false else s = dot / den
+                  // unequal lengths → skipped (see the top-k branch note)
+                  if (vb.length != va.length) valid = false
+                  else {
+                    var dot = 0.0
+                    var k = 0
+                    while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+                    val den = math.sqrt(naStream) * math.sqrt(bN(j))
+                    if (den == 0.0) valid = false else s = dot / den
+                  }
                 } else if (isHamming) {
                   val lb = bL(j)
                   val n = math.min(la.length, lb.length)

@@ -31,6 +31,33 @@ class SelfPairwiseSpec extends SparkSpec {
     assert(declarative.exceptAll(custom).count() === 0)
   }
 
+  test("NULL rows and unequal-length vectors drop exactly like the declarative form") {
+    import spark.implicits._
+    // id 1-2: normal 3-dim; id 3: NULL vec; id 4: 2-dim (ragged);
+    // id 5: NULL id; id 6: all-zero (zero norm)
+    val raw = Seq(
+      (Option(1L), Option(Seq(1.0f, 2.0f, 3.0f))),
+      (Option(2L), Option(Seq(2.0f, 4.0f, 6.0f))),
+      (Option(3L), Option.empty[Seq[Float]]),
+      (Option(4L), Option(Seq(1.0f, 2.0f))),
+      (Option.empty[Long], Option(Seq(9.0f, 9.0f, 9.0f))),
+      (Option(6L), Option(Seq(0.0f, 0.0f, 0.0f)))
+    ).toDF("id", "vec")
+    val custom = SelfPairwise(raw, SelfPairwise.Cosine, Double.MinValue, triangular = true)
+      .select(col("src"), col("dst"), round(col("score") * 100, 4).as("similitud"))
+    val a = raw.select(col("id").as("src"), col("vec").as("va"))
+    val b = raw.select(col("id").as("dst"), col("vec").as("vb"))
+    val declarative = a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        Vectors.similitud(col("va"), col("vb")).as("similitud"))
+      .filter(col("similitud").isNotNull)
+    assert(custom.exceptAll(declarative).count() === 0)
+    assert(declarative.exceptAll(custom).count() === 0)
+    // the only surviving pair is (1,2): colinear, cosine 1
+    assert(custom.count() === 1)
+    assert(custom.first().getDouble(2) === 100.0)
+  }
+
   test("SelfPairwise(Jaccard) equals the expression-based join exactly") {
     val th = Tables.documents(spark, SfDir)
       .select(col("doc_id"),
