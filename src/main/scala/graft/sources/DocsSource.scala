@@ -46,9 +46,15 @@ class DocsSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new DocsTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+    {
+      val rows = properties.getOrDefault("rows", "1000").toLong
+      val parts = properties.getOrDefault("partitions", "4").toInt
+      require(rows >= 0, s"rows must be >= 0, got $rows")
+      // parts <= 0 would divide by zero (or degrade to one partition per
+      // row) in planInputPartitions — reject at table resolution
+      require(parts >= 1, s"partitions must be >= 1, got $parts")
+      new DocsTable(rows, parts)
+    }
 }
 
 object DocsSource {
@@ -110,18 +116,24 @@ class DocsScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // saturating +1: an accepted filter is REMOVED from the plan, so an
+  // overflowed bound (Long.MaxValue + 1 wraps to MinValue) would silently
+  // return every row for `> MaxValue` and zero rows for `<= MaxValue`
+  private def inc(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition {
       case EqualTo("doc_id", v: Number) =>
-        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1); true
+        lo = math.max(lo, v.longValue); hi = math.min(hi, inc(v.longValue)); true
       case GreaterThan("doc_id", v: Number) =>
-        lo = math.max(lo, v.longValue + 1); true
+        lo = math.max(lo, inc(v.longValue)); true
       case GreaterThanOrEqual("doc_id", v: Number) =>
         lo = math.max(lo, v.longValue); true
       case LessThan("doc_id", v: Number) =>
         hi = math.min(hi, v.longValue); true
       case LessThanOrEqual("doc_id", v: Number) =>
-        hi = math.min(hi, v.longValue + 1); true
+        hi = math.min(hi, inc(v.longValue)); true
       case EqualTo("lang", v: String) =>
         langEq = Some(v); true
       case IsNotNull(_) => true // every generated column is non-null
@@ -166,11 +178,20 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
         val r = partition.asInstanceOf[DocsRange]
         new PartitionReader[InternalRow] {
           private var id = r.start - 1
+          // lang computed by the pushdown check is carried into get() so
+          // a pushed lang filter + projected lang column hashes once, not
+          // twice, per emitted row
+          private var lang: String = _
           override def next(): Boolean = {
             // the pushed lang filter is checked BEFORE any other column
             // is synthesized — non-matching ids cost one hash each
             id += 1
-            while (id < r.end && langEq.exists(_ != DocsSource.langOf(id))) id += 1
+            if (langEq.isDefined) {
+              val want = langEq.get
+              lang = null
+              while (id < r.end && { lang = DocsSource.langOf(id); lang != want })
+                id += 1
+            }
             id < r.end
           }
           override def get(): InternalRow = {
@@ -180,14 +201,15 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
             val values: Array[Any] = fields.map {
               case "doc_id" => id
               case "text"   => UTF8String.fromString(text)
-              case "lang"   => UTF8String.fromString(DocsSource.langOf(id))
+              case "lang"   => UTF8String.fromString(
+                if (lang != null) lang else DocsSource.langOf(id))
               case "source" => UTF8String.fromString(
                 DocsSource.Sources(math.floorMod(DocsSource.mix(id + 13),
                   DocsSource.Sources.length.toLong).toInt))
               case "n_chars" => text.length.toLong
               case other => throw new IllegalArgumentException(s"unknown column $other")
             }
-            InternalRow.fromSeq(values.toIndexedSeq)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
           }
           override def close(): Unit = ()
         }

@@ -91,12 +91,20 @@ class MemBatchWrite(name: String, schema: StructType, truncate: Boolean)
       override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
         new DataWriter[InternalRow] {
           private var buf = Vector.empty[Seq[Any]]
-          override def write(record: InternalRow): Unit =
-            // copy out of Spark's reused row buffer immediately
-            buf = buf :+ record.toSeq(s).map {
+          override def write(record: InternalRow): Unit = {
+            // own the bytes FIRST: copy() gives the row a private buffer,
+            // so nested values (UnsafeArrayData/UnsafeRow returned by
+            // toSeq for array/map/struct columns) keep pointing at memory
+            // this writer owns — toSeq on the ORIGINAL row returned views
+            // into Spark's reused task buffer, and every buffered row's
+            // nested data silently became the last record's. Top-level
+            // strings convert to JVM String for test-friendly equality.
+            val owned = record.copy()
+            buf = buf :+ owned.toSeq(s).map {
               case u: org.apache.spark.unsafe.types.UTF8String => u.toString
               case other => other
             }
+          }
           override def commit(): WriterCommitMessage = MemCommit(buf)
           override def abort(): Unit = buf = Vector.empty
           override def close(): Unit = ()
@@ -109,9 +117,16 @@ class MemBatchWrite(name: String, schema: StructType, truncate: Boolean)
       case MemCommit(rows) => rows
       case other => throw new IllegalStateException(s"unexpected commit $other")
     }
-    // driver-side atomic install: overwrite replaces, append extends
+    // driver-side atomic install: overwrite replaces, append extends —
+    // but never across schemas: appended Seq[Any] rows are interpreted
+    // positionally by readers, so a silent schema mismatch would mix
+    // incompatible row shapes under one stored schema
     MemSink.tables.updateWith(name) {
-      case Some((sch, existing)) if !truncate => Some((sch, existing ++ incoming))
+      case Some((sch, existing)) if !truncate =>
+        if (sch != schema)
+          throw new IllegalStateException(
+            s"append schema ${schema.simpleString} does not match table schema ${sch.simpleString}")
+        Some((sch, existing ++ incoming))
       case _ => Some((schema, incoming))
     }
     ()

@@ -117,26 +117,38 @@ object EventStreams {
     changes.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // ties on seq break by (op, value) so a retried/speculated task
+        // compacts to the SAME winner — row_number over a non-total order
+        // is free to pick either duplicate
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("key").orderBy(col("seq").desc)
+          .partitionBy("key").orderBy(col("seq").desc, col("op"), col("value"))
         val compacted = batch
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
         val root = new java.io.File(targetDir)
+        // only versions BELOW this batch id are candidate inputs: after a
+        // crash between the v=<batchId> write and the checkpoint commit,
+        // foreachBatch replays the same batchId — an unbounded max would
+        // select the orphaned v=<batchId> itself as input and then
+        // overwrite it (Spark rejects overwriting a path being read), so
+        // the stream could never recover. The < bound makes replay
+        // idempotent: the rerun reads the same parent and rewrites the
+        // same output.
         val prev = Option(root.listFiles).toSeq.flatten
           .filter(f => f.isDirectory && f.getName.startsWith("v="))
           .map(_.getName.stripPrefix("v=").toLong)
+          .filter(_ < batchId)
           .sorted.lastOption
         val target = prev match {
           case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
           case None =>
+            // bootstrap an empty target with the CHANGES' (key, value)
+            // schema — hardcoding types would silently widen or fail the
+            // first merge for any other CDC payload type
+            val shape = compacted.select("key", "value")
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("key",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("value",
-                  org.apache.spark.sql.types.DoubleType))))
+              shape.schema)
         }
         val merged = target
           .join(compacted.select("key"), Seq("key"), "left_anti")
@@ -185,7 +197,13 @@ object EventStreams {
                   new Timestamp(acc.lastTs + SessionGapMs), acc.n, acc.sum)
                 acc = SessionAcc(t, t, 1, e.value)
               } else {
-                acc = SessionAcc(acc.start, t, acc.n + 1, acc.sum + e.value)
+                // max/min guards: a late-but-within-watermark event from a
+                // later micro-batch can arrive out of order ACROSS batches
+                // (the in-batch sort can't see it) — letting it regress
+                // lastTs would close the session early and pull the
+                // timeout timestamp backwards
+                acc = SessionAcc(math.min(acc.start, t), math.max(acc.lastTs, t),
+                  acc.n + 1, acc.sum + e.value)
               }
             }
             state.update(acc)

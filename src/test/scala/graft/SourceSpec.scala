@@ -86,4 +86,32 @@ class SourceSpec extends SparkSpec {
     MemSink.tables.remove(name)
     ()
   }
+
+  test("graft-mem sink: nested array values are owned, not views into the task buffer") {
+    import graft.sources.MemSink
+    import spark.implicits._
+    val name = "sink_spec_arrays"
+    MemSink.tables.remove(name)
+    // several rows per task: the aliasing bug made every buffered row's
+    // array reflect the LAST record written by that task
+    Seq((1L, Seq(1L, 2L)), (2L, Seq(3L, 4L)), (3L, Seq(5L, 6L)))
+      .toDF("id", "xs").repartition(1)
+      .write.format("graft-mem").option("name", name).mode("append").save()
+    val got = MemSink.rows(name).map { r =>
+      (r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray().toSeq)
+    }.toSet
+    assert(got === Set((1L, Seq(1L, 2L)), (2L, Seq(3L, 4L)), (3L, Seq(5L, 6L))))
+    MemSink.tables.remove(name)
+    ()
+  }
+
+  test("doc_id bound at Long.MaxValue does not overflow the pushed range") {
+    // `> MaxValue` must yield zero rows (the accepted filter is REMOVED
+    // from the plan, so an overflowed bound would return every row)
+    assert(read(100, 2).filter(col("doc_id") > Long.MaxValue).count() === 0)
+    // `<= MaxValue` must keep every row (overflow clamped hi to MinValue)
+    assert(read(100, 2).filter(col("doc_id") <= Long.MaxValue).count() === 100)
+  }
 }
