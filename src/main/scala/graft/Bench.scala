@@ -56,6 +56,14 @@ object Bench {
         // the later queries pay their GC bill (measured: multi-second
         // noise)
         spark.sharedState.cacheManager.clearCache()
+        // localCheckpoint blocks (dedup_clusters labels, ann_pq codebooks,
+        // pagerank ranks) live OUTSIDE the cache manager — they persist as
+        // RDD blocks until the ContextCleaner notices the RDD is garbage,
+        // which needs a driver GC that an all-heap-headroom bench JVM may
+        // never run; drop them explicitly so block-manager memory stays
+        // flat across the 140+ query run
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         t
       }.min
       name -> dt

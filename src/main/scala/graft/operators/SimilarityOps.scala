@@ -36,10 +36,14 @@ object SimilarityOps {
   val LshPlanes = 8
   val EmbedDim  = 64
 
-  /** Product quantization: M subspaces × K centroids, sub-dim = dim/M. */
+  /** Product quantization: M subspaces × K centroids, sub-dim = dim/M.
+    * Codebooks train on a bounded deterministic sample of at most
+    * `PqTrainSample` vectors (FAISS trains on ~max(256·K, 10^5) samples
+    * regardless of corpus size — the model is M×K centroids either way). */
   val PqM   = 4
   val PqK   = 16
   val PqSub = EmbedDim / PqM
+  val PqTrainSample = 4096
 
   /** All ordered pairs (src != dst) with their similitud, pre-threshold —
     * planned by the custom [[graft.plans.SelfPairwise]] operator (fused
@@ -246,75 +250,89 @@ object SimilarityOps {
     // Product-quantization ANN (the memory-scale path: at 100 TB the raw
     // vectors don't fit the cluster's RAM, but M-byte PQ codes do — 64
     // float dims compress to M=4 code bytes, 64×). Train: per-subspace
-    // K=16 codebooks by 2 Lloyd iterations, the k-means loop UNROLLED into
-    // one declarative plan (the `graph_pagerank` trick): seeds are an
-    // md5-ordered deterministic sample, assignment is an
-    // `array_min(struct(dist, cid))` argmin over the BROADCAST codebook —
-    // a pure codegen'd map, no shuffle — and only the centroid-mean
-    // recompute shuffles (posexplode + groupBy, linear in n·dim).
-    // Encode: each vector → M code bytes via the same argmin. Probe (ADC,
-    // asymmetric distance computation): one 64-entry (m, cid) → distance
-    // table from the query's raw subvectors, broadcast into the code
-    // table; approx dist = Σ_m table[m, code_m] — the scan touches CODES
-    // only, never raw vectors. The top-50 by ADC re-rank by exact L2
-    // (fetch-then-rerank, the standard PQ serving shape). No DuckDB
-    // oracle (fp-mean argmins are not SQL-stable); recall vs the exact
-    // L2 top-10 is pinned in SimilaritySpec.
+    // K=16 codebooks by 2 Lloyd iterations DRIVER-SIDE over a bounded
+    // deterministic sample (md5-ordered top-PqTrainSample) — the
+    // FAISS/MLlib shape: codebook training is sample-bounded regardless
+    // of corpus size, so at 100 TB it is one small collect; ENCODE is
+    // the only data-scale pass. (Earlier revisions ran Lloyd as
+    // distributed jobs — 2 extra scan+shuffle+collect rounds to compute
+    // 64 centroids; profiled at ~1 s/iteration of pure plan+job overhead
+    // on a table the sample already covers.)
+    // Encode: each vector → M code bytes via an in-row codegen'd
+    // `array_min(struct(dist, cid))` argmin over the broadcast codebook
+    // (deterministic lowest-cid tiebreak), no shuffle. Probe (ADC,
+    // asymmetric distance computation): the 64-entry (m, cid) → distance
+    // table derives in-plan from the local codebook relation × the
+    // broadcast query row; approx dist = Σ_m table[m, code_m] — the scan
+    // touches CODES only, never raw vectors. The top-50 by ADC re-rank
+    // by exact L2 (fetch-then-rerank, the standard PQ serving shape).
+    // Whole query = 2 jobs: the sample collect + the encode/probe/rerank
+    // plan. No DuckDB oracle (fp-mean argmins are not SQL-stable);
+    // recall vs the exact L2 top-10 is pinned in SimilaritySpec.
     "ann_pq" -> ((s, dir) => {
+      import s.implicits._
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      // (vec_id, m, sub): M subvectors of EmbedDim/M dims each; feeds the
-      // two training assignments + the encode pass. Not unpersisted here —
-      // the returned plan executes after this builder returns, and an
-      // eager unpersist would force the encode to re-derive (the
-      // execute-after-unpersist trap); the harness clears the cache
-      // between queries (Verify/Bench clearCache).
+      // bounded training sample: md5 ordering = deterministic, unbiased,
+      // reproducible across engines/retries; a TakeOrdered job
+      val sample = e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(PqTrainSample).collect()
+        .map(_.getSeq[Float](1).toArray)
+      // per-subspace Lloyd: seeds = first K sample rows (md5 order);
+      // argmin tiebreak = lowest cid; empty clusters keep their centroid
+      def lloyd(m: Int): Array[Array[Double]] = {
+        val pts = sample.map(v => v.slice(m * PqSub, (m + 1) * PqSub).map(_.toDouble))
+        var cents = pts.take(PqK)
+        for (_ <- 1 to 2) {
+          val sums = Array.fill(PqK)(new Array[Double](PqSub))
+          val cnts = new Array[Long](PqK)
+          pts.foreach { p =>
+            var best = 0; var bd = Double.MaxValue
+            var c = 0
+            while (c < cents.length) {
+              var d = 0.0; var j = 0
+              while (j < PqSub) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            var j = 0
+            while (j < PqSub) { sums(best)(j) += p(j); j += 1 }
+            cnts(best) += 1
+          }
+          cents = Array.tabulate(cents.length) { c =>
+            if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c)
+          }
+        }
+        cents
+      }
+      // codebook → one local-relation row per subspace (no job to build);
+      // array-of-structs so the encode argmin is in-row
+      val cbdf = (0 until PqM).map { m =>
+        (m, lloyd(m).zipWithIndex.toSeq.map { case (cv, cid) =>
+          (cid, cv.map(_.toFloat).toSeq) })
+      }.toDF("m", "carr")
+        .select(col("m"), transform(col("carr"), c =>
+          struct(c.getField("_1").as("cid"), c.getField("_2").as("cvec"))).as("carr"))
+      // encode: (vec_id, m, code) — the only data-scale pass
       val subs = e.select(col("vec_id"), posexplode(
           transform(sequence(lit(0), lit(PqM - 1)),
             m => slice(col("embedding"), m * PqSub + 1, lit(PqSub)))).as(Seq("m", "sub")))
-        .persist()
-      // codebook as one array row per subspace → the argmin is in-row
-      def pack(c: DataFrame): DataFrame =
-        c.groupBy("m").agg(collect_list(struct(col("cid"), col("cvec"))).as("carr"))
-      // argmin centroid per (vec, m): struct ordering compares dist first,
-      // cid second — deterministic tiebreak without a window
-      def assign(cb: DataFrame): DataFrame =
-        subs.join(broadcast(cb), "m")
-          .select(col("vec_id"), col("m"), col("sub"),
-            array_min(transform(col("carr"), c =>
-              struct(Vectors.l2sq(col("sub"), c.getField("cvec")).as("d"),
-                c.getField("cid").as("cid")))).getField("cid").as("cid"))
-      val wSeed = org.apache.spark.sql.expressions.Window.partitionBy("m")
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      // each iteration's codebook is eagerly localCheckpoint'ed (M rows):
-      // downstream consumers (next iteration, encode, ADC table) would
-      // otherwise each re-run the whole training chain lazily, and the
-      // nested plan tree doubles per iteration (the iterativeCC lesson)
-      var codebook = pack(subs
-        .withColumn("rn", row_number().over(wSeed))
-        .filter(col("rn") <= PqK)
-        .select(col("m"), (col("rn") - 1).cast("int").as("cid"), col("sub").as("cvec")))
-        .localCheckpoint()
-      for (_ <- 1 to 2)
-        codebook = pack(assign(codebook)
-          .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
-          .groupBy("m", "cid", "pos").agg(avg(col("v")).as("mv"))
-          .groupBy("m", "cid")
-          .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
-          .select(col("m"), col("cid"),
-            transform(col("pv"), p => p.getField("mv").cast("float")).as("cvec")))
-          .localCheckpoint()
-      val codes = assign(codebook).select("vec_id", "m", "cid")
-      // ADC distance table: query subvector × every centroid, 64 rows
-      val qsubs = subs.filter(col("vec_id") === 42).select(col("m"), col("sub").as("qsub"))
-      val dtab = codebook.join(broadcast(qsubs), "m")
-        .select(col("m"), posexplode(col("carr")).as(Seq("_i", "c")), col("qsub"))
+      val codes = subs.join(broadcast(cbdf), "m")
+        .select(col("vec_id"), col("m"),
+          array_min(transform(col("carr"), c =>
+            struct(Vectors.l2sq(col("sub"), c.getField("cvec")).as("d"),
+              c.getField("cid").as("cid")))).getField("cid").as("cid"))
+      val q = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+      // ADC distance table: local codebook × broadcast query row, 64 rows
+      val dtab = cbdf.crossJoin(broadcast(q))
+        .select(col("m"), explode(col("carr")).as("c"), col("qv"))
         .select(col("m"), col("c.cid").as("cid"),
-          Vectors.l2sq(col("c.cvec"), col("qsub")).as("dq"))
+          Vectors.l2sq(col("c.cvec"),
+            slice(col("qv"), col("m") * PqSub + lit(1), lit(PqSub))).as("dq"))
       val cand = codes.join(broadcast(dtab), Seq("m", "cid"))
         .groupBy("vec_id").agg(sum(col("dq")).as("adist"))
         .filter(col("vec_id") =!= 42)
         .orderBy(col("adist"), col("vec_id")).limit(50)
-      val q = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
       cand.join(e, "vec_id").crossJoin(broadcast(q))
         .select(col("vec_id"), round(Vectors.l2sq(col("embedding"), col("qv")), 4).as("l2sq"))
         .orderBy(col("l2sq"), col("vec_id"))
