@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
   * the same call reads a partitioned directory tree unchanged.
   */
 object Tables {
+  /** Resolved-scan cache, keyed per session — the catalog role. Each
+    * `spark.read.parquet` pays a file listing plus a footer-read job for
+    * schema inference; a warehouse resolves tables from cached catalog
+    * metadata instead of re-listing storage per query, so we do too (the
+    * fixture files are immutable). The cached value is just the analyzed
+    * scan relation — every query still plans its own filters/projections
+    * on top. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
