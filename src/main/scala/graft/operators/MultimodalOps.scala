@@ -31,6 +31,8 @@ object MultimodalOps {
   val SampleEvery = 4
   /** Fake feature-vector dimension produced by the stub decoder. */
   val FeatureDim = 8
+  /** Keep every k-th byte when resizing (stands in for pixel decimation). */
+  val ResizeEvery = 4
 
   /** The media table: documents re-ingested as (id, opaque payload bytes,
     * metadata struct). In production this is `spark.read.format("binaryFile")`
@@ -78,6 +80,21 @@ object MultimodalOps {
           md5(col("frame0")).as("frame0_md5"))
         .orderBy("doc_id")),
 
+    // Resize through the per-partition codec-batch shape: binary in ->
+    // binary out, payloads never leave the executors. The stub decimates
+    // bytes (keep every 4th) standing in for decode -> downscale ->
+    // re-encode; because the fixture payload is ASCII the byte decimation
+    // IS expressible in DuckDB, so unlike the feature stub this one has a
+    // full hash oracle on the resized payload.
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      resize(media(s, dir).select(col("doc_id"), col("payload")).as[MediaRow])
+        .select(col("doc_id"),
+          octet_length(col("resized")).cast("long").as("n_bytes_out"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Stub decode -> fixed-dim feature vector; scalar-reduced projection
     // of the vector for the declared surface. No oracle (the stub decoder
     // is impl-specific); MultimodalSpec pins shape + determinism.
@@ -95,6 +112,17 @@ object MultimodalOps {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class FeatureRow(doc_id: Long, feature: Array[Float])
+  case class ResizedRow(doc_id: Long, resized: Array[Byte])
+
+  /** The batch resize shape: binary in -> binary out through a
+    * per-partition codec context (same contract as [[decodeFeatures]]). */
+  def resize(ds: Dataset[MediaRow]): Dataset[ResizedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // real deployment: codec init HERE, once per partition
+      rows.map(r => ResizedRow(r.doc_id, Codecs.resizeStub(r.payload, ResizeEvery)))
+    }
+  }
 
   /** The batch decode shape: one codec context per partition, payloads
     * streamed through it. The stub stands in for the native decode call. */
@@ -119,6 +147,14 @@ object MultimodalOps {
                 octet_length(encode(text)) AS n_bytes,
                 md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    "mm_resize" ->
+      s"""SELECT doc_id, CAST(length(resized) AS BIGINT) AS n_bytes_out,
+                 md5(resized) AS resized_md5
+         FROM (SELECT doc_id,
+                 array_to_string(list_transform(range(1, length(text) + 1, $ResizeEvery),
+                                                i -> text[i]), '') AS resized
+               FROM documents)
+         ORDER BY doc_id""",
     "mm_frame_sample" ->
       s"""SELECT doc_id, n_bytes,
                  CAST(ceil(CAST(n_bytes AS DOUBLE) / $FrameBytes) AS BIGINT) AS n_frames,
@@ -139,6 +175,15 @@ object Codecs {
   /** Stands in for: decode image bytes -> pixels -> pooled embedding
     * (e.g. via a JNI-wrapped libjpeg + a vision model). Deterministic
     * fake: k floats derived from a rolling FNV-1a hash over the bytes. */
+  /** Stands in for: decode image -> downscale (2x2 pooling / bilinear) ->
+    * re-encode. Deterministic fake: keep every `every`-th byte. */
+  def resizeStub(payload: Array[Byte], every: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + every - 1) / every)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * every); i += 1 }
+    out
+  }
+
   def imageFeaturesStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](MultimodalOps.FeatureDim)
     var h = 0xcbf29ce484222325L
