@@ -122,6 +122,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("no declared query plans a CartesianProduct") {
+    // The one quadratic shape Catalyst can silently fall back to. A
+    // 1-row broadcast crossJoin plans BroadcastNestedLoopJoin (fine —
+    // build side is a scalar); CartesianProduct means a shuffled
+    // all-pairs product that cannot survive a 100x scale-up, so no
+    // declared query may contain one. Planning only — nothing executes
+    // beyond what builders materialize themselves.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, SfDir).queryExecution
+          .explainString(ExplainMode.fromString("simple"))
+        if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+      } catch {
+        case e: Throwable => Some(s"$name: failed to plan (${e.getClass.getSimpleName})")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("window counts are conserved: tumbling windows partition the input") {
     val total = Tables.events(spark, SfDir).count()
     val windowed = StreamingOps.queries("stream_tumbling")(spark, SfDir)
