@@ -20,6 +20,12 @@ object TextOps {
 
   val RankedTerms: Seq[String] = Seq("spark", "merge", "join")
 
+  /** Probe items for the Count-Min estimate query: frequent fixture
+    * tokens plus one absent token (its estimate shows the sketch's
+    * one-sided error floor). */
+  val CountMinProbes: Seq[String] =
+    Seq("spark", "merge", "join", "table", "query", "value", "nonexistent_token")
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small and deterministic — the point is the
     * plan shape (argmax over per-list overlap counts in one scan). */
@@ -170,6 +176,19 @@ object TextOps {
         .select(explode(arrays_zip(col("sk.items"), col("sk.counts"))).as("e"))
         .select(col("e.items").as("token"), col("e.counts").as("cnt"))
         .orderBy(col("cnt").desc, col("token"))),
+
+    // Count-Min point-frequency estimates for a fixed probe set: one
+    // 8 KiB counter grid per partial, element-wise-sum merge, min-of-rows
+    // estimate — "how often does THIS token appear corpus-wide" without a
+    // per-token groupBy or storing keys. No oracle (sketch-impl-specific);
+    // AggSpec pins the one-sided ε·N overestimate bound vs exact counts.
+    "text_countmin" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .agg(graft.functions.CountMin.estimates(CountMinProbes)(col("token")).as("sk"))
+        .select(explode(arrays_zip(col("sk.items"), col("sk.counts"))).as("e"))
+        .select(col("e.items").as("token"), col("e.counts").as("est"))
+        .orderBy("token")),
 
     // Canonical document fingerprint: md5 over the sorted distinct token
     // set (OpenRefine-style fingerprint) — the shuffle-key form of

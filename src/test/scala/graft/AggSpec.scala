@@ -17,6 +17,23 @@ class AggSpec extends SparkSpec {
     assert(sketch === exact)
   }
 
+  test("text_countmin (Count-Min) overestimates by at most eps*N vs exact counts") {
+    val est = graft.operators.TextOps.queries("text_countmin")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.TextOps.queries("text_tokens")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val eps = math.E / graft.functions.CountMin.Width
+    assert(est.keySet === graft.operators.TextOps.CountMinProbes.toSet)
+    graft.operators.TextOps.CountMinProbes.foreach { p =>
+      val truth = exact.getOrElse(p, 0L)
+      val a = est(p)
+      assert(a >= truth, s"$p: CM must never underestimate (est=$a exact=$truth)")
+      assert(a <= truth + math.ceil(eps * n).toLong,
+        s"$p: est=$a exceeds exact=$truth + eps*N bound")
+    }
+  }
+
   test("approx_count_distinct is within 5% of exact per event_type") {
     val approx = AggOps.queries("agg_approx_distinct")(spark, SfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
