@@ -349,10 +349,55 @@ object PipelineOps {
         .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort", "day_offset")
+    }),
+
+    // Deterministic corpus shuffle: the reproducible training order every
+    // epoch pipeline needs — shuffle key = md5 over a salted doc_id, so
+    // the permutation is a pure function of the row (survives retries,
+    // repartitioning, and corpus appends reshuffling nothing they don't
+    // touch). Global POSITIONS are assigned scalably: range-partition on
+    // the key (a parallel total sort), count rows per range partition
+    // (a #partitions-sized table), convert to cumulative offsets, and
+    // add a per-partition row_number — NEVER `row_number() OVER (ORDER
+    // BY key)`, whose empty partition spec collapses the corpus into one
+    // task. The only single-partition window here runs over the 32-row
+    // partition-counts table, bounded by cluster config, not data.
+    "pipe_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // persisted: pids must be identical for the counts pass and the
+      // position pass (range boundaries come from sampling the data —
+      // recomputation across two jobs is the kind of nondeterminism
+      // that silently corrupts every position after partition 0)
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("skey"))
+        .repartitionByRange(nParts, col("skey"))
+        .sortWithinPartitions("skey")
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offs = keyed.groupBy("pid").count()
+        .withColumn("offset",
+          coalesce(sum(col("count")).over(
+            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("pid", "offset")
+      val w = Window.partitionBy("pid").orderBy("skey", "doc_id")
+      keyed.join(broadcast(offs), "pid")
+        .select(col("doc_id"), col("skey"),
+          (row_number().over(w).cast("long") - 1L + col("offset")).as("pos"))
+        .orderBy("pos")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "pipe_shuffle" ->
+      """SELECT doc_id, skey,
+                CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+         FROM (SELECT doc_id,
+                      md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+               FROM documents)
+         ORDER BY pos""",
     "pipe_sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars FROM (
            SELECT *, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
