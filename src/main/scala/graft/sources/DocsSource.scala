@@ -4,8 +4,9 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Count, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,6 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reader-side before any other column is synthesized. Accepted
   *    filters are removed from the query plan; everything else stays a
   *    residual Spark re-applies.
+  *  - **Aggregate pushdown** (`SupportsPushDownAggregates`, COMPLETE
+  *    mode): ungrouped COUNT(*) / MIN(doc_id) / MAX(doc_id) over the
+  *    (range-pruned) id span are answered at PLANNING time from the
+  *    span bounds — the scan emits ONE pre-aggregated row and generates
+  *    zero data rows, the connector analogue of answering count/min/max
+  *    from catalog statistics or parquet footers. Declined (ordinary
+  *    scan + Spark-side aggregation) whenever a reader-side filter,
+  *    grouping, or any other aggregate is involved.
   *  - **Determinism**: every cell is a pure function of doc_id (splitmix
   *    mixing), so retried/speculated tasks produce identical rows — the
   *    same property the hash-sampling ops rely on.
@@ -106,12 +115,13 @@ class DocsTable(rows: Long, parts: Int) extends Table with SupportsRead {
 
 class DocsScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = DocsSource.Schema
   private var lo = 0L
   private var hi = rows
   private var langEq: Option[String] = None
   private var accepted: Array[Filter] = Array.empty
+  private var aggFuncs: Option[Array[AggregateFunc]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -145,7 +155,80 @@ class DocsScanBuilder(rows: Long, parts: Int)
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new DocsScan(rows, parts, required, lo, hi, langEq)
+  // Complete pushdown only — the answers are O(1) functions of the
+  // pruned [lo, hi) span. A pushed lang filter makes count depend on
+  // actual row generation, so it declines; Spark then aggregates the
+  // ordinary scan. (doc_id is non-null, so COUNT(doc_id) == COUNT(*).)
+  private def answerable(agg: Aggregation): Boolean =
+    langEq.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && isDocId(c.column)
+        case m: Min => isDocId(m.column)
+        case m: Max => isDocId(m.column)
+        case _ => false
+      }
+
+  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case n: NamedReference => n.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = answerable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!answerable(agg)) false
+    else { aggFuncs = Some(agg.aggregateExpressions); true }
+  }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) => new DocsAggScan(math.max(lo, 0L), math.min(hi, rows), funcs)
+    case None        => new DocsScan(rows, parts, required, lo, hi, langEq)
+  }
+}
+
+/** The pre-aggregated scan: one partition, one row, values computed from
+  * the pruned id span at plan time — no document is ever synthesized. */
+class DocsAggScan(lo: Long, hi: Long, funcs: Array[AggregateFunc])
+    extends Scan with Batch {
+
+  private val n = math.max(0L, hi - lo)
+  // positional contract: one output column per aggregate expression, in
+  // Aggregation order; min/max are NULL on an empty span (count stays 0)
+  private val values: Array[Any] = funcs.map {
+    case _: CountStar => n
+    case _: Count     => n
+    case _: Min       => if (n > 0) lo else null
+    case _: Max       => if (n > 0) hi - 1 else null
+    case f => throw new IllegalArgumentException(s"unanswerable aggregate $f")
+  }
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (f, i) => StructField(s"agg_$i", LongType,
+      nullable = !f.isInstanceOf[CountStar] && !f.isInstanceOf[Count])
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docs pushed-agg range=[$lo,$hi) ${funcs.mkString(", ")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocsRange(0, 1))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val vals = values
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 case class DocsRange(start: Long, end: Long) extends InputPartition

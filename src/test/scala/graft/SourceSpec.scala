@@ -107,6 +107,41 @@ class SourceSpec extends SparkSpec {
     ()
   }
 
+  test("count/min/max push down completely: one pre-aggregated row, no data scan") {
+    val df = read(100000, 8)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 5000)
+      .agg(count(expr("*")).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("pushed-agg"), s"aggregate not pushed:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must remove Spark-side aggregation:\n$plan")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4900L, 100L, 4999L)))
+  }
+
+  test("aggregate pushdown declines under a lang filter or grouping (results stay exact)") {
+    // lang filter: count depends on row generation — the source must
+    // decline and Spark aggregates the ordinary (lang-pushed) scan
+    val flt = read(1000, 4).filter(col("lang") === "es")
+      .agg(count(expr("*")).as("n"))
+    assert(!flt.queryExecution.executedPlan.toString.contains("pushed-agg"))
+    val exact = read(1000, 4).collect().count(_.getAs[String]("lang") == "es").toLong
+    assert(flt.collect().head.getLong(0) === exact)
+    // grouping: likewise declined
+    val grp = read(1000, 4).groupBy("lang").agg(count(expr("*")).as("n"))
+    assert(!grp.queryExecution.executedPlan.toString.contains("pushed-agg"))
+    assert(grp.collect().map(_.getLong(1)).sum === 1000L)
+  }
+
+  test("aggregate pushdown over an empty pruned span: count 0, null min/max") {
+    val df = read(100, 2).filter(col("doc_id") > 1000)
+      .agg(count(expr("*")).as("n"), min("doc_id").as("lo"))
+    val r = df.collect().head
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+  }
+
   test("doc_id bound at Long.MaxValue does not overflow the pushed range") {
     // `> MaxValue` must yield zero rows (the accepted filter is REMOVED
     // from the plan, so an overflowed bound would return every row)
