@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Count, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,6 +43,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    from catalog statistics or parquet footers. Declined (ordinary
   *    scan + Spark-side aggregation) whenever a reader-side filter,
   *    grouping, or any other aggregate is involved.
+  *  - **Limit / top-N pushdown** (`SupportsPushDownLimit` /
+  *    `SupportsPushDownTopN`): LIMIT n clamps the generated span to its
+  *    first n ids at planning time (exact, Spark's GlobalLimit may
+  *    drop); ORDER BY doc_id [DESC] LIMIT n narrows the span to the only
+  *    n ids that can appear in the answer (partial — Spark keeps the
+  *    final sort+limit). Both decline under a reader-side lang filter.
   *  - **Determinism**: every cell is a pure function of doc_id (splitmix
   *    mixing), so retried/speculated tasks produce identical rows — the
   *    same property the hash-sampling ops rely on.
@@ -115,7 +122,8 @@ class DocsTable(rows: Long, parts: Int) extends Table with SupportsRead {
 
 class DocsScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = DocsSource.Schema
   private var lo = 0L
   private var hi = rows
@@ -175,6 +183,41 @@ class DocsScanBuilder(rows: Long, parts: Int)
       case n: NamedReference => n.fieldNames.sameElements(Array("doc_id"))
       case _ => false
     }
+
+  // Limit pushdown: ids are generated in span order, so LIMIT n is
+  // exactly the first n ids of the pruned span — clamp hi at planning
+  // time (out-of-span partitions are never created) and report FULLY
+  // pushed so Spark drops its own GlobalLimit. A pushed lang filter
+  // drops rows reader-side, making the clamp wrong — decline there.
+  override def pushLimit(limit: Int): Boolean = {
+    if (langEq.isDefined || limit < 0) false
+    else {
+      hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+      true
+    }
+  }
+  // one override serves BOTH interfaces (same default-method signature):
+  // plain limit is exact (Spark may drop its GlobalLimit), top-N is
+  // partial (Spark keeps the sort+limit over our narrowed span)
+  private var topNPushed = false
+  override def isPartiallyPushed(): Boolean = topNPushed
+
+  // Top-N pushdown on doc_id: ascending keeps the first n ids, descending
+  // the last n. PARTIAL only — multiple input partitions read in
+  // parallel, so Spark keeps the final sort+limit and we just stop
+  // generating rows that cannot be in the answer.
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (langEq.isDefined || limit < 0 || orders.length != 1) return false
+    val o = orders(0)
+    if (!isDocId(o.expression())) return false
+    topNPushed = true
+    if (o.direction() == SortDirection.ASCENDING) {
+      hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+    } else {
+      lo = math.max(lo, if (hi < Long.MinValue + limit) Long.MinValue else hi - limit)
+    }
+    true
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = answerable(agg)
 

@@ -142,6 +142,25 @@ class SourceSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("limit pushdown clamps the generated span at planning time") {
+    val df = read(1000000, 8).limit(7)
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty && scans.head.scan.description().contains("range=[0,7)"),
+      s"span not clamped:\n${scans.map(_.scan.description()).mkString}")
+    assert(df.count() === 7)
+    // declined under a reader-side lang filter: the clamp would undercount
+    val flt = read(1000, 4).filter(col("lang") === "es").limit(3)
+    assert(flt.count() === 3)
+  }
+
+  test("top-N pushdown narrows the span from the right end for DESC") {
+    val df = read(1000000, 8).orderBy(col("doc_id").desc).limit(3)
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty && scans.head.scan.description().contains("range=[999997,1000000)"),
+      s"span not narrowed:\n${scans.map(_.scan.description()).mkString}")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(999999L, 999998L, 999997L))
+  }
+
   test("doc_id bound at Long.MaxValue does not overflow the pushed range") {
     // `> MaxValue` must yield zero rows (the accepted filter is REMOVED
     // from the plan, so an overflowed bound would return every row)
