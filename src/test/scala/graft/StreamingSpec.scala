@@ -261,4 +261,48 @@ class StreamingSpec extends SparkSpec {
       assert(sessions.contains((ts(50), 1L, 4.0)), s"second session wrong: $sessions")
     } finally query.stop()
   }
+
+  test("graft-mem streaming sink appends micro-batches through the DSv2 epoch commit") {
+    import graft.sources.MemSink
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val name = "stream_sink_test"
+    MemSink.tables.remove(name)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_mem_ck").toString
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("id", "tag")
+      .writeStream.format("graft-mem")
+      .option("name", name).option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      assert(MemSink.rows(name).map(_.head).toSet === Set(1L, 2L))
+      input.addData((3L, "c"))
+      query.processAllAvailable()
+      assert(MemSink.rows(name).map(_.head).toSet === Set(1L, 2L, 3L),
+        "second micro-batch must append, not replace")
+    } finally query.stop()
+  }
+
+  test("graft-mem streaming commit is idempotent on replayed epochs") {
+    import graft.sources.{MemCommit, MemSink, MemStreamingWrite}
+    import org.apache.spark.sql.types._
+    val name = "stream_replay_test"
+    MemSink.tables.remove(name)
+    MemSink.committedEpochs.remove(s"$name#q1")
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val w = new MemStreamingWrite(name, "q1", schema, truncate = false)
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(MemCommit(Vector(Seq(1L), Seq(2L))))
+    w.commit(0L, msgs)
+    // recovery replays the last epoch: the sink must skip, not double-install
+    w.commit(0L, msgs)
+    assert(MemSink.rows(name).size === 2,
+      s"replayed epoch double-installed: ${MemSink.rows(name)}")
+    w.commit(1L, Array(MemCommit(Vector(Seq(3L)))))
+    assert(MemSink.rows(name).size === 3)
+    MemSink.tables.remove(name)
+    ()
+  }
 }
