@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the driver parses Bench/Verify stdout: pass the forked JVM's output
+// through verbatim — sbt's default LoggedOutput prefixes every line with
+// "[info] ", which is why BENCH_r01-r05 all recorded parsed:null
+run / outputStrategy := Some(StdoutOutput)
 // suites share one SparkSession (and one test toggles the active session
 // to exercise SparkSessionExtensions) — run them sequentially
 Test / parallelExecution := false
