@@ -172,7 +172,25 @@ object FunctionOps {
         .select(col("n_nationkey"),
           size(map_keys(col("m"))).as("n_keys"),
           element_at(col("m"), "name").as("name_val"))
-        .orderBy("n_nationkey"))
+        .orderBy("n_nationkey")),
+
+    // Nested STRUCT surface: build (price, key) structs, collect them
+    // per customer, sort the array by the struct's natural (field-order
+    // lexicographic) ordering, and read fields back out — the
+    // groupBy-collect idiom for "ordered detail without a second
+    // window". One shuffle (the groupBy); the per-group array stays on
+    // the executor, so this holds at scale only while groups are bounded
+    // (orders-per-customer), which is exactly when the idiom is right.
+    "fn_struct" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(struct(
+          col("o_totalprice").as("p"), col("o_orderkey").as("k")))).as("arr"))
+        .select(col("o_custkey"),
+          size(col("arr")).as("n_orders"),
+          col("arr")(0)("k").as("cheapest_key"),
+          col("arr")(0)("p").as("cheapest_price"))
+        .orderBy("o_custkey"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -259,6 +277,17 @@ object FunctionOps {
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
                 json_extract_string(props, '$.missing') AS absent
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+    "fn_struct" ->
+      """SELECT o_custkey, CAST(n_orders AS INT) AS n_orders,
+                cheapest_key, cheapest_price
+         FROM (
+           SELECT o_custkey, o_orderkey AS cheapest_key,
+                  o_totalprice AS cheapest_price,
+                  count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice, o_orderkey) AS rn
+           FROM orders
+         ) WHERE rn = 1 ORDER BY o_custkey"""
   )
 }

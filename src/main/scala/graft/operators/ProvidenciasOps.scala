@@ -124,6 +124,38 @@ object ProvidenciasOps {
         .orderBy("node_id")
     }),
 
+    // Graph extension: local clustering coefficient — triangles through a
+    // node over its wedge count, 2·tri / (deg·(deg−1)), for nodes with
+    // degree ≥ 2. Composes the triangle plan with the degree aggregation
+    // over ONE shared persisted edge list; at scale both sides shuffle on
+    // node id and the final join is an equi hash join between two
+    // already-aggregated (node-cardinality) relations — never touching
+    // the quadratic pair space again.
+    "graph_cluster_coeff" -> ((s, dir) => {
+      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+        .persist()
+      val deg = e.select(explode(array(col("src"), col("dst"))).as("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).as("degree"))
+      val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = e.select(col("src").as("b2"), col("dst").as("c"))
+      val e3 = e.select(col("src").as("a3"), col("dst").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      val triPerNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("degree") >= 2)
+        .join(triPerNode, Seq("node_id"), "left")
+        .select(col("node_id"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(coalesce(col("n_tri"), lit(0L)) * 2.0 /
+            (col("degree") * (col("degree") - 1)), 4).as("coeff"))
+        .orderBy("node_id")
+    }),
+
     // Graph extension: connected components over the SIMILAR graph —
     // every node labeled with the min vec_id of its component ("which
     // rulings form one similarity island"). Reuses the dedup CC
@@ -333,6 +365,37 @@ object ProvidenciasOps {
            UNION ALL SELECT b FROM tri
            UNION ALL SELECT c FROM tri
          ) GROUP BY node_id ORDER BY node_id""",
+    "graph_cluster_coeff" ->
+      """WITH e AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), deg AS (
+           SELECT node_id, count(*) AS degree FROM (
+             SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e
+           ) GROUP BY node_id
+         ), tri AS (
+           SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+           FROM e e1
+           JOIN e e2 ON e2.src = e1.dst
+           JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+         ), tpn AS (
+           SELECT node_id, count(*) AS n_tri FROM (
+             SELECT a AS node_id FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri
+           ) GROUP BY node_id
+         )
+         SELECT d.node_id, d.degree,
+                coalesce(t.n_tri, 0) AS n_tri,
+                round(coalesce(t.n_tri, 0) * 2.0 /
+                      (d.degree * (d.degree - 1)), 4) AS coeff
+         FROM deg d LEFT JOIN tpn t ON t.node_id = d.node_id
+         WHERE d.degree >= 2
+         ORDER BY d.node_id""",
     "graph_components" ->
       """WITH RECURSIVE tri AS MATERIALIZED (
            SELECT * FROM (

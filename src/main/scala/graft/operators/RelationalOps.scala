@@ -293,6 +293,25 @@ object RelationalOps {
 
     // LATERAL VIEW explode (UDTF surface in SQL form): per-document hit
     // counts for the search terms. Generate runs inside the scan stage —
+    // Fixed-size per-group sample: exactly k=3 documents per language,
+    // chosen by md5 rank — the distributed, deterministic equivalent of
+    // per-stratum reservoir sampling. Unlike rate-based sampling
+    // (`sample_hash`, `pipe_sample_stratified`) the output size per group
+    // is exact, and unlike a true reservoir the selection is a pure
+    // function of the row: re-runs, retries, and different partitionings
+    // all pick the same rows. One shuffle (the window partition on lang);
+    // at 100 TB with a bounded group count the same plan holds, k rows
+    // per group survive the partial sort.
+    "sample_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("lang", "doc_id", "source", "n_chars", "rn")
+        .orderBy("lang", "rn")
+    }),
+
     // no shuffle until the final aggregation.
     "sql_lateral" -> ((s, dir) => {
       Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
@@ -450,6 +469,13 @@ object RelationalOps {
                FROM documents)
          WHERE tok IN ('spark', 'merge')
          GROUP BY doc_id, tok
-         ORDER BY doc_id, tok"""
+         ORDER BY doc_id, tok""",
+    "sample_group" ->
+      """SELECT lang, doc_id, source, n_chars, CAST(rn AS INT) AS rn FROM (
+           SELECT lang, doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents
+         ) WHERE rn <= 3 ORDER BY lang, rn"""
   )
 }
