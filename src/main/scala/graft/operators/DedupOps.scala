@@ -74,7 +74,16 @@ object DedupOps {
     * per-band fold run in ONE fused codegen loop
     * ([[ArrayExprs.minHashBands]]); see that Scaladoc for why composing
     * `minHashes` + per-band `xxhash64(element_at(…))` Columns is
-    * quadratically wrong. */
+    * quadratically wrong.
+    *
+    * Measured dead end (this round): one-permutation MinHash (one hash
+    * pass into K = bands·rows bins + densification) promised a 384×
+    * cheaper signature, but at this corpus's set size (~200 unique tokens
+    * vs K = 384 bins) most bins densify, densified rows correlate across
+    * sets sharing a vocabulary, and band collisions explode — dedup_near
+    * went 3.1 s → 8.9 s at sf0.1 (recall held; selectivity died). OPH
+    * only pays when |tokens| ≫ K; per-seed MinHash stays the right
+    * signature for short documents. */
   private def bandHashes(th: Column): Column =
     ArrayExprs.minHashBands(th, Bands, RowsPerBand)
 
