@@ -7,7 +7,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Count, Max, Min}
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,6 +51,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    drop); ORDER BY doc_id [DESC] LIMIT n narrows the span to the only
   *    n ids that can appear in the answer (partial — Spark keeps the
   *    final sort+limit). Both decline under a reader-side lang filter.
+  *  - **Runtime filtering** (`SupportsRuntimeV2Filtering`): a join whose
+  *    selective broadcast build side completes first plans a
+  *    dynamic-pruning IN filter on doc_id against this scan; the scan
+  *    narrows its span to the IN set's [min, max+1) envelope BEFORE
+  *    input partitions are planned — the connector analogue of dynamic
+  *    partition pruning. Under-application is safe by contract (runtime
+  *    filters are semi-join reductions; the join re-filters), so only
+  *    exact IN/= predicates narrow and everything else is ignored.
   *  - **Determinism**: every cell is a pure function of doc_id (splitmix
   *    mixing), so retried/speculated tasks produce identical rows — the
   *    same property the hash-sampling ops rely on.
@@ -276,20 +286,82 @@ class DocsAggScan(lo: Long, hi: Long, funcs: Array[AggregateFunc])
 
 case class DocsRange(start: Long, end: Long) extends InputPartition
 
+object DocsScan {
+  /** Test observability hook: the last runtime-narrowed span a
+    * [[DocsScan.filter]] call produced (driver-side only; SourceSpec
+    * asserts the DPP round trip actually narrowed the generator). */
+  @volatile var lastRuntimeSpan: Option[(Long, Long)] = None
+}
+
 class DocsScan(rows: Long, parts: Int, required: StructType,
-               lo: Long, hi: Long, langEq: Option[String]) extends Scan with Batch {
+               lo: Long, hi: Long, langEq: Option[String]) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-docs rows=$rows range=[$lo,$hi)${langEq.fold("")(l => s" lang=$l")}"
 
+  // Runtime-narrowed span (DPP analogue): starts at the planning-time
+  // bounds; a dynamic-pruning IN/= filter on doc_id — produced by a join
+  // whose broadcast build side completed first — tightens it before
+  // partitions are planned. Runtime filters are semi-join REDUCTIONS:
+  // under-applying them (we keep only the [min, max] envelope of the IN
+  // set) is always safe because the join re-filters, so rows between
+  // surviving ids merely cost generation, never correctness.
+  @volatile private var rlo: Long = lo
+  @volatile private var rhi: Long = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: NamedReference => f.fieldNames.length == 1 &&
+          f.fieldNames()(0).equalsIgnoreCase("doc_id")
+        case _ => false
+      }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Long] =
+      e match {
+        case l: Literal[_] => l.value match {
+          case x: java.lang.Long    => Some(x.longValue)
+          case x: java.lang.Integer => Some(x.longValue)
+          case _                    => None
+        }
+        case _ => None
+      }
+    predicates.foreach { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && isDocId(kids.head) =>
+          val vs = kids.drop(1).flatMap(lit)
+          // only narrow when EVERY element parsed — a partial parse could
+          // otherwise drop ids the filter still allows
+          if (vs.nonEmpty && vs.length == kids.length - 1) {
+            rlo = math.max(rlo, vs.min)
+            rhi = math.min(rhi, vs.max + 1)
+          } else if (kids.length == 1) {
+            rhi = rlo // IN () — nothing survives
+          }
+        case "=" if kids.length == 2 && isDocId(kids(0)) =>
+          lit(kids(1)).foreach { v =>
+            rlo = math.max(rlo, v); rhi = math.min(rhi, v + 1)
+          }
+        case _ => () // non-exact predicate: ignore (reduction-only contract)
+      }
+    }
+    DocsScan.lastRuntimeSpan = Some((rlo, rhi))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // fixed id-range partitioning over the FULL table, intersected with
-    // the pushed [lo, hi) — out-of-range partitions are pruned at
-    // planning time, mirroring how a partitioned table prunes directories
+    // the pushed [lo, hi) AND the runtime-narrowed [rlo, rhi) —
+    // out-of-range partitions are pruned before tasks launch, mirroring
+    // how a partitioned table prunes directories (statically) and skips
+    // DPP-pruned partitions (dynamically)
     val per = math.max(1L, (rows + parts - 1) / parts)
     (0L until rows by per)
-      .map(s => DocsRange(math.max(s, lo), math.min(math.min(rows, s + per), hi)))
+      .map(s => DocsRange(math.max(s, rlo), math.min(math.min(rows, s + per), rhi)))
       .filter(r => r.start < r.end)
       .toArray
   }

@@ -168,4 +168,32 @@ class SourceSpec extends SparkSpec {
     // `<= MaxValue` must keep every row (overflow clamped hi to MinValue)
     assert(read(100, 2).filter(col("doc_id") <= Long.MaxValue).count() === 100)
   }
+
+  test("runtime (DPP-style) filter from a broadcast join build side narrows the scan") {
+    // a selective broadcast build side joined on doc_id should plan a
+    // dynamic-pruning IN filter against the scan (SupportsRuntimeV2Filtering);
+    // the scan narrows its generated span to the IN set's envelope BEFORE
+    // partitions are planned — the connector analogue of skipping
+    // DPP-pruned partitions of a partitioned table
+    graft.sources.DocsScan.lastRuntimeSpan = None
+    val docs = read(1000000, 16)
+    val dim = spark.range(0, 1000).filter(col("id") >= 500 && col("id") < 510)
+      .select(col("id").as("doc_id"))
+    val joined = docs.join(dim, "doc_id")
+    assert(joined.count() === 10)
+    // the planner must have attached a runtime filter to the v2 scan
+    // (unwrap AQE's adaptive root to see the final physical plan)
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = finalPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty && scans.head.runtimeFilters.nonEmpty,
+      s"expected a runtime filter on the graft-docs scan; plan:\n$finalPlan")
+    // and the scan must have actually consumed it: span narrowed to the
+    // build side's [min, max+1) envelope
+    assert(graft.sources.DocsScan.lastRuntimeSpan.contains((500L, 510L)),
+      s"runtime span was ${graft.sources.DocsScan.lastRuntimeSpan}")
+  }
 }
