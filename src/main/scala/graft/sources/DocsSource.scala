@@ -295,9 +295,31 @@ object DocsScan {
 
 class DocsScan(rows: Long, parts: Int, required: StructType,
                lo: Long, hi: Long, langEq: Option[String]) extends Scan with Batch
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // Post-pushdown statistics: the planner sees the PRUNED span's row
+  // count and a per-row size over only the PROJECTED columns, so a small
+  // (or well-filtered) generated table qualifies for automatic broadcast
+  // under autoBroadcastJoinThreshold with no hint — the same role parquet
+  // footer/catalog stats play for file tables. A pushed lang filter keeps
+  // the span estimate (reader-side selectivity is unknown); an
+  // OVER-estimate can only miss a broadcast, never OOM one.
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val n = math.max(0L, hi - lo)
+    val perRow = required.fieldNames.map {
+      case "text" => 35L * 8   // texts are 20-49 tokens × avg token+space bytes
+      case "doc_id" | "n_chars" => 8L
+      case _ => 16L
+    }.sum + 16L
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(math.max(1L, n * perRow))
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+    }
+  }
   override def description(): String =
     s"graft-docs rows=$rows range=[$lo,$hi)${langEq.fold("")(l => s" lang=$l")}"
 

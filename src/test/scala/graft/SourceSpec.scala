@@ -169,6 +169,20 @@ class SourceSpec extends SparkSpec {
     assert(read(100, 2).filter(col("doc_id") <= Long.MaxValue).count() === 100)
   }
 
+  test("reported statistics let the planner auto-broadcast a small generated table") {
+    // estimateStatistics() reflects the PRUNED span: a doc_id range
+    // filter shrinks the estimate below autoBroadcastJoinThreshold, so
+    // the planner broadcasts the generated side with NO hint — the same
+    // role catalog/footer stats play for file tables
+    val small = read(10000000, 8).filter(col("doc_id") < 100)
+    val big = read(1000000, 8)
+    val joined = big.join(small.select(col("doc_id"), col("lang").as("l2")), "doc_id")
+    val bcast = joined.queryExecution.executedPlan.toString
+    assert(bcast.contains("BroadcastHashJoin") || bcast.contains("BroadcastExchange"),
+      s"expected an automatic broadcast of the pruned side; plan:\n$bcast")
+    assert(joined.count() === 100)
+  }
+
   test("runtime (DPP-style) filter from a broadcast join build side narrows the scan") {
     // a selective broadcast build side joined on doc_id should plan a
     // dynamic-pruning IN filter against the scan (SupportsRuntimeV2Filtering);
@@ -177,7 +191,12 @@ class SourceSpec extends SparkSpec {
     // DPP-pruned partitions of a partitioned table
     graft.sources.DocsScan.lastRuntimeSpan = None
     val docs = read(1000000, 16)
-    val dim = spark.range(0, 1000).filter(col("id") >= 500 && col("id") < 510)
+    // the build-side predicate must NOT be a plain range on the key:
+    // Catalyst's constraint propagation would push a static doc_id range
+    // into the scan and leave the runtime filter nothing to do (that
+    // static path has its own test above) — pmod keeps the bounds
+    // invisible until the dim actually executes
+    val dim = spark.range(0, 1000).filter(pmod(col("id"), lit(100)) === 5)
       .select(col("id").as("doc_id"))
     val joined = docs.join(dim, "doc_id")
     assert(joined.count() === 10)
@@ -192,8 +211,8 @@ class SourceSpec extends SparkSpec {
     assert(scans.nonEmpty && scans.head.runtimeFilters.nonEmpty,
       s"expected a runtime filter on the graft-docs scan; plan:\n$finalPlan")
     // and the scan must have actually consumed it: span narrowed to the
-    // build side's [min, max+1) envelope
-    assert(graft.sources.DocsScan.lastRuntimeSpan.contains((500L, 510L)),
+    // build side's [min, max+1) envelope (ids 5, 105, …, 905)
+    assert(graft.sources.DocsScan.lastRuntimeSpan.contains((5L, 906L)),
       s"runtime span was ${graft.sources.DocsScan.lastRuntimeSpan}")
   }
 }
