@@ -125,12 +125,12 @@ class DocsTable(rows: Long, parts: Int) extends Table with SupportsRead {
   override def name(): String = s"graft_docs($rows)"
   override def schema(): StructType = DocsSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocsScanBuilder(rows, parts)
+    new DocsScanBuilder(rows, parts, options.getLong("rowsPerBatch", 1000L))
 }
 
-class DocsScanBuilder(rows: Long, parts: Int)
+class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -238,7 +238,7 @@ class DocsScanBuilder(rows: Long, parts: Int)
 
   override def build(): Scan = aggFuncs match {
     case Some(funcs) => new DocsAggScan(math.max(lo, 0L), math.min(hi, rows), funcs)
-    case None        => new DocsScan(rows, parts, required, lo, hi, langEq)
+    case None        => new DocsScan(rows, parts, required, lo, hi, langEq, rowsPerBatch)
   }
 }
 
@@ -284,21 +284,25 @@ class DocsAggScan(lo: Long, hi: Long, funcs: Array[AggregateFunc])
   }
 }
 
-case class DocsRange(start: Long, end: Long) extends InputPartition
-
-object DocsScan {
-  /** Test observability hook: the last runtime-narrowed span a
-    * [[DocsScan.filter]] call produced (driver-side only; SourceSpec
-    * asserts the DPP round trip actually narrowed the generator). */
-  @volatile var lastRuntimeSpan: Option[(Long, Long)] = None
-}
-
 class DocsScan(rows: Long, parts: Int, required: StructType,
-               lo: Long, hi: Long, langEq: Option[String]) extends Scan with Batch
+               lo: Long, hi: Long, langEq: Option[String],
+               rowsPerBatch: Long = 1000L) extends Scan with Batch
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read path: the id space replayed as micro-batches of
+    * `rowsPerBatch` ids. Offsets are plain high-water doc_ids, and every
+    * cell is a pure function of doc_id, so REPLAYING an epoch after
+    * recovery regenerates byte-identical rows — paired with the graft-mem
+    * sink's per-epoch high-water mark this is exactly-once end to end
+    * (StreamingSpec/SourceSpec). Pushed column pruning and the doc_id /
+    * lang filters apply to the stream exactly as to the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DocsMicroBatchStream(parts, math.max(0L, lo), math.min(rows, hi),
+      math.max(1L, rowsPerBatch), required.fieldNames, langEq)
 
   // Post-pushdown statistics: the planner sees the PRUNED span's row
   // count and a per-row size over only the PROJECTED columns, so a small
@@ -388,11 +392,22 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val fields = required.fieldNames
-    // local copies: the factory ships to executors and must not capture
-    // this (non-serializable) Scan
-    val langEq = this.langEq
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocsScan.readerFactory(required.fieldNames, langEq)
+}
+
+case class DocsRange(start: Long, end: Long) extends InputPartition
+
+object DocsScan {
+  /** Test observability hook: the last runtime-narrowed span a
+    * [[DocsScan.filter]] call produced (driver-side only; SourceSpec
+    * asserts the DPP round trip actually narrowed the generator). */
+  @volatile var lastRuntimeSpan: Option[(Long, Long)] = None
+
+  /** Shared by the batch scan and the micro-batch stream — the factory
+    * ships to executors and must capture only serializable locals. */
+  private[sources] def readerFactory(fields: Array[String],
+      langEq: Option[String]): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val r = partition.asInstanceOf[DocsRange]
@@ -435,5 +450,54 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
         }
       }
     }
+}
+
+/** Micro-batch stream over the generated id space: offsets are high-water
+  * doc_ids, each batch covers [start, end) split across `parts` ranges.
+  * Determinism makes epoch replay exact — the recovery contract the
+  * graft-mem streaming sink's epoch high-water mark completes. */
+class DocsMicroBatchStream(parts: Int, lo: Long, hi: Long, rowsPerBatch: Long,
+    fields: Array[String], langEq: Option[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var latest = lo
+
+  override def initialOffset(): Offset = DocsOffset(lo)
+
+  override def latestOffset(): Offset = {
+    // admit the next rowsPerBatch ids; saturates at the span end, after
+    // which processAllAvailable() observes a stable offset and returns
+    latest = math.min(hi, math.max(latest, lo) + rowsPerBatch)
+    DocsOffset(latest)
   }
+
+  override def deserializeOffset(json: String): Offset = {
+    // recovery: resume admission from the checkpointed high-water mark
+    val o = DocsOffset(json.trim.toLong)
+    latest = math.max(latest, o.v)
+    o
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DocsOffset].v
+    val e = end.asInstanceOf[DocsOffset].v
+    val span = math.max(0L, e - s)
+    if (span == 0) Array.empty
+    else {
+      val per = math.max(1L, (span + parts - 1) / parts)
+      (s until e by per).map(x => DocsRange(x, math.min(e, x + per))).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocsScan.readerFactory(fields, langEq)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class DocsOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = v.toString
 }

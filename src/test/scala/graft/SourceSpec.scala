@@ -169,6 +169,25 @@ class SourceSpec extends SparkSpec {
     assert(read(100, 2).filter(col("doc_id") <= Long.MaxValue).count() === 100)
   }
 
+  test("micro-batch streaming read: rows arrive once each across rowsPerBatch epochs") {
+    // the same generator as a stream: offsets are high-water doc_ids,
+    // 5000 ids admitted 1500 per micro-batch -> 4 epochs; determinism
+    // means a replayed epoch would regenerate identical rows
+    val q = spark.readStream.format("graft-docs")
+      .option("rows", 5000).option("partitions", 4).option("rowsPerBatch", 1500)
+      .load()
+      .writeStream.format("memory").queryName("docs_stream")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("docs_stream")
+    assert(got.count() === 5000)
+    assert(got.select("doc_id").distinct().count() === 5000)
+    // projection survives the stream reader: schema is the full table's
+    assert(got.columns.sorted === Array("doc_id", "lang", "n_chars", "source", "text"))
+    // at least ceil(5000/1500)=4 distinct micro-batches ran
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+  }
+
   test("reported statistics let the planner auto-broadcast a small generated table") {
     // estimateStatistics() reflects the PRUNED span: a doc_id range
     // filter shrinks the estimate below autoBroadcastJoinThreshold, so
