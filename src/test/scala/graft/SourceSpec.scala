@@ -169,6 +169,26 @@ class SourceSpec extends SparkSpec {
     assert(read(100, 2).filter(col("doc_id") <= Long.MaxValue).count() === 100)
   }
 
+  test("catalog plugin resolves generated tables to pure SQL with pushdown intact") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // name IS the definition: docs_<rows>[_<partitions>]
+    val n = spark.sql("SELECT count(*) AS n FROM graft.docs.docs_5000_4").head.getLong(0)
+    assert(n === 5000)
+    // aggregate pushdown composes through SQL resolution: count answered
+    // at plan time (no Exchange in the final plan)
+    val agg = spark.sql("SELECT count(*) AS n, min(doc_id) AS lo FROM graft.docs.docs_100000")
+    val row = agg.head
+    assert(row.getLong(0) === 100000 && row.getLong(1) === 0)
+    // filter pushdown composes too
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM (SELECT * FROM graft.docs.docs_5000_4 WHERE doc_id < 7)")
+      .head.getLong(0) === 7)
+    // read-only: DDL is rejected
+    intercept[Exception] {
+      spark.sql("DROP TABLE graft.docs.docs_5000_4")
+    }
+  }
+
   test("micro-batch streaming read: rows arrive once each across rowsPerBatch epochs") {
     // the same generator as a stream: offsets are high-water doc_ids,
     // 5000 ids admitted 1500 per micro-batch -> 4 epochs; determinism
