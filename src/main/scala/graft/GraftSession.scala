@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call session factory for library users — the "switch from the
+  * reference" entry point. Produces a `SparkSession` with everything the
+  * engine's surface needs already wired:
+  *
+  *  - [[GraftExtensions]]: the pairwise rewrite rule + planner strategy
+  *    and the custom SQL functions (`float_cosine`, `sorted_jaccard`,
+  *    `min_hashes`, `min_hash_bands`, `sim_hash`);
+  *  - the `graft` catalog ([[graft.sources.GraftCatalog]]) so
+  *    `SELECT … FROM graft.docs.docs_<rows>` resolves from pure SQL;
+  *  - scale-tuned defaults (only where the Spark default is wrong for
+  *    this workload — every one overridable by the caller afterwards):
+  *     - `spark.sql.shuffle.partitions` sized to the parallelism instead
+  *       of the legacy 200 (on a cluster: set to 2-3× total cores);
+  *     - AQE left ON (coalesce, skew split, runtime re-plan) — the
+  *       engine's plans are written to benefit from it;
+  *     - session timezone pinned to UTC so date_trunc/window semantics
+  *       are reproducible across machines (SURVEY §7.4).
+  *
+  * Usage:
+  * {{{
+  *   val spark = GraftSession.local(cores = 32)
+  *   SparkEntry.queries("sim_topk")(spark, "/data/sf0.1")
+  *   ProvidenciasApi.buscar(spark, dir, texto = Some("spark merge"))
+  * }}}
+  *
+  * On a cluster, start from `GraftSession.configure(builder)` with your
+  * own master/deploy settings; nothing here assumes local mode except
+  * `local(...)` itself.
+  */
+object GraftSession {
+
+  /** Apply graft's extensions, catalog, and defaults to any builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.withExtensions(new GraftExtensions)
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+
+  /** Local session for tests/benchmarks: `local[cores]` with shuffle
+    * parallelism = cores (the 200-partition default would give every
+    * small-stage task ~0 rows and pay 6× the scheduling overhead). */
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder())
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
