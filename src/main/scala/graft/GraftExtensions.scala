@@ -18,30 +18,38 @@ import graft.functions.{FloatCosine, MinHashBands, MinHashes, SimHash, SortedLon
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (new FunctionIdentifier("float_cosine"),
+        new ExpressionInfo(classOf[FloatCosine].getName, "float_cosine"),
+        (args: Seq[Expression]) => FloatCosine(args(0), args(1))),
+      (new FunctionIdentifier("sorted_jaccard"),
+        new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_jaccard"),
+        (args: Seq[Expression]) => SortedLongJaccard(args(0), args(1))),
+      (new FunctionIdentifier("min_hashes"),
+        new ExpressionInfo(classOf[MinHashes].getName, "min_hashes"),
+        (args: Seq[Expression]) => MinHashes(args(0), intArg(args(1)))),
+      (new FunctionIdentifier("min_hash_bands"),
+        new ExpressionInfo(classOf[MinHashBands].getName, "min_hash_bands"),
+        (args: Seq[Expression]) => MinHashBands(args(0), intArg(args(1)), intArg(args(2)))),
+      (new FunctionIdentifier("sim_hash"),
+        new ExpressionInfo(classOf[SimHash].getName, "sim_hash"),
+        (args: Seq[Expression]) => SimHash(args(0), intArg(args(1)))))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.PairwiseRewrite)
     ext.injectPlannerStrategy(_ => new graft.plans.SelfPairwiseStrategy)
-    ext.injectFunction((
-      new FunctionIdentifier("float_cosine"),
-      new ExpressionInfo(classOf[FloatCosine].getName, "float_cosine"),
-      (args: Seq[Expression]) => FloatCosine(args(0), args(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("sorted_jaccard"),
-      new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_jaccard"),
-      (args: Seq[Expression]) => SortedLongJaccard(args(0), args(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("min_hashes"),
-      new ExpressionInfo(classOf[MinHashes].getName, "min_hashes"),
-      (args: Seq[Expression]) => MinHashes(args(0), intArg(args(1)))))
-    ext.injectFunction((
-      new FunctionIdentifier("min_hash_bands"),
-      new ExpressionInfo(classOf[MinHashBands].getName, "min_hash_bands"),
-      (args: Seq[Expression]) => MinHashBands(args(0), intArg(args(1)), intArg(args(2)))))
-    ext.injectFunction((
-      new FunctionIdentifier("sim_hash"),
-      new ExpressionInfo(classOf[SimHash].getName, "sim_hash"),
-      (args: Seq[Expression]) => SimHash(args(0), intArg(args(1)))))
+    functions.foreach(ext.injectFunction)
   }
+
+  /** Register the same SQL functions into a LIVE session — the
+    * post-`getOrCreate` path for sessions that existed before graft
+    * ([[GraftSession.install]]); builder-created sessions get them via
+    * [[apply]] instead. */
+  def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 
   /** Foldable-int SQL argument (e.g. `min_hashes(th, 16)`). */
   private def intArg(e: Expression): Int = e.eval() match {

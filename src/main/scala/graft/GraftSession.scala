@@ -40,14 +40,31 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
 
+  /** Idempotently wire graft into a LIVE session. `getOrCreate` silently
+    * returns any pre-existing session and ignores `withExtensions` for it
+    * (builder-time confs still apply), so without this step a notebook or
+    * shell that already holds a session would get a GraftSession with none
+    * of the SQL functions and no pairwise strategy — and no error until
+    * the first query. Safe to call any number of times on any session. */
+  def install(spark: SparkSession): Unit = {
+    plans.PairwiseRewrite.install(spark)
+    if (!spark.catalog.functionExists("float_cosine"))
+      new GraftExtensions().registerInto(spark)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  }
+
   /** Local session for tests/benchmarks: `local[cores]` with shuffle
     * parallelism = cores (the 200-partition default would give every
     * small-stage task ~0 rows and pay 6× the scheduling overhead). */
-  def local(cores: Int, appName: String = "graft"): SparkSession =
-    configure(SparkSession.builder())
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = configure(SparkSession.builder())
       .appName(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    install(s) // covers the pre-existing-session path of getOrCreate
+    s
+  }
 }

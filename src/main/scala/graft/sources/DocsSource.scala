@@ -297,8 +297,12 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
     * cell is a pure function of doc_id, so REPLAYING an epoch after
     * recovery regenerates byte-identical rows — paired with the graft-mem
     * sink's per-epoch high-water mark this is exactly-once end to end
-    * (StreamingSpec/SourceSpec). Pushed column pruning and the doc_id /
-    * lang filters apply to the stream exactly as to the batch scan. */
+    * (StreamingSpec/SourceSpec). NOTE: Spark's micro-batch path builds
+    * the scan without running the pushdown rules, so `required`/`lo`/
+    * `hi`/`langEq` are always at their defaults here — the stream
+    * generates the full schema for every admitted id and Spark filters/
+    * projects above the scan (correct, just not pruned at the source the
+    * way the batch path is). */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new DocsMicroBatchStream(parts, math.max(0L, lo), math.min(rows, hi),
@@ -318,9 +322,14 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
       case "doc_id" | "n_chars" => 8L
       case _ => 16L
     }.sum + 16L
+    // saturating multiply: a huge generated span must report a huge size,
+    // not a wrapped-negative one clamped to 1 byte (which would broadcast
+    // an enormous table — exactly the OOM this estimate exists to avoid)
+    val size =
+      if (n != 0 && perRow > Long.MaxValue / n) Long.MaxValue
+      else math.max(1L, n * perRow)
     new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): util.OptionalLong =
-        util.OptionalLong.of(math.max(1L, n * perRow))
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(size)
       override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
     }
   }
@@ -356,6 +365,10 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
         }
         case _ => None
       }
+    // saturating +1, mirroring the builder's inc(): a Long.MaxValue id in
+    // the build side must not wrap rhi to MinValue and empty the scan —
+    // that would OVER-apply a reduction-only filter and drop valid rows
+    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     predicates.foreach { p =>
       val kids = p.children()
       p.name() match {
@@ -365,18 +378,18 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
           // otherwise drop ids the filter still allows
           if (vs.nonEmpty && vs.length == kids.length - 1) {
             rlo = math.max(rlo, vs.min)
-            rhi = math.min(rhi, vs.max + 1)
+            rhi = math.min(rhi, inc(vs.max))
           } else if (kids.length == 1) {
             rhi = rlo // IN () — nothing survives
           }
         case "=" if kids.length == 2 && isDocId(kids(0)) =>
           lit(kids(1)).foreach { v =>
-            rlo = math.max(rlo, v); rhi = math.min(rhi, v + 1)
+            rlo = math.max(rlo, v); rhi = math.min(rhi, inc(v))
           }
         case _ => () // non-exact predicate: ignore (reduction-only contract)
       }
     }
-    DocsScan.lastRuntimeSpan = Some((rlo, rhi))
+    if (DocsScan.recordRuntimeSpans) DocsScan.lastRuntimeSpan = Some((rlo, rhi))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -399,9 +412,12 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
 case class DocsRange(start: Long, end: Long) extends InputPartition
 
 object DocsScan {
-  /** Test observability hook: the last runtime-narrowed span a
-    * [[DocsScan.filter]] call produced (driver-side only; SourceSpec
-    * asserts the DPP round trip actually narrowed the generator). */
+  /** Test observability hook: when enabled, the last runtime-narrowed
+    * span a [[DocsScan.filter]] call produced (driver-side only;
+    * SourceSpec asserts the DPP round trip actually narrowed the
+    * generator). Off by default so concurrent production queries never
+    * touch shared state. */
+  @volatile var recordRuntimeSpans: Boolean = false
   @volatile var lastRuntimeSpan: Option[(Long, Long)] = None
 
   /** Shared by the batch scan and the micro-batch stream — the factory
@@ -458,26 +474,35 @@ object DocsScan {
   * graft-mem streaming sink's epoch high-water mark completes. */
 class DocsMicroBatchStream(parts: Int, lo: Long, hi: Long, rowsPerBatch: Long,
     fields: Array[String], langEq: Option[String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-
-  private var latest = lo
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset = DocsOffset(lo)
 
-  override def latestOffset(): Offset = {
-    // admit the next rowsPerBatch ids; saturates at the span end, after
-    // which processAllAvailable() observes a stable offset and returns
-    latest = math.min(hi, math.max(latest, lo) + rowsPerBatch)
-    DocsOffset(latest)
+  // Admission control is the CORRECT home for rate limiting: latestOffset()
+  // must report all available data (the end of the span) or
+  // Trigger.AvailableNow/Once would fix their final target at one batch
+  // and terminate "successfully" with most of the stream unread. The
+  // per-trigger pacing lives in latestOffset(start, limit) instead, where
+  // the engine tells us how much to admit from `start`.
+  override def latestOffset(): Offset = DocsOffset(hi)
+
+  override def reportLatestOffset(): Offset = DocsOffset(hi)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = math.max(lo, start.asInstanceOf[DocsOffset].v)
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _              => hi - s // allAvailable and anything else
+    }
+    DocsOffset(math.min(hi, s + math.max(1L, step)))
   }
 
-  override def deserializeOffset(json: String): Offset = {
-    // recovery: resume admission from the checkpointed high-water mark
-    val o = DocsOffset(json.trim.toLong)
-    latest = math.max(latest, o.v)
-    o
-  }
+  override def deserializeOffset(json: String): Offset =
+    DocsOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[DocsOffset].v

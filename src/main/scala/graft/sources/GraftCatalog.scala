@@ -41,22 +41,32 @@ class GraftCatalog extends TableCatalog {
   private val Ns = Array("docs")
   private val TableName = """docs_(\d+)(?:_(\d+))?""".r
 
+  /** Parse `docs_<rows>[_<parts>]`; None for anything malformed — an
+    * unparseable numeral (overflow) or parts=0 is a table that does not
+    * EXIST, never an internal error surfacing from planning. */
+  private def parse(name: String): Option[(Long, Int)] = name match {
+    case TableName(rows, parts) =>
+      try {
+        val r = rows.toLong
+        val p = if (parts == null) 8 else parts.toInt
+        if (r >= 0 && p >= 1) Some((r, p)) else None
+      } catch { case _: NumberFormatException => None }
+    case _ => None
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Ns))
       Array(Identifier.of(Ns, "docs_1000")) // representative; the space is infinite
     else throw new NoSuchNamespaceException(namespace)
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.sameElements(Ns) && (ident.name match {
-      case TableName(_, _) => true
-      case _ => false
-    })
+    ident.namespace.sameElements(Ns) && parse(ident.name).isDefined
 
-  override def loadTable(ident: Identifier): Table = ident.name match {
-    case TableName(rows, parts) if ident.namespace.sameElements(Ns) =>
-      new DocsTable(rows.toLong, if (parts == null) 8 else parts.toInt)
-    case _ => throw new NoSuchTableException(ident)
-  }
+  override def loadTable(ident: Identifier): Table =
+    if (ident.namespace.sameElements(Ns)) parse(ident.name) match {
+      case Some((rows, parts)) => new DocsTable(rows, parts)
+      case None => throw new NoSuchTableException(ident)
+    } else throw new NoSuchTableException(ident)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =

@@ -208,6 +208,23 @@ class SourceSpec extends SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
   }
 
+  test("Trigger.AvailableNow drains the whole span in rowsPerBatch steps, then stops") {
+    // latestOffset() must report ALL available data or AvailableNow would
+    // fix its end target at one batch and terminate "successfully" after
+    // rowsPerBatch rows; pacing lives in admission control instead
+    val q = spark.readStream.format("graft-docs")
+      .option("rows", 5000).option("partitions", 4).option("rowsPerBatch", 1500)
+      .load()
+      .writeStream.format("memory").queryName("docs_avail_now")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // the correctness property: EVERYTHING is read (before the admission-
+    // control fix this stopped "successfully" at rowsPerBatch rows);
+    // batch pacing under AvailableNow is the engine wrapper's choice
+    assert(spark.table("docs_avail_now").count() === 5000)
+  }
+
   test("reported statistics let the planner auto-broadcast a small generated table") {
     // estimateStatistics() reflects the PRUNED span: a doc_id range
     // filter shrinks the estimate below autoBroadcastJoinThreshold, so
@@ -228,6 +245,7 @@ class SourceSpec extends SparkSpec {
     // the scan narrows its generated span to the IN set's envelope BEFORE
     // partitions are planned — the connector analogue of skipping
     // DPP-pruned partitions of a partitioned table
+    graft.sources.DocsScan.recordRuntimeSpans = true
     graft.sources.DocsScan.lastRuntimeSpan = None
     val docs = read(1000000, 16)
     // the build-side predicate must NOT be a plain range on the key:
