@@ -5,6 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** The one-call library entry point: extensions + catalog + defaults. */
 class GraftSessionSpec extends SparkSpec {
 
+  test("GraftSession.install retrofits a session that predates graft") {
+    // the getOrCreate trap: withExtensions is ignored for a pre-existing
+    // session — install() must wire functions, strategy, and catalog into
+    // the LIVE session (idempotently)
+    val s = spark // the shared fixture session, built without extensions
+    GraftSession.install(s)
+    GraftSession.install(s) // idempotent
+    assert(s.sql("SELECT sorted_jaccard(array(1L, 2L), array(2L)) AS j")
+      .head.getDouble(0) === (1.0 / 2.0))
+    assert(s.sql("SELECT count(*) AS n FROM graft.docs.docs_42").head.getLong(0) === 42)
+    assert(s.experimental.extraStrategies
+      .count(_.isInstanceOf[graft.plans.SelfPairwiseStrategy]) === 1)
+  }
+
   test("GraftSession.local wires extensions, the graft catalog, and defaults") {
     val spark0 = spark
     SparkSession.clearActiveSession()
