@@ -337,6 +337,44 @@ object SimilarityOps {
         .select(col("vec_id"), round(Vectors.l2sq(col("embedding"), col("qv")), 4).as("l2sq"))
         .orderBy(col("l2sq"), col("vec_id"))
         .limit(10)
+    }),
+
+    // Distributed k-means (Lloyd), k=8, two iterations unrolled into ONE
+    // declarative plan — the canonical big-data clustering loop, written
+    // the way it scales: assignment is a broadcast of k tiny centroids
+    // against the partitioned point set (never a shuffle of points), the
+    // centroid update is one partial+final aggregation over (cid, dim)
+    // components, and no driver-side loop touches the data. Cross-engine
+    // determinism (the oracle replays every step): init = the first k
+    // vec_ids; distances fold left in index order (Vectors.l2sq ↔
+    // DuckDB list_sum∘list_transform); component means go through exact
+    // DECIMAL sums and round to 6dp; argmin ties break on cid; the
+    // output carries integers only. At 100 TB the identical plan holds —
+    // iterations add plan depth, points never leave their partitions.
+    "ml_kmeans" -> ((s, dir) => {
+      val k = 8
+      val pts = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val c0 = pts.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      def assign(cent: DataFrame): DataFrame =
+        pts.crossJoin(broadcast(cent))
+          .withColumn("d2", Vectors.l2sq(col("embedding"), col("cvec")))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("best.cid").as("cid"))
+      val comp = pts.join(assign(c0), "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(round(
+          sum(col("x").cast("double").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)), 6).as("m"))
+      val c1 = comp.groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          e => e("m")).as("cvec"))
+      assign(c1)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_points"), min(col("vec_id")).as("min_vec"))
+        .orderBy("cid")
     })
   )
 
@@ -388,6 +426,39 @@ object SimilarityOps {
                 round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                   CAST((SELECT embedding FROM embeddings WHERE vec_id = 42) AS DOUBLE[])) * 100, 4) AS sim
          FROM embeddings WHERE vec_id <> 42
-         ORDER BY sim DESC, vec_id LIMIT 10"""
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "ml_kmeans" ->
+      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, e AS c FROM pts WHERE vec_id < 8),
+          a0 AS (
+            SELECT vec_id, cid FROM (
+              SELECT p.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_sum(list_transform(range($EmbedDim),
+                         i -> (p.e[i + 1] - c.c[i + 1]) * (p.e[i + 1] - c.c[i + 1]))),
+                       c.cid) AS rn
+              FROM pts p CROSS JOIN c0 c
+            ) WHERE rn = 1
+          ),
+          comp AS (
+            SELECT a.cid, t.i AS d,
+                   round(CAST(sum(CAST(p.e[t.i + 1] AS DECIMAL(28,10))) AS DOUBLE)
+                         / count(*), 6) AS m
+            FROM pts p JOIN a0 a USING (vec_id), range($EmbedDim) t(i)
+            GROUP BY a.cid, t.i
+          ),
+          c1 AS (SELECT cid, list(m ORDER BY d) AS c FROM comp GROUP BY cid),
+          a1 AS (
+            SELECT vec_id, cid FROM (
+              SELECT p.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_sum(list_transform(range($EmbedDim),
+                         i -> (p.e[i + 1] - c.c[i + 1]) * (p.e[i + 1] - c.c[i + 1]))),
+                       c.cid) AS rn
+              FROM pts p CROSS JOIN c1 c
+            ) WHERE rn = 1
+          )
+          SELECT cid, count(*) AS n_points, min(vec_id) AS min_vec
+          FROM a1 GROUP BY cid ORDER BY cid"""
   )
 }
