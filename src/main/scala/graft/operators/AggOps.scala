@@ -143,6 +143,34 @@ object AggOps {
           round(variance(col("l_discount")), 6).as("disc_var"))
         .orderBy("l_returnflag")),
 
+    // Closed-form OLS (price ~ quantity per returnflag) from exact
+    // DECIMAL sufficient statistics — the scale-correct shape for
+    // regression on 100 TB: one partial+final aggregation computes
+    // (n, Σx, Σy, Σxy, Σx²), the model solves driver-free in the same
+    // plan, and the decimal folds make slope/intercept bit-identical
+    // regardless of partition count or reduce order (the engine-native
+    // regr_slope/REGR_SLOPE aggregates fold doubles in engine-specific
+    // order and cannot be oracle-compared exactly).
+    "agg_regression" -> ((s, dir) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x.cast("decimal(28,10)")).cast("double").as("sx"),
+          sum(y.cast("decimal(28,10)")).cast("double").as("sy"),
+          sum((x * y).cast("decimal(28,10)")).cast("double").as("sxy"),
+          sum((x * x).cast("decimal(28,10)")).cast("double").as("sxx"))
+        .withColumn("slope", round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+        .withColumn("intercept",
+          round((col("sy") - col("slope") * col("sx")) / col("n"), 6))
+        .select(col("l_returnflag"), col("slope"), col("intercept"),
+          col("n").cast("long").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact percentiles (sort-based, linear interpolation) per status.
     "agg_percentiles" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -385,6 +413,23 @@ object AggOps {
                 round(stddev(l_quantity), 4) AS qty_stddev,
                 round(var_samp(l_discount), 6) AS disc_var
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_regression" ->
+      """SELECT l_returnflag, slope,
+                round((sy - slope * sx) / n, 6) AS intercept,
+                CAST(n AS BIGINT) AS n
+         FROM (
+           SELECT l_returnflag, n, sx, sy,
+                  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+           FROM (
+             SELECT l_returnflag,
+                    CAST(count(*) AS DOUBLE) AS n,
+                    CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+                    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+                    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx
+             FROM lineitem GROUP BY l_returnflag
+           )
+         ) ORDER BY l_returnflag""",
     "agg_percentiles" ->
       """SELECT o_orderstatus,
                 round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
