@@ -56,6 +56,32 @@ object PipelineOps {
   val DecontamNGram = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Model-eval at corpus scale: ROC AUC via the tie-corrected
+    // Mann-Whitney rank statistic ("does n_chars separate English from
+    // the rest"), computed WITHOUT a global row sort — rows aggregate by
+    // score first (one hash shuffle), the cumulative-negatives window
+    // runs over the DISTINCT-score relation only (bounded, like
+    // sort_skyline's staircase), and everything stays integer until the
+    // final division, so the result is exact and engine-independent.
+    "ml_auc" -> ((s, dir) => {
+      val byScore = Tables.documents(s, dir)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("score")
+        .agg(sum(col("pos")).as("p"), (count(lit(1)) - sum(col("pos"))).as("ng"))
+      val cum = byScore.withColumn("cumng",
+        sum(col("ng")).over(Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.agg(
+          sum(col("p") * (col("cumng") - col("ng"))).as("conc"),
+          sum(col("p") * col("ng")).as("tie"),
+          sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
+        .select(
+          round((col("conc") * 2 + col("tie")) /
+            (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"),
+          col("n_pos"), col("n_neg"))
+    }),
+
     // Deterministic stratified sample: language-dependent keep rate via
     // the first hex digit of md5(doc_id) — reproducible under retries and
     // repartitioning, auditable (the keep decision is a pure function of
@@ -391,6 +417,23 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ml_auc" ->
+      """WITH bs AS (
+           SELECT n_chars AS score,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+                  count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ng
+           FROM documents GROUP BY n_chars
+         ), c AS (
+           SELECT p, ng,
+                  sum(ng) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumng
+           FROM bs
+         )
+         SELECT round(CAST(sum(p * (cumng - ng)) * 2 + sum(p * ng) AS DOUBLE)
+                      / (CAST(sum(p) AS DOUBLE) * CAST(sum(ng) AS DOUBLE) * 2.0), 6) AS auc,
+                CAST(sum(p) AS BIGINT) AS n_pos,
+                CAST(sum(ng) AS BIGINT) AS n_neg
+         FROM c""",
     "pipe_shuffle" ->
       """SELECT doc_id, skey,
                 CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos

@@ -339,6 +339,29 @@ object SimilarityOps {
         .limit(10)
     }),
 
+    // k-NN classification: label 10 probe vectors by majority vote of
+    // their 5 nearest neighbors (cosine). The scale shape mirrors
+    // `ann_brute` — the PROBE set broadcasts (it is the small side by
+    // construction), the corpus streams through one codegen'd cosine per
+    // (row, probe), and the top-5/vote windows partition on qid so state
+    // is bounded by the probe count. Integer-only output.
+    "ml_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val sims = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          round(graft.functions.ArrayExprs.cosine(col("embedding"), col("qv")) * 100, 4).as("sim"))
+      val wNn = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val votes = sims.withColumn("rn", row_number().over(wNn)).filter(col("rn") <= 5)
+        .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+      val wV = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+      votes.withColumn("r", row_number().over(wV)).filter(col("r") === 1)
+        .select(col("qid"), col("label").as("pred"), col("votes"))
+        .orderBy("qid")
+    }),
+
     // Distributed k-means (Lloyd), k=8, two iterations unrolled into ONE
     // declarative plan — the canonical big-data clustering loop, written
     // the way it scales: assignment is a broadcast of k tiny centroids
@@ -427,6 +450,28 @@ object SimilarityOps {
                   CAST((SELECT embedding FROM embeddings WHERE vec_id = 42) AS DOUBLE[])) * 100, 4) AS sim
          FROM embeddings WHERE vec_id <> 42
          ORDER BY sim DESC, vec_id LIMIT 10""",
+    "ml_knn" ->
+      """WITH probes AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10
+         ), sims AS (
+           SELECT p.qid, e.vec_id, e.label,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.qv) * 100, 4) AS sim
+           FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.qid
+         ), nn AS (
+           SELECT qid, label FROM (
+             SELECT qid, label,
+                    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             FROM sims
+           ) WHERE rn <= 5
+         ), votes AS (
+           SELECT qid, label, count(*) AS votes FROM nn GROUP BY qid, label
+         )
+         SELECT qid, label AS pred, votes FROM (
+           SELECT qid, label, votes,
+                  row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS r
+           FROM votes
+         ) WHERE r = 1 ORDER BY qid""",
     "ml_kmeans" ->
       s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
           c0 AS (SELECT vec_id AS cid, e AS c FROM pts WHERE vec_id < 8),
