@@ -22,21 +22,31 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    resolved.computeIfAbsent((spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    resolved.computeIfAbsent((spark, dir, name), { _ =>
+      // Fixture timestamps are Parquet TIMESTAMP(isAdjustedToUTC=false);
+      // read them as session-zone TimestampType (sessions run UTC), not
+      // TIMESTAMP_NTZ, so timestamp arithmetic/casts below stay uniform.
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) in Parquet, which Spark 4
-    * refuses to map to TimestampType (PARQUET_TYPE_ILLEGAL). Read it as a
-    * raw nanosecond Long (legacy flag) and truncate to a µs TimestampType
-    * column — the fixture's ns fractions are zero, so truncation is exact
-    * (verified against the footer; see FIXTURES.md). */
+  /** `events.ts` has shifted Parquet physical types across fixture
+    * generations (INT64 TIMESTAMP(NANOS), then TIMESTAMP(MICROS)); accept
+    * either. The NANOS form is unmappable to TimestampType in Spark 4
+    * (PARQUET_TYPE_ILLEGAL) — read it as a raw nanosecond Long (legacy
+    * flag) and truncate to µs, which is exact because the fixture's ns
+    * fractions are zero (see FIXTURES.md). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
