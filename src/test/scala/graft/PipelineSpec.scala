@@ -118,4 +118,27 @@ class PipelineSpec extends SparkSpec {
     // users with zero purchases never convert
     assert(f.filter(col("n_purchases") === 0 && col("converted")).count() === 0)
   }
+
+  test("observe() collects audit metrics in the SAME pass as the write") {
+    // The production shape of pipe_audit: a pipeline stage that must
+    // report row counts / null counts / domain violations normally pays a
+    // second scan for the audit query. `observe` attaches the aggregates
+    // to the transformation itself — the metrics ride along with the one
+    // pass that materializes the output, zero extra jobs. At 100 TB the
+    // audit is free instead of doubling the pipeline's IO.
+    val obs = org.apache.spark.sql.Observation("pipe-audit")
+    val staged = Tables.documents(spark, SfDir)
+      .filter(col("lang").isNotNull)
+      .observe(obs,
+        count(lit(1)).as("rows_out"),
+        sum(when(col("text").isNull || col("text") === "", 1L)
+          .otherwise(0L)).as("empty_text"),
+        sum(when(!col("lang").isin("en", "fr", "es", "zh", "de"), 1L)
+          .otherwise(0L)).as("bad_lang"))
+    val n = staged.count() // the one materializing action
+    val m = obs.get
+    assert(m("rows_out") === n)
+    assert(m("empty_text") === 0L)
+    assert(m("bad_lang") === 0L)
+  }
 }
