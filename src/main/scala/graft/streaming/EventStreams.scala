@@ -69,6 +69,20 @@ object EventStreams {
       .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"), col("c_value"))
   }
 
+  /** Stream-static enrichment: join each incoming event against a static
+    * dimension snapshot (user → segment). Stateless — the static side is
+    * re-resolved per micro-batch (a dim table swapped on disk is picked up
+    * on the next batch) and, being dimension-sized, broadcasts: every
+    * micro-batch plans a map-side hash join, no shuffle of the stream and
+    * NO join state to evict, which is why enrichment should be expressed
+    * stream-static rather than stream-stream whenever one side is bounded.
+    * Inner by default; `keepUnmatched` emits dimension-less events
+    * null-extended (left join) instead of dropping them. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      keepUnmatched: Boolean = false): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"),
+      if (keepUnmatched) "left" else "inner")
+
   /** Left-outer variant of [[clickAttribution]]: views with no click
     * inside the window are emitted null-extended once the watermark
     * passes their join horizon (v_ts + 10 min + watermark delay) — the

@@ -305,4 +305,26 @@ class StreamingSpec extends SparkSpec {
     MemSink.tables.remove(name)
     ()
   }
+
+  test("stream-static join enriches each micro-batch from the dim snapshot") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val query = EventStreams.enrichWithDim(df, dim, keepUnmatched = true)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      // user 3 has no dim row: kept, null segment (left); users 1/2 tagged
+      input.addData((1L, ts(1), 1.0), (3L, ts(2), 2.0))
+      query.processAllAvailable()
+      input.addData((2L, ts(3), 3.0))
+      query.processAllAvailable()
+      val out = spark.table("enrich_test")
+        .select("user_id", "segment").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+    } finally query.stop()
+  }
 }
