@@ -69,6 +69,24 @@ object EventStreams {
       .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"), col("c_value"))
   }
 
+  /** Streaming content-level dedup: the incremental twin of `dedup_exact`.
+    * Each document's distinct-token set folds to a 64-bit fingerprint
+    * (same collapse key the batch dedup family shuffles), and
+    * `dropDuplicatesWithinWatermark` keeps one survivor per fingerprint —
+    * state holds only fingerprints younger than the watermark, so a
+    * perpetual ingest stream dedups against its recent past with bounded
+    * state (the full-history exact pass stays a periodic batch job;
+    * cf. DedupOps' collapse). Token hashing is the same codegen'd
+    * xxhash64-over-sorted-set shape as the batch side, so stream and
+    * batch agree on what "same content" means. */
+  def dedupByContent(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", xxhash64(array_sort(
+        transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)))))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   /** Stream-static enrichment: join each incoming event against a static
     * dimension snapshot (user → segment). Stateless — the static side is
     * re-resolved per micro-batch (a dim table swapped on disk is picked up

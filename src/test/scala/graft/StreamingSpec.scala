@@ -306,6 +306,34 @@ class StreamingSpec extends SparkSpec {
     ()
   }
 
+  test("streaming content dedup keeps one doc per token-set fingerprint") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.dedupByContent(df)
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      // doc 2 is doc 1's text permuted — same token SET, must dedup;
+      // doc 3 is distinct content
+      input.addData(
+        (1L, ts(1), "alpha beta gamma"),
+        (2L, ts(2), "gamma alpha beta"),
+        (3L, ts(3), "delta epsilon"))
+      query.processAllAvailable()
+      // same content again within the watermark, later batch: still dropped
+      input.addData((4L, ts(4), "beta gamma alpha"))
+      query.processAllAvailable()
+      val ids = spark.table("content_dedup")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.size === 2, s"expected 2 survivors, got $ids")
+      assert(ids.contains(3L), s"distinct-content doc dropped: $ids")
+      assert((ids - 3L).subsetOf(Set(1L, 2L, 4L)),
+        s"unexpected survivor in $ids")
+    } finally query.stop()
+  }
+
   test("stream-static join enriches each micro-batch from the dim snapshot") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
