@@ -23,11 +23,20 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     resolved.computeIfAbsent((spark, dir, name), { _ =>
-      // Fixture timestamps are Parquet TIMESTAMP(isAdjustedToUTC=false);
-      // read them as session-zone TimestampType (sessions run UTC), not
-      // TIMESTAMP_NTZ, so timestamp arithmetic/casts below stay uniform.
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      spark.read.parquet(s"$dir/$name.parquet")
+      // Fixture timestamps are Parquet TIMESTAMP(isAdjustedToUTC=false),
+      // inferred as TIMESTAMP_NTZ in Spark 4. Every consumer (and the
+      // UTC-pinned DuckDB oracle) expects session-zone TimestampType, so
+      // cast NTZ columns back — wall-clock preserving under the UTC
+      // sessions. A projection, not a session conf: flipping
+      // spark.sql.parquet.inferTimestampNTZ.enabled would leak into a
+      // live session that installs graft (and there is no per-read
+      // parquet option for it in Spark 4.1).
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+      }.foldLeft(raw) { (df, c) =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      }
     })
 
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
@@ -40,8 +49,23 @@ object Tables {
     * flag) and truncate to µs, which is exact because the fixture's ns
     * fractions are zero (see FIXTURES.md). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(spark, dir, "events")
+    val raw =
+      try apply(spark, dir, "events")
+      catch {
+        // legacy-generation fixtures only: TIMESTAMP(NANOS) is unmappable
+        // in Spark 4 without the nanos-as-long legacy flag, so flip it
+        // just for this resolution attempt, then restore — never leave a
+        // legacy conf flipped in a session we don't own
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          try { spark.conf.set(key, "true"); apply(spark, dir, "events") }
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None    => spark.conf.unset(key)
+          }
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -78,7 +78,10 @@ object EventStreams {
     * state (the full-history exact pass stays a periodic batch job;
     * cf. DedupOps' collapse). Token hashing is the same codegen'd
     * xxhash64-over-sorted-set shape as the batch side, so stream and
-    * batch agree on what "same content" means. */
+    * batch agree on what "same content" means. NB: null and
+    * empty/whitespace-only texts all fold to one shared fingerprint and
+    * therefore dedup against each other (batch parity) — route no-content
+    * rows to a quality gate upstream if they must pass through. */
   def dedupByContent(docs: DataFrame): DataFrame =
     docs
       .withColumn("fp", xxhash64(array_sort(
@@ -88,14 +91,18 @@ object EventStreams {
       .drop("fp")
 
   /** Stream-static enrichment: join each incoming event against a static
-    * dimension snapshot (user → segment). Stateless — the static side is
-    * re-resolved per micro-batch (a dim table swapped on disk is picked up
-    * on the next batch) and, being dimension-sized, broadcasts: every
-    * micro-batch plans a map-side hash join, no shuffle of the stream and
-    * NO join state to evict, which is why enrichment should be expressed
-    * stream-static rather than stream-stream whenever one side is bounded.
-    * Inner by default; `keepUnmatched` emits dimension-less events
-    * null-extended (left join) instead of dropping them. */
+    * dimension snapshot (user → segment). Stateless — the static side,
+    * being dimension-sized, broadcasts: every micro-batch plans a
+    * map-side hash join, no shuffle of the stream and NO join state to
+    * evict, which is why enrichment should be expressed stream-static
+    * rather than stream-stream whenever one side is bounded. The
+    * snapshot is fixed at plan time for file-backed dims (the parquet
+    * file listing is captured when the DataFrame is created — swapping
+    * files under a running stream serves stale data or fails the scan);
+    * to follow a changing dim, restart the query on a fresh DataFrame or
+    * use a source that re-lists per batch. Inner by default;
+    * `keepUnmatched` emits dimension-less events null-extended (left
+    * join) instead of dropping them. */
   def enrichWithDim(events: DataFrame, dim: DataFrame,
       keepUnmatched: Boolean = false): DataFrame =
     events.join(broadcast(dim), Seq("user_id"),

@@ -34,11 +34,16 @@ class BucketingSpec extends SparkSpec {
         s"bucketed join still shuffles:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
       assert(plan.contains("SelectedBucketsCount"), plan)
-      // and it returns the same rows as the plain parquet join
-      val expected = Tables.orders(spark, SfDir)
+      // and it returns the same rows as the plain parquet join — which,
+      // for contrast, shuffles BOTH sides under the same no-broadcast
+      // constraint (the per-query cost bucketing amortizes away)
+      val plain = Tables.orders(spark, SfDir)
         .join(Tables.customer(spark, SfDir), col("o_custkey") === col("c_custkey"))
-        .count()
-      assert(joined.count() === expected)
+      val plainPlan = plain.queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      assert("Exchange hashpartitioning".r.findAllIn(plainPlan).size === 2,
+        s"plain SMJ should shuffle both sides:\n$plainPlan")
+      assert(joined.count() === plain.count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")

@@ -183,52 +183,6 @@ class SinkSpec extends SparkSpec {
     }
   }
 
-  test("bucketed tables co-locate the join: no shuffle on either side") {
-    // The third leg of the 100 TB join toolkit alongside broadcast
-    // (join_broadcast) and salting (join_salted): when a fact table is
-    // repeatedly joined on the same key, write it bucketed on that key so
-    // every subsequent join is pre-partitioned — zero Exchange at read
-    // time, forever. The shuffle is paid ONCE at write time instead of
-    // per query.
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val o = Tables.orders(spark, SfDir)
-    val c = Tables.customer(spark, SfDir)
-    try {
-      o.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable("graft_orders_bkt")
-      c.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable("graft_customer_bkt")
-      // pin SMJ (no broadcast) and a concrete plan (no AQE wrapper) so the
-      // exchange count below is exactly the co-location claim
-      withConfs(
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.enabled" -> "false") {
-        val bucketed = spark.table("graft_orders_bkt")
-          .join(spark.table("graft_customer_bkt"),
-            col("o_custkey") === col("c_custkey"))
-        val nBucketedEx = bucketed.queryExecution.executedPlan.collect {
-          case e: ShuffleExchangeExec => e
-        }.length
-        assert(nBucketedEx === 0,
-          s"bucketed join should not shuffle, found $nBucketedEx exchanges:\n" +
-            bucketed.queryExecution.executedPlan)
-
-        // the unbucketed twin shuffles BOTH sides
-        val plain = o.join(c, col("o_custkey") === col("c_custkey"))
-        val nPlainEx = plain.queryExecution.executedPlan.collect {
-          case e: ShuffleExchangeExec => e
-        }.length
-        assert(nPlainEx === 2,
-          s"plain SMJ should shuffle both sides, found $nPlainEx")
-
-        assert(bucketed.count() === plain.count())
-      }
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
-      spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
-    }
-  }
-
   test("dynamic partition overwrite replaces only the written day") {
     withTempDir { out =>
       val events = Tables.events(spark, SfDir)
