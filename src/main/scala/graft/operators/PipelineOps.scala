@@ -116,6 +116,38 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // The composed pipeline, end to end, as ONE declarative plan: exact
+    // dedup (survivor per identical text) -> quality gate (length band +
+    // Gopher duplicate-token fraction) -> deterministic md5 split ->
+    // per-(lang, split) corpus accounting. This is the flagship
+    // composition claim: the individual operators chain into the actual
+    // production corpus build without materialization barriers between
+    // stages — Catalyst fuses the gate and split into the post-aggregation
+    // projection, so the whole pipeline is TWO shuffles (the dedup groupBy
+    // and the final vocabulary-sized accounting groupBy) at any corpus
+    // size.
+    "pipe_e2e" -> ((s, dir) => {
+      val survivors = Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"))
+      val toks = split(col("text"), " ")
+      val gated = survivors
+        .withColumn("n_tokens", size(toks))
+        .withColumn("dup_frac",
+          lit(1.0) - size(array_distinct(toks)).cast("double") /
+            col("n_tokens"))
+        .filter(col("n_tokens").between(20, 400) && col("dup_frac") < 0.8)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      gated
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang", "split")
+    }),
+
     // Deterministic train/val/test split: bucket = the first FOUR hex
     // digits of md5(doc_id) as an integer mod 100 — 80/10/10. Four digits
     // matter: two (0..255) mod 100 is modulo-biased to ~84.4/7.8/7.8
@@ -487,6 +519,30 @@ object PipelineOps {
          FROM ev JOIN firsts USING (user_id)
          GROUP BY cohort, day_offset
          ORDER BY cohort, day_offset""",
+    "pipe_e2e" ->
+      """WITH survivors AS (
+           SELECT min(doc_id) AS doc_id,
+                  arg_min(lang, doc_id) AS lang,
+                  text
+           FROM documents GROUP BY text
+         ), gated AS (
+           SELECT doc_id, lang,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  1.0 - 1.0 * len(list_distinct(string_split(text, ' '))) /
+                        len(string_split(text, ' ')) AS dup_frac
+           FROM survivors
+         )
+         SELECT lang,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         FROM (
+           SELECT lang, n_tokens,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+           FROM gated
+           WHERE n_tokens BETWEEN 20 AND 400 AND dup_frac < 0.8
+         ) GROUP BY lang, split ORDER BY lang, split""",
     "pipe_split" ->
       """SELECT doc_id, source,
                 CASE WHEN bucket < 80 THEN 'train'
