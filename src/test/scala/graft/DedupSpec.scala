@@ -36,6 +36,22 @@ class DedupSpec extends SparkSpec {
       s"LSH recall $lshN/$exactN below 0.95")
   }
 
+  test("dedup_near recall holds at the 5,000-doc bench corpus (sf0.1)") {
+    // the banding S-curve was tuned on the measured similarity histogram;
+    // this pins that the tuning survives the regenerated, 10×-larger
+    // corpus whose histogram it was NOT tuned on (subset + recall, same
+    // contract as above, exact side = the fused SelfPairwise all-pairs)
+    val dir = "/root/testdata/sf0.1"
+    val lsh = DedupOps.queries("dedup_near")(spark, dir).select("doc_a", "doc_b")
+    val exact = DedupOps.queries("dedup_ngram")(spark, dir).select("doc_a", "doc_b")
+    assert(lsh.except(exact).count() === 0)
+    val exactN = exact.count()
+    val lshN = lsh.intersect(exact).count()
+    assert(exactN > 0, "bench corpus should contain near-dup pairs")
+    assert(lshN.toDouble / exactN >= 0.95,
+      s"LSH recall $lshN/$exactN below 0.95 at sf0.1")
+  }
+
   test("dedup_simhash pairs are symmetric-free (a < b) and within Hamming 3") {
     val sh = q("dedup_simhash")
     assert(sh.filter(col("doc_a") >= col("doc_b")).count() === 0)
