@@ -75,11 +75,14 @@ class DocsSource extends TableProvider with DataSourceRegister {
     {
       val rows = properties.getOrDefault("rows", "1000").toLong
       val parts = properties.getOrDefault("partitions", "4").toInt
+      val layout = properties.getOrDefault("layout", "range")
       require(rows >= 0, s"rows must be >= 0, got $rows")
       // parts <= 0 would divide by zero (or degrade to one partition per
       // row) in planInputPartitions — reject at table resolution
       require(parts >= 1, s"partitions must be >= 1, got $parts")
-      new DocsTable(rows, parts)
+      require(layout == "range" || layout == "bucket",
+        s"layout must be range|bucket, got $layout")
+      new DocsTable(rows, parts, layout)
     }
 }
 
@@ -121,16 +124,25 @@ object DocsSource {
   }
 }
 
-class DocsTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class DocsTable(rows: Long, parts: Int, layout: String = "range")
+    extends Table with SupportsRead {
   override def name(): String = s"graft_docs($rows)"
   override def schema(): StructType = DocsSource.Schema
+  // advertise the bucket layout at the TABLE level too (what a catalog
+  // would publish); the load-bearing report for storage-partitioned
+  // joins is the SCAN's outputPartitioning below
+  override def partitioning(): Array[Transform] =
+    if (layout == "bucket") Array(Expressions.bucket(parts, "doc_id"))
+    else Array.empty
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocsScanBuilder(rows, parts, options.getLong("rowsPerBatch", 1000L))
+    new DocsScanBuilder(rows, parts, options.getLong("rowsPerBatch", 1000L),
+      options.getOrDefault("layout", layout))
 }
 
-class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
+class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L,
+    layout: String = "range")
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -238,7 +250,8 @@ class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L)
 
   override def build(): Scan = aggFuncs match {
     case Some(funcs) => new DocsAggScan(math.max(lo, 0L), math.min(hi, rows), funcs)
-    case None        => new DocsScan(rows, parts, required, lo, hi, langEq, rowsPerBatch)
+    case None        => new DocsScan(rows, parts, required, lo, hi, langEq,
+      rowsPerBatch, layout)
   }
 }
 
@@ -286,9 +299,11 @@ class DocsAggScan(lo: Long, hi: Long, funcs: Array[AggregateFunc])
 
 class DocsScan(rows: Long, parts: Int, required: StructType,
                lo: Long, hi: Long, langEq: Option[String],
-               rowsPerBatch: Long = 1000L) extends Scan with Batch
+               rowsPerBatch: Long = 1000L, layout: String = "range")
+    extends Scan with Batch
     with SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -392,17 +407,44 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
     if (DocsScan.recordRuntimeSpans) DocsScan.lastRuntimeSpan = Some((rlo, rhi))
   }
 
+  /** Storage-partitioned-join report: under the bucket layout every
+    * input partition holds exactly the ids with `doc_id % parts ==
+    * bucket` and carries that bucket as its partition key
+    * ([[DocsBucketRange.partitionKey]]), so the scan's output is
+    * key-grouped by `bucket(parts, doc_id)`. Two bucket-layout scans
+    * with the same modulus joined on doc_id are then co-partitioned by
+    * construction and Spark (with `spark.sql.sources.v2.bucketing
+    * .enabled`) plans the join with NO shuffle on either side — the
+    * DSv2 analogue of the bucketed-table join in BucketingSpec, and how
+    * modern table formats (Iceberg-style SPJ) join fact tables at
+    * 100 TB without paying an exchange. The default range layout keeps
+    * contiguous spans (better for range pruning) and reports unknown. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (layout == "bucket")
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.bucket(parts, "doc_id")), parts)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(parts)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // fixed id-range partitioning over the FULL table, intersected with
-    // the pushed [lo, hi) AND the runtime-narrowed [rlo, rhi) —
-    // out-of-range partitions are pruned before tasks launch, mirroring
-    // how a partitioned table prunes directories (statically) and skips
-    // DPP-pruned partitions (dynamically)
-    val per = math.max(1L, (rows + parts - 1) / parts)
-    (0L until rows by per)
-      .map(s => DocsRange(math.max(s, rlo), math.min(math.min(rows, s + per), rhi)))
-      .filter(r => r.start < r.end)
-      .toArray
+    // intersect with the pushed [lo, hi) AND the runtime-narrowed
+    // [rlo, rhi) — out-of-range partitions are pruned before tasks
+    // launch, mirroring how a partitioned table prunes directories
+    // (statically) and skips DPP-pruned partitions (dynamically)
+    if (layout == "bucket") {
+      // one partition per residue class mod `parts`; ALL buckets are
+      // emitted (possibly empty) so co-partitioned sides always report
+      // identical key sets to the SPJ matcher
+      val end = math.min(rows, rhi)
+      Array.tabulate(parts)(b => DocsBucketRange(b, parts, math.max(0L, rlo), end))
+    } else {
+      val per = math.max(1L, (rows + parts - 1) / parts)
+      (0L until rows by per)
+        .map(s => DocsRange(math.max(s, rlo), math.min(math.min(rows, s + per), rhi)))
+        .filter(r => r.start < r.end)
+        .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -410,6 +452,19 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
 }
 
 case class DocsRange(start: Long, end: Long) extends InputPartition
+
+/** Bucket-layout partition: the ids in [start, end) with
+  * `id % parts == bucket`. The partition key is the bucket number — the
+  * value `bucket(parts, doc_id)` takes on every row in the partition —
+  * which is what lets Spark group and match partitions across join sides
+  * without an exchange. */
+case class DocsBucketRange(bucket: Int, parts: Int, start: Long, end: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 object DocsScan {
   /** Test observability hook: when enabled, the last runtime-narrowed
@@ -426,9 +481,16 @@ object DocsScan {
       langEq: Option[String]): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val r = partition.asInstanceOf[DocsRange]
+        // range partitions walk contiguous ids; bucket partitions stride
+        // through their residue class (first id >= start in the class)
+        val (first, end, step) = partition match {
+          case DocsRange(s, e) => (s, e, 1L)
+          case b: DocsBucketRange =>
+            (b.start + java.lang.Math.floorMod(b.bucket - b.start, b.parts.toLong),
+              b.end, b.parts.toLong)
+        }
         new PartitionReader[InternalRow] {
-          private var id = r.start - 1
+          private var id = first - step
           // lang computed by the pushdown check is carried into get() so
           // a pushed lang filter + projected lang column hashes once, not
           // twice, per emitted row
@@ -436,14 +498,14 @@ object DocsScan {
           override def next(): Boolean = {
             // the pushed lang filter is checked BEFORE any other column
             // is synthesized — non-matching ids cost one hash each
-            id += 1
+            id += step
             if (langEq.isDefined) {
               val want = langEq.get
               lang = null
-              while (id < r.end && { lang = DocsSource.langOf(id); lang != want })
-                id += 1
+              while (id < end && { lang = DocsSource.langOf(id); lang != want })
+                id += step
             }
-            id < r.end
+            id < end
           }
           override def get(): InternalRow = {
             // generate only the projected columns; text is the expensive

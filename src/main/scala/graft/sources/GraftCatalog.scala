@@ -2,10 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Read-only `TableCatalog` plugin exposing the synthetic documents
@@ -29,7 +31,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * swapping this for a metastore-backed implementation changes resolution,
   * never planning.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private var catalogName: String = "graft"
 
@@ -39,17 +41,20 @@ class GraftCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   private val Ns = Array("docs")
-  private val TableName = """docs_(\d+)(?:_(\d+))?""".r
+  private val TableName = """docs_(\d+)(?:_(\d+))?(?:_(bucket))?""".r
 
-  /** Parse `docs_<rows>[_<parts>]`; None for anything malformed — an
-    * unparseable numeral (overflow) or parts=0 is a table that does not
-    * EXIST, never an internal error surfacing from planning. */
-  private def parse(name: String): Option[(Long, Int)] = name match {
-    case TableName(rows, parts) =>
+  /** Parse `docs_<rows>[_<parts>][_bucket]`; None for anything malformed —
+    * an unparseable numeral (overflow) or parts=0 is a table that does not
+    * EXIST, never an internal error surfacing from planning. The `_bucket`
+    * suffix selects the bucket layout whose scans report key-grouped
+    * partitioning (storage-partitioned joins — see [[DocsScan]]). */
+  private def parse(name: String): Option[(Long, Int, String)] = name match {
+    case TableName(rows, parts, bucket) =>
       try {
         val r = rows.toLong
         val p = if (parts == null) 8 else parts.toInt
-        if (r >= 0 && p >= 1) Some((r, p)) else None
+        val layout = if (bucket == null) "range" else "bucket"
+        if (r >= 0 && p >= 1) Some((r, p, layout)) else None
       } catch { case _: NumberFormatException => None }
     case _ => None
   }
@@ -64,9 +69,23 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table =
     if (ident.namespace.sameElements(Ns)) parse(ident.name) match {
-      case Some((rows, parts)) => new DocsTable(rows, parts)
+      case Some((rows, parts, layout)) => new DocsTable(rows, parts, layout)
       case None => throw new NoSuchTableException(ident)
     } else throw new NoSuchTableException(ident)
+
+  // ---- FunctionCatalog: the transforms this catalog's tables partition
+  // by. Storage-partitioned-join planning resolves a scan's reported
+  // `bucket(n, doc_id)` against the owning catalog's function registry
+  // (exactly how Iceberg ships its transform functions), so the catalog
+  // must be able to hand Spark an evaluable definition of `bucket`.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Ns))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") GraftCatalog.BucketFunction
+    else throw new NoSuchFunctionException(ident)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
@@ -80,4 +99,31 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+object GraftCatalog {
+  /** `bucket(n, id) = floorMod(id, n)` — the modulo transform
+    * [[DocsScan]]'s bucket layout partitions by. The partition key each
+    * [[DocsBucketRange]] reports IS this function applied to any of its
+    * rows, which is the invariant storage-partitioned join planning
+    * relies on when it matches partition values across join sides. */
+  object BucketFunction extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets int, doc_id bigint): floorMod(doc_id, numBuckets)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket expects (numBuckets int, value bigint), got $inputType")
+      Bound
+    }
+    object Bound extends ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer =
+        Math.floorMod(input.getLong(1), input.getInt(0).toLong).toInt
+    }
+  }
 }

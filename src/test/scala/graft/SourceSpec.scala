@@ -272,4 +272,50 @@ class SourceSpec extends SparkSpec {
     assert(graft.sources.DocsScan.lastRuntimeSpan.contains((5L, 906L)),
       s"runtime span was ${graft.sources.DocsScan.lastRuntimeSpan}")
   }
+
+  test("storage-partitioned join: bucket-layout scans co-locate with no shuffle") {
+    // the DSv2 analogue of the bucketed-table join (BucketingSpec): both
+    // scans report KeyGroupedPartitioning over bucket(parts, doc_id) and
+    // every input partition carries its bucket as the partition key, so
+    // the join on doc_id is co-partitioned by construction — Spark plans
+    // SMJ/SHJ with ZERO exchanges. This is how Iceberg-style table
+    // formats join 100 TB fact tables without paying a shuffle.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // SPJ resolves the scan's bucket transform through the owning
+    // CATALOG's FunctionCatalog, so the table must come from the graft
+    // catalog (a bare format() read has no function registry to consult)
+    def bucketed = spark.table("graft.docs.docs_2000_4_bucket")
+    withConfs(
+      "spark.sql.catalog.graft" -> "graft.sources.GraftCatalog",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val a = bucketed.select(col("doc_id"), col("n_chars"))
+      val b = bucketed.select(col("doc_id"), col("lang"))
+      val j = a.join(b, "doc_id")
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"SPJ should plan no shuffle:\n${j.queryExecution.executedPlan}")
+      // unique ids join 1:1 — and the bucket layout generates exactly the
+      // same id set as the default range layout
+      assert(j.count() === 2000L)
+      assert(bucketed.select(sum(col("doc_id"))).head.getLong(0) ===
+        (0L until 2000L).sum)
+    }
+  }
+
+  test("bucket layout preserves pushdown: lang filter and doc_id range still prune") {
+    def bucketed = spark.read.format("graft-docs")
+      .option("rows", 2000).option("partitions", 4)
+      .option("layout", "bucket").load()
+    // reader-side lang filter: same result as the range layout
+    val en = bucketed.filter(col("lang") === "en").count()
+    val enRange = read(2000, 4).filter(col("lang") === "en").count()
+    assert(en === enRange)
+    // planning-time span narrowing still applies inside each stride
+    val slice = bucketed.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+    assert(slice.count() === 200L)
+  }
 }
