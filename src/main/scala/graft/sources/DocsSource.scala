@@ -126,7 +126,11 @@ object DocsSource {
 
 class DocsTable(rows: Long, parts: Int, layout: String = "range")
     extends Table with SupportsRead {
-  override def name(): String = s"graft_docs($rows)"
+  // the layout changes plan shape (SPJ vs shuffle), so it must be
+  // visible wherever the table prints — two joins of same-sized tables
+  // are otherwise indistinguishable in explain output
+  override def name(): String =
+    if (layout == "bucket") s"graft_docs($rows,bucket)" else s"graft_docs($rows)"
   override def schema(): StructType = DocsSource.Schema
   // advertise the bucket layout at the TABLE level too (what a catalog
   // would publish); the load-bearing report for storage-partitioned
@@ -136,9 +140,14 @@ class DocsTable(rows: Long, parts: Int, layout: String = "range")
     else Array.empty
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocsScanBuilder(rows, parts, options.getLong("rowsPerBatch", 1000L),
-      options.getOrDefault("layout", layout))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a scan-level layout override is validated like the table-level one:
+    // a typo must fail loudly, not silently degrade to the range layout
+    // and cost the user their shuffle-free join
+    val l = options.getOrDefault("layout", layout)
+    require(l == "range" || l == "bucket", s"layout must be range|bucket, got $l")
+    new DocsScanBuilder(rows, parts, options.getLong("rowsPerBatch", 1000L), l)
+  }
 }
 
 class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L,
@@ -439,7 +448,10 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
       val end = math.min(rows, rhi)
       Array.tabulate(parts)(b => DocsBucketRange(b, parts, math.max(0L, rlo), end))
     } else {
-      val per = math.max(1L, (rows + parts - 1) / parts)
+      // overflow-safe ceil-div: (rows + parts - 1) wraps negative for
+      // rows near Long.MaxValue, collapsing per to 1 and asking the
+      // driver to materialize ~2^63 range objects
+      val per = math.max(1L, rows / parts + (if (rows % parts == 0) 0 else 1))
       (0L until rows by per)
         .map(s => DocsRange(math.max(s, rlo), math.min(math.min(rows, s + per), rhi)))
         .filter(r => r.start < r.end)
@@ -482,15 +494,28 @@ object DocsScan {
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         // range partitions walk contiguous ids; bucket partitions stride
-        // through their residue class (first id >= start in the class)
+        // through their residue class (first id >= start in the class).
+        // All id arithmetic saturates: a span ending within `step` of
+        // Long.MaxValue must terminate, not wrap negative and re-enter
+        // the `id < end` window emitting ids the pushed (and removed)
+        // filter excluded — the same saturation contract the builder's
+        // inc() keeps on the pushdown side.
         val (first, end, step) = partition match {
           case DocsRange(s, e) => (s, e, 1L)
           case b: DocsBucketRange =>
-            (b.start + java.lang.Math.floorMod(b.bucket - b.start, b.parts.toLong),
-              b.end, b.parts.toLong)
+            val off = java.lang.Math.floorMod(b.bucket - b.start, b.parts.toLong)
+            val f = if (b.start > Long.MaxValue - off) b.end // overflow: empty
+                    else b.start + off
+            (f, b.end, b.parts.toLong)
         }
         new PartitionReader[InternalRow] {
-          private var id = first - step
+          private var id = first
+          private var started = false
+          // saturating advance: overflow → jump to `end` (exhausted)
+          private def advance(): Unit = {
+            val n = id + step
+            id = if (n < id) end else n
+          }
           // lang computed by the pushdown check is carried into get() so
           // a pushed lang filter + projected lang column hashes once, not
           // twice, per emitted row
@@ -498,12 +523,12 @@ object DocsScan {
           override def next(): Boolean = {
             // the pushed lang filter is checked BEFORE any other column
             // is synthesized — non-matching ids cost one hash each
-            id += step
+            if (started) advance() else started = true
             if (langEq.isDefined) {
               val want = langEq.get
               lang = null
               while (id < end && { lang = DocsSource.langOf(id); lang != want })
-                id += step
+                advance()
             }
             id < end
           }

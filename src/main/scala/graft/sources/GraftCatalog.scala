@@ -84,7 +84,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name == "bucket") GraftCatalog.BucketFunction
+    if (ident.name == "bucket" &&
+        (ident.namespace.isEmpty || ident.namespace.sameElements(Ns)))
+      GraftCatalog.BucketFunction
     else throw new NoSuchFunctionException(ident)
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -111,8 +113,16 @@ object GraftCatalog {
     override def name(): String = "bucket"
     override def description(): String =
       "bucket(numBuckets int, doc_id bigint): floorMod(doc_id, numBuckets)"
+    // the UnboundFunction contract: reject unbindable input with
+    // UnsupportedOperationException — that is what Spark's function
+    // resolution (and SPJ's loadV2FunctionOpt) catches to produce a
+    // clean analysis error / unknown-partitioning fallback; any other
+    // exception escapes to the user as a raw internal error
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.fields.length == 2,
+      val ok = inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == LongType
+      if (!ok) throw new UnsupportedOperationException(
         s"bucket expects (numBuckets int, value bigint), got $inputType")
       Bound
     }

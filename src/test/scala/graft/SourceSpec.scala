@@ -314,8 +314,14 @@ class SourceSpec extends SparkSpec {
     val en = bucketed.filter(col("lang") === "en").count()
     val enRange = read(2000, 4).filter(col("lang") === "en").count()
     assert(en === enRange)
-    // planning-time span narrowing still applies inside each stride
+    // planning-time span narrowing still applies inside each stride —
+    // collect the actual ids (count() alone would be answered by the
+    // pushed-aggregate scan from the span bounds without ever running
+    // the strided reader, leaving the first-id floorMod math untested)
     val slice = bucketed.filter(col("doc_id") >= 100 && col("doc_id") < 300)
-    assert(slice.count() === 200L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(slice.toSeq === (100L until 300L),
+      s"strided span walk produced ${slice.length} ids, " +
+        s"head=${slice.headOption}, last=${slice.lastOption}")
   }
 }
