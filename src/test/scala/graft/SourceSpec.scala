@@ -285,24 +285,32 @@ class SourceSpec extends SparkSpec {
     // CATALOG's FunctionCatalog, so the table must come from the graft
     // catalog (a bare format() read has no function registry to consult)
     def bucketed = spark.table("graft.docs.docs_2000_4_bucket")
-    withConfs(
-      "spark.sql.catalog.graft" -> "graft.sources.GraftCatalog",
-      "spark.sql.sources.v2.bucketing.enabled" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.enabled" -> "false") {
-      val a = bucketed.select(col("doc_id"), col("n_chars"))
-      val b = bucketed.select(col("doc_id"), col("lang"))
-      val j = a.join(b, "doc_id")
-      val exchanges = j.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
+    // assert under BOTH planners: AQE off gives a concrete executedPlan;
+    // AQE on (the production default) must keep the co-location too —
+    // the final adaptive plan is inspected after execution
+    for (aqe <- Seq("false", "true")) {
+      withConfs(
+        "spark.sql.catalog.graft" -> "graft.sources.GraftCatalog",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> aqe) {
+        val a = bucketed.select(col("doc_id"), col("n_chars"))
+        val b = bucketed.select(col("doc_id"), col("lang"))
+        val j = a.join(b, "doc_id")
+        // unique ids join 1:1 — and the bucket layout generates exactly
+        // the same id set as the default range layout
+        assert(j.count() === 2000L)
+        val finalPlan = j.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val exchanges = finalPlan.collect { case e: ShuffleExchangeExec => e }
+        assert(exchanges.isEmpty,
+          s"SPJ should plan no shuffle (aqe=$aqe):\n$finalPlan")
+        assert(bucketed.select(sum(col("doc_id"))).head.getLong(0) ===
+          (0L until 2000L).sum)
       }
-      assert(exchanges.isEmpty,
-        s"SPJ should plan no shuffle:\n${j.queryExecution.executedPlan}")
-      // unique ids join 1:1 — and the bucket layout generates exactly the
-      // same id set as the default range layout
-      assert(j.count() === 2000L)
-      assert(bucketed.select(sum(col("doc_id"))).head.getLong(0) ===
-        (0L until 2000L).sum)
     }
   }
 
