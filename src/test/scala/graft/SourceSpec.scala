@@ -310,6 +310,23 @@ class SourceSpec extends SparkSpec {
           s"SPJ should plan no shuffle (aqe=$aqe):\n$finalPlan")
         assert(bucketed.select(sum(col("doc_id"))).head.getLong(0) ===
           (0L until 2000L).sum)
+
+        // a filtered side keeps the co-location: every bucket partition
+        // is still emitted (possibly empty), so both sides' key sets
+        // stay identical and the filter costs no exchange — the
+        // dim-filtered fact join shape
+        val f = bucketed.filter(col("lang") === "en")
+          .select(col("doc_id"), col("source"))
+        val jf = f.join(b, "doc_id")
+        val expected = bucketed.filter(col("lang") === "en").count()
+        assert(jf.count() === expected)
+        val fPlan = jf.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        assert(fPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"filtered-side SPJ should plan no shuffle (aqe=$aqe):\n$fPlan")
       }
     }
   }
