@@ -489,7 +489,7 @@ object DocsScan {
 
   /** Shared by the batch scan and the micro-batch stream — the factory
     * ships to executors and must capture only serializable locals. */
-  private[sources] def readerFactory(fields: Array[String],
+  private[graft] def readerFactory(fields: Array[String],
       langEq: Option[String]): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

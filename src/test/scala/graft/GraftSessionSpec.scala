@@ -33,6 +33,11 @@ class GraftSessionSpec extends SparkSpec {
       assert(j === 0.5)
       // the graft catalog resolves generated tables from pure SQL
       assert(s2.sql("SELECT count(*) AS n FROM graft.docs.docs_123").head.getLong(0) === 123)
+      // ... including the bucket-layout table and the catalog FUNCTION
+      // surface the storage-partitioned join resolves transforms through
+      assert(s2.sql("SELECT count(*) AS n FROM graft.docs.docs_123_4_bucket")
+        .head.getLong(0) === 123)
+      assert(s2.sql("SELECT graft.docs.bucket(4, 10L) AS b").head.getInt(0) === 2)
       // scale defaults: shuffle parallelism = cores, UTC, AQE on
       assert(s2.conf.get("spark.sql.shuffle.partitions") === "2")
       assert(s2.conf.get("spark.sql.session.timeZone") === "UTC")

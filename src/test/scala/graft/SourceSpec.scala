@@ -331,6 +331,35 @@ class SourceSpec extends SparkSpec {
     }
   }
 
+  test("stride reader saturates at the Long.MaxValue edge instead of wrapping") {
+    // drive the reader directly (no Spark job can reach this span size):
+    // a bucket partition whose span ends within one stride of
+    // Long.MaxValue must terminate after its last id — wrapping negative
+    // would re-enter the id < end window and emit ids the removed pushed
+    // filter excluded, in a ~2^61-iteration loop
+    import graft.sources.{DocsBucketRange, DocsRange, DocsScan}
+    def ids(p: org.apache.spark.sql.connector.read.InputPartition): Seq[Long] = {
+      val r = DocsScan.readerFactory(Array("doc_id"), None).createReader(p)
+      val out = Seq.newBuilder[Long]
+      while (r.next()) out += r.get().getLong(0)
+      r.close()
+      out.result()
+    }
+    val hi = Long.MaxValue
+    // hi % 4 == 3, so (hi-10) % 4 == 1: bucket 1 in [hi-10, hi) is
+    // exactly {hi-10, hi-6, hi-2} — then the stride must STOP
+    val got = ids(DocsBucketRange(bucket = 1, parts = 4,
+      start = hi - 10, end = hi))
+    assert(got === Seq(hi - 10, hi - 6, hi - 2), s"stride walk wrong: $got")
+    // contiguous range partition at the same edge
+    val gotR = ids(DocsRange(hi - 3, hi))
+    assert(gotR === Seq(hi - 3, hi - 2, hi - 1), s"range walk wrong: $gotR")
+    // degenerate: start offset overflow -> empty, never negative ids
+    val gotE = ids(DocsBucketRange(bucket = 2, parts = 4,
+      start = hi - 1, end = hi))
+    assert(gotE.forall(id => id >= hi - 1 && id < hi), s"overflowed first: $gotE")
+  }
+
   test("bucket layout preserves pushdown: lang filter and doc_id range still prune") {
     def bucketed = spark.read.format("graft-docs")
       .option("rows", 2000).option("partitions", 4)
