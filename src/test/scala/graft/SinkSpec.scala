@@ -183,6 +183,55 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("small-file compaction: rewrite to target file count with content parity") {
+    // the operational twin of merge_compact: streaming/incremental writes
+    // leave hundreds of KB-sized files per partition; reading pays a
+    // file-open per file, so periodic compaction is how a 100 TB table
+    // keeps its scan cost proportional to bytes, not file count. The
+    // rewrite is one repartition to ceil(bytes / targetFileSize) — here
+    // pinned by file count — and must be byte-for-byte content-preserving.
+    withTempDir { out =>
+      val events = Tables.events(spark, SfDir)
+      // simulate the incremental-writer fragmentation: 64 tiny files
+      events.repartition(64).write.mode("overwrite").parquet(s"$out/frag")
+      val fragFiles = new java.io.File(s"$out/frag").listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(fragFiles >= 32, s"expected many fragments, got $fragFiles")
+
+      val frag = spark.read.parquet(s"$out/frag")
+      frag.repartition(4).write.mode("overwrite").parquet(s"$out/compact")
+      val compactFiles = new java.io.File(s"$out/compact").listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(compactFiles === 4, s"expected 4 compacted files, got $compactFiles")
+
+      // content parity: same multiset of rows
+      val a = spark.read.parquet(s"$out/compact")
+      assert(a.count() === events.count())
+      assert(a.exceptAll(frag).count() === 0 && frag.exceptAll(a).count() === 0)
+    }
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    // data-lake reality: yesterday's files lack the column added today.
+    // A reader over both generations must see the union schema with
+    // nulls for the missing column — not fail, not silently drop it.
+    withTempDir { out =>
+      val v1 = Tables.events(spark, SfDir).select("event_id", "user_id", "value")
+      v1.write.parquet(s"$out/gen=1")
+      val v2 = Tables.events(spark, SfDir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type").as("etype"))
+      v2.write.parquet(s"$out/gen=2")
+
+      val merged = spark.read.option("mergeSchema", "true").parquet(out)
+      assert(merged.columns.toSet === Set("event_id", "user_id", "value", "etype", "gen"))
+      // old generation null-extends the new column; new generation keeps it
+      assert(merged.filter(col("gen") === 1 && col("etype").isNotNull).count() === 0)
+      assert(merged.filter(col("gen") === 2 && col("etype").isNull).count() === 0)
+      assert(merged.count() === v1.count() * 2)
+    }
+  }
+
   test("dynamic partition overwrite replaces only the written day") {
     withTempDir { out =>
       val events = Tables.events(spark, SfDir)
