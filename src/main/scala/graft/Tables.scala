@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture table readers (TESTDATA.md). One parquet file per table.
   *
@@ -32,11 +33,11 @@ object Tables {
       // live session that installs graft (and there is no per-read
       // parquet option for it in Spark 4.1).
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema.fields.collect {
-        case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
-      }.foldLeft(raw) { (df, c) =>
-        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      val ntz = raw.schema.fields.collect {
+        case f if f.dataType == TimestampNTZType => f.name
       }
+      if (ntz.isEmpty) raw
+      else raw.withColumns(ntz.map(c => c -> col(c).cast(TimestampType)).toMap)
     })
 
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
@@ -67,9 +68,8 @@ object Tables {
           }
       }
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
     }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")

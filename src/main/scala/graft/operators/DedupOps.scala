@@ -70,6 +70,14 @@ object DedupOps {
   private def tokHashes(c: Column): Column =
     array_sort(transform(toks(c), t => xxhash64(t)))
 
+  /** 64-bit fingerprint of the distinct-token SET of a text column — the
+    * collapse key the whole dedup family groups by, exposed so the
+    * streaming side ([[graft.streaming.EventStreams.dedupByContent]])
+    * shares the definition of "same content" with the batch side by
+    * construction rather than by copy. */
+  private[graft] def contentFingerprint(c: Column): Column =
+    xxhash64(tokHashes(c))
+
   /** LSH band digests straight from the token-hash set — MinHash and the
     * per-band fold run in ONE fused codegen loop
     * ([[ArrayExprs.minHashBands]]); see that Scaladoc for why composing

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,12 @@ object PipelineOps {
     * mass, so 4 is the width at which the declared query pins non-trivial
     * behavior (8 contaminated docs at sf0.01) instead of an empty set. */
   val DecontamNGram = 4
+
+  /** First-four-hex-digits md5 bucket of a key, in [0, 100) — THE
+    * deterministic split key (`pipe_split` documents why four digits).
+    * Shared by every operator that must agree on split membership. */
+  private def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % 100
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Model-eval at corpus scale: ROC AUC via the tie-corrected
@@ -138,8 +144,7 @@ object PipelineOps {
           lit(1.0) - size(array_distinct(toks)).cast("double") /
             col("n_tokens"))
         .filter(col("n_tokens").between(20, 400) && col("dup_frac") < 0.8)
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
+      val bucket = md5Bucket(col("doc_id"))
       gated
         .withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
@@ -158,8 +163,7 @@ object PipelineOps {
     // row_number()-based splits can't promise). One codegen'd scan, no
     // shuffle before the final order.
     "pipe_split" -> ((s, dir) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
+      val bucket = md5Bucket(col("doc_id"))
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), bucket.as("bucket"))
         .withColumn("split",

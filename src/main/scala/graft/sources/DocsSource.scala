@@ -75,18 +75,23 @@ class DocsSource extends TableProvider with DataSourceRegister {
     {
       val rows = properties.getOrDefault("rows", "1000").toLong
       val parts = properties.getOrDefault("partitions", "4").toInt
-      val layout = properties.getOrDefault("layout", "range")
+      val layout = DocsSource.requireLayout(properties.getOrDefault("layout", "range"))
       require(rows >= 0, s"rows must be >= 0, got $rows")
       // parts <= 0 would divide by zero (or degrade to one partition per
       // row) in planInputPartitions — reject at table resolution
       require(parts >= 1, s"partitions must be >= 1, got $parts")
-      require(layout == "range" || layout == "bucket",
-        s"layout must be range|bucket, got $layout")
       new DocsTable(rows, parts, layout)
     }
 }
 
 object DocsSource {
+  /** Validate a layout value wherever it enters (table properties or
+    * scan options) — one definition of the accepted set. */
+  private[sources] def requireLayout(l: String): String = {
+    require(l == "range" || l == "bucket", s"layout must be range|bucket, got $l")
+    l
+  }
+
   val Schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = false),
@@ -144,8 +149,7 @@ class DocsTable(rows: Long, parts: Int, layout: String = "range")
     // a scan-level layout override is validated like the table-level one:
     // a typo must fail loudly, not silently degrade to the range layout
     // and cost the user their shuffle-free join
-    val l = options.getOrDefault("layout", layout)
-    require(l == "range" || l == "bucket", s"layout must be range|bucket, got $l")
+    val l = DocsSource.requireLayout(options.getOrDefault("layout", layout))
     new DocsScanBuilder(rows, parts, options.getLong("rowsPerBatch", 1000L), l)
   }
 }

@@ -84,8 +84,7 @@ object EventStreams {
     * rows to a quality gate upstream if they must pass through. */
   def dedupByContent(docs: DataFrame): DataFrame =
     docs
-      .withColumn("fp", xxhash64(array_sort(
-        transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)))))
+      .withColumn("fp", graft.operators.DedupOps.contentFingerprint(col("text")))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
