@@ -52,6 +52,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(event_type"), s"type filter not pushed:\n$plan")
   }
 
+  test("pipe_e2e chains dedup→gate→split→accounting in exactly two corpus shuffles") {
+    // the flagship composition claim: the stages fuse into one plan with
+    // two hash exchanges (dedup groupBy text, accounting groupBy
+    // lang/split) plus the 15-row final sort — no materialization
+    // barriers between the chained operators
+    val plan = graft.operators.PipelineOps.queries("pipe_e2e")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(hashEx === 2, s"composed pipeline should shuffle twice:\n$plan")
+    assert(rangeEx === 1, s"expected only the final-order range exchange:\n$plan")
+  }
+
   test("dedup_near verifies Jaccard inside broadcast joins (no wide shuffle)") {
     val plan = graft.operators.DedupOps.queries("dedup_near")(spark, SfDir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
