@@ -49,7 +49,14 @@ object Bench {
     val results = selected.toSeq.map { case (name, fn) =>
       val dt = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failed query must not kill the whole bench run, but it must
+        // be VISIBLE: a swallowed throw records a fast time that reads
+        // as a healthy query (stderr only — the driver parses stdout)
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(200))
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // drop intermediates the query persisted for its own reuse —
         // without this, 100+ cached plans accumulate across the run and
