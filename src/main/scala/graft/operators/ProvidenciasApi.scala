@@ -40,4 +40,26 @@ object ProvidenciasApi {
     // reference :39: df.drop(columns=["_id"]) — doc_id is our _id
     filtered.drop("doc_id")
   }
+
+  /** The third reference page ("Filtrar por Similitudes",
+    * streamlit_app.py:55-71): pick a providencia, bound the similarity
+    * slider, list its SIMILAR neighbors in range. The edge table is
+    * DERIVED on demand — the probe row broadcasts against the embeddings
+    * table (one linear scan, no O(n²) edge materialization), which is
+    * the same plan the declared `similar_range` query pins; this facade
+    * just parameterizes (docId, lo, hi) the way the app's widgets do. */
+  def similares(s: SparkSession, dir: String, docId: Long,
+                lo: Double, hi: Double): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val probe = e.filter(col("vec_id") === docId)
+      .select(col("vec_id").as("origen"), col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= docId)
+      .select(col("vec_id").as("destino"), col("embedding"))
+      .crossJoin(broadcast(probe))
+      .withColumn("similitud",
+        graft.functions.Vectors.similitud(col("qv"), col("embedding")))
+      .filter(col("similitud").between(lo, hi))
+      .select("origen", "destino", "similitud")
+      .orderBy("destino")
+  }
 }

@@ -73,6 +73,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(text.count() > 0)
   }
 
+  test("ProvidenciasApi.similares parameterizes the similarity-slider page (A9)") {
+    import graft.operators.ProvidenciasApi
+    // at the declared query's (docId=0, [10,90]) the facade must return
+    // exactly similar_range's rows
+    val facade = ProvidenciasApi.similares(spark, SfDir, docId = 0L, lo = 10, hi = 90)
+    val declared = graft.operators.ProvidenciasOps
+      .queries("similar_range")(spark, SfDir)
+    assert(facade.exceptAll(declared).count() === 0)
+    assert(declared.exceptAll(facade).count() === 0)
+    // the slider bounds are inclusive and honored for other probes too
+    val narrow = ProvidenciasApi.similares(spark, SfDir, docId = 7L, lo = 40, hi = 60)
+    val sims = narrow.select("similitud").collect().map(_.getDouble(0))
+    assert(sims.forall(v => v >= 40 && v <= 60))
+    assert(narrow.filter(col("destino") === 7L).count() === 0,
+      "a node must not be its own neighbor")
+  }
+
   test("typed Dataset[T] pipeline agrees with the untyped DataFrame plan") {
     import spark.implicits._
     // the B-design's "Dataset[T] where type safety helps": case-class
