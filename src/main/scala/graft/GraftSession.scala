@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
   *       of the legacy 200 (on a cluster: set to 2-3× total cores);
   *     - AQE left ON (coalesce, skew split, runtime re-plan) — the
   *       engine's plans are written to benefit from it;
+  *     - DSv2 bucketing ON so storage-partitioned joins over the
+  *       `graft.docs.…_bucket` layout co-locate without a shuffle;
   *     - session timezone pinned to UTC so date_trunc/window semantics
   *       are reproducible across machines (SURVEY §7.4).
   *
@@ -39,6 +41,10 @@ object GraftSession {
       .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins: honor a scan's KeyGroupedPartitioning
+      // (the graft.docs _bucket layout) instead of shuffling both sides —
+      // off by default in Spark, and harmless when no scan reports one
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
 
   /** Idempotently wire graft into a LIVE session. `getOrCreate` silently
     * returns any pre-existing session and ignores `withExtensions` for it
