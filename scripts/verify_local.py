@@ -69,6 +69,18 @@ def main():
             print(f"✗ {name}: rowcount spark={len(got)} duck={len(exp)}")
             n_bad += 1
             continue
+        # dtype parity: the driver hashes raw column values, so an oracle
+        # returning HUGEINT/DECIMAL (surfacing as float64/object) against a
+        # Spark BIGINT hashes differently even when values are identical
+        # (SURVEY §7.4: cast in the oracle). Mirror that strictness here.
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+                  for c in got.columns if got[c].dtype != exp[c].dtype]
+        if dt_bad:
+            c, g, e = dt_bad[0]
+            print(f"✗ {name}: dtype mismatch col={c} spark={g} duck={e}"
+                  + (f" (+{len(dt_bad)-1} more)" if len(dt_bad) > 1 else ""))
+            n_bad += 1
+            continue
         # exact value compare, cell by cell (mirrors a hash compare)
         bad = None
         for c in got.columns:

@@ -540,7 +540,7 @@ object PipelineOps {
                 CASE WHEN bucket < 80 THEN 'train'
                      WHEN bucket < 90 THEN 'val'
                      ELSE 'test' END AS split,
-                count(*) AS n_docs, sum(n_tokens) AS n_tokens
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM (
            SELECT lang, n_tokens,
                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
@@ -598,8 +598,8 @@ object PipelineOps {
          FROM c ORDER BY doc_id, chunk_id""",
     "pipe_pack" ->
       """SELECT doc_id, lang, n_tokens,
-                sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset,
+                CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset,
                 CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 1000) AS INT) AS bin
          FROM (SELECT doc_id, lang,
