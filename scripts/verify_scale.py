@@ -49,40 +49,55 @@ def main():
     for name in sorted(set(oracle) - set(declared)):
         print(f"✗ {name}: declared in oracleSql but query produced no output")
         n_bad += 1
-    for name in declared:
-        if name not in oracle:
-            continue
-        got = con.execute(
-            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
-        # watchdog: interrupt the oracle query if it blows the budget
+    def run_budgeted(sql):
+        """Run one oracle under the watchdog; returns (df, err). The timer
+        can fire in the window between a successful fetch and cancel(),
+        leaving a pending interrupt that would abort the NEXT query as a
+        spurious SKIPPED — drain it with a trivial probe after every
+        attempt."""
         timer = threading.Timer(budget, con.interrupt)
         timer.start()
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            return con.execute(sql).fetchdf(), None
         except Exception as e:
-            timer.cancel()
-            msg = str(e)
-            if "INTERRUPT" in msg.upper():
-                print(f"  {name}: SKIPPED (oracle > {budget:.0f}s)")
-                n_skip += 1
-                continue
-            print(f"✗ {name}: oracle SQL error: {e}")
-            n_bad += 1
-            continue
+            return None, e
         finally:
             timer.cancel()
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass  # drained the late interrupt
+
+    for name in declared:
+        if name not in oracle:
+            print(f"  {name}: NO-ORACLE (spec-verified)")
+            continue
+        got = con.execute(
+            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+        exp, err = run_budgeted(oracle[name])
+        if err is not None:
+            if "INTERRUPT" in str(err).upper():
+                print(f"  {name}: SKIPPED (oracle > {budget:.0f}s)")
+                n_skip += 1
+            else:
+                print(f"✗ {name}: oracle SQL error: {err}")
+                n_bad += 1
+            continue
         got = got[sorted(got.columns)]
         exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            print(f"✗ {name}: columns differ spark={list(got.columns)} "
+                  f"duck={list(exp.columns)}")
+            n_bad += 1
+            continue
         if len(got) != len(exp):
             print(f"✗ {name}: rows {len(got)} vs oracle {len(exp)}")
             n_bad += 1
             continue
         import pandas as pd
         try:
-            exp2 = exp.copy()
-            exp2.columns = got.columns
             pd.testing.assert_frame_equal(
-                got.reset_index(drop=True), exp2.reset_index(drop=True),
+                got.reset_index(drop=True), exp.reset_index(drop=True),
                 check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             n_ok += 1
         except AssertionError as e:

@@ -54,18 +54,18 @@ object Tables {
       try apply(spark, dir, "events")
       catch {
         // legacy-generation fixtures only: TIMESTAMP(NANOS) is unmappable
-        // in Spark 4 without the nanos-as-long legacy flag, so flip it
-        // just for this resolution attempt, then restore — never leave a
-        // legacy conf flipped in a session we don't own
+        // in Spark 4 without the nanos-as-long legacy flag. The flag must
+        // stay set for the DataFrame's LIFETIME, not just this resolution:
+        // the read is lazy, ParquetFileFormat re-reads the session conf at
+        // every action's physical planning (and ships it to executors), so
+        // a set-and-restore here would cache a frame that throws
+        // PARQUET_TYPE_ILLEGAL at first use. The flip only happens when a
+        // NANOS fixture is actually present, and it is additive — MICROS/
+        // MILLIS files read identically under it.
         case e: Exception if e.getMessage != null &&
             e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
-          val key = "spark.sql.legacy.parquet.nanosAsLong"
-          val prev = spark.conf.getOption(key)
-          try { spark.conf.set(key, "true"); apply(spark, dir, "events") }
-          finally prev match {
-            case Some(v) => spark.conf.set(key, v)
-            case None    => spark.conf.unset(key)
-          }
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          apply(spark, dir, "events")
       }
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

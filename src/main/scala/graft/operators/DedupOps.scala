@@ -11,10 +11,10 @@ import graft.functions.ArrayExprs
   * near-dup — all over the `documents` table.
   *
   * Scale notes (100 TB design):
-  *  - `dedup_exact` is a hash-shuffle groupBy on the text (at real scale,
-  *    groupBy on a 128-bit fingerprint of the text — same plan shape, tiny
-  *    shuffle payload; the fingerprint column is what `text_fingerprint`
-  *    in [[TextOps]] computes).
+  *  - `dedup_exact` is a hash-shuffle groupBy on a 64-bit fingerprint of
+  *    the text (at 100 TB, a 128-bit digest — same plan shape): the
+  *    shuffle keys are 8 bytes and map-side combine drops duplicate
+  *    bodies before the exchange.
   *  - **Collapse-then-compare**: every near-dup variant first groups docs
   *    by their exact token-hash set ([[collapse]]) and runs the quadratic /
   *    LSH machinery over UNIQUE sets only, expanding surviving set-pairs
@@ -201,8 +201,12 @@ object DedupOps {
     * expensive edge joins, the standard two-phase relational CC.
     * Labels are one row per unique set — broadcast them so the edge list
     * is never shuffled (a checkpointed frame has no stats, so the hint is
-    * load-bearing; at broadcast-busting scale drop it and these become
-    * shuffle joins). Convergence: labels only ever decrease, so sum(lbl)
+    * load-bearing). The hint is size-conditional: one node count up
+    * front, compared against the session's broadcast budget — past that
+    * the rounds degrade to shuffle joins (edges re-shuffle per round;
+    * linear, and the only shape that doesn't OOM the driver at
+    * broadcast-busting label cardinality). Convergence: labels only ever
+    * decrease, so sum(lbl)
     * is strictly decreasing until the fixpoint — comparing two Long sums
     * per cycle replaces a filter+count job over a prev/next join.
     * Two Spark jobs per cycle: `relaxed` is persist-marked so its four
@@ -213,6 +217,15 @@ object DedupOps {
     * shortcut hop references its input twice) and OOMs on plan objects
     * long before the data matters. */
   private[graft] def iterativeCC(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    // labels stay one (id, lbl) long-pair per node for the whole loop, so
+    // one count decides the join strategy for every round: broadcast while
+    // they fit the session's broadcast budget (~32 serialized bytes per
+    // row, conservative), shuffle joins beyond it
+    val bcastBytes =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val labelsFit = bcastBytes > 0 && nodes.count() <= bcastBytes / 32
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (labelsFit) broadcast(df) else df
     var labels = nodes.select(col("gid").as("id"), col("gid").as("lbl"))
       .localCheckpoint()
     def lblSum(df: DataFrame): Long =
@@ -221,14 +234,14 @@ object DedupOps {
     var rounds = 0
     var converged = false
     while (!converged && rounds < 50) {
-      val relaxed = edges.join(broadcast(labels), col("b") === col("id"))
+      val relaxed = edges.join(maybeBroadcast(labels), col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("lbl")).as("lbl"))
         .select(col("a").as("id"), col("lbl"))
         .persist()
       var next = relaxed
       for (_ <- 1 to 2)
         next = next.as("x")
-          .join(broadcast(next.select(col("id").as("rid"), col("lbl").as("rlbl"))),
+          .join(maybeBroadcast(next.select(col("id").as("rid"), col("lbl").as("rlbl"))),
             col("x.lbl") === col("rid"))
           .select(col("x.id").as("id"), col("rlbl").as("lbl"))
       next = next.localCheckpoint()
@@ -244,9 +257,18 @@ object DedupOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical survivor = min doc_id per identical text.
+    // Grouped on a 64-bit text fingerprint, not the text itself: the
+    // shuffle partitions and group-compares on 8-byte keys, and map-side
+    // combine collapses duplicates before the exchange, so the only text
+    // bytes that ride the shuffle are the survivors' (which the output
+    // needs anyway). min(text) keeps the survivor deterministic; a
+    // fingerprint collision would merge two distinct texts (~n²/2⁶⁵ —
+    // the same documented trade the near-dup collapse makes; at 100 TB
+    // swap in a 128-bit digest, plan shape unchanged).
     "dedup_exact" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .groupBy("text").agg(min("doc_id").as("doc_id"))
+        .groupBy(xxhash64(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
         .select("doc_id", "text")
         .orderBy("doc_id")),
 

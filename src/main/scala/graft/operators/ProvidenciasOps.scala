@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,6 +26,27 @@ object ProvidenciasOps {
   /** Search terms for the `$text`-style queries (A5). Semantics pinned per
     * SURVEY §7.5: lowercase whitespace tokens, OR-of-terms. */
   val SearchTerms: Seq[String] = Seq("spark", "merge")
+
+  /** Accented query forms for the unaccent variant — what a Spanish search
+    * box actually receives ("año", "resolución"). */
+  val AccentedTerms: Seq[String] = Seq("spárk", "mérge")
+
+  private val AccentFrom = "áéíóúüñ"
+  private val AccentTo   = "aeiouun"
+
+  /** Driver-side twin of the engine's fold, applied to the query terms so
+    * both sides of the match pass through the identical table. */
+  private[operators] def foldAccents(t: String): String =
+    t.toLowerCase.map { c =>
+      val i = AccentFrom.indexOf(c); if (i < 0) c else AccentTo(i)
+    }
+
+  /** The accent-blind OR-of-terms predicate `text_search_unaccent` scans
+    * with, exposed so tests can aim it at synthetic accented corpora. */
+  private[graft] def unaccentMatch(text: Column, terms: Seq[String]): Column =
+    arrays_overlap(
+      split(translate(lower(text), AccentFrom, AccentTo), " "),
+      lit(terms.map(foldAccents).toArray))
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
@@ -72,6 +93,21 @@ object ProvidenciasOps {
           (col("text").contains("spark merge") ||
             arrays_overlap(split(col("text"), " "), lit(SearchTerms.toArray))) &&
             !col("text").contains("filter"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // A5 (diacritic-folded) — MongoDB's $text index is diacritic-
+    // insensitive by default, and the reference forwards raw Spanish user
+    // input into it (streamlit_app.py:146-148): "año" must find "ano"-
+    // spelled tokens and vice versa. Both the corpus tokens and the query
+    // terms pass through the same lowercase+translate fold, so the match
+    // is accent-blind by construction. The fold is a codegen'd string
+    // expression evaluated inside the scan — projection pruning and the
+    // rest of the plan are identical to plain text_search, and at 100 TB
+    // the folded token would be what the inverted index ingests.
+    "text_search_unaccent" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(unaccentMatch(col("text"), AccentedTerms))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
@@ -329,6 +365,12 @@ object ProvidenciasOps {
          WHERE (contains(text, 'spark merge')
                 OR len(list_intersect(string_split(text, ' '), ['spark','merge'])) > 0)
            AND NOT contains(text, 'filter')
+         ORDER BY doc_id""",
+    "text_search_unaccent" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE len(list_intersect(
+                 string_split(translate(lower(text), 'áéíóúüñ', 'aeiouun'), ' '),
+                 ['spark','merge'])) > 0
          ORDER BY doc_id""",
     "project_drop_col" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",

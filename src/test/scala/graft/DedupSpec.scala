@@ -76,9 +76,8 @@ class DedupSpec extends SparkSpec {
       .filter(col("ca") =!= col("cb")).count() === 0)
   }
 
-  test("localCC union-find equals the iterative relational CC labeling") {
-    import org.apache.spark.sql.functions._
-    // small synthetic graph: two chains, one singleton, one clique
+  // small synthetic graph: two chains, one singleton, one clique
+  private def ccFixture() = {
     val edges = spark.createDataFrame(Seq(
       (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),      // chain 1-2-3
       (10L, 11L), (11L, 10L),                       // pair
@@ -86,12 +85,31 @@ class DedupSpec extends SparkSpec {
       (1L, 1L), (2L, 2L), (3L, 3L), (10L, 10L), (11L, 11L),
       (20L, 20L), (21L, 21L), (22L, 22L), (30L, 30L) // self-loops incl singleton 30
     )).toDF("a", "b")
-    val nodes = edges.select(col("a").as("gid")).distinct()
+    (edges, edges.select(col("a").as("gid")).distinct())
+  }
+
+  test("localCC union-find equals the iterative relational CC labeling") {
+    val (edges, nodes) = ccFixture()
     val local = DedupOps.localCC(edges).orderBy("id")
     val iter = DedupOps.iterativeCC(edges, nodes).orderBy("id")
     assert(local.collect().toSeq === iter.collect().toSeq)
     assert(local.filter(col("id") === 3L).head().getLong(1) === 1L)
     assert(local.filter(col("id") === 30L).head().getLong(1) === 30L)
+  }
+
+  test("iterativeCC falls back to shuffle joins past the broadcast budget") {
+    // force the size-conditional label broadcast off (threshold -1 is
+    // Spark's "never broadcast") and pin that the shuffle-join rounds
+    // converge to the same labeling
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val (edges, nodes) = ccFixture()
+      val iter = DedupOps.iterativeCC(edges, nodes).orderBy("id")
+      val local = DedupOps.localCC(edges).orderBy("id")
+      assert(iter.collect().toSeq === local.collect().toSeq)
+    } finally spark.conf.set(key, prev)
   }
 
   test("dedup_embed returns the top-100 pairs ordered by similarity") {

@@ -56,6 +56,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(vals.forall(v => v >= 10.0 && v <= 90.0))
   }
 
+  test("text_search_unaccent is accent-blind in both directions (A5 $text fidelity)") {
+    import spark.implicits._
+    // synthetic accented corpus: Mongo's $text strips diacritics, so an
+    // accented query must find unaccented spellings and vice versa
+    val corpus = Seq(
+      (1L, "sentencia del año dos mil"),
+      (2L, "sentencia del ano dos mil"),
+      (3L, "resolución firme"),
+      (4L, "nada relevante")
+    ).toDF("doc_id", "text")
+    def ids(terms: String*): Seq[Long] = corpus
+      .filter(ProvidenciasOps.unaccentMatch(col("text"), terms))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids("año") === Seq(1L, 2L))          // accented query, both spellings
+    assert(ids("ano") === Seq(1L, 2L))          // unaccented query, same rows
+    assert(ids("RESOLUCIÓN") === Seq(3L))       // case + accent folded together
+    assert(ids("resolucion") === Seq(3L))
+    // on the fixture corpus the declared query's accented terms fold to the
+    // plain search terms, so it returns exactly text_search's rows
+    val declared = ProvidenciasOps.queries("text_search_unaccent")(spark, SfDir)
+    val plain = ProvidenciasOps.queries("text_search")(spark, SfDir)
+    assert(declared.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(declared).count() === 0)
+  }
+
   test("ProvidenciasApi.buscar applies exactly one predicate, first-match-wins (A7)") {
     import graft.operators.ProvidenciasApi
     // lang outranks source: with both set, the source filter must NOT run
@@ -167,6 +192,42 @@ class EdgeCaseSpec extends SparkSpec {
       .agg(sum("v")).collect()(0).getDouble(0) === 40.0)
     df.unpersist()
     ()
+  }
+
+  test("events() reads a legacy TIMESTAMP(NANOS) fixture through its first action") {
+    // regression: the nanos-as-long legacy flag must outlive events() —
+    // the read is lazy and ParquetFileFormat re-reads the session conf at
+    // each action's physical planning, so a set-and-restore around
+    // resolution hands back (and caches) a frame that throws
+    // PARQUET_TYPE_ILLEGAL at first use. Spark itself can't write NANOS
+    // (outputTimestampType has no such value), so write a genuine one via
+    // parquet-java and ACT on the resolved frame.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    val dir = Files.createTempDirectory("graft_nanos")
+    val schema = Types.buildMessage()
+      .addField(Types.required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+      .addField(Types.required(INT64).named("user_id"))
+      .named("events")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema).build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    (1 to 5).foreach { i =>
+      val g = gf.newGroup()
+      g.add("ts", i.toLong * 1000000000L) // i seconds in ns, zero sub-µs
+      g.add("user_id", i.toLong)
+      w.write(g)
+    }
+    w.close()
+    val ev = Tables.events(spark, dir.toString)
+    assert(ev.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(ev.count() === 5) // the action IS the regression
+    val mx = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    assert(mx.toInstant.getEpochSecond === 5L)
   }
 
   test("events survive a CSV round-trip (source format surface)") {
