@@ -80,6 +80,45 @@ class GridPairwiseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("shuffle volume is n·(B+1) rows — O(n·B), never the O(n²) pair count") {
+    // the 100 TB contract of the grid layout: every row ships B−blk left
+    // copies and blk+1 right copies — exactly B+1 shuffle records per
+    // input row, regardless of how many of the n²/2 pairs the cells then
+    // enumerate. Measured from task shuffle-write metrics so a future
+    // edit that accidentally replicates per-pair (or lets the join
+    // re-shuffle its output) fails here. B=8 over 32 shuffle partitions
+    // also forces multi-cell partitions (36 cells), the skew shape a
+    // plain parity test never exercises.
+    val b = 8
+    val n = embeddings.count()
+    val expected = n * (b + 1)
+    @volatile var shuffleRecords = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleRecords += m.shuffleWriteMetrics.recordsWritten
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = GridPairwise(embeddings, b,
+        (x, y) => ArrayExprs.cosine(x, y), lit(-1.0)).count()
+      assert(pairs === n * (n - 1) / 2)
+      // listener events are asynchronous — wait for the metrics to drain
+      val deadline = System.currentTimeMillis + 15000
+      while (System.currentTimeMillis < deadline && shuffleRecords < expected)
+        Thread.sleep(100)
+      // the grid exchanges write exactly n·(B+1); the only other shuffle
+      // is the final count's partial-aggregate exchange (one row per map
+      // partition). An O(n²) shuffle would be ≥ n(n−1)/2.
+      assert(shuffleRecords >= expected, s"grid shuffle under-counted: $shuffleRecords")
+      assert(shuffleRecords < expected + 500,
+        s"shuffle volume $shuffleRecords far above n*(B+1)=$expected — replication regressed")
+      assert(expected + 500 < n * (n - 1) / 2,
+        "fixture too small for the bound to distinguish O(n·B) from O(n²)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("plans a shuffled join on the grid key — no broadcast, no cartesian") {
     val plan = GridPairwise(embeddings, 8,
       (x, y) => ArrayExprs.cosine(x, y), lit(0.0))
