@@ -34,8 +34,11 @@ object ProvidenciasApi {
       else if (source.isDefined) d.filter(col("source") === source.get)
       else if (nChars.isDefined) d.filter(col("n_chars") === nChars.get)
       else if (texto.isDefined)
-        d.filter(arrays_overlap(split(col("text"), " "),
-          split(lower(lit(texto.get)), " ")))
+        // Mongo's $text is diacritic-insensitive (the reference forwards
+        // raw Spanish input, streamlit_app.py:146-148), so the facade
+        // folds both sides like text_search_unaccent does
+        d.filter(ProvidenciasOps.unaccentMatch(col("text"),
+          texto.get.trim.split("\\s+").toSeq))
       else d
     // reference :39: df.drop(columns=["_id"]) — doc_id is our _id
     filtered.drop("doc_id")

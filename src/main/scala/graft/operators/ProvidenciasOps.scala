@@ -48,6 +48,37 @@ object ProvidenciasOps {
       split(translate(lower(text), AccentFrom, AccentTo), " "),
       lit(terms.map(foldAccents).toArray))
 
+  /** Plural query forms for the stemmed variant (stem to vocab tokens). */
+  val PluralTerms: Seq[String] = Seq("spárks", "dátas")
+
+  /** Stem-lite on an accent-folded token: Spanish plural stripping only.
+    * Consonant+"es" drops the "es" FIRST ("leyes" → "ley", "meses" →
+    * "mes" — checked before the bare-s rule, which would otherwise eat
+    * them as vowel-s words), then any remaining final "s" after a 3+ char
+    * stem drops ("providencias" → "providencia"); short function words
+    * ("las", "es") survive the length floors. Deliberately NOT a snowball
+    * stemmer: lexicon-free, deterministic, and expressible as the
+    * identical CASE in the DuckDB oracle, which is what keeps the
+    * semantics pinned cross-engine (SURVEY §7.5 item 5). */
+  private def stemLite(t: Column): Column =
+    when(t.rlike("^.{2,}[^aeiou]es$"), t.substr(lit(1), length(t) - 2))
+      .when(t.rlike("^.{3,}s$"), t.substr(lit(1), length(t) - 1))
+      .otherwise(t)
+
+  private[operators] def stemLiteStr(t: String): String =
+    if (t.matches(".{2,}[^aeiou]es")) t.dropRight(2)
+    else if (t.matches(".{3,}s")) t.dropRight(1)
+    else t
+
+  /** Accent-folded AND stem-folded OR-of-terms match — the full fidelity
+    * ladder for Mongo's Spanish `$text` (diacritic-insensitive, stemmed):
+    * both corpus tokens and query terms pass fold → stem. */
+  private[graft] def stemMatch(text: Column, terms: Seq[String]): Column =
+    arrays_overlap(
+      transform(split(translate(lower(text), AccentFrom, AccentTo), " "),
+        t => stemLite(t)),
+      lit(terms.map(t => stemLiteStr(foldAccents(t))).toArray))
+
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -108,6 +139,18 @@ object ProvidenciasOps {
     "text_search_unaccent" -> ((s, dir) =>
       docs(s, dir)
         .filter(unaccentMatch(col("text"), AccentedTerms))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // A5 (stemmed) — the last rung of the $text fidelity ladder: Mongo's
+    // Spanish text index stems before matching, so the plural query
+    // "providencias" finds "providencia". Corpus tokens and query terms
+    // both pass the same fold → stem-lite pipeline (see [[stemLite]] for
+    // why it's plural-stripping, not snowball). Still one codegen'd
+    // expression inside the scan.
+    "text_search_stem" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(stemMatch(col("text"), PluralTerms))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
@@ -371,6 +414,20 @@ object ProvidenciasOps {
          WHERE len(list_intersect(
                  string_split(translate(lower(text), 'áéíóúüñ', 'aeiouun'), ' '),
                  ['spark','merge'])) > 0
+         ORDER BY doc_id""",
+    // the same fold → stem-lite CASE as the engine's stemLite, applied to
+    // every corpus token; the query terms arrive pre-folded/pre-stemmed
+    "text_search_stem" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE len(list_intersect(
+                 list_transform(
+                   string_split(translate(lower(text), 'áéíóúüñ', 'aeiouun'), ' '),
+                   t -> CASE WHEN regexp_matches(t, '^.{2,}[^aeiou]es$')
+                               THEN t[1:len(t)-2]
+                             WHEN regexp_matches(t, '^.{3,}s$')
+                               THEN t[1:len(t)-1]
+                             ELSE t END),
+                 ['spark','data'])) > 0
          ORDER BY doc_id""",
     "project_drop_col" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",

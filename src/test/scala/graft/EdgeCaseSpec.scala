@@ -81,6 +81,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(plain.exceptAll(declared).count() === 0)
   }
 
+  test("text_search_stem matches across Spanish plural forms (A5 $text fidelity)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "texto de la providencia primera"),
+      (2L, "texto de las providencias siguientes"),
+      (3L, "las leyes aplicables"),
+      (4L, "nada relevante")
+    ).toDF("doc_id", "text")
+    def ids(terms: String*): Seq[Long] = corpus
+      .filter(ProvidenciasOps.stemMatch(col("text"), terms))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    // plural query finds singular corpus tokens and vice versa
+    assert(ids("providencias") === Seq(1L, 2L))
+    assert(ids("providencia") === Seq(1L, 2L))
+    // consonant+es plural ("leyes" → "ley") in both directions
+    assert(ids("ley") === Seq(3L))
+    assert(ids("leyes") === Seq(3L))
+    // accents fold before stemming: "PROVIDENCIÁS" still matches
+    assert(ids("PROVIDENCIÁS") === Seq(1L, 2L))
+  }
+
   test("ProvidenciasApi.buscar applies exactly one predicate, first-match-wins (A7)") {
     import graft.operators.ProvidenciasApi
     // lang outranks source: with both set, the source filter must NOT run
