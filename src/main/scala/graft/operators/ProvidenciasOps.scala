@@ -36,7 +36,7 @@ object ProvidenciasOps {
 
   /** Driver-side twin of the engine's fold, applied to the query terms so
     * both sides of the match pass through the identical table. */
-  private[operators] def foldAccents(t: String): String =
+  private[graft] def foldAccents(t: String): String =
     t.toLowerCase.map { c =>
       val i = AccentFrom.indexOf(c); if (i < 0) c else AccentTo(i)
     }
@@ -65,10 +65,16 @@ object ProvidenciasOps {
       .when(t.rlike("^.{3,}s$"), t.substr(lit(1), length(t) - 1))
       .otherwise(t)
 
-  private[operators] def stemLiteStr(t: String): String =
+  private[graft] def stemLiteStr(t: String): String =
     if (t.matches(".{2,}[^aeiou]es")) t.dropRight(2)
     else if (t.matches(".{3,}s")) t.dropRight(1)
     else t
+
+  /** Column twin of `stemLiteStr ∘ foldAccents`, exposed for the parity
+    * spec — the match predicates assume the driver-side term pipeline and
+    * the column-side corpus pipeline agree on every token. */
+  private[graft] def foldStemCol(t: Column): Column =
+    stemLite(translate(lower(t), AccentFrom, AccentTo))
 
   /** Accent-folded AND stem-folded OR-of-terms match — the full fidelity
     * ladder for Mongo's Spanish `$text` (diacritic-insensitive, stemmed):

@@ -102,6 +102,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ids("PROVIDENCIÁS") === Seq(1L, 2L))
   }
 
+  test("driver-side term fold/stem equals the column-side corpus fold/stem") {
+    import spark.implicits._
+    // the match predicates compare column-side-folded corpus tokens to
+    // driver-side-folded query terms — any divergence between the two
+    // pipelines silently breaks matching, so pin them equal over edge
+    // shapes and random tokens
+    val edge = Seq("años", "AÑOS", "leyes", "meses", "providencias",
+      "tres", "las", "es", "s", "resolución", "über", "ça", "",
+      "spárks", "dátas", "queries", "data", "ñoños")
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abes íóñú"
+    val fuzz = Seq.fill(200)(
+      (0 until rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val toks = (edge ++ fuzz).distinct
+    val colSide = toks.toDF("t")
+      .select(col("t"), graft.operators.ProvidenciasOps.foldStemCol(col("t")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    toks.foreach { t =>
+      val driverSide = graft.operators.ProvidenciasOps.stemLiteStr(
+        graft.operators.ProvidenciasOps.foldAccents(t))
+      assert(colSide(t) === driverSide, s"pipelines diverge on '$t'")
+    }
+  }
+
   test("ProvidenciasApi.buscar applies exactly one predicate, first-match-wins (A7)") {
     import graft.operators.ProvidenciasApi
     // lang outranks source: with both set, the source filter must NOT run
