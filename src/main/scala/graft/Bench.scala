@@ -101,8 +101,12 @@ object Bench {
         .mkString("{", ",", "}")
       val omitted = results.length - kept.length
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      // failed list is bounded so a mass-failure run (wrong SF dir, fixture
+      // regeneration) can't push the line past the driver's ~2000-char
+      // capture window — the count always survives, names degrade
       val fl = if (failedNames.nonEmpty)
-        failedNames.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+        s""","failed_count":${failedNames.length},"failed":""" +
+          failedNames.take(15).map("\"" + _ + "\"").mkString("[", ",", "]")
       else ""
       s"""{"metric":"total","value":${"%.3f".format(total)},"warm":${"%.3f".format(warmTotal)},"unit":"sec","queries":$qs$om$fl,"sf":"$sfDir"}"""
     }

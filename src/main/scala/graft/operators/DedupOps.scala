@@ -216,16 +216,23 @@ object DedupOps {
     * chaining persist() alone snowballs the plan tree 4× per cycle (each
     * shortcut hop references its input twice) and OOMs on plan objects
     * long before the data matters. */
-  private[graft] def iterativeCC(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    // labels stay one (id, lbl) long-pair per node for the whole loop, so
-    // one count decides the join strategy for every round: broadcast while
-    // they fit the session's broadcast budget (~32 serialized bytes per
-    // row, conservative), shuffle joins beyond it
+  /** Broadcast `df` only while `rows` (long, long)-shaped rows fit the
+    * session's broadcast budget (~32 serialized bytes per row,
+    * conservative); identity otherwise, so the consuming join degrades to
+    * a shuffle join instead of collecting a huge relation to the driver.
+    * Shared by the CC loop and its label-application joins — every site
+    * that broadcasts a node-cardinality frame must make the same check. */
+  private[graft] def broadcastIfFits(df: DataFrame, rows: Long): DataFrame = {
     val bcastBytes =
       org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-    val labelsFit = bcastBytes > 0 && nodes.count() <= bcastBytes / 32
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (labelsFit) broadcast(df) else df
+    if (bcastBytes > 0 && rows <= bcastBytes / 32) broadcast(df) else df
+  }
+
+  private[graft] def iterativeCC(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    // labels stay one (id, lbl) long-pair per node for the whole loop, so
+    // one count decides the join strategy for every round
+    val nNodes = nodes.count()
+    def maybeBroadcast(df: DataFrame): DataFrame = broadcastIfFits(df, nNodes)
     var labels = nodes.select(col("gid").as("id"), col("gid").as("lbl"))
       .localCheckpoint()
     def lblSum(df: DataFrame): Long =
@@ -498,9 +505,13 @@ object DedupOps {
         (if (edges.count() <= LocalCCMaxEdges) localCC(edges)
          else iterativeCC(edges, nodes)).localCheckpoint()
       edges.unpersist()
+      // same size condition as the loop's joins: labels are
+      // node-cardinality, so at broadcast-busting scale this final
+      // label-application join must shuffle too (the count is cheap —
+      // labels are checkpointed)
       c.docMap
         .select(col("doc_id"), col("gid").as("id"))
-        .join(broadcast(labels), "id")
+        .join(broadcastIfFits(labels, labels.count()), "id")
         .select(col("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     })

@@ -35,9 +35,11 @@ object ProvidenciasOps {
   private val AccentTo   = "aeiouun"
 
   /** Driver-side twin of the engine's fold, applied to the query terms so
-    * both sides of the match pass through the identical table. */
+    * both sides of the match pass through the identical table. Locale.ROOT
+    * keeps the lowercase locale-independent like Spark's `lower()` — the
+    * default-locale form turns "I" into dotless "ı" on tr_TR JVMs. */
   private[graft] def foldAccents(t: String): String =
-    t.toLowerCase.map { c =>
+    t.toLowerCase(java.util.Locale.ROOT).map { c =>
       val i = AccentFrom.indexOf(c); if (i < 0) c else AccentTo(i)
     }
 
@@ -60,9 +62,13 @@ object ProvidenciasOps {
     * stemmer: lexicon-free, deterministic, and expressible as the
     * identical CASE in the DuckDB oracle, which is what keeps the
     * semantics pinned cross-engine (SURVEY §7.5 item 5). */
+  // \z, not $: Java-regex $ matches BEFORE a final newline, so a token
+  // carrying a trailing \n would strip the newline instead of the "s" —
+  // diverging from stemLiteStr's full-string matches() and from DuckDB's
+  // RE2 $ (end of text). \z anchors all three identically.
   private def stemLite(t: Column): Column =
-    when(t.rlike("^.{2,}[^aeiou]es$"), t.substr(lit(1), length(t) - 2))
-      .when(t.rlike("^.{3,}s$"), t.substr(lit(1), length(t) - 1))
+    when(t.rlike("^.{2,}[^aeiou]es\\z"), t.substr(lit(1), length(t) - 2))
+      .when(t.rlike("^.{3,}s\\z"), t.substr(lit(1), length(t) - 1))
       .otherwise(t)
 
   private[graft] def stemLiteStr(t: String): String =

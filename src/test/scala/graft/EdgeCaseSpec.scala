@@ -73,11 +73,13 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ids("ano") === Seq(1L, 2L))          // unaccented query, same rows
     assert(ids("RESOLUCIÓN") === Seq(3L))       // case + accent folded together
     assert(ids("resolucion") === Seq(3L))
-    // on the fixture corpus the declared query's accented terms fold to the
-    // plain search terms, so it returns exactly text_search's rows
+    // every plain text_search match is an unaccent match (a raw-matched
+    // token is already lowercase+unaccented, so the fold is a no-op on
+    // it) — a superset assertion, not equality: a regenerated corpus
+    // containing cased/accented term variants would legitimately match
+    // MORE rows under unaccent
     val declared = ProvidenciasOps.queries("text_search_unaccent")(spark, SfDir)
     val plain = ProvidenciasOps.queries("text_search")(spark, SfDir)
-    assert(declared.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(declared).count() === 0)
   }
 
@@ -110,7 +112,8 @@ class EdgeCaseSpec extends SparkSpec {
     // shapes and random tokens
     val edge = Seq("años", "AÑOS", "leyes", "meses", "providencias",
       "tres", "las", "es", "s", "resolución", "über", "ça", "",
-      "spárks", "dátas", "queries", "data", "ñoños")
+      "spárks", "dátas", "queries", "data", "ñoños",
+      "datas\n", "leyes\n") // Java-regex $ matches before a final \n; \z doesn't
     val rnd = new scala.util.Random(42)
     val alphabet = "abes íóñú"
     val fuzz = Seq.fill(200)(
