@@ -55,6 +55,10 @@ object PipelineOps {
     * behavior (8 contaminated docs at sf0.01) instead of an empty set. */
   val DecontamNGram = 4
 
+  /** Token-set Jaccard above which a corpus doc counts as near-duplicate
+    * contamination of the eval slice (matches the dedup family's bar). */
+  val NearDecontamJaccard = 0.9
+
   /** First-four-hex-digits md5 bucket of a key, in [0, 100) — THE
     * deterministic split key (`pipe_split` documents why four digits).
     * Shared by every operator that must agree on split membership. */
@@ -295,6 +299,34 @@ object PipelineOps {
       shingles(docs.filter(col("doc_id") % 97 =!= 0))
         .join(broadcast(evalSet), "sh")
         .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // NEAR-duplicate decontamination: exact shingle overlap above misses
+    // paraphrased contamination (reordered sentences, light edits), so
+    // real pipelines also scrub by whole-document similarity against the
+    // eval set. Every corpus doc's sorted token-hash set is compared to
+    // the BROADCAST eval slice with the codegen'd merge-loop Jaccard —
+    // one corpus scan, no shuffle until the per-doc aggregation (hits are
+    // a tiny fraction). Held-out eval sets are small by construction
+    // (thousands of docs vs a billion-doc corpus), which is what makes
+    // the exact broadcast form the right default; past broadcast-scale
+    // eval sets, prefilter candidates with the MinHash band join
+    // [[DedupOps]]' dedup_near pins and keep this verify stage unchanged.
+    "pipe_decontaminate_near" -> ((s, dir) => {
+      val th = Tables.documents(s, dir).select(col("doc_id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t))).as("th"))
+      val corpus = th.filter(col("doc_id") % 97 =!= 0)
+      val evalSide = th.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("th").as("th_e"))
+      corpus.crossJoin(broadcast(evalSide))
+        .withColumn("jac",
+          round(graft.functions.ArrayExprs.sortedJaccard(col("th"), col("th_e")), 4))
+        .filter(col("jac") >= NearDecontamJaccard)
+        .groupBy("doc_id")
+        .agg(countDistinct("eval_id").as("n_eval_hits"),
+          max("jac").as("max_jaccard"))
         .orderBy("doc_id")
     }),
 
@@ -639,6 +671,24 @@ object PipelineOps {
          FROM sh t JOIN ev USING (sh)
          WHERE t.doc_id % 97 <> 0
          GROUP BY t.doc_id ORDER BY doc_id""",
+    // xxhash64 token-hash Jaccard == string-set Jaccard (collision-free
+    // at this vocab; DedupOps documents the trade), so the oracle computes
+    // the string form directly over the tiny cross product
+    "pipe_decontaminate_near" ->
+      s"""WITH t AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+          ), j AS (
+            SELECT c.doc_id, e.doc_id AS eval_id,
+                   round(1.0 * len(list_intersect(c.toks, e.toks)) /
+                         len(list_distinct(c.toks || e.toks)), 4) AS jac
+            FROM t c, t e
+            WHERE c.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+          )
+          SELECT doc_id, count(DISTINCT eval_id) AS n_eval_hits,
+                 max(jac) AS max_jaccard
+          FROM j WHERE jac >= $NearDecontamJaccard
+          GROUP BY doc_id ORDER BY doc_id""",
     "pipe_funnel" ->
       """WITH base AS (
            SELECT user_id, ts, event_type FROM events
