@@ -42,14 +42,19 @@ object Bench {
       case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
       case None     => SparkEntry.queries
     }
-    // SPARK_GRAFT_REPEAT=N times each query N times in one JVM. Default 3:
+    // SPARK_GRAFT_REPEAT=N times each query N times in one JVM. Default 4:
     // pass 1 is the COLD time (plan analysis + Janino codegen + host
-    // noise), the per-query MIN is the WARM plan cost — the number that
-    // actually predicts cluster-scale behavior. Both totals go in the JSON
-    // so a cold outlier (e.g. a 9 s first zorder_layout that is really a
-    // 0.3 s plan plus one-time codegen) self-explains in the artifact.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(3)
-    case class R(name: String, cold: Double, warm: Double, failed: Boolean)
+    // noise); over the remaining passes the per-query MIN is the WARM
+    // plan-cost floor and the per-query MEDIAN is the noise-robust
+    // round-over-round signal (host CPU steal swings individual readings
+    // ±100% — a median of 3 warm passes is what makes a regression
+    // trustworthy; the min alone can mask one, the mean absorbs outliers).
+    // All three totals go in the JSON so a cold outlier (e.g. a 9 s first
+    // zorder_layout that is really a 0.3 s plan plus one-time codegen)
+    // self-explains in the artifact.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(4)
+    case class R(name: String, cold: Double, warm: Double, warmMed: Double,
+                 failed: Boolean)
     val results = selected.toSeq.map { case (name, fn) =>
       var failed = false
       val times = (1 to repeat).map { _ =>
@@ -81,10 +86,15 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         t
       }
-      R(name, times.head, times.min, failed)
+      // warm statistics over the post-cold passes only (falling back to
+      // all passes when repeat == 1 keeps the fields well-defined)
+      val warmPasses = if (times.length > 1) times.tail else times
+      val med = warmPasses.sorted.apply(warmPasses.length / 2)
+      R(name, times.head, times.min, med, failed)
     }
     val total = results.map(_.cold).sum
     val warmTotal = results.map(_.warm).sum
+    val warmMedTotal = results.map(_.warmMed).sum
     val failedNames = results.filter(_.failed).map(_.name).sorted
     // The driver captures only the LAST ~2000 chars of sbt output (and
     // sbt appends a "[success] ..." trailer), so the JSON line must stay
@@ -108,7 +118,7 @@ object Bench {
         s""","failed_count":${failedNames.length},"failed":""" +
           failedNames.take(15).map("\"" + _ + "\"").mkString("[", ",", "]")
       else ""
-      s"""{"metric":"total","value":${"%.3f".format(total)},"warm":${"%.3f".format(warmTotal)},"unit":"sec","queries":$qs$om$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"warm":${"%.3f".format(warmTotal)},"warm_med":${"%.3f".format(warmMedTotal)},"runs":$repeat,"unit":"sec","queries":$qs$om$fl,"sf":"$sfDir"}"""
     }
     val MaxLen = 1800
     val out = Iterator((3, results.length), (2, results.length), (2, 60), (2, 40))
@@ -117,5 +127,9 @@ object Bench {
       .getOrElse(line(2, 30))
     println(out)
     spark.stop()
+    // a partially-failing run must FAIL the bench gate, not slip through
+    // with a deflated total built from fast failures — the driver sees the
+    // nonzero exit; the JSON line above already carries the failed list
+    if (failedNames.nonEmpty) sys.exit(2)
   }
 }

@@ -32,6 +32,16 @@ import org.apache.spark.sql.SparkSession
   * On a cluster, start from `GraftSession.configure(builder)` with your
   * own master/deploy settings; nothing here assumes local mode except
   * `local(...)` itself.
+  *
+  * Known session-level side effect: reading a legacy fixture whose
+  * `events.ts` is Parquet TIMESTAMP(NANOS) flips
+  * `spark.sql.legacy.parquet.nanosAsLong=true` for the REST OF THE
+  * SESSION (see [[Tables.events]] for why the flag must outlive the lazy
+  * read). Under that flag, any later parquet read with NANOS columns maps
+  * them to LongType instead of failing — if your own data carries NANOS
+  * timestamps you do not want widened, read it before the first
+  * `Tables.events` call or unset the flag between reads. Current-
+  * generation fixtures (MICROS) never trigger the flip.
   */
 object GraftSession {
 

@@ -374,6 +374,64 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Deterministic prefix-filtered set-similarity join (AllPairs/PPJoin,
+    // Bayardo et al. WWW'07): the 100%-recall complement to the LSH
+    // banding above, and the key this family puts under the DuckDB hash
+    // gate — `dedup_near`'s banding is probabilistic (it measurably
+    // misses ~1 set-pair at sf0.01: 9010 vs the exact 9020 member pairs,
+    // within its ≥0.95 recall contract), so an exact oracle on it would
+    // be red by design; THIS plan's candidate set provably contains every
+    // true pair, so its verified output EQUALS the quadratic ground truth
+    // at any scale while staying candidate-pruned.
+    //
+    // Completeness: fix a global canonical token order (here: ascending
+    // token hash — the arrays are already hash-sorted; a production
+    // corpus would order by ascending document frequency so prefixes hold
+    // the RAREST tokens, which is what makes the posting lists selective
+    // on Zipfian vocabularies — same plan, one extra counting pass).
+    // If J(A,B) ≥ t then c = |A∩B| ≥ ⌈t·min(|A|,|B|)⌉ =: α, and the
+    // canonically SMALLEST common element x has ≥ α−1 common elements
+    // after it in both sets, so x sits within the first |X|−α+1 elements
+    // of each — both prefixes contain x and the equi-join on prefix
+    // tokens surfaces the pair. Not knowing the partner's size, each set
+    // emits |X|−⌈t²|X|⌉+1 prefix tokens (min(|A|,|B|) ≥ t·max ≥ t·|X|
+    // for any partner passing the length-ratio filter). Shuffle carries
+    // only (gid, len, token-hash) triples — ~(1−t²)·|tokens| rows per
+    // unique set; the wide arrays broadcast into the verify exactly as in
+    // dedup_near. The fixture's 31-token vocabulary is the pruning
+    // worst case (every posting list is dense); completeness — the
+    // property the oracle checks — is data-independent.
+    "dedup_prefix" -> ((s, dir) => {
+      val c = collapse(s, dir)
+      val t = JaccardThreshold
+      val uniq = c.uniq()
+      val pref = uniq.select(col("gid"), size(col("th")).as("len"),
+        explode(slice(col("th"), lit(1),
+          (size(col("th")) - ceil(lit(t * t) * size(col("th"))) + 1)
+            .cast("int"))).as("tok"))
+      val a = pref.select(col("gid").as("gid_a"), col("len").as("len_a"), col("tok"))
+      val b = pref.select(col("gid").as("gid_b"), col("len").as("len_b"), col("tok"))
+      // same join/verify shape as dedup_near: shuffle-hash candidate join,
+      // verify per occurrence through two broadcast joins of the slim
+      // unique-set table, distinct only on the (tiny) survivor set
+      val cand = a.hint("shuffle_hash").join(b, Seq("tok"))
+        .filter(col("gid_a") < col("gid_b") &&
+          least(col("len_a"), col("len_b")).cast("double") >=
+            greatest(col("len_a"), col("len_b")) * (t - 1e-3))
+        .select("gid_a", "gid_b")
+      val th = uniq.select(col("gid"), col("th"))
+      val inter = cand
+        .join(broadcast(th.select(col("gid").as("gid_a"), col("th").as("th_a"))), "gid_a")
+        .join(broadcast(th.select(col("gid").as("gid_b"), col("th").as("th_b"))), "gid_b")
+        .filter(ArrayExprs.sortedJaccard(col("th_a"), col("th_b")) >= t - 1e-3)
+        .select(col("gid_a"), col("gid_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
+        .filter(col("jaccard") >= t)
+        .distinct()
+      expandPairs(inter, c.docMap, "jaccard")
+        .union(intraPairs(c.docMap, "jaccard", lit(1.0)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Soft dedup: instead of DROPPING duplicates, weight each doc by
     // 1/|exact-content cluster| so a page mirrored 1000× contributes one
     // doc's worth of gradient mass — the sampling-weight alternative to
@@ -520,6 +578,17 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
+    // identical ground truth by construction (see the dedup_prefix
+    // completeness argument) — the deterministic prefix-filter join is
+    // exactly the quadratic set-similarity join, candidate-pruned
+    "dedup_prefix" ->
+      s"""SELECT * FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(1.0 * len(list_intersect(list_distinct(string_split(a.text,' ')),
+                                                 list_distinct(string_split(b.text,' ')))) /
+                        len(list_distinct(string_split(a.text,' ') || string_split(b.text,' '))), 4) AS jaccard
+           FROM documents a, documents b WHERE a.doc_id < b.doc_id
+         ) WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""",
     "dedup_ngram" ->
       s"""SELECT * FROM (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -160,9 +160,12 @@ object FunctionOps {
           Array(col("p_size"), col("p_retailprice")), "metric", "value")
         .orderBy("p_partkey", "metric")),
 
-    // Map construction + access — no DuckDB oracle (map comparison is not
-    // hash-stable across engines); the MapSpec suite covers semantics.
-    // Scalar projections keep the declared output oracle-comparable-shaped.
+    // Map construction + access. A raw MAP column is not hash-stable
+    // across engines (entry order is physical, not semantic), so the
+    // declared output serializes the map as a KEY-SORTED `k:v` string —
+    // a canonical form both engines agree on — alongside the scalar
+    // probes; DuckDB rebuilds the same map with MAP{} and serializes it
+    // through the identical sort.
     "fn_map" -> ((s, dir) =>
       Tables.nation(s, dir)
         .select(col("n_nationkey"),
@@ -171,7 +174,9 @@ object FunctionOps {
             struct(lit("region").as("key"), col("n_regionkey").cast("string").as("value")))).as("m"))
         .select(col("n_nationkey"),
           size(map_keys(col("m"))).as("n_keys"),
-          element_at(col("m"), "name").as("name_val"))
+          element_at(col("m"), "name").as("name_val"),
+          concat_ws(",", transform(array_sort(map_keys(col("m"))),
+            k => concat(k, lit(":"), element_at(col("m"), k)))).as("m_str"))
         .orderBy("n_nationkey")),
 
     // Nested STRUCT surface: build (price, key) structs, collect them
@@ -288,6 +293,19 @@ object FunctionOps {
                   row_number() OVER (PARTITION BY o_custkey
                     ORDER BY o_totalprice, o_orderkey) AS rn
            FROM orders
-         ) WHERE rn = 1 ORDER BY o_custkey"""
+         ) WHERE rn = 1 ORDER BY o_custkey""",
+    // the map rebuilt with DuckDB's MAP{} literal and serialized through
+    // the same key-sort (map extract returns a LIST there — [1] unwraps)
+    "fn_map" ->
+      """WITH mm AS (
+           SELECT n_nationkey,
+                  MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)} AS m
+           FROM nation
+         )
+         SELECT n_nationkey, CAST(cardinality(m) AS INT) AS n_keys,
+                m['name'][1] AS name_val,
+                array_to_string(list_transform(list_sort(map_keys(m)),
+                  k -> k || ':' || m[k][1]), ',') AS m_str
+         FROM mm ORDER BY n_nationkey"""
   )
 }

@@ -166,6 +166,23 @@ object ProvidenciasOps {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // A7 under the driver's hash gate: the `buscar` facade itself,
+    // dispatching through its texto arm on raw accented user input (the
+    // exact shape streamlit_app.py:146-148 forwards to $text) — the
+    // user-facing entry point, not just its building blocks, is what this
+    // key pins. The facade drops the id column (reference :39), so the
+    // declared wrapper totals the order over the four surviving columns
+    // (all-ASCII fixture text — binary collation agrees cross-engine).
+    "api_buscar_texto" -> ((s, dir) =>
+      ProvidenciasApi.buscar(s, dir, texto = Some("spárk mérge"))
+        .orderBy("text", "lang", "source", "n_chars")),
+
+    // A9 under the hash gate: the parameterized `similares` facade at the
+    // declared query's widget values (docId 0, slider [10, 90]) — must
+    // hash-match the same oracle `similar_range` pins.
+    "api_similares" -> ((s, dir) =>
+      ProvidenciasApi.similares(s, dir, 0L, 10, 90)),
+
     // A6 — projection dropping the id/_body column (reference :39)
     "project_drop_col" -> ((s, dir) =>
       docs(s, dir).select("doc_id", "lang", "source", "n_chars")
@@ -443,6 +460,23 @@ object ProvidenciasOps {
          ORDER BY doc_id""",
     "project_drop_col" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // the facade's texto arm: accent-folded OR-of-terms over the folded
+    // corpus (the query terms 'spárk mérge' fold to spark/merge), id
+    // column dropped, total order over the surviving columns
+    "api_buscar_texto" ->
+      """SELECT text, lang, source, n_chars FROM documents
+         WHERE len(list_intersect(
+                 string_split(translate(lower(text), 'áéíóúüñ', 'aeiouun'), ' '),
+                 ['spark','merge'])) > 0
+         ORDER BY text, lang, source, n_chars""",
+    "api_similares" ->
+      """SELECT * FROM (
+           SELECT a.vec_id AS origen, b.vec_id AS destino,
+                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id = 0 AND b.vec_id <> 0
+         ) WHERE similitud BETWEEN 10 AND 90 ORDER BY destino""",
     "graph_node_ids" ->
       "SELECT vec_id AS id FROM embeddings ORDER BY id",
     "graph_degree" ->

@@ -167,9 +167,12 @@ object TextOps {
     // Frequent-items (SpaceSaving) sketch over tokens: the mergeable
     // bounded-memory path for "top tokens at corpus scale" — a full
     // `text_tokens` groupBy shuffles every distinct item; the sketch
-    // ships at most `capacity` counters per partial. No oracle
-    // (sketch-impl-specific); with capacity ≥ the fixture vocabulary the
-    // sketch is exact, pinned against `text_tokens` in AggSpec.
+    // ships at most `capacity` counters per partial. With capacity (64)
+    // ≥ the fixture vocabulary (31) no counter is ever displaced, so the
+    // sketch is EXACT by the SpaceSaving guarantee and the output equals
+    // the plain top-k — which makes it oracle-able as such (the exactness
+    // precondition itself is pinned in AggSpec against `text_tokens`;
+    // below-capacity behavior keeps only the error bound, not the oracle).
     "text_topk_sketch" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("token"))
@@ -380,6 +383,13 @@ object TextOps {
          FROM tf JOIN freq USING (token) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
     "text_tokens" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token""",
+    // valid because capacity (64) ≥ fixture vocabulary (31): an
+    // undisplaced SpaceSaving sketch is exact, so its output IS the
+    // plain token top-k (the precondition is pinned in AggSpec)
+    "text_topk_sketch" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY cnt DESC, token""",

@@ -52,6 +52,68 @@ class DedupSpec extends SparkSpec {
       s"LSH recall $lshN/$exactN below 0.95 at sf0.1")
   }
 
+  test("banding candidate volume scales as designed on a 50k-doc synthetic corpus",
+      SlowTest) {
+    // The fixtures top out at 5,000 docs; this seeded 10× corpus pins the
+    // property that makes dedup_near survive scale-up: candidate pairs
+    // track (true near-pair count × S-curve pass rate), never O(n²), and
+    // no band bucket explodes (the documented OPH dead end's failure
+    // mode, where correlated densified rows put thousands of sets in one
+    // bucket). Deterministic hash-derived construction, no RNG: 10,000
+    // families × 5 members over a 10,000-token space; members share 108
+    // family tokens plus 12 private ones (J ≈ 0.82 inside a family — the
+    // dense just-below-threshold regime that stresses selectivity — and
+    // ≈ 0 across families).
+    import graft.functions.ArrayExprs
+    val n = 50000L; val fams = 10000L; val vocab = 10000L
+    val th = spark.range(n)
+      .select(col("id"), (col("id") % fams).as("fid"))
+      .select(col("id"), array_sort(array_distinct(concat(
+        transform(sequence(lit(0), lit(107)),
+          j => pmod(xxhash64(col("fid"), j), lit(vocab))),
+        transform(sequence(lit(0), lit(11)),
+          j => pmod(xxhash64(col("id"), j + 1000), lit(vocab)))))).as("th"))
+    val slim = th.select(col("id"),
+        posexplode(ArrayExprs.minHashBands(col("th"),
+          DedupOps.Bands, DedupOps.RowsPerBand)).as(Seq("band", "bh")))
+      .persist()
+    try {
+      val maxBucket = slim.groupBy("band", "bh").count()
+        .agg(max("count")).first().getLong(0)
+      assert(maxBucket <= 64,
+        s"band bucket of $maxBucket sets — collision explosion")
+      val a = slim.select(col("id").as("ida"), col("band"), col("bh"))
+      val b = slim.select(col("id").as("idb"), col("band"), col("bh"))
+      val cand = a.hint("shuffle_hash").join(b, Seq("band", "bh"))
+        .filter(col("ida") < col("idb"))
+        .select("ida", "idb").distinct()
+        .persist()
+      val nCand = cand.count()
+      // 100k intra-family pairs at J≈0.82 × the S-curve's ~0.6 pass rate
+      // ⇒ tens of thousands of candidates; quadratic would be 1.25e9
+      assert(nCand > 10000L, s"S-curve lost the dense near-threshold band: $nCand")
+      assert(nCand < 500000L,
+        s"$nCand candidates — selectivity collapsed (quadratic is 1.25e9)")
+      // cross-family candidates are hash accidents, not structure
+      val crossFam = cand.filter(col("ida") % fams =!= col("idb") % fams).count()
+      assert(crossFam < nCand / 20,
+        s"$crossFam of $nCand candidates cross families — banding leaks")
+      cand.unpersist()
+      ()
+    } finally { slim.unpersist(); () }
+  }
+
+  test("dedup_prefix (prefix-filter join) EQUALS exact pairwise dedup_ngram") {
+    // the deterministic completeness claim the DuckDB oracle also pins:
+    // unlike the LSH banding (subset-only above), the prefix-filtered
+    // candidate set provably contains every true pair, so the verified
+    // output is the exact set-similarity join — no misses, no extras
+    val pref = q("dedup_prefix")
+    val exact = q("dedup_ngram")
+    assert(pref.exceptAll(exact).count() === 0, "prefix join invented pairs")
+    assert(exact.exceptAll(pref).count() === 0, "prefix join missed pairs")
+  }
+
   test("dedup_simhash pairs are symmetric-free (a < b) and within Hamming 3") {
     val sh = q("dedup_simhash")
     assert(sh.filter(col("doc_a") >= col("doc_b")).count() === 0)

@@ -109,13 +109,51 @@ class GridPairwiseSpec extends SparkSpec {
       while (System.currentTimeMillis < deadline && shuffleRecords < expected)
         Thread.sleep(100)
       // the grid exchanges write exactly n·(B+1); the only other shuffle
-      // is the final count's partial-aggregate exchange (one row per map
-      // partition). An O(n²) shuffle would be ≥ n(n−1)/2.
+      // is the final count's partial-aggregate exchange, whose record
+      // count is one per map task — bounded by the join's output
+      // partitioning, so the slack derives from the session's partition
+      // config (+ one per grid cell for safety under AQE re-splits)
+      // rather than a constant that flakes when either changes.
+      // An O(n²) shuffle would be ≥ n(n−1)/2.
+      val cells = b * (b + 1) / 2
+      val slack = 2L * spark.conf.get("spark.sql.shuffle.partitions").toInt + cells
       assert(shuffleRecords >= expected, s"grid shuffle under-counted: $shuffleRecords")
-      assert(shuffleRecords < expected + 500,
+      assert(shuffleRecords < expected + slack,
         s"shuffle volume $shuffleRecords far above n*(B+1)=$expected — replication regressed")
-      assert(expected + 500 < n * (n - 1) / 2,
+      assert(expected + slack < n * (n - 1) / 2,
         "fixture too small for the bound to distinguish O(n·B) from O(n²)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("shuffle volume stays n·(B+1) at 10× scale (10k rows, 50M pairs)",
+      SlowTest) {
+    // same contract as above at a scale where O(n·B) and O(n²) differ by
+    // 4 orders of magnitude: 10k synthetic rows ship exactly 90k shuffle
+    // records while the cells enumerate all 49,995,000 pairs
+    val b = 8
+    val n = 10000L
+    val rows = spark.range(n)
+      .select(col("id"), array(col("id").cast("float")).as("v"))
+    val expected = n * (b + 1)
+    @volatile var shuffleRecords = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleRecords += m.shuffleWriteMetrics.recordsWritten
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = GridPairwise(rows, b, (_, _) => lit(0.0), lit(-1.0)).count()
+      assert(pairs === n * (n - 1) / 2)
+      val deadline = System.currentTimeMillis + 15000
+      while (System.currentTimeMillis < deadline && shuffleRecords < expected)
+        Thread.sleep(100)
+      val cells = b * (b + 1) / 2
+      val slack = 2L * spark.conf.get("spark.sql.shuffle.partitions").toInt + cells
+      assert(shuffleRecords >= expected, s"grid shuffle under-counted: $shuffleRecords")
+      assert(shuffleRecords < expected + slack,
+        s"shuffle volume $shuffleRecords far above n*(B+1)=$expected at 10× scale")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -141,4 +141,48 @@ class PipelineSpec extends SparkSpec {
     assert(m("empty_text") === 0L)
     assert(m("bad_lang") === 0L)
   }
+
+  test("pipe_vocab min-count cutoff drops rare tokens, ranks only the kept") {
+    // aggressive cutoff: recompute the kept vocabulary independently and
+    // pin that the encode (a) keeps exactly those tokens' occurrences and
+    // (b) assigns ids 1..|kept| by (count desc, token) over the kept set
+    val cut = 500L
+    val docs = Tables.documents(spark, SfDir)
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = counts.filter(_._2 >= cut).keys.toSet
+    assert(kept.nonEmpty && kept.size < counts.size,
+      s"fixture must straddle the cutoff (kept ${kept.size}/${counts.size})")
+    val out = PipelineOps.vocabEncode(spark, SfDir, cut)
+    // per-doc kept-token count matches an independent recompute (docs with
+    // zero kept tokens drop out entirely — inner-join semantics)
+    val expected = docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "),
+          t => t.isin(kept.toSeq: _*))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    assert(out.select("doc_id", "n_tokens").exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(out.select("doc_id", "n_tokens")).count() === 0)
+    // the id space is exactly 1..|kept| and rank 1 is the most frequent
+    val ids = out.select(explode(split(col("ids"), " ")).as("id"))
+      .select(col("id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids === (1L to kept.size).toSet)
+  }
+
+  test("pipe_vocab degrades to a shuffle join past the broadcast budget") {
+    // same data, broadcast disabled: the encode join must plan as a
+    // non-broadcast join (the only surviving BroadcastHashJoin is the
+    // hinted #partitions-sized offsets table) and values must not move
+    val viaBroadcast = q("pipe_vocab").collect().toSeq
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = PipelineOps.vocabEncode(spark, SfDir, PipelineOps.VocabMinCount)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      val bhj = plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+      assert(bhj <= 1, s"encode join must not broadcast the vocab:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(df.collect().toSeq === viaBroadcast)
+    }
+  }
 }

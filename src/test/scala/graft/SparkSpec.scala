@@ -27,6 +27,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = super.afterAll()
 }
 
+/** Tag for the synthetic scale-stress tests (~10-60 s each) — included in
+  * a plain `sbt test`, excludable with `testOnly -- -l graft.SlowTest`. */
+object SlowTest extends org.scalatest.Tag("graft.SlowTest")
+
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
