@@ -114,6 +114,45 @@ class DedupSpec extends SparkSpec {
     assert(exact.exceptAll(pref).count() === 0, "prefix join missed pairs")
   }
 
+  test("dedup_prefix completeness at the length-ratio boundary (adversarial corpus)") {
+    // The prefix bound's worst case, constructed on purpose: subset pairs
+    // B ⊂ A with |B| = 0.9·|A| (J exactly at the threshold, min = t·max —
+    // the edge the ⌈t²|X|⌉ derivation must cover) where B drops A's
+    // canonically-SMALLEST tokens, i.e. exactly the tokens A emits as its
+    // prefix. A scheme that probed only the short (1−t)·|X| prefix would
+    // miss these pairs; the (1−t²)·|X| bound may not. One-more-dropped
+    // variants sit just below the threshold and must stay excluded.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prefix_adv").toString
+    def hashOrder(toks: Seq[String]): Seq[String] =
+      toks.toDF("t").select(col("t"), xxhash64(col("t")).as("h"))
+        .orderBy("h").collect().map(_.getString(0)).toSeq
+    val rows = Seq(20, 40, 60).zipWithIndex.flatMap { case (k, fam) =>
+      val toks = hashOrder((0 until k).map(j => s"f${fam}tok$j"))
+      val keep = math.ceil(0.9 * k).toInt
+      val base = fam * 3L
+      Seq(
+        (base, toks.mkString(" ")),                       // A: full set
+        (base + 1, toks.drop(k - keep).mkString(" ")),    // B: J(A,B) = 0.9
+        (base + 2, toks.drop(k - keep + 1).mkString(" "))) // C: J(A,C) < 0.9
+    }
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pref = DedupOps.queries("dedup_prefix")(spark, dir)
+    val exact = DedupOps.queries("dedup_ngram")(spark, dir)
+    assert(pref.exceptAll(exact).count() === 0, "adversarial: invented pairs")
+    assert(exact.exceptAll(pref).count() === 0, "adversarial: missed pairs")
+    val got = pref.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (fam <- 0 to 2) {
+      val base = fam * 3L
+      assert(got.contains((base, base + 1)),
+        s"boundary pair (J=0.9 exactly, prefix-dropped subset) missed in family $fam")
+      assert(!got.contains((base, base + 2)),
+        s"below-threshold pair surfaced in family $fam")
+    }
+  }
+
   test("dedup_simhash pairs are symmetric-free (a < b) and within Hamming 3") {
     val sh = q("dedup_simhash")
     assert(sh.filter(col("doc_a") >= col("doc_b")).count() === 0)
