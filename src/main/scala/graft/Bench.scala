@@ -87,10 +87,12 @@ object Bench {
         t
       }
       // warm statistics over the post-cold passes only (falling back to
-      // all passes when repeat == 1 keeps the fields well-defined)
+      // all passes when repeat == 1 keeps the fields well-defined) — the
+      // cold pass must not enter the min either, or a steal-inflated set
+      // of warm passes reports a cold reading as the plan-cost floor
       val warmPasses = if (times.length > 1) times.tail else times
       val med = warmPasses.sorted.apply(warmPasses.length / 2)
-      R(name, times.head, times.min, med, failed)
+      R(name, times.head, warmPasses.min, med, failed)
     }
     val total = results.map(_.cold).sum
     val warmTotal = results.map(_.warm).sum

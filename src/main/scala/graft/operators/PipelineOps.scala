@@ -93,28 +93,39 @@ object PipelineOps {
     *    total-order layout) — a parallel sort at any vocabulary size.
     *    The only single-partition window is over the #partitions-sized
     *    counts table, bounded by cluster config.
-    *  - The encode join broadcasts the vocab ONLY while it fits the
-    *    session's broadcast budget ([[DedupOps.broadcastIfFits]] — the
-    *    same size condition the CC label joins make); past that it
-    *    degrades to a hash-shuffle join on `token`, which is linear and
-    *    never OOMs the driver. The count that decides is free: the vocab
-    *    is persisted, and the rank pass materializes it anyway. */
+    *  - The encode join broadcasts the vocab ONLY while its MEASURED
+    *    serialized size fits the session's broadcast budget — measured,
+    *    not rows × a constant, because a vocabulary is variable-width
+    *    strings (URLs, hex hashes) where a per-row heuristic calibrated
+    *    for long pairs can overshoot the budget several-fold; past the
+    *    budget it degrades to a hash-shuffle join on `token`, which is
+    *    linear and never OOMs the driver. The size probe is one tiny agg
+    *    over the persisted dictionary-sized table.
+    *  - The persist is SCOPED: the ranked vocab localCheckpoints eagerly
+    *    (one dictionary-sized materialization, reclaimed by the
+    *    ContextCleaner when the result frame is dropped) and the counts
+    *    cache unpersists before returning — a library caller invoking
+    *    this repeatedly must not accumulate cached vocabularies. */
   private[graft] def vocabEncode(s: SparkSession, dir: String,
                                  minCount: Long): DataFrame = {
     val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-    // persisted: the ranked vocab feeds the offsets pass, the join-strategy
-    // count, and the encode join — and the range boundaries come from
+    // persisted (within this call only): the ranked vocab derives from it
+    // twice (offsets pass + rank pass), and the range boundaries come from
     // sampling, so recomputation across jobs could shift pids between the
-    // counts pass and the rank pass (the pipe_shuffle determinism note)
+    // two (the pipe_shuffle determinism note)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .repartitionByRange(nParts, col("cnt").desc, col("token"))
       .sortWithinPartitions(col("cnt").desc, col("token"))
       .withColumn("pid", spark_partition_id())
       .persist()
-    val nVocab = counts.count()
+    // one job: vocab cardinality + measured token bytes (64 bytes/row of
+    // fixed overhead conservatively covers the id column and row framing)
+    val stats = counts.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("token"))), lit(0L)).as("bytes")).first()
+    val vocabBytes = stats.getLong(1) + 64L * stats.getLong(0)
     val offs = counts.groupBy("pid").agg(count(lit(1)).as("n"))
       .withColumn("offset",
         coalesce(sum(col("n")).over(
@@ -125,7 +136,12 @@ object PipelineOps {
     val vocab = counts.join(broadcast(offs), "pid")
       .select(col("token"),
         (row_number().over(w).cast("long") + col("offset")).as("id"))
-    toks.join(DedupOps.broadcastIfFits(vocab, nVocab), "token")
+      .localCheckpoint()
+    counts.unpersist()
+    val budget =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val joinSide = if (budget > 0 && vocabBytes <= budget) broadcast(vocab) else vocab
+    toks.join(joinSide, "token")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("id")))).as("pi"))
       // serialized as a space-joined string: the declared-query contract
@@ -573,7 +589,7 @@ object PipelineOps {
          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) = 1
          ORDER BY doc_id""",
     "pipe_vocab" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
            SELECT doc_id, pos, token FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS token,
                     unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
@@ -582,7 +598,7 @@ object PipelineOps {
          ), vocab AS (
            SELECT token,
                   row_number() OVER (ORDER BY count(*) DESC, token) AS id
-           FROM toks GROUP BY token HAVING count(*) >= 2
+           FROM toks GROUP BY token HAVING count(*) >= $VocabMinCount
          )
          SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
                 array_to_string(list(id ORDER BY pos), ' ') AS ids

@@ -2,8 +2,6 @@ package graft
 
 import java.sql.Timestamp
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -333,9 +331,11 @@ class StreamingSpec extends SparkSpec {
     // MicroBatchExecution sees offsets ahead of commits and REPLAYS the
     // batch from the checkpoint, re-calling the sink's commit(epochId).
     val commits = ckDir.resolve("commits")
-    val latest = java.nio.file.Files.list(commits).iterator().asScala
-      .filter(p => p.getFileName.toString.forall(_.isDigit))
-      .maxBy(_.getFileName.toString.toLong)
+    // listFiles, not Files.list — the latter's stream holds the directory
+    // fd open until GC unless explicitly closed
+    val latest = commits.toFile.listFiles()
+      .filter(f => f.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong).toPath
     java.nio.file.Files.delete(latest)
     // the local FS keeps a checksum sidecar; a stale one makes the
     // replay's commit rename fail as a (spurious) concurrent-query error
