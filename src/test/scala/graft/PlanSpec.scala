@@ -72,6 +72,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"candidate attach degraded to SMJ:\n$plan")
   }
 
+  test("dedup_prefix candidate join is shuffled-hash on the prefix token, verify in broadcast joins") {
+    // the scale contract: prefix-token candidate generation must shuffle
+    // (both sides are corpus-derived — a broadcast there caps the design
+    // at driver memory), while the array attach for the verify stays
+    // broadcast; the hint silently degrades if its shape breaks, so pin it
+    val plan = graft.operators.DedupOps.queries("dedup_prefix")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("ShuffledHashJoin"), s"candidate join lost the hash hint:\n$plan")
+    assert(plan.contains("sorted_jaccard"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"a join degraded to SMJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pipe_chunk is a shuffle-free generator scan (plus the final order-by)") {
     val plan = graft.operators.PipelineOps.queries("pipe_chunk")(spark, SfDir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
