@@ -406,18 +406,33 @@ object DedupOps {
       val t = JaccardThreshold
       val uniq = c.uniq()
       val pref = uniq.select(col("gid"), size(col("th")).as("len"),
-        explode(slice(col("th"), lit(1),
+        posexplode(slice(col("th"), lit(1),
           (size(col("th")) - ceil(lit(t * t) * size(col("th"))) + 1)
-            .cast("int"))).as("tok"))
-      val a = pref.select(col("gid").as("gid_a"), col("len").as("len_a"), col("tok"))
-      val b = pref.select(col("gid").as("gid_b"), col("len").as("len_b"), col("tok"))
+            .cast("int"))).as(Seq("pos", "tok")))
+      val a = pref.select(col("gid").as("gid_a"), col("len").as("len_a"),
+        col("pos").as("pos_a"), col("tok"))
+      val b = pref.select(col("gid").as("gid_b"), col("len").as("len_b"),
+        col("pos").as("pos_b"), col("tok"))
       // same join/verify shape as dedup_near: shuffle-hash candidate join,
       // verify per occurrence through two broadcast joins of the slim
-      // unique-set table, distinct only on the (tiny) survivor set
+      // unique-set table, distinct only on the (tiny) survivor set.
+      // Two in-join prunes beyond the token match (both evaluated before a
+      // candidate row leaves the join loop):
+      //  - length-ratio: J >= t forces min/max >= t;
+      //  - PPJoin's positional filter: for the canonically SMALLEST common
+      //    element at 0-based positions (pos_a, pos_b), every common
+      //    element sits at ≥ those positions, so
+      //    c <= min(len_a - pos_a, len_b - pos_b); a true pair needs
+      //    c >= t·min(len_a, len_b), so occurrences violating that bound
+      //    cannot be the smallest-common-element occurrence — dropping
+      //    them keeps completeness (the x-occurrence of any true pair
+      //    always passes) while pruning deep-position collisions.
       val cand = a.hint("shuffle_hash").join(b, Seq("tok"))
         .filter(col("gid_a") < col("gid_b") &&
           least(col("len_a"), col("len_b")).cast("double") >=
-            greatest(col("len_a"), col("len_b")) * (t - 1e-3))
+            greatest(col("len_a"), col("len_b")) * (t - 1e-3) &&
+          least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b"))
+            .cast("double") >= least(col("len_a"), col("len_b")) * (t - 1e-3))
         .select("gid_a", "gid_b")
       val th = uniq.select(col("gid"), col("th"))
       val inter = cand
