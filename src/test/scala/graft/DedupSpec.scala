@@ -153,6 +153,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_prefix equals the quadratic join on a seeded random-size corpus") {
+    // randomized (fixed-seed) sweep over set sizes 5..64 — every k hits a
+    // different ⌈t²k⌉ ceil boundary in the prefix-length formula, and
+    // random overlaps land pairs on both sides of the threshold; the
+    // 3-family adversarial test above covers the targeted worst case,
+    // this covers the breadth
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = (0 until 120).map(j => s"rv$j")
+    val dir = java.nio.file.Files.createTempDirectory("graft_prefix_rand").toString
+    val prior = scala.collection.mutable.ArrayBuffer[Set[String]]()
+    val rows = (0 until 80).map { i =>
+      // half the docs perturb an EARLIER doc's set (drop/add a few tokens)
+      // so near-threshold pairs actually exist; half are fresh draws
+      val toks =
+        if (i >= 40 && rnd.nextBoolean() && prior.nonEmpty) {
+          val base = prior(rnd.nextInt(prior.length))
+          val dropped = base.drop(rnd.nextInt(3))
+          dropped ++ rnd.shuffle((vocab.toSet -- dropped).toSeq).take(rnd.nextInt(3))
+        } else rnd.shuffle(vocab).take(5 + rnd.nextInt(60)).toSet
+      prior += toks
+      (i.toLong, toks.mkString(" "))
+    }
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pref = DedupOps.queries("dedup_prefix")(spark, dir)
+    val exact = DedupOps.queries("dedup_ngram")(spark, dir)
+    assert(exact.count() >= 10,
+      "seed must produce real pairs or the sweep tests nothing (26 at this seed)")
+    assert(pref.exceptAll(exact).count() === 0, "random sweep: invented pairs")
+    assert(exact.exceptAll(pref).count() === 0, "random sweep: missed pairs")
+  }
+
   test("dedup_simhash pairs are symmetric-free (a < b) and within Hamming 3") {
     val sh = q("dedup_simhash")
     assert(sh.filter(col("doc_a") >= col("doc_b")).count() === 0)
