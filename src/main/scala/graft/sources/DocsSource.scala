@@ -113,6 +113,28 @@ object DocsSource {
     v ^ (v >>> 31)
   }
 
+  /** Saturating +1 / +, ONE definition for every pushdown/runtime-filter
+    * bound computation: an accepted filter is removed from the plan, so a
+    * wrapped bound silently inverts span semantics (`> MaxValue` returns
+    * everything, `<= MaxValue` nothing). Previously duplicated at each
+    * site — a fix to one copy could miss its twins. */
+  private[sources] def satInc(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+  private[sources] def satAdd(a: Long, b: Long): Long =
+    if (a > Long.MaxValue - b) Long.MaxValue else a + b
+
+  /** Single-field doc_id reference test shared by aggregate pushdown,
+    * top-N pushdown, and runtime filtering. Case-insensitive: the two
+    * previous copies disagreed (exact vs ignore-case), and Spark's
+    * default resolution is case-insensitive. */
+  private[sources] def isDocIdRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case n: NamedReference => n.fieldNames.length == 1 &&
+        n.fieldNames()(0).equalsIgnoreCase("doc_id")
+      case _ => false
+    }
+
   def langOf(id: Long): String =
     Langs(math.floorMod(mix(id + 7), Langs.length.toLong).toInt)
 
@@ -169,11 +191,7 @@ class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  // saturating +1: an accepted filter is REMOVED from the plan, so an
-  // overflowed bound (Long.MaxValue + 1 wraps to MinValue) would silently
-  // return every row for `> MaxValue` and zero rows for `<= MaxValue`
-  private def inc(v: Long): Long =
-    if (v == Long.MaxValue) Long.MaxValue else v + 1
+  import DocsSource.{satInc => inc, satAdd, isDocIdRef => isDocId}
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition {
@@ -187,7 +205,14 @@ class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L,
         hi = math.min(hi, v.longValue); true
       case LessThanOrEqual("doc_id", v: Number) =>
         hi = math.min(hi, inc(v.longValue)); true
-      case EqualTo("lang", v: String) =>
+      // the guard matters: an accepted filter is REMOVED from the plan,
+      // so a SECOND, conflicting lang equality must stay residual (Spark
+      // then evaluates it over the already-filtered rows → empty set)
+      // rather than overwrite the first last-write-wins — normally
+      // ConstantPropagation folds `lang='en' AND lang='fr'` to false
+      // before pushdown, but a session excluding that rule still pushes
+      // both
+      case EqualTo("lang", v: String) if langEq.forall(_ == v) =>
         langEq = Some(v); true
       case IsNotNull(_) => true // every generated column is non-null
       case _ => false
@@ -213,12 +238,6 @@ class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L,
         case _ => false
       }
 
-  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-    e match {
-      case n: NamedReference => n.fieldNames.sameElements(Array("doc_id"))
-      case _ => false
-    }
-
   // Limit pushdown: ids are generated in span order, so LIMIT n is
   // exactly the first n ids of the pruned span — clamp hi at planning
   // time (out-of-span partitions are never created) and report FULLY
@@ -227,7 +246,7 @@ class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L,
   override def pushLimit(limit: Int): Boolean = {
     if (langEq.isDefined || limit < 0) false
     else {
-      hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+      hi = math.min(hi, satAdd(lo, limit))
       true
     }
   }
@@ -247,7 +266,7 @@ class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L,
     if (!isDocId(o.expression())) return false
     topNPushed = true
     if (o.direction() == SortDirection.ASCENDING) {
-      hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+      hi = math.min(hi, satAdd(lo, limit))
     } else {
       lo = math.max(lo, if (hi < Long.MinValue + limit) Long.MinValue else hi - limit)
     }
@@ -378,12 +397,7 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
     Array(Expressions.column("doc_id"))
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-      e match {
-        case f: NamedReference => f.fieldNames.length == 1 &&
-          f.fieldNames()(0).equalsIgnoreCase("doc_id")
-        case _ => false
-      }
+    import DocsSource.{satInc => inc, isDocIdRef => isDocId}
     def lit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Long] =
       e match {
         case l: Literal[_] => l.value match {
@@ -393,10 +407,9 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
         }
         case _ => None
       }
-    // saturating +1, mirroring the builder's inc(): a Long.MaxValue id in
-    // the build side must not wrap rhi to MinValue and empty the scan —
+    // inc saturates, mirroring the builder: a Long.MaxValue id in the
+    // build side must not wrap rhi to MinValue and empty the scan —
     // that would OVER-apply a reduction-only filter and drop valid rows
-    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     predicates.foreach { p =>
       val kids = p.children()
       p.name() match {
@@ -536,20 +549,41 @@ object DocsScan {
             }
             id < end
           }
+          // field names resolve to int codes ONCE per reader — the row
+          // loop below dispatches on a tableswitch instead of paying a
+          // per-cell string match on every emitted row (this loop is what
+          // the scan benchmarks measure); unknown columns fail at reader
+          // construction, before any row is generated
+          private val codes: Array[Int] = fields.map {
+            case "doc_id" => 0
+            case "text" => 1
+            case "lang" => 2
+            case "source" => 3
+            case "n_chars" => 4
+            case other => throw new IllegalArgumentException(s"unknown column $other")
+          }
           override def get(): InternalRow = {
             // generate only the projected columns; text is the expensive
             // one and is synthesized at most once per row
-            lazy val text = DocsSource.textOf(id)
-            val values: Array[Any] = fields.map {
-              case "doc_id" => id
-              case "text"   => UTF8String.fromString(text)
-              case "lang"   => UTF8String.fromString(
-                if (lang != null) lang else DocsSource.langOf(id))
-              case "source" => UTF8String.fromString(
-                DocsSource.Sources(math.floorMod(DocsSource.mix(id + 13),
-                  DocsSource.Sources.length.toLong).toInt))
-              case "n_chars" => text.length.toLong
-              case other => throw new IllegalArgumentException(s"unknown column $other")
+            var text: String = null
+            def textOnce: String = {
+              if (text == null) text = DocsSource.textOf(id)
+              text
+            }
+            val values = new Array[Any](codes.length)
+            var i = 0
+            while (i < codes.length) {
+              values(i) = codes(i) match {
+                case 0 => id
+                case 1 => UTF8String.fromString(textOnce)
+                case 2 => UTF8String.fromString(
+                  if (lang != null) lang else DocsSource.langOf(id))
+                case 3 => UTF8String.fromString(
+                  DocsSource.Sources(math.floorMod(DocsSource.mix(id + 13),
+                    DocsSource.Sources.length.toLong).toInt))
+                case _ => textOnce.length.toLong
+              }
+              i += 1
             }
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
           }
@@ -585,11 +619,14 @@ class DocsMicroBatchStream(parts: Int, lo: Long, hi: Long, rowsPerBatch: Long,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = math.max(lo, start.asInstanceOf[DocsOffset].v)
-    val step = limit match {
+    val step = math.max(1L, limit match {
       case m: ReadMaxRows => m.maxRows()
       case _              => hi - s // allAvailable and anything else
-    }
-    DocsOffset(math.min(hi, s + math.max(1L, step)))
+    })
+    // saturating add: a max-rows limit near a Long.MaxValue span end must
+    // clamp to hi, not wrap negative and move the offset BACKWARDS
+    val next = if (s > Long.MaxValue - step) Long.MaxValue else s + step
+    DocsOffset(math.min(hi, next))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -601,7 +638,11 @@ class DocsMicroBatchStream(parts: Int, lo: Long, hi: Long, rowsPerBatch: Long,
     val span = math.max(0L, e - s)
     if (span == 0) Array.empty
     else {
-      val per = math.max(1L, (span + parts - 1) / parts)
+      // overflow-safe ceil-div, same as the batch path (DocsScan
+      // .planInputPartitions): span + parts - 1 wraps negative for spans
+      // near Long.MaxValue (Trigger.Once admits the whole span in one
+      // batch), collapsing per to 1 and materializing ~2^63 ranges
+      val per = math.max(1L, span / parts + (if (span % parts == 0) 0 else 1))
       (s until e by per).map(x => DocsRange(x, math.min(e, x + per))).toArray
     }
   }

@@ -43,6 +43,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   private val Ns = Array("docs")
   private val TableName = """docs_(\d+)(?:_(\d+))?(?:_(bucket))?""".r
 
+  // `USE graft` + `SHOW TABLES` resolves through the catalog's default
+  // namespace; the interface default (empty array) makes the bare catalog
+  // unusable as a current catalog (listTables([]) has no namespace to
+  // serve) — docs is the only namespace, so it is the default
+  override def defaultNamespace(): Array[String] = Ns
+
   /** Parse `docs_<rows>[_<parts>][_bucket]`; None for anything malformed —
     * an unparseable numeral (overflow) or parts=0 is a table that does not
     * EXIST, never an internal error surfacing from planning. The `_bucket`
@@ -132,8 +138,15 @@ object GraftCatalog {
       override def name(): String = "bucket"
       override def canonicalName(): String = "graft.bucket"
       override def isResultNullable: Boolean = false
-      override def produceResult(input: InternalRow): Integer =
-        Math.floorMod(input.getLong(1), input.getInt(0).toLong).toInt
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        // bind() can only check types, not values: a literal 0 bucket
+        // count reaches here and floorMod would surface a raw
+        // ArithmeticException — reject it as the clean contract error
+        if (n <= 0) throw new IllegalArgumentException(
+          s"bucket: numBuckets must be positive, got $n")
+        Math.floorMod(input.getLong(1), n.toLong).toInt
+      }
     }
   }
 }

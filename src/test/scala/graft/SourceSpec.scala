@@ -169,6 +169,51 @@ class SourceSpec extends SparkSpec {
     assert(read(100, 2).filter(col("doc_id") <= Long.MaxValue).count() === 100)
   }
 
+  test("conflicting pushed lang equalities compose by intersection, not last-write-wins") {
+    // ConstantPropagation normally folds `lang='en' AND lang='fr'` to
+    // false before pushdown ever sees it; exclude the rule so BOTH
+    // equalities reach the builder — the second must stay residual
+    // (accepted filters are removed from the plan, so an overwrite would
+    // silently return the second language's rows instead of the empty set)
+    withConfs("spark.sql.optimizer.excludedRules" ->
+        "org.apache.spark.sql.catalyst.optimizer.ConstantPropagation") {
+      val df = read(1000, 2).filter(col("lang") === "en" && col("lang") === "fr")
+      assert(df.count() === 0, "conflicting equalities must yield the empty set")
+    }
+  }
+
+  test("micro-batch planInputPartitions survives a Long.MaxValue span (ceil-div overflow)") {
+    // Trigger.Once admits the whole span in one batch; the naive
+    // (span + parts - 1) ceil-div wraps negative there, collapses the
+    // per-range stride to 1, and asks the driver for ~2^63 range objects
+    import graft.sources.{DocsMicroBatchStream, DocsOffset}
+    val s = new DocsMicroBatchStream(4, 0L, Long.MaxValue, 10L,
+      Array("doc_id"), None)
+    val parts = s.planInputPartitions(DocsOffset(0L), DocsOffset(Long.MaxValue))
+    assert(parts.length === 4, s"expected 4 ranges, got ${parts.length}")
+  }
+
+  test("USE graft gives SHOW TABLES a default namespace to resolve") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val prev = spark.catalog.currentCatalog()
+    try {
+      spark.sql("USE graft")
+      assert(spark.sql("SHOW TABLES").collect().nonEmpty,
+        "bare catalog must be usable as the current catalog")
+    } finally spark.catalog.setCurrentCatalog(prev)
+  }
+
+  test("bucket(0, id) raises the contract error, not a raw divide-by-zero") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft.docs.bucket(0, 5L)").collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("numBuckets must be positive")),
+      msgs(e).mkString(" | "))
+  }
+
   test("catalog plugin resolves generated tables to pure SQL with pushdown intact") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     // name IS the definition: docs_<rows>[_<partitions>]
