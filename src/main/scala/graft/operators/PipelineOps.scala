@@ -347,6 +347,32 @@ object PipelineOps {
         .orderBy("lang", "doc_id")
     }),
 
+    // Length-bucketed batching accounting: assign every document to a
+    // fixed power-of-two sequence-length bucket and report the padding
+    // waste per bucket — the signal that drives batch-shape planning in a
+    // training pipeline (pad-to-bucket beats pad-to-max by the pad_frac
+    // this query measures). Bucket edges are a FIXED CASE ladder, not
+    // ceil(log2(len)): both engines agree bit-exactly on integer compares
+    // where cross-engine log2 rounding at exact powers of two does not.
+    // One codegen'd scan into a ≤6-group aggregate — a pure map at 100 TB
+    // with a constant-size shuffle.
+    "pipe_length_buckets" -> ((s, dir) => {
+      val len = size(split(col("text"), " "))
+      val bucket = when(len <= 32, 32).when(len <= 64, 64)
+        .when(len <= 128, 128).when(len <= 256, 256)
+        .when(len <= 512, 512).otherwise(1024)
+      Tables.documents(s, dir)
+        .select(len.as("len"), bucket.as("seq_len"))
+        .groupBy("seq_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("token_sum"),
+          sum(col("seq_len") - col("len")).as("pad_sum"))
+        .select(col("seq_len"), col("n_docs"), col("token_sum"), col("pad_sum"),
+          round(col("pad_sum").cast("double") /
+            (col("seq_len").cast("bigint") * col("n_docs")), 4).as("pad_frac"))
+        .orderBy("seq_len")
+    }),
+
     // Benchmark decontamination: flag training docs that share any
     // 4-token shingle with the held-out eval slice (doc_id % 97 == 0) —
     // the n-gram-overlap scrub every pre-training corpus runs against its
@@ -698,6 +724,20 @@ object PipelineOps {
                       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
                FROM documents)
          ORDER BY lang, doc_id""",
+    "pipe_length_buckets" ->
+      """SELECT seq_len, count(*) AS n_docs,
+                CAST(sum(len) AS BIGINT) AS token_sum,
+                CAST(sum(seq_len - len) AS BIGINT) AS pad_sum,
+                round(CAST(sum(seq_len - len) AS DOUBLE) /
+                      (seq_len * count(*)), 4) AS pad_frac
+         FROM (
+           SELECT len,
+                  CASE WHEN len <= 32 THEN 32 WHEN len <= 64 THEN 64
+                       WHEN len <= 128 THEN 128 WHEN len <= 256 THEN 256
+                       WHEN len <= 512 THEN 512 ELSE 1024 END AS seq_len
+           FROM (SELECT CAST(len(string_split(text, ' ')) AS INT) AS len
+                 FROM documents)
+         ) GROUP BY seq_len ORDER BY seq_len""",
     "pipe_normalize" ->
       """WITH stats AS (
            SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sigma

@@ -293,6 +293,48 @@ object ProvidenciasOps {
         .orderBy("node_id")
     }),
 
+    // Graph extension: 2-iteration label propagation (synchronous LPA,
+    // Raghavan et al. 2007) over the SIMILAR graph — community detection,
+    // the finer-grained sibling of `graph_components` ("which rulings form
+    // one TOPIC cluster", where components only answer "one island").
+    // Labels start as own node id; each superstep every node adopts its
+    // neighbors' most frequent label (ties → min label, so the update is
+    // fully deterministic; isolated nodes keep their own). Each unrolled
+    // iteration is |E|-join + (node, label) partial-aggregated groupBy +
+    // a per-node argmax window — the same shuffle-per-superstep shape as
+    // `graph_pagerank`, label relation stays node-cardinality, so the
+    // plan survives any edge count. Iteration count is a plan-construction
+    // scalar (fixed 2: synchronous LPA is oscillation-prone, so production
+    // runs cap supersteps rather than loop to convergence).
+    "graph_label_prop" -> ((s, dir) => {
+      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+      // symmetrize once and persist: 2 supersteps × 1 scan each would
+      // otherwise re-run the pairwise derivation per iteration
+      val e = tri.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+        .select(col("p.s").as("s"), col("p.d").as("d"))
+        .persist()
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+      def step(labels: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s")).orderBy(col("c").desc, col("lbl"))
+        val pick = e.join(labels, col("d") === col("id"))
+          .groupBy(col("s"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("s").as("id"), col("lbl").as("newlbl"))
+        labels.join(pick, Seq("id"), "left")
+          .select(col("id"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+      }
+      val l0 = nodes.select(col("id"), col("id").as("lbl"))
+      step(step(l0))
+        .select(col("id").as("node_id"), col("lbl").as("community"))
+        .orderBy("node_id")
+    }),
+
     // Graph extension: 3-iteration PageRank (d = 0.85, dangling mass
     // redistributed uniformly) over the SIMILAR graph — "which rulings are
     // central in the similarity network". Iterations are unrolled into one
@@ -559,6 +601,36 @@ object ProvidenciasOps {
          )
          SELECT id AS node_id, min(r) AS component_id
          FROM reach GROUP BY id ORDER BY node_id""",
+    "graph_label_prop" ->
+      """WITH tri AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), e AS MATERIALIZED (
+           SELECT src AS s, dst AS d FROM tri UNION ALL SELECT dst, src FROM tri
+         ), l0 AS (
+           SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+         ), p1 AS (
+           SELECT s AS id, lbl AS newlbl FROM (
+             SELECT e.s, l.lbl, count(*) AS c
+             FROM e JOIN l0 l ON e.d = l.id GROUP BY e.s, l.lbl
+           ) QUALIFY row_number() OVER (PARTITION BY s ORDER BY c DESC, lbl) = 1
+         ), l1 AS (
+           SELECT l0.id, coalesce(p1.newlbl, l0.lbl) AS lbl
+           FROM l0 LEFT JOIN p1 ON l0.id = p1.id
+         ), p2 AS (
+           SELECT s AS id, lbl AS newlbl FROM (
+             SELECT e.s, l.lbl, count(*) AS c
+             FROM e JOIN l1 l ON e.d = l.id GROUP BY e.s, l.lbl
+           ) QUALIFY row_number() OVER (PARTITION BY s ORDER BY c DESC, lbl) = 1
+         ), l2 AS (
+           SELECT l1.id, coalesce(p2.newlbl, l1.lbl) AS lbl
+           FROM l1 LEFT JOIN p2 ON l1.id = p2.id
+         )
+         SELECT id AS node_id, lbl AS community FROM l2 ORDER BY node_id""",
     "graph_pagerank" ->
       """WITH tri AS MATERIALIZED (
            SELECT * FROM (

@@ -308,7 +308,44 @@ object TextOps {
             .as("s0"))
         .groupBy("doc_id").agg(round(sum(col("s0")), 4).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
-    })
+    }),
+
+    // Token-distribution Shannon entropy per document — the information-
+    // density quality signal (low entropy = repetitive/boilerplate, the
+    // continuous counterpart of `text_repetition`'s fractions). Computed
+    // from per-(doc, token) counts via H = (ln N − Σ tf·ln tf / N) / ln 2,
+    // so the explode feeds ONE partial-aggregated shuffle on (doc_id,
+    // token) and a doc-cardinality re-aggregation — identical shuffle
+    // skeleton to `text_tfidf`'s tf branch, linear at any corpus size.
+    "text_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          count(lit(1)).as("d_tokens"),
+          sum(col("tf") * log(col("tf"))).as("s_nlogn"))
+        .select(col("doc_id"), col("n_tokens"), col("d_tokens"),
+          round((log(col("n_tokens")) - col("s_nlogn") / col("n_tokens")) /
+            log(lit(2.0)), 4).as("entropy"))
+        .orderBy("doc_id")),
+
+    // Hashing-trick featurization (Weinberger et al.'s feature hashing):
+    // every token maps to one of D=16 feature buckets via the md5-prefix
+    // hash both engines reproduce bit-identically (the same portable-hash
+    // idiom as `pipe_split`), giving a fixed-width sparse count vector per
+    // document with NO vocabulary pass — the standard way to featurize an
+    // unbounded token space at 100 TB (no dictionary to build, broadcast,
+    // or keep consistent across runs). One explode + one partial-aggregated
+    // (doc_id, feature) shuffle; output width is bounded by D, not vocab.
+    "text_hashed_features" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("token")), 1, 4), 16, 10)
+            .cast("int") % 16).as("feature"))
+        .groupBy("doc_id", "feature").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "feature"))
   )
 
   private def duckStop(list: Seq[String]): String =
@@ -386,6 +423,24 @@ object TextOps {
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY cnt DESC, token""",
+    "text_entropy" ->
+      """WITH tf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token
+         )
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                count(*) AS d_tokens,
+                round((ln(CAST(sum(tf) AS DOUBLE)) - sum(tf * ln(tf)) / sum(tf))
+                      / ln(2.0), 4) AS entropy
+         FROM tf GROUP BY doc_id ORDER BY doc_id""",
+    "text_hashed_features" ->
+      """SELECT doc_id, feature, count(*) AS cnt
+         FROM (
+           SELECT doc_id,
+                  CAST(('0x' || substring(md5(token), 1, 4)) AS INT) % 16 AS feature
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         ) GROUP BY doc_id, feature ORDER BY doc_id, feature""",
     // valid because capacity (64) ≥ fixture vocabulary (31): an
     // undisplaced SpaceSaving sketch is exact, so its output IS the
     // plain token top-k (the precondition is pinned in AggSpec)

@@ -130,10 +130,33 @@ object WindowOps {
         .withColumn("trailing_avg", round(avg(col("value")).over(w), 4))
         .select("event_id", "user_id", "es", "trailing_avg")
         .orderBy("event_id")
+    }),
+
+    // Relative standing within a group: percent_rank and cume_dist of each
+    // customer's balance inside its market segment — the distributional
+    // ranking functions that close out the B6 family (rank says "3rd";
+    // percent_rank says "top 2%", which is what a percentile-based cut
+    // actually filters on). Ties share a value in both functions, so the
+    // window orders on the value ALONE (adding a tiebreak key would change
+    // the semantics); output order still carries the unique c_custkey.
+    "win_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cume"))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "win_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                round(percent_rank() OVER w, 4) AS pct_rank,
+                round(cume_dist() OVER w, 4) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+         ORDER BY c_mktsegment, c_acctbal, c_custkey""",
     "win_distinct_count" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey,
                 CAST(max(dr) OVER (PARTITION BY l_orderkey

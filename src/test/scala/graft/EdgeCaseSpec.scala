@@ -290,4 +290,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(back.agg(sum("value")).collect()(0).getDouble(0) ===
       ev.agg(sum("value")).collect()(0).getDouble(0))
   }
+
+  test("text_entropy obeys the Shannon bounds") {
+    import graft.operators.TextOps
+    val rows = TextOps.queries("text_entropy")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val d = r.getAs[Long]("d_tokens")
+      val h = r.getAs[Double]("entropy")
+      val hMax = math.log(n.toDouble) / math.log(2.0)
+      assert(h >= -5e-5 && h <= hMax + 5e-5,
+        s"doc ${r.getLong(0)}: H=$h outside [0, log2($n)]")
+      // uniform distribution (every token distinct) attains the max
+      if (d == n)
+        assert(math.abs(h - hMax) < 1e-3, s"all-distinct doc must hit log2(n)")
+    }
+  }
+
+  test("text_hashed_features buckets cover D=16 and conserve token counts") {
+    import graft.operators.TextOps
+    val f = TextOps.queries("text_hashed_features")(spark, SfDir).persist()
+    assert(f.filter(col("feature") < 0 || col("feature") >= 16).count() === 0)
+    // feature-hash counts are a partition of the per-doc token count
+    val docs = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val drift = f.groupBy("doc_id").agg(sum("cnt").as("hashed"))
+      .join(docs, "doc_id").filter(col("hashed") =!= col("n")).count()
+    assert(drift === 0, "every token must land in exactly one feature bucket")
+    f.unpersist()
+    ()
+  }
 }

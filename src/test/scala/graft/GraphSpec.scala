@@ -60,4 +60,30 @@ class GraphSpec extends SparkSpec {
     assert(tri.join(deg, tri("node_id") === deg("id"))
       .filter(col("degree") < 2).count() === 0)
   }
+
+  test("graph_label_prop communities refine connected components") {
+    val lp = q("graph_label_prop").persist()
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(lp.count() === n, "one community label per node")
+    // a label can only travel along edges, so after any number of
+    // supersteps a node's community label names a node of its own
+    // connected component — communities partition components, never
+    // straddle them
+    val comp = q("graph_components")
+    val straddle = lp
+      .join(comp, lp("node_id") === comp("node_id"))
+      .select(lp("community"), comp("component_id").as("c_node"))
+      .join(comp.withColumnRenamed("node_id", "community")
+        .withColumnRenamed("component_id", "c_lbl"), "community")
+      .filter(col("c_node") =!= col("c_lbl"))
+      .count()
+    assert(straddle === 0, s"$straddle labels crossed component boundaries")
+    // isolated nodes (degree 0) keep their own id as community
+    val deg = q("graph_degree")
+    val isolated = lp.join(deg, lp("node_id") === deg("id"), "left_anti")
+    assert(isolated.filter(col("community") =!= col("node_id")).count() === 0,
+      "an isolated node has no neighbors to adopt a label from")
+    lp.unpersist()
+    ()
+  }
 }

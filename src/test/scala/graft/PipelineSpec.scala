@@ -185,4 +185,21 @@ class PipelineSpec extends SparkSpec {
       assert(df.collect().toSeq === viaBroadcast)
     }
   }
+
+  test("pipe_length_buckets conserves tokens and pads exactly to the bucket") {
+    val b = q("pipe_length_buckets").persist()
+    val docs = Tables.documents(spark, SfDir)
+    assert(b.agg(sum("n_docs")).head.getLong(0) === docs.count(),
+      "every document lands in exactly one bucket")
+    // per bucket: tokens + padding fill the bucket exactly
+    val leak = b.filter(
+      col("token_sum") + col("pad_sum") =!= col("seq_len").cast("long") * col("n_docs"))
+    assert(leak.count() === 0, "token_sum + pad_sum must equal seq_len * n_docs")
+    // bucket edges are powers of two and pad_frac is a proper fraction
+    val edges = Set(32, 64, 128, 256, 512, 1024)
+    assert(b.collect().forall(r => edges.contains(r.getAs[Int]("seq_len"))))
+    assert(b.filter(col("pad_frac") < 0 || col("pad_frac") >= 1).count() === 0)
+    b.unpersist()
+    ()
+  }
 }
