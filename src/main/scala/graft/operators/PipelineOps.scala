@@ -373,6 +373,32 @@ object PipelineOps {
         .orderBy("seq_len")
     }),
 
+    // Dataset card: the per-source datasheet every released corpus ships —
+    // document/token totals, average length, language spread, and the
+    // dominant language (deterministic (count desc, lang) tiebreak, the
+    // same pinned-mode discipline as `agg_mode`). One tokenize scan into a
+    // (source, lang) partial-aggregated groupBy; the argmax window and the
+    // final per-source rollup both run over the aggregated relation, which
+    // is bounded by |sources|×|langs| — card generation costs one linear
+    // pass no matter the corpus size.
+    "pipe_dataset_card" -> ((s, dir) => {
+      val perLang = Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
+      val w = Window.partitionBy("source").orderBy(col("c").desc, col("lang"))
+      perLang.withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_docs"), sum(col("t")).as("token_sum"),
+          count(lit(1)).as("n_langs"),
+          max(when(col("rn") === 1, col("lang"))).as("top_lang"))
+        .select(col("source"), col("n_docs"), col("token_sum"),
+          round(col("token_sum").cast("double") / col("n_docs"), 4).as("avg_tokens"),
+          col("n_langs"), col("top_lang"))
+        .orderBy("source")
+    }),
+
     // Benchmark decontamination: flag training docs that share any
     // 4-token shingle with the held-out eval slice (doc_id % 97 == 0) —
     // the n-gram-overlap scrub every pre-training corpus runs against its
@@ -738,6 +764,24 @@ object PipelineOps {
            FROM (SELECT CAST(len(string_split(text, ' ')) AS INT) AS len
                  FROM documents)
          ) GROUP BY seq_len ORDER BY seq_len""",
+    "pipe_dataset_card" ->
+      """WITH pl AS (
+           SELECT source, lang, count(*) AS c, sum(n_tokens) AS t
+           FROM (SELECT source, lang,
+                        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+                 FROM documents)
+           GROUP BY source, lang
+         ), r AS (
+           SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY c DESC, lang) AS rn
+           FROM pl
+         )
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                CAST(sum(t) AS BIGINT) AS token_sum,
+                round(CAST(sum(t) AS DOUBLE) / sum(c), 4) AS avg_tokens,
+                count(*) AS n_langs,
+                max(CASE WHEN rn = 1 THEN lang END) AS top_lang
+         FROM r GROUP BY source ORDER BY source""",
     "pipe_normalize" ->
       """WITH stats AS (
            SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sigma

@@ -93,6 +93,39 @@ object ProvidenciasOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected edge list, unrolled into one declarative plan.
+    *
+    * @param e     symmetrized edges `(s, d)` — every undirected edge in
+    *              BOTH directions; callers should persist it, since each
+    *              superstep scans it once
+    * @param nodes `(id)` — one row per node (isolated nodes keep their
+    *              own id as label)
+    * @param iters supersteps to unroll (a plan-construction scalar)
+    *
+    * Labels start as own node id; each superstep a node adopts its
+    * neighbors' most frequent label with a deterministic (count desc,
+    * min label) tiebreak. Each superstep is one |E|-join + one
+    * (node, label) partial-aggregated groupBy + one per-node argmax
+    * window — the label relation stays node-cardinality throughout, so
+    * the shape is the same shuffle-per-superstep plan Pregel-style
+    * systems run at any edge count. Returns `(id, lbl)`. */
+  def labelPropagate(e: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    def step(labels: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("c").desc, col("lbl"))
+      val pick = e.join(labels, col("d") === col("id"))
+        .groupBy(col("s"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s").as("id"), col("lbl").as("newlbl"))
+      labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+    }
+    val l0 = nodes.select(col("id"), col("id").as("lbl"))
+    (1 to iters).foldLeft(l0)((l, _) => step(l))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — full collection scan (reference: collection.find({}), :31-32)
     "scan_documents" -> ((s, dir) => docs(s, dir).orderBy("doc_id")),
@@ -318,19 +351,7 @@ object ProvidenciasOps {
         .select(col("p.s").as("s"), col("p.d").as("d"))
         .persist()
       val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
-      def step(labels: DataFrame): DataFrame = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("s")).orderBy(col("c").desc, col("lbl"))
-        val pick = e.join(labels, col("d") === col("id"))
-          .groupBy(col("s"), col("lbl")).agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("s").as("id"), col("lbl").as("newlbl"))
-        labels.join(pick, Seq("id"), "left")
-          .select(col("id"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
-      }
-      val l0 = nodes.select(col("id"), col("id").as("lbl"))
-      step(step(l0))
+      labelPropagate(e, nodes, iters = 2)
         .select(col("id").as("node_id"), col("lbl").as("community"))
         .orderBy("node_id")
     }),

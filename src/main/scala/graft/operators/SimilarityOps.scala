@@ -175,6 +175,34 @@ object SimilarityOps {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // Hybrid retrieval (the RAG search pattern): lexical BM25 retrieves a
+    // top-20 candidate set, then a semantic cosine re-rank against the
+    // query embedding blends 50/50 with the max-normalized BM25 score —
+    // lexical recall + semantic precision, the two-stage funnel every
+    // production retrieval stack runs. Stage 1 is `text_bm25`'s plan
+    // (term-filtered BEFORE its tf shuffle, so corpus size only enters
+    // through one scan); stage 2 touches 20 rows — candidate join, probe
+    // broadcast, normalization window all run on a constant-size relation.
+    // At 100 TB the funnel shape is the whole point: the expensive
+    // semantic compare never sees more than the candidate set.
+    "ann_hybrid_rerank" -> ((s, dir) => {
+      val lexical = TextOps.queries("text_bm25")(s, dir).limit(20)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cand = lexical
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), col("bm25"),
+          (Vectors.similitud(col("embedding"), col("qv")) / 100).as("cos"))
+      val mx = cand.agg(max(col("bm25")).as("mx"))
+      cand.crossJoin(broadcast(mx))
+        .select(col("doc_id"), col("bm25"), round(col("cos"), 4).as("cos"),
+          round(lit(0.5) * col("bm25") / col("mx") +
+            lit(0.5) * col("cos"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // LSH ANN (the other scale path, complementing `ann_ivf`): 8
     // random-hyperplane sign bits pack each vector into a 1-byte bucket
     // signature (SimHash over the continuous space). The probe inspects
@@ -402,6 +430,25 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // stage 1 IS text_bm25's oracle (nested WITH, top-20), so the lexical
+    // candidates are pinned to the same values the text_bm25 key verifies
+    "ann_hybrid_rerank" ->
+      s"""WITH bm AS (
+           ${TextOps.oracles("text_bm25")}
+           LIMIT 20
+         ), qv AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+         ), cand AS (
+           SELECT bm.doc_id, bm.bm25,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               qv.qv) * 100, 4) / 100 AS cos
+           FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN qv
+         ), mx AS (SELECT max(bm25) AS mx FROM cand)
+         SELECT doc_id, bm25, round(cos, 4) AS cos,
+                round(0.5 * bm25 / mx + 0.5 * cos, 4) AS score
+         FROM cand CROSS JOIN mx
+         ORDER BY score DESC, doc_id
+         LIMIT 10""",
     "sim_edges" ->
       s"""SELECT * FROM (
            SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -86,4 +86,19 @@ class GraphSpec extends SparkSpec {
     lp.unpersist()
     ()
   }
+
+  test("labelPropagate converges each clique to its min id on a known graph") {
+    // two disjoint triangles + one isolated node — hand-computable:
+    // superstep 1 sends every triangle member its neighbors' min id,
+    // superstep 2 floods the triangle's global min to all three members
+    import spark.implicits._
+    val tri = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val e = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("s", "d")
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L, 99L).toDF("id")
+    val got = graft.operators.ProvidenciasOps.labelPropagate(e, nodes, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
 }
