@@ -194,8 +194,14 @@ object SimilarityOps {
         .crossJoin(broadcast(q))
         .select(col("doc_id"), col("bm25"),
           (Vectors.similitud(col("embedding"), col("qv")) / 100).as("cos"))
-      val mx = cand.agg(max(col("bm25")).as("mx"))
-      cand.crossJoin(broadcast(mx))
+      // normalization max via a full-frame window, NOT a separate
+      // aggregate + cross join: cand consumed twice would re-plan the
+      // whole corpus-scale bm25 subtree (no exchange reuse across the
+      // broadcast boundary). The single-partition window is safe — the
+      // relation is the 20-row candidate set by construction.
+      val wAll = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cand.withColumn("mx", max(col("bm25")).over(wAll))
         .select(col("doc_id"), col("bm25"), round(col("cos"), 4).as("cos"),
           round(lit(0.5) * col("bm25") / col("mx") +
             lit(0.5) * col("cos"), 4).as("score"))

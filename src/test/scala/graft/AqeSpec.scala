@@ -52,4 +52,36 @@ class AqeSpec extends SparkSpec {
         s"AQE did not convert to broadcast:\n$finalPlan")
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import spark.implicits._
+    // the third runtime-filtering tier next to DPP and the DSv2 runtime
+    // filter (SourceSpec): a selective filter on the dim side injects a
+    // bloom-filter semi-filter into the fact scan branch, so most fact
+    // rows die BEFORE the join exchange — at 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the ~match set.
+    // Size thresholds are forced down so fixture-scale relations trip the
+    // same injection rule that fires on multi-GB plans.
+    val fact = Tables.lineitem(spark, SfDir)
+    val dim = Tables.orders(spark, SfDir).filter($"o_totalprice" > 400000)
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // no broadcast: a broadcast join would already prune via its build
+      // side, making the bloom filter redundant (and it is not injected)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom filter injected into the fact branch:\n$plan")
+      // and the filtered result is identical to the unfiltered-path join
+      var expected = -1L
+      withConfs("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        expected = fact.join(dim, $"l_orderkey" === $"o_orderkey").count()
+      }
+      assert(joined.count() === expected)
+    }
+  }
 }
