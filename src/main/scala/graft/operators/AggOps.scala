@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -168,6 +168,35 @@ object AggOps {
           round((col("sy") - col("slope") * col("sx")) / col("n"), 6))
         .select(col("l_returnflag"), col("slope"), col("intercept"),
           col("n").cast("long").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Pearson correlation matrix per return flag — quantity↔price and
+    // discount↔price — from the SAME exact-DECIMAL sufficient-statistics
+    // discipline as `agg_regression`: every sum is order-independent
+    // DECIMAL, so the closed-form corr is bit-identical across engines
+    // where native corr()'s double-summation folds are not. One partial+
+    // final aggregation; the eight sums ride a single shuffle row per
+    // (partition, flag) regardless of table size.
+    "agg_corr" -> ((s, dir) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val d = col("l_discount")
+      def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      def corr2(sxy: Column, sx: Column, sy: Column,
+                sxx: Column, syy: Column): Column = round(
+        (col("n") * sxy - sx * sy) /
+          sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy)), 6)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"), dsum(d).as("sd"),
+          dsum(x * y).as("sxy"), dsum(d * y).as("sdy"),
+          dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(d * d).as("sdd"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          corr2(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+            .as("corr_qty_price"),
+          corr2(col("sdy"), col("sd"), col("sy"), col("sdd"), col("syy"))
+            .as("corr_disc_price"))
         .orderBy("l_returnflag")
     }),
 
@@ -429,6 +458,27 @@ object AggOps {
                     CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx
              FROM lineitem GROUP BY l_returnflag
            )
+         ) ORDER BY l_returnflag""",
+    "agg_corr" ->
+      """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round((n * sxy - sx * sy) /
+                      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                  AS corr_qty_price,
+                round((n * sdy - sd * sy) /
+                      sqrt((n * sdd - sd * sd) * (n * syy - sy * sy)), 6)
+                  AS corr_disc_price
+         FROM (
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sd,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sdy,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sdd
+           FROM lineitem GROUP BY l_returnflag
          ) ORDER BY l_returnflag""",
     "agg_percentiles" ->
       """SELECT o_orderstatus,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -139,6 +140,30 @@ object StreamingOps {
         .select(col("event_id"), col("user_id"), col("value"),
           round(col("z"), 4).as("z"))
         .orderBy("event_id")
+    }),
+
+    // Trailing FIR smoother per user: a 4-tap truncated exponential
+    // kernel (weights 8/4/2/1 over the last four observations) with the
+    // weight mass renormalized at sequence heads where taps are missing —
+    // the deterministic fixed-lookback cousin of an EWMA. A true EWMA's
+    // (1−α)^k weights are unbounded-lookback and overflow any portable
+    // power trick at long sequences, so the production form IS the
+    // truncated kernel. Four lag() calls share ONE window sort; the plan
+    // is a single shuffle on user_id at any event count.
+    "ts_fir_smooth" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      def tap(k: Int, wt: Int) = {
+        val l = lag(col("value"), k).over(w)
+        (when(l.isNotNull, l * wt).otherwise(0.0),
+          when(l.isNotNull, lit(wt.toDouble)).otherwise(0.0))
+      }
+      val taps = (col("value") * 8, lit(8.0)) +:
+        Seq(tap(1, 4), tap(2, 2), tap(3, 1))
+      Tables.events(s, dir)
+        .withColumn("smooth", round(
+          taps.map(_._1).reduce(_ + _) / taps.map(_._2).reduce(_ + _), 4))
+        .select("event_id", "user_id", "value", "smooth")
+        .orderBy("event_id")
     })
   )
 
@@ -228,6 +253,27 @@ object StreamingOps {
          SELECT event_id, e.user_id, value, round((value - mu) / sd, 4) AS z
          FROM events e JOIN stats USING (user_id)
          WHERE n >= 20 AND sd > 0 AND abs((value - mu) / sd) > 2.5
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    // the CASE arms mirror the Spark when(isNotNull) taps exactly, so the
+    // head-of-sequence renormalization is bit-identical on both engines
+    "ts_fir_smooth" ->
+      """SELECT event_id, user_id, value,
+                round((value * 8 +
+                       CASE WHEN l1 IS NOT NULL THEN l1 * 4 ELSE 0.0 END +
+                       CASE WHEN l2 IS NOT NULL THEN l2 * 2 ELSE 0.0 END +
+                       CASE WHEN l3 IS NOT NULL THEN l3 * 1 ELSE 0.0 END) /
+                      (8.0 +
+                       CASE WHEN l1 IS NOT NULL THEN 4.0 ELSE 0.0 END +
+                       CASE WHEN l2 IS NOT NULL THEN 2.0 ELSE 0.0 END +
+                       CASE WHEN l3 IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+                  AS smooth
+         FROM (
+           SELECT event_id, user_id, value,
+                  lag(value, 1) OVER w AS l1,
+                  lag(value, 2) OVER w AS l2,
+                  lag(value, 3) OVER w AS l3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ) ORDER BY event_id"""
   )
 }
