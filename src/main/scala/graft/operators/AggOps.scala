@@ -200,6 +200,39 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Higher-moment shape statistics — population skewness and excess
+    // kurtosis of quantity per return flag — closing out the
+    // regression/corr family: raw power sums Σx..Σx⁴ accumulate as exact
+    // DECIMAL (x ≤ 50 so x⁴ ≤ 6.25e6 is integer-exact and the 18 integer
+    // digits of DECIMAL(28,10) hold any count up to 10¹¹ rows per flag),
+    // central moments solve in closed form afterwards. Engine-native
+    // skewness()/kurtosis() fold doubles in engine order AND disagree on
+    // the bias correction across engines; the raw-sum form is both
+    // order-independent and definition-pinned. Same single partial+final
+    // aggregation shape as `agg_corr`.
+    "agg_skew_kurt" -> ((s, dir) => {
+      val x = col("l_quantity")
+      def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(x).as("s1"), dsum(x * x).as("s2"),
+          dsum(x * x * x).as("s3"), dsum(x * x * x * x).as("s4"))
+        .withColumn("mu", col("s1") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+        .withColumn("m3", col("s3") / col("n")
+          - lit(3) * col("mu") * col("s2") / col("n")
+          + lit(2) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4", col("s4") / col("n")
+          - lit(4) * col("mu") * col("s3") / col("n")
+          + lit(6) * col("mu") * col("mu") * col("s2") / col("n")
+          - lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurtosis"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact percentiles (sort-based, linear interpolation) per status.
     "agg_percentiles" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -479,6 +512,31 @@ object AggOps {
                   CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS syy,
                   CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sdd
            FROM lineitem GROUP BY l_returnflag
+         ) ORDER BY l_returnflag""",
+    // same raw-power-sum discipline as agg_corr: decimal sums, closed-form
+    // central moments in double afterwards, term order mirrored exactly
+    "agg_skew_kurt" ->
+      """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+                round(m4 / (m2 * m2) - 3, 6) AS kurtosis
+         FROM (
+           SELECT l_returnflag, n, mu,
+                  s2 / n - mu * mu AS m2,
+                  s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu AS m3,
+                  s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+                    - 3 * mu * mu * mu * mu AS m4
+           FROM (
+             SELECT l_returnflag, n, s1 / n AS mu, s2, s3, s4, s1
+             FROM (
+               SELECT l_returnflag,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+                      CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s3,
+                      CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s4
+               FROM lineitem GROUP BY l_returnflag
+             )
+           )
          ) ORDER BY l_returnflag""",
     "agg_percentiles" ->
       """SELECT o_orderstatus,

@@ -180,6 +180,56 @@ object PipelineOps {
           col("n_pos"), col("n_neg"))
     }),
 
+    // Model-eval at corpus scale, part 2: the binary confusion matrix and
+    // its derived metrics for a deterministic rule classifier (predict
+    // "en" iff n_chars ≥ 300 — the rule is a placeholder; the OPERATOR is
+    // the one-pass exact metric computation every eval harness runs over
+    // model outputs). The four cells are integer sums off a single scan —
+    // no shuffle beyond the final single-row aggregate — and the derived
+    // ratios divide those exact integers in a pinned order, so the row is
+    // bit-identical at any scale and partition count.
+    "ml_confusion" -> ((s, dir) => {
+      val a = when(col("lang") === "en", 1L).otherwise(0L)
+      val p = when(col("n_chars") >= 300, 1L).otherwise(0L)
+      Tables.documents(s, dir)
+        .agg(sum(a * p).as("tp"), sum((lit(1) - a) * p).as("fp"),
+          sum(a * (lit(1) - p)).as("fn"),
+          sum((lit(1) - a) * (lit(1) - p)).as("tn"))
+        .withColumn("precision_",
+          col("tp").cast("double") / (col("tp") + col("fp")))
+        .withColumn("recall_",
+          col("tp").cast("double") / (col("tp") + col("fn")))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("precision_"), 6).as("precision"),
+          round(col("recall_"), 6).as("recall"),
+          round(lit(2) * col("precision_") * col("recall_") /
+            (col("precision_") + col("recall_")), 6).as("f1"),
+          round((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
+    }),
+
+    // Dedup accounting: the cluster-size histogram over exact-content
+    // clusters (same md5-of-sorted-token-set key as `pipe_survivor`) —
+    // the "how duplicated is this corpus" datasheet row every dedup run
+    // reports before anything is dropped. Two aggregations: corpus-scale
+    // groupBy on the 16-byte fingerprint (map-side combine collapses
+    // duplicates pre-exchange), then a histogram groupBy over the
+    // cluster-cardinality relation. The pct denominator is a window over
+    // the HISTOGRAM (bounded by distinct cluster sizes — dozens at any
+    // corpus scale), not the corpus.
+    "pipe_dedup_report" -> ((s, dir) => {
+      val fp = md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))))
+      Tables.documents(s, dir)
+        .groupBy(fp.as("fp")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .withColumn("pct_of_corpus", round(
+          col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6))
+        .select("cluster_size", "n_clusters", "n_docs", "pct_of_corpus")
+        .orderBy("cluster_size")
+    }),
+
     // Deterministic stratified sample: language-dependent keep rate via
     // the first hex digit of md5(doc_id) — reproducible under retries and
     // repartitioning, auditable (the keep decision is a pure function of
@@ -614,6 +664,42 @@ object PipelineOps {
                 CAST(sum(p) AS BIGINT) AS n_pos,
                 CAST(sum(ng) AS BIGINT) AS n_neg
          FROM c""",
+    "ml_confusion" ->
+      """SELECT tp, fp, fn, tn,
+                round(pr, 6) AS precision, round(rc, 6) AS recall,
+                round(2 * pr * rc / (pr + rc), 6) AS f1,
+                round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+                  AS accuracy
+         FROM (
+           SELECT tp, fp, fn, tn,
+                  CAST(tp AS DOUBLE) / (tp + fp) AS pr,
+                  CAST(tp AS DOUBLE) / (tp + fn) AS rc
+           FROM (
+             SELECT CAST(sum(a * p) AS BIGINT) AS tp,
+                    CAST(sum((1 - a) * p) AS BIGINT) AS fp,
+                    CAST(sum(a * (1 - p)) AS BIGINT) AS fn,
+                    CAST(sum((1 - a) * (1 - p)) AS BIGINT) AS tn
+             FROM (
+               SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+                      CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS p
+               FROM documents
+             )
+           )
+         )""",
+    "pipe_dedup_report" ->
+      """SELECT cluster_size, n_clusters, n_docs,
+                round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6)
+                  AS pct_of_corpus
+         FROM (
+           SELECT cluster_size, count(*) AS n_clusters,
+                  cluster_size * count(*) AS n_docs
+           FROM (
+             SELECT count(*) AS cluster_size
+             FROM documents
+             GROUP BY md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+           ) GROUP BY cluster_size
+         ) ORDER BY cluster_size""",
     "pipe_shuffle" ->
       """SELECT doc_id, skey,
                 CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos

@@ -27,6 +27,9 @@ object ProvidenciasOps {
     * SURVEY §7.5: lowercase whitespace tokens, OR-of-terms. */
   val SearchTerms: Seq[String] = Seq("spark", "merge")
 
+  /** Peel threshold for `graph_kcore` (see the query's Scaladoc). */
+  val KCoreK = 4
+
   /** Accented query forms for the unaccent variant — what a Spanish search
     * box actually receives ("año", "resolución"). */
   val AccentedTerms: Seq[String] = Seq("spárk", "mérge")
@@ -356,6 +359,41 @@ object ProvidenciasOps {
         .orderBy("node_id")
     }),
 
+    // Graph extension: k-core decomposition by iterative peeling — "the
+    // dense heart of the similarity network once hangers-on are removed",
+    // the standard community-core / spam-filter primitive. Three unrolled
+    // peel rounds at k = [[KCoreK]]: degrees over the (persisted,
+    // symmetrized) edge list, survivors = deg ≥ k, edges induced on the
+    // survivor set via two semi-joins, repeat. Fixed round count keeps the
+    // plan declarative and the oracle expressible (the fixpoint needs
+    // diameter-many rounds; production peels converge in a handful — same
+    // trade as `graph_label_prop`'s fixed supersteps). Each round is a
+    // degree aggregation + two joins against the node-cardinality survivor
+    // set (broadcast here; at broadcast-busting node counts they become
+    // shuffle semi-joins, same plan shape — cf. the pagerank note).
+    "graph_kcore" -> ((s, dir) => {
+      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+      val und = tri.select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("s"), col("e.d").as("d"))
+        .coalesce(8).persist()
+      def degrees(ed: DataFrame): DataFrame =
+        ed.groupBy("s").agg(count(lit(1)).as("deg"))
+      def induce(keep: DataFrame): DataFrame =
+        und.join(broadcast(keep), und("s") === keep("id"), "left_semi")
+          .join(broadcast(keep), und("d") === keep("id"), "left_semi")
+      val keep1 = degrees(und).filter(col("deg") >= KCoreK)
+        .select(col("s").as("id"))
+      val keep2 = degrees(induce(keep1)).filter(col("deg") >= KCoreK)
+        .select(col("s").as("id"))
+      degrees(induce(keep2)).filter(col("deg") >= KCoreK)
+        .select(col("s").as("node_id"), col("deg").as("core_degree"))
+        .orderBy("node_id")
+    }),
+
     // Graph extension: 3-iteration PageRank (d = 0.85, dangling mass
     // redistributed uniformly) over the SIMILAR graph — "which rulings are
     // central in the similarity network". Iterations are unrolled into one
@@ -554,6 +592,29 @@ object ProvidenciasOps {
          SELECT id, count(*) AS degree FROM (
            SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
          ) GROUP BY id ORDER BY id""",
+    // three unrolled peel rounds, k = 4 (KCoreK) — round 1 degrees over
+    // the full graph, rounds 2-3 over the survivor-induced subgraph
+    "graph_kcore" ->
+      """WITH e AS (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ),
+         und AS (SELECT src AS s, dst AS d FROM e
+                 UNION ALL SELECT dst AS s, src AS d FROM e),
+         keep1 AS (SELECT s AS id FROM und GROUP BY s HAVING count(*) >= 4),
+         keep2 AS (
+           SELECT s AS id FROM und
+           WHERE s IN (SELECT id FROM keep1) AND d IN (SELECT id FROM keep1)
+           GROUP BY s HAVING count(*) >= 4
+         )
+         SELECT s AS node_id, count(*) AS core_degree FROM und
+         WHERE s IN (SELECT id FROM keep2) AND d IN (SELECT id FROM keep2)
+         GROUP BY s HAVING count(*) >= 4
+         ORDER BY node_id""",
     "graph_triangles" ->
       """WITH e AS (
            SELECT * FROM (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,37 @@ object StreamingOps {
           taps.map(_._1).reduce(_ + _) / taps.map(_._2).reduce(_ + _), 4))
         .select("event_id", "user_id", "value", "smooth")
         .orderBy("event_id")
+    }),
+
+    // Lag-1 autocorrelation of the value series per user — the
+    // mean-reversion/trend diagnostic run over every metric stream. One
+    // window sort pairs each value with its predecessor; the Pearson corr
+    // over the (v, lag v) pairs then follows the `agg_corr` exact-DECIMAL
+    // sufficient-statistics discipline, so the result is order-independent
+    // and bit-identical to the oracle. Plan: one shuffle on user_id (the
+    // window), then the same hash aggregation — no second sort, state
+    // bounded by users.
+    "ts_autocorr" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      Tables.events(s, dir)
+        .withColumn("lv", lag(col("value"), 1).over(w))
+        .filter(col("lv").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("value")).as("sv"), dsum(col("lv")).as("sl"),
+          dsum(col("value") * col("lv")).as("svl"),
+          dsum(col("value") * col("value")).as("svv"),
+          dsum(col("lv") * col("lv")).as("sll"))
+        .filter(col("n") >= 10 &&
+          col("n") * col("svv") - col("sv") * col("sv") > 0 &&
+          col("n") * col("sll") - col("sl") * col("sl") > 0)
+        .select(col("user_id"), col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("svl") - col("sv") * col("sl")) /
+            sqrt((col("n") * col("svv") - col("sv") * col("sv")) *
+              (col("n") * col("sll") - col("sl") * col("sl"))), 6)
+            .as("autocorr"))
+        .orderBy("user_id")
     })
   )
 
@@ -274,6 +305,28 @@ object StreamingOps {
                   lag(value, 3) OVER w AS l3
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ) ORDER BY event_id"""
+         ) ORDER BY event_id""",
+    "ts_autocorr" ->
+      """SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+                round((n * svl - sv * sl) /
+                      sqrt((n * svv - sv * sv) * (n * sll - sl * sl)), 6)
+                  AS autocorr
+         FROM (
+           SELECT user_id,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv,
+                  CAST(sum(CAST(lv AS DECIMAL(28,10))) AS DOUBLE) AS sl,
+                  CAST(sum(CAST(value * lv AS DECIMAL(28,10))) AS DOUBLE) AS svl,
+                  CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS svv,
+                  CAST(sum(CAST(lv * lv AS DECIMAL(28,10))) AS DOUBLE) AS sll
+           FROM (
+             SELECT user_id, value,
+                    lag(value, 1) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS lv
+             FROM events
+           ) WHERE lv IS NOT NULL GROUP BY user_id
+         )
+         WHERE n >= 10 AND n * svv - sv * sv > 0 AND n * sll - sl * sl > 0
+         ORDER BY user_id"""
   )
 }

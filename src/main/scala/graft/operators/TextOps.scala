@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -47,6 +48,65 @@ object TextOps {
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))),
+
+    // Lexical diversity per document: type-token ratio (distinct tokens /
+    // tokens — low TTR = templated or looping text, a standard quality
+    // gate next to `text_repetition`'s duplicate-fraction) plus Herdan's C
+    // (ln types / ln tokens), the length-corrected variant comparable
+    // across documents of different sizes. Pure per-row map over one
+    // codegen'd scan — no shuffle at all; the ORDER BY is presentation.
+    "text_ttr" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"))
+        .withColumn("ttr", round(
+          col("n_types").cast("double") / col("n_tokens"), 4))
+        .withColumn("herdan", round(
+          log(col("n_types").cast("double")) /
+            log(col("n_tokens").cast("double")), 4))
+        .orderBy("doc_id")
+    }),
+
+    // Zipf's-law fit over the corpus unigram distribution: OLS of
+    // ln(freq) on ln(rank) — slope ≈ −1 is the natural-text signature;
+    // a flat slope flags synthetic/templated corpora (this fixture's
+    // ~31-token uniform vocabulary is exactly such a case, which is the
+    // point of the diagnostic). Frequencies aggregate corpus-wide (one
+    // shuffle, map-side combined); ranking and the regression run over
+    // the VOCABULARY-sized relation (the single-partition window is
+    // bounded by |vocab|, same justification as `pipe_vocab`'s counts
+    // table), with the log-product sums cast to exact DECIMAL so the fit
+    // is order-independent — the `agg_regression` discipline.
+    "text_zipf" -> ((s, dir) => {
+      def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      val freq = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).cast("double").as("cnt"))
+      val ranked = freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token")))
+          .cast("double"))
+      ranked
+        .select(log(col("rank")).as("lx"), log(col("cnt")).as("ly"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("lx")).as("sx"), dsum(col("ly")).as("sy"),
+          dsum(col("lx") * col("ly")).as("sxy"),
+          dsum(col("lx") * col("lx")).as("sxx"),
+          dsum(col("ly") * col("ly")).as("syy"))
+        .withColumn("slope", round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+        .withColumn("intercept",
+          round((col("sy") - col("slope") * col("sx")) / col("n"), 6))
+        .withColumn("r2", round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+        .select(col("n").cast("long").as("n_ranks"),
+          col("slope"), col("intercept"), col("r2"))
+    }),
 
     // A5 + relevance: score = number of distinct matched terms, desc.
     "text_search_ranked" -> ((s, dir) =>
@@ -369,6 +429,48 @@ object TextOps {
          WHERE c_ab >= 5
          ORDER BY pmi DESC, bigram
          LIMIT 100""",
+    "text_ttr" ->
+      """SELECT doc_id, n_tokens, n_types,
+                round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+                round(ln(CAST(n_types AS DOUBLE)) /
+                      ln(CAST(n_tokens AS DOUBLE)), 4) AS herdan
+         FROM (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                    AS n_types
+           FROM documents
+         ) ORDER BY doc_id""",
+    // same exact-DECIMAL OLS discipline as agg_regression; intercept uses
+    // the ROUNDED slope, mirroring the Spark withColumn chain
+    "text_zipf" ->
+      """SELECT CAST(n AS BIGINT) AS n_ranks, slope,
+                round((sy - slope * sx) / n, 6) AS intercept,
+                round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         FROM (
+           SELECT n, sx, sy, sxy, sxx, syy,
+                  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+           FROM (
+             SELECT CAST(count(*) AS DOUBLE) AS n,
+                    CAST(sum(CAST(lx AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+                    CAST(sum(CAST(ly AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                    CAST(sum(CAST(lx * ly AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+                    CAST(sum(CAST(lx * lx AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+                    CAST(sum(CAST(ly * ly AS DECIMAL(28,10))) AS DOUBLE) AS syy
+             FROM (
+               SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                              AS DOUBLE)) AS lx,
+                      ln(cnt) AS ly
+               FROM (
+                 SELECT token, CAST(count(*) AS DOUBLE) AS cnt
+                 FROM (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents)
+                 GROUP BY token
+               )
+             )
+           )
+         )""",
     "text_bm25" ->
       """WITH tf AS (
            SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf

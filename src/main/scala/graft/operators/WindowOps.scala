@@ -146,10 +146,59 @@ object WindowOps {
           round(percent_rank().over(w), 4).as("pct_rank"),
           round(cume_dist().over(w), 4).as("cume"))
         .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    }),
+
+    // Gap-based sessionization that LABELS every event (session index +
+    // position within the session) — the row-level complement of
+    // `stream_session`'s per-session aggregates: clickstream feature
+    // pipelines need the label on the event, not just the rollup. All
+    // four derived columns (break flag, running session count, session
+    // start rank, position) ride ONE window sort on (user_id; ts,
+    // event_id) — the position comes from rank arithmetic against the
+    // cumulative max of session-start ranks, NOT a second window keyed on
+    // (user, session) which would re-shuffle the corpus. Gap compare is
+    // integer epoch seconds (cross-engine-stable, no interval math).
+    "win_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("brk", when(
+          col("es") - lag(col("es"), 1).over(w) <= SessionGapSec, 0L)
+          .otherwise(1L))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("session_idx", sum(col("brk")).over(cum))
+        .withColumn("pos_in_session",
+          col("rn") - max(when(col("brk") === 1, col("rn"))).over(cum) + 1)
+        .select(col("event_id"), col("user_id"), col("session_idx"),
+          col("pos_in_session").cast("int").as("pos_in_session"))
+        .orderBy("event_id")
     })
   )
 
+  /** Inactivity gap that closes a session (shared with the oracle SQL). */
+  val SessionGapSec = 1800L
+
   def oracles: Map[String, String] = Map(
+    "win_sessionize" ->
+      """SELECT event_id, user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                CAST(rn - sess_start + 1 AS INT) AS pos_in_session
+         FROM (
+           SELECT event_id, user_id, rn, brk,
+                  sum(brk) OVER c AS session_idx,
+                  max(CASE WHEN brk = 1 THEN rn END) OVER c AS sess_start
+           FROM (
+             SELECT event_id, user_id,
+                    CASE WHEN es - lag(es, 1) OVER w <= 1800
+                         THEN 0 ELSE 1 END AS brk,
+                    row_number() OVER w AS rn
+             FROM (SELECT event_id, user_id, ts,
+                          CAST(epoch(ts) AS BIGINT) AS es FROM events)
+             WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+           )
+           WINDOW c AS (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ) ORDER BY event_id""",
     "win_percent_rank" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
                 round(percent_rank() OVER w, 4) AS pct_rank,

@@ -8,6 +8,30 @@ import graft.operators.AggOps
   * the UDAF surface. */
 class AggSpec extends SparkSpec {
 
+  test("agg_skew_kurt's closed form matches Spark's native skewness/kurtosis") {
+    // the oracle pins cross-engine determinism; this pins the FORMULA —
+    // the exact-DECIMAL raw-moment solve must agree with Spark's
+    // population skewness()/kurtosis() (same definition, double folds)
+    // to within floating-point noise
+    val closed = AggOps.queries("agg_skew_kurt")(spark, SfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("skewness"), r.getAs[Double]("kurtosis"))).toMap
+    val native = Tables.lineitem(spark, SfDir).groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(closed.keySet === native.keySet)
+    closed.foreach { case (flag, (sk, ku)) =>
+      assert(math.abs(sk - native(flag)._1) < 1e-6,
+        s"$flag skewness: closed $sk vs native ${native(flag)._1}")
+      assert(math.abs(ku - native(flag)._2) < 1e-6,
+        s"$flag kurtosis: closed $ku vs native ${native(flag)._2}")
+      // Pearson's inequality: excess kurtosis >= skewness^2 - 2
+      assert(ku >= sk * sk - 2 - 1e-9, s"$flag violates kurt >= skew^2 - 2")
+    }
+  }
+
   test("text_topk_sketch (SpaceSaving) is exact when capacity exceeds the vocabulary") {
     val sketch = graft.operators.TextOps.queries("text_topk_sketch")(spark, SfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -291,6 +291,80 @@ class EdgeCaseSpec extends SparkSpec {
       ev.agg(sum("value")).collect()(0).getDouble(0))
   }
 
+  test("ts_autocorr equals Spark's native corr over the lag pairs") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.StreamingOps
+    val ac = StreamingOps.queries("ts_autocorr")(spark, SfDir).persist()
+    assert(ac.count() > 0)
+    assert(ac.filter(col("autocorr") < -1.0 || col("autocorr") > 1.0)
+      .count() === 0, "correlation must stay in [-1, 1]")
+    // the exact-DECIMAL closed form must agree with engine-native corr()
+    // (same definition, double folds) to floating-point noise
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val native = Tables.events(spark, SfDir)
+      .withColumn("lv", lag(col("value"), 1).over(w))
+      .filter(col("lv").isNotNull)
+      .groupBy("user_id").agg(corr(col("value"), col("lv")).as("nc"))
+    val drift = ac.join(native, "user_id")
+      .filter(abs(col("autocorr") - col("nc")) > 1e-6)
+    assert(drift.count() === 0, "closed form drifted from native corr")
+    ac.unpersist()
+  }
+
+  test("win_sessionize labels every event and respects the gap contract") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.WindowOps
+    val sess = WindowOps.queries("win_sessionize")(spark, SfDir).persist()
+    val ev = Tables.events(spark, SfDir)
+    assert(sess.count() === ev.count(), "one labeled row per event")
+    // join the labels back to the timeline and check both directions of
+    // the gap rule on every consecutive event pair
+    val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+    val tl = ev.withColumn("es", unix_timestamp(col("ts")))
+      .join(sess, Seq("event_id", "user_id"))
+      .withColumn("gap", col("es") - lag(col("es"), 1).over(w))
+      .withColumn("prev_sess", lag(col("session_idx"), 1).over(w))
+      .withColumn("prev_pos", lag(col("pos_in_session"), 1).over(w))
+      .filter(col("gap").isNotNull).persist()
+    assert(tl.filter(col("gap") <= WindowOps.SessionGapSec &&
+      col("session_idx") =!= col("prev_sess")).count() === 0,
+      "a small gap must never split a session")
+    assert(tl.filter(col("gap") > WindowOps.SessionGapSec &&
+      (col("session_idx") =!= col("prev_sess") + 1 ||
+        col("pos_in_session") =!= 1)).count() === 0,
+      "a large gap must open the next session at position 1")
+    assert(tl.filter(col("session_idx") === col("prev_sess") &&
+      col("pos_in_session") =!= col("prev_pos") + 1).count() === 0,
+      "positions must increment inside a session")
+    tl.unpersist(); sess.unpersist()
+  }
+
+  test("text_ttr stays in bounds and degenerates correctly") {
+    import graft.operators.TextOps
+    val rows = TextOps.queries("text_ttr")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"))
+      val (ttr, herdan) = (r.getAs[Double]("ttr"), r.getAs[Double]("herdan"))
+      assert(d >= 1 && d <= n)
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(herdan <= 1.0 + 5e-5, "ln(types)/ln(tokens) is bounded by 1")
+      if (d == n) assert(ttr === 1.0, "all-distinct doc must score TTR 1")
+    }
+  }
+
+  test("text_zipf fit is a valid least-squares line over the full vocabulary") {
+    import graft.operators.TextOps
+    val r = TextOps.queries("text_zipf")(spark, SfDir).collect().head
+    val vocab = TextOps.queries("text_tokens")(spark, SfDir).count()
+    assert(r.getAs[Long]("n_ranks") === vocab, "one rank per vocab entry")
+    // frequency is nonincreasing in rank by construction, so the fitted
+    // slope cannot be positive; r2 is a squared correlation
+    assert(r.getAs[Double]("slope") <= 1e-9)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9)
+  }
+
   test("text_entropy obeys the Shannon bounds") {
     import graft.operators.TextOps
     val rows = TextOps.queries("text_entropy")(spark, SfDir).collect()

@@ -26,6 +26,22 @@ class GraphSpec extends SparkSpec {
     pr.unpersist()
   }
 
+  test("graph_kcore survivors satisfy the peel threshold and refine the degree filter") {
+    val k = ProvidenciasOps.KCoreK
+    val kc = q("graph_kcore").persist()
+    assert(kc.count() > 0, "fixture graph must have a non-empty 4-core")
+    // every survivor meets the threshold in the final induced subgraph
+    assert(kc.filter(col("core_degree") < k).count() === 0)
+    val deg = q("graph_degree").withColumnRenamed("id", "node_id")
+    val joined = kc.join(deg, "node_id").persist()
+    assert(joined.count() === kc.count(), "survivors must exist in the graph")
+    // peeling only removes: a survivor's full-graph degree bounds its
+    // core degree from above, and itself must be >= k
+    assert(joined.filter(col("core_degree") > col("degree")).count() === 0)
+    assert(joined.filter(col("degree") < k).count() === 0)
+    joined.unpersist(); kc.unpersist()
+  }
+
   test("graph_components labels both endpoints of every edge identically") {
     import graft.operators.SimilarityOps
     val comp = q("graph_components").persist()

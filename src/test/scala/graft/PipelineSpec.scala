@@ -26,6 +26,38 @@ class PipelineSpec extends SparkSpec {
       assert(n.toDouble / all(l) < 0.5, s"default-rate lang $l kept $n/${all(l)}")
   }
 
+  test("ml_confusion cells partition the corpus and metrics stay coherent") {
+    val r = q("ml_confusion").collect().head
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+    assert(tp + fp + fn + tn === Tables.documents(spark, SfDir).count(),
+      "the four cells must partition the corpus exactly")
+    // cross-check the cells against directly-computed counts
+    val docs = Tables.documents(spark, SfDir)
+    assert(tp === docs.filter(col("lang") === "en" && col("n_chars") >= 300).count())
+    assert(fn === docs.filter(col("lang") === "en" && col("n_chars") < 300).count())
+    val (p, rc, f1, acc) = (r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+      r.getAs[Double]("f1"), r.getAs[Double]("accuracy"))
+    Seq(p, rc, f1, acc).foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // the harmonic mean sits between its arguments
+    assert(f1 >= math.min(p, rc) - 1e-6 && f1 <= math.max(p, rc) + 1e-6)
+  }
+
+  test("pipe_dedup_report conserves documents and clusters") {
+    val rep = q("pipe_dedup_report").persist()
+    val docs = Tables.documents(spark, SfDir)
+    val nDocs = rep.agg(sum("n_docs")).head.getLong(0)
+    assert(nDocs === docs.count(), "histogram must account for every doc")
+    val nClusters = rep.agg(sum("n_clusters")).head.getLong(0)
+    val distinctSets = docs.select(
+      array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+      .distinct().count()
+    assert(nClusters === distinctSets, "one cluster per distinct token set")
+    val pct = rep.agg(sum("pct_of_corpus")).head.getDouble(0)
+    assert(math.abs(pct - 1.0) < 1e-3, s"pct column must sum to ~1, got $pct")
+    rep.unpersist()
+  }
+
   test("pipe_survivor keeps exactly one doc per fingerprint, the best one") {
     val surv = q("pipe_survivor")
     assert(surv.groupBy("fp").count().filter(col("count") > 1).count() === 0)
