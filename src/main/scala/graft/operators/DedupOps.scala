@@ -284,7 +284,11 @@ object DedupOps {
     // pairs -> expand to member pairs (intra-group pairs are Jaccard 1 by
     // construction and bypass the join). No oracle (hash-impl-specific
     // banding); the pair set is property-tested against the exact pairwise
-    // `dedup_ngram` result in DedupSpec.
+    // `dedup_ngram` result in DedupSpec. An exact-oracle conversion was
+    // MEASURED unsound in r8 (SURVEY §7.4): at sf0.01 banding misses 10 of
+    // 9,020 true pairs, all at rounded J exactly 0.9000 — the designed
+    // (1−0.9¹⁶)²⁴ ≈ 0.75% boundary miss rate, i.e. recall 0.9989. The
+    // deterministic-100%-recall alternative is `dedup_prefix`.
     "dedup_near" -> ((s, dir) => {
       // the collapse feeds SIX branches of this DAG (band join sides, the
       // two verify broadcasts, the two expansion broadcasts, intra pairs)
