@@ -61,6 +61,11 @@ object DedupOps {
   val JaccardThreshold = 0.9
   val HammingMax = 3
 
+  /** `dedup_semantic`'s within-cluster cosine×100 cutoff — calibrated to
+    * the synthetic Gaussian fixture (pair cosines top out near 55; real
+    * duplicate corpora use ~0.95·100). The plan is threshold-independent. */
+  val SemanticDupSim = 35.0
+
   private def toks(c: Column): Column = array_distinct(split(c, " "))
 
   /** Sorted distinct token-hash array — the per-doc shape every pairwise
@@ -529,6 +534,36 @@ object DedupOps {
         .orderBy(col("similitud").desc, col("doc_a"), col("doc_b"))
         .limit(100)),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cluster
+    // the embedding space FIRST, then compare pairs only WITHIN clusters
+    // — the pruning that makes embedding dedup feasible at corpus scale
+    // (cross-cluster pairs are never materialized; the pair space shrinks
+    // from n² to Σ|cluster|²). Clusters come from the shared
+    // [[SimilarityOps.lloydAssign]] (the exact assignment `ml_kmeans`
+    // reports), so the oracle replays the identical unrolled Lloyd loop
+    // and the within-cluster pair scan declaratively. The cluster
+    // self-join shuffles on cid — at 100 TB, k grows with the corpus
+    // (SemDeDup uses ~10⁵ clusters for 10⁹ docs) keeping every cluster
+    // executor-sized, and the join stays the same plan. The recall trade
+    // vs the exact `dedup_embed` scan is the documented SemDeDup design:
+    // near-dups in DIFFERENT clusters are unseen by construction.
+    "dedup_semantic" -> ((s, dir) => {
+      val pts = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .join(SimilarityOps.lloydAssign(s, dir), "vec_id")
+      val a = pts.select(col("cid"), col("vec_id").as("doc_a"),
+        col("embedding").as("ea"))
+      val b = pts.select(col("cid"), col("vec_id").as("doc_b"),
+        col("embedding").as("eb"))
+      a.join(b, "cid")
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("similitud",
+          graft.functions.Vectors.similitud(col("ea"), col("eb")))
+        .filter(col("similitud") >= SemanticDupSim)
+        .select(col("doc_a"), col("doc_b"), col("cid"), col("similitud"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Near-dup CLUSTER assignment: connected components over the exact
     // Jaccard >= 0.9 pair graph (the `dedup_ngram` edge set); every doc
     // gets cluster_id = min doc_id of its component (singletons keep their
@@ -597,6 +632,47 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
+    // the cluster CTEs replay ml_kmeans's oracle verbatim (same unrolled
+    // Lloyd loop), then the pair scan joins only within a1's clusters
+    "dedup_semantic" ->
+      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, e AS c FROM pts WHERE vec_id < 8),
+          a0 AS (
+            SELECT vec_id, cid FROM (
+              SELECT p.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_sum(list_transform(range(${SimilarityOps.EmbedDim}),
+                         i -> (p.e[i + 1] - c.c[i + 1]) * (p.e[i + 1] - c.c[i + 1]))),
+                       c.cid) AS rn
+              FROM pts p CROSS JOIN c0 c
+            ) WHERE rn = 1
+          ),
+          comp AS (
+            SELECT a.cid, t.i AS d,
+                   round(CAST(sum(CAST(p.e[t.i + 1] AS DECIMAL(28,10))) AS DOUBLE)
+                         / count(*), 6) AS m
+            FROM pts p JOIN a0 a USING (vec_id), range(${SimilarityOps.EmbedDim}) t(i)
+            GROUP BY a.cid, t.i
+          ),
+          c1 AS (SELECT cid, list(m ORDER BY d) AS c FROM comp GROUP BY cid),
+          a1 AS (
+            SELECT vec_id, cid FROM (
+              SELECT p.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_sum(list_transform(range(${SimilarityOps.EmbedDim}),
+                         i -> (p.e[i + 1] - c.c[i + 1]) * (p.e[i + 1] - c.c[i + 1]))),
+                       c.cid) AS rn
+              FROM pts p CROSS JOIN c1 c
+            ) WHERE rn = 1
+          )
+          SELECT doc_a, doc_b, cid, similitud FROM (
+            SELECT x.vec_id AS doc_a, y.vec_id AS doc_b, x.cid AS cid,
+                   round(list_cosine_similarity(pa.e, pb.e) * 100, 4) AS similitud
+            FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            JOIN pts pa ON pa.vec_id = x.vec_id
+            JOIN pts pb ON pb.vec_id = y.vec_id
+          ) WHERE similitud >= $SemanticDupSim
+          ORDER BY doc_a, doc_b""",
     // identical ground truth by construction (see the dedup_prefix
     // completeness argument) — the deterministic prefix-filter join is
     // exactly the quadratic set-similarity join, candidate-pruned

@@ -408,32 +408,40 @@ object SimilarityOps {
     // DECIMAL sums and round to 6dp; argmin ties break on cid; the
     // output carries integers only. At 100 TB the identical plan holds —
     // iterations add plan depth, points never leave their partitions.
-    "ml_kmeans" -> ((s, dir) => {
-      val k = 8
-      val pts = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val c0 = pts.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      def assign(cent: DataFrame): DataFrame =
-        pts.crossJoin(broadcast(cent))
-          .withColumn("d2", Vectors.l2sq(col("embedding"), col("cvec")))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("best.cid").as("cid"))
-      val comp = pts.join(assign(c0), "vec_id")
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy("cid", "d")
-        .agg(round(
-          sum(col("x").cast("double").cast("decimal(28,10)")).cast("double") /
-            count(lit(1)), 6).as("m"))
-      val c1 = comp.groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          e => e("m")).as("cvec"))
-      assign(c1)
+    "ml_kmeans" -> ((s, dir) =>
+      lloydAssign(s, dir)
         .groupBy("cid")
         .agg(count(lit(1)).as("n_points"), min(col("vec_id")).as("min_vec"))
-        .orderBy("cid")
-    })
+        .orderBy("cid"))
   )
+
+  /** The (vec_id, cid) assignment after `ml_kmeans`'s 2-iteration Lloyd
+    * loop (k = 8, centroids seeded from vec_id < 8, exact-DECIMAL
+    * component means, (distance, cid) argmin tiebreak) — extracted so
+    * `dedup_semantic` partitions by the SAME clusters `ml_kmeans`
+    * reports; both oracles replay the identical unrolled loop. */
+  private[graft] def lloydAssign(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val pts = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val c0 = pts.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def assign(cent: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(cent))
+        .withColumn("d2", Vectors.l2sq(col("embedding"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"))
+    val comp = pts.join(assign(c0), "vec_id")
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("cid", "d")
+      .agg(round(
+        sum(col("x").cast("double").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("m"))
+    val c1 = comp.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        e => e("m")).as("cvec"))
+    assign(c1)
+  }
 
   def oracles: Map[String, String] = Map(
     // stage 1 IS text_bm25's oracle (nested WITH, top-20), so the lexical

@@ -22,6 +22,36 @@ class DedupSpec extends SparkSpec {
     assert(joined.filter(col("min_id") =!= col("kept")).count() === 0)
   }
 
+  test("dedup_semantic prunes exactly to co-clustered pairs of the global scan") {
+    import graft.operators.SimilarityOps
+    val sem = q("dedup_semantic").persist()
+    // within-cluster pairs only: both endpoints carry the emitted cid in
+    // the shared Lloyd assignment
+    val asg = SimilarityOps.lloydAssign(spark, SfDir)
+    val misassigned = sem
+      .join(asg.select(col("vec_id").as("doc_a"), col("cid").as("ca")), "doc_a")
+      .join(asg.select(col("vec_id").as("doc_b"), col("cid").as("cb")), "doc_b")
+      .filter(col("ca") =!= col("cid") || col("cb") =!= col("cid"))
+    assert(misassigned.count() === 0, "every pair must be co-clustered")
+    // the SemDeDup trade, both directions: emitted pairs are a subset of
+    // the exact global >= threshold scan (clustering never invents a
+    // pair), and every DROPPED global pair straddles two clusters
+    val pts = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
+    val global = pts.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
+      .crossJoin(pts.select(col("vec_id").as("doc_b"), col("embedding").as("eb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(graft.functions.Vectors.similitud(col("ea"), col("eb")) >=
+        DedupOps.SemanticDupSim)
+      .select("doc_a", "doc_b").persist()
+    assert(sem.select("doc_a", "doc_b").except(global).count() === 0)
+    val dropped = global.except(sem.select("doc_a", "doc_b"))
+      .join(asg.select(col("vec_id").as("doc_a"), col("cid").as("ca")), "doc_a")
+      .join(asg.select(col("vec_id").as("doc_b"), col("cid").as("cb")), "doc_b")
+    assert(dropped.filter(col("ca") === col("cb")).count() === 0,
+      "a same-cluster pair above threshold must never be dropped")
+    global.unpersist(); sem.unpersist()
+  }
+
   test("dedup_near (MinHash LSH, verified) is a subset of exact pairwise dedup_ngram") {
     val lsh = q("dedup_near").select("doc_a", "doc_b")
     val exact = q("dedup_ngram").select("doc_a", "doc_b")
