@@ -233,6 +233,65 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Exact COUNT(DISTINCT) via bitmap OR — the bitmap-index technique
+    // (Roaring/ClickHouse groupBitmap) expressed relationally: bucket the
+    // id space into 32-bit words, OR the membership bits per
+    // (group, bucket) in ONE partial+final aggregation, then popcount.
+    // Versus `agg_count_distinct`'s expand/two-shuffle plan, the first
+    // shuffle here carries at most |groups|·|id-space|/32 8-byte words
+    // REGARDLESS of row count — the right distinct plan when ids are
+    // dense integers (user ids, doc ids). 32-bit words because a 1<<63
+    // sign-bit shift is UB-adjacent on other engines (DuckDB range-checks
+    // it); the second aggregation is |groups|·|buckets|-bounded.
+    "agg_bitmap_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("user_id div 32").as("bucket"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"))
+          .as("bits"))
+        .groupBy("event_type")
+        .agg(sum(bit_count(col("bits")).cast("long")).as("n_distinct"))
+        .orderBy("event_type")),
+
+    // Two-feature OLS (price ~ quantity + discount per return flag) by
+    // the closed-form normal equations — Cramer's rule over the 3×3
+    // moment matrix built from the same exact-DECIMAL sums as
+    // `agg_regression`. One partial+final aggregation computes the eight
+    // sums; the determinant arithmetic is a per-group scalar epilogue, so
+    // multi-feature regression costs exactly one shuffle at any scale.
+    // (The pseudo-inverse/QR route needs an iterative or driver-side
+    // solve; for the handful of features analytic pipelines regress on,
+    // the normal equations ARE the distributed answer.)
+    "agg_regression_multi" -> ((s, dir) => {
+      val x = col("l_quantity"); val d = col("l_discount")
+      val y = col("l_extendedprice")
+      def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      def det3(a: Column, b: Column, c: Column,
+               p: Column, q: Column, r: Column,
+               u: Column, v: Column, w: Column): Column =
+        a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(x).as("sx"), dsum(d).as("sd"), dsum(y).as("sy"),
+          dsum(x * x).as("sxx"), dsum(x * d).as("sxd"),
+          dsum(d * d).as("sdd"), dsum(x * y).as("sxy"), dsum(d * y).as("sdy"))
+        .withColumn("det", det3(
+          col("n"), col("sx"), col("sd"),
+          col("sx"), col("sxx"), col("sxd"),
+          col("sd"), col("sxd"), col("sdd")))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round(det3(col("sy"), col("sx"), col("sd"),
+            col("sxy"), col("sxx"), col("sxd"),
+            col("sdy"), col("sxd"), col("sdd")) / col("det"), 6).as("b0"),
+          round(det3(col("n"), col("sy"), col("sd"),
+            col("sx"), col("sxy"), col("sxd"),
+            col("sd"), col("sdy"), col("sdd")) / col("det"), 6).as("b1"),
+          round(det3(col("n"), col("sx"), col("sy"),
+            col("sx"), col("sxx"), col("sxy"),
+            col("sd"), col("sxd"), col("sdy")) / col("det"), 6).as("b2"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact percentiles (sort-based, linear interpolation) per status.
     "agg_percentiles" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -536,6 +595,41 @@ object AggOps {
                       CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s4
                FROM lineitem GROUP BY l_returnflag
              )
+           )
+         ) ORDER BY l_returnflag""",
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct
+         FROM (
+           SELECT event_type, user_id // 32 AS bucket,
+                  bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+           FROM events GROUP BY event_type, user_id // 32
+         ) GROUP BY event_type ORDER BY event_type""",
+    // Cramer's rule terms mirror the Scala det3 cofactor expansion
+    // term-for-term so the double arithmetic is bit-identical
+    "agg_regression_multi" ->
+      """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round((sy*(sxx*sdd - sxd*sxd) - sx*(sxy*sdd - sxd*sdy)
+                       + sd*(sxy*sxd - sxx*sdy)) / det, 6) AS b0,
+                round((n*(sxy*sdd - sxd*sdy) - sy*(sx*sdd - sxd*sd)
+                       + sd*(sx*sdy - sxy*sd)) / det, 6) AS b1,
+                round((n*(sxx*sdy - sxy*sxd) - sx*(sx*sdy - sxy*sd)
+                       + sy*(sx*sxd - sxx*sd)) / det, 6) AS b2
+         FROM (
+           SELECT *,
+                  n*(sxx*sdd - sxd*sxd) - sx*(sx*sdd - sxd*sd)
+                    + sd*(sx*sxd - sxx*sd) AS det
+           FROM (
+             SELECT l_returnflag,
+                    CAST(count(*) AS DOUBLE) AS n,
+                    CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+                    CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sd,
+                    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+                    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sxd,
+                    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sdd,
+                    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+                    CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sdy
+             FROM lineitem GROUP BY l_returnflag
            )
          ) ORDER BY l_returnflag""",
     "agg_percentiles" ->

@@ -195,6 +195,36 @@ object StreamingOps {
               (col("n") * col("sll") - col("sl") * col("sl"))), 6)
             .as("autocorr"))
         .orderBy("user_id")
+    }),
+
+    // Cross-correlation between two event streams: hourly click counts vs
+    // hourly view counts, Pearson over the aligned hour series — "do these
+    // two metrics move together", the standard ops-dashboard diagnostic.
+    // The alignment is ONE aggregation (conditional sums per hour bucket —
+    // no self-join of the table against itself), the series is bounded by
+    // the calendar, and the corr rides the exact-integer sufficient sums
+    // (hour counts are integers, so DECIMAL casts are exact and the result
+    // is bit-stable without rounding tricks).
+    "ts_cross_corr" -> ((s, dir) => {
+      def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("double").as("a"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("double").as("b"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("a")).as("sa"), dsum(col("b")).as("sb"),
+          dsum(col("a") * col("b")).as("sab"),
+          dsum(col("a") * col("a")).as("saa"),
+          dsum(col("b") * col("b")).as("sbb"))
+        .select(col("n").cast("long").as("n_hours"),
+          round((col("n") * col("sab") - col("sa") * col("sb")) /
+            sqrt((col("n") * col("saa") - col("sa") * col("sa")) *
+              (col("n") * col("sbb") - col("sb") * col("sb"))), 6)
+            .as("cross_corr"))
     })
   )
 
@@ -327,6 +357,28 @@ object StreamingOps {
            ) WHERE lv IS NOT NULL GROUP BY user_id
          )
          WHERE n >= 10 AND n * svv - sv * sv > 0 AND n * sll - sl * sl > 0
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    "ts_cross_corr" ->
+      """SELECT CAST(n AS BIGINT) AS n_hours,
+                round((n * sab - sa * sb) /
+                      sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6)
+                  AS cross_corr
+         FROM (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(a AS DECIMAL(28,10))) AS DOUBLE) AS sa,
+                  CAST(sum(CAST(b AS DECIMAL(28,10))) AS DOUBLE) AS sb,
+                  CAST(sum(CAST(a * b AS DECIMAL(28,10))) AS DOUBLE) AS sab,
+                  CAST(sum(CAST(a * a AS DECIMAL(28,10))) AS DOUBLE) AS saa,
+                  CAST(sum(CAST(b * b AS DECIMAL(28,10))) AS DOUBLE) AS sbb
+           FROM (
+             SELECT date_trunc('hour', ts) AS h,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS a,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                         AS DOUBLE) AS b
+             FROM events WHERE event_type IN ('click', 'view')
+             GROUP BY date_trunc('hour', ts)
+           )
+         )"""
   )
 }

@@ -143,6 +143,25 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // The lang-ID heuristic EVALUATED: multi-class confusion matrix of
+    // `text_lang_id`'s prediction against the labeled lang column, with
+    // per-class recall (row-normalized). Classifier eval over corpus
+    // labels is the step that decides whether a heuristic filter is safe
+    // to deploy; the heavy side is one tokenize scan (the prediction),
+    // the matrix is |langs|²-bounded, and the recall window runs over
+    // that bounded relation only.
+    "text_lang_confusion" -> ((s, dir) => {
+      val pred = queries("text_lang_id")(s, dir)
+        .select(col("doc_id"), col("predicted"))
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("recall", round(
+          col("n") / sum(col("n")).over(Window.partitionBy("lang")), 4))
+        .orderBy("lang", "predicted")
+    }),
+
     // Quality scoring: token count, mean token length, stopword ratio,
     // and a categorical grade — the standard pre-training quality gates.
     "text_quality" -> ((s, dir) => {
@@ -411,6 +430,24 @@ object TextOps {
   private def duckStop(list: Seq[String]): String =
     list.mkString("['", "','", "']")
 
+  /** `text_lang_id`'s oracle, factored out so `text_lang_confusion` can
+    * nest it as a CTE (the ann_hybrid_rerank pattern — one definition,
+    * both keys pinned to the same predictions). */
+  private def langIdSql: String =
+    s"""SELECT doc_id, s_en, s_es, s_fr, s_de,
+               CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
+                    ELSE 'de' END AS predicted
+       FROM (
+         SELECT doc_id,
+                CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopEn)}, t))) AS INT) AS s_en,
+                CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopEs)}, t))) AS INT) AS s_es,
+                CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopFr)}, t))) AS INT) AS s_fr,
+                CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopDe)}, t))) AS INT) AS s_de
+         FROM documents
+       ) ORDER BY doc_id"""
+
   def oracles: Map[String, String] = Map(
     "text_collocations" ->
       """WITH big AS MATERIALIZED (
@@ -562,20 +599,19 @@ object TextOps {
                 round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
                 max(n_chars) AS max_chars
          FROM documents GROUP BY lang ORDER BY lang""",
-    "text_lang_id" ->
-      s"""SELECT doc_id, s_en, s_es, s_fr, s_de,
-                 CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-                      WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-                      WHEN s_fr >= s_de THEN 'fr'
-                      ELSE 'de' END AS predicted
-         FROM (
-           SELECT doc_id,
-                  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopEn)}, t))) AS INT) AS s_en,
-                  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopEs)}, t))) AS INT) AS s_es,
-                  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopFr)}, t))) AS INT) AS s_fr,
-                  CAST(len(list_filter(string_split(text,' '), t -> list_contains(${duckStop(StopDe)}, t))) AS INT) AS s_de
-           FROM documents
-         ) ORDER BY doc_id""",
+    "text_lang_id" -> langIdSql,
+    // the CTE IS text_lang_id's oracle, so the confusion matrix is pinned
+    // against the same predictions that key verifies
+    "text_lang_confusion" ->
+      s"""WITH li AS (
+           $langIdSql
+         )
+         SELECT d.lang, li.predicted, count(*) AS n,
+                round(count(*) / sum(count(*)) OVER (PARTITION BY d.lang), 4)
+                  AS recall
+         FROM documents d JOIN li USING (doc_id)
+         GROUP BY d.lang, li.predicted
+         ORDER BY lang, predicted""",
     "text_quality" ->
       s"""SELECT doc_id, n_tokens,
                  round(CAST(char_sum AS DOUBLE) / n_tokens, 4) AS avg_token_len,

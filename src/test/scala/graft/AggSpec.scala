@@ -8,6 +8,47 @@ import graft.operators.AggOps
   * the UDAF surface. */
 class AggSpec extends SparkSpec {
 
+  test("agg_bitmap_distinct equals the direct COUNT(DISTINCT)") {
+    val bm = AggOps.queries("agg_bitmap_distinct")(spark, SfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val direct = Tables.events(spark, SfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("d")).toMap
+    assert(bm === direct, "bitmap popcount must be exactly the distinct count")
+  }
+
+  test("agg_regression_multi coefficients solve the normal equations") {
+    // recompute the moment matrix independently and check M·b = rhs —
+    // pins the Cramer arithmetic, not just cross-engine agreement
+    val rows = AggOps.queries("agg_regression_multi")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val sums = Tables.lineitem(spark, SfDir).groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("l_quantity").as("sx"), sum("l_discount").as("sd"),
+        sum("l_extendedprice").as("sy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        sum(col("l_quantity") * col("l_discount")).as("sxd"),
+        sum(col("l_discount") * col("l_discount")).as("sdd"),
+        sum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        sum(col("l_discount") * col("l_extendedprice")).as("sdy"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      val s = sums(r.getString(0))
+      def g(c: String) = s.getAs[Double](c)
+      val (b0, b1, b2) = (r.getAs[Double]("b0"), r.getAs[Double]("b1"),
+        r.getAs[Double]("b2"))
+      // each normal equation, relative tolerance (price sums are ~1e8)
+      val eq = Seq(
+        (g("n") * b0 + g("sx") * b1 + g("sd") * b2, g("sy")),
+        (g("sx") * b0 + g("sxx") * b1 + g("sxd") * b2, g("sxy")),
+        (g("sd") * b0 + g("sxd") * b1 + g("sdd") * b2, g("sdy")))
+      eq.foreach { case (lhs, rhs) =>
+        assert(math.abs(lhs - rhs) <= 1e-4 * math.max(1.0, math.abs(rhs)),
+          s"${r.getString(0)}: normal equation violated: $lhs vs $rhs")
+      }
+    }
+  }
+
   test("agg_skew_kurt's closed form matches Spark's native skewness/kurtosis") {
     // the oracle pins cross-engine determinism; this pins the FORMULA —
     // the exact-DECIMAL raw-moment solve must agree with Spark's

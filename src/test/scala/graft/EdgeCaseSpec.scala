@@ -339,6 +339,44 @@ class EdgeCaseSpec extends SparkSpec {
     tl.unpersist(); sess.unpersist()
   }
 
+  test("ts_cross_corr matches native corr over the aligned hourly series") {
+    import graft.operators.StreamingOps
+    val r = StreamingOps.queries("ts_cross_corr")(spark, SfDir).collect().head
+    val cc = r.getAs[Double]("cross_corr")
+    assert(cc >= -1.0 && cc <= 1.0)
+    val hourly = Tables.events(spark, SfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .cast("double").as("a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("double").as("b"))
+    assert(r.getAs[Long]("n_hours") === hourly.count())
+    val native = hourly.agg(corr(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(cc - native) < 1e-6, s"closed form $cc vs native $native")
+  }
+
+  test("text_lang_confusion rows partition the corpus with unit recall mass") {
+    import graft.operators.TextOps
+    val cm = TextOps.queries("text_lang_confusion")(spark, SfDir).persist()
+    val docs = Tables.documents(spark, SfDir)
+    assert(cm.agg(sum("n")).head.getLong(0) === docs.count(),
+      "confusion cells must partition the corpus")
+    // per-actual-language recall mass sums to 1
+    val mass = cm.groupBy("lang").agg(sum("recall").as("m")).collect()
+    mass.foreach(r => assert(math.abs(r.getAs[Double]("m") - 1.0) < 1e-2,
+      s"lang ${r.getString(0)} recall mass ${r.getAs[Double]("m")}"))
+    // the matrix agrees with text_lang_id joined directly
+    val direct = TextOps.queries("text_lang_id")(spark, SfDir)
+      .select(col("doc_id"), col("predicted"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "predicted").count()
+    val drift = cm.join(direct, Seq("lang", "predicted"))
+      .filter(col("n") =!= col("count"))
+    assert(drift.count() === 0)
+    cm.unpersist()
+  }
+
   test("text_ttr stays in bounds and degenerates correctly") {
     import graft.operators.TextOps
     val rows = TextOps.queries("text_ttr")(spark, SfDir).collect()
