@@ -452,10 +452,53 @@ object AggOps {
         .groupBy("l_returnflag")
         .agg(round(wavg(col("l_extendedprice"), col("l_discount")), 4).as("wavg_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // Exact weighted median: smallest price v whose cumulative quantity
+    // weight (ordered by price) reaches half the group's total — the
+    // lower weighted median, the order statistic behind cost-weighted
+    // SLAs and weighted-percentile dashboards. Scale shape: the raw
+    // table first collapses to the (group, value) DISTINCT-VALUE relation
+    // with partial-aggregated weights — the only corpus-scale shuffle —
+    // and the cumulative window then sorts |groups|×|values| aggregate
+    // rows, not rows. Weights fold as exact DECIMAL so the running sum
+    // and the ≥ total/2 comparison are order-independent and bit-equal
+    // cross-engine (plain double cumsums differ by summation tree).
+    "agg_weighted_median" -> ((s, dir) => {
+      val byVal = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("decimal(28,10)")).as("w"))
+      val cw = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("l_returnflag")
+      byVal
+        .withColumn("cum", sum(col("w")).over(cw))
+        .withColumn("tot", sum(col("w")).over(tw))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("v")).as("weighted_median"),
+          max(col("tot")).cast("double").as("total_weight"))
+        .orderBy("l_returnflag")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "agg_weighted_median" ->
+      """WITH byval AS (
+           SELECT l_returnflag, l_extendedprice AS v,
+                  sum(CAST(l_quantity AS DECIMAL(28,10))) AS w
+           FROM lineitem GROUP BY l_returnflag, l_extendedprice
+         ), cum AS (
+           SELECT l_returnflag, v,
+                  sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(w) OVER (PARTITION BY l_returnflag) AS tot
+           FROM byval
+         )
+         SELECT l_returnflag, min(v) AS weighted_median,
+                CAST(max(tot) AS DOUBLE) AS total_weight
+         FROM cum WHERE cum * 2 >= tot
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_mode" ->
       """SELECT user_id, event_type AS mode_event, n FROM (
            SELECT user_id, event_type, count(*) AS n,

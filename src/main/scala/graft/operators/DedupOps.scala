@@ -284,6 +284,30 @@ object DedupOps {
         .select("doc_id", "text")
         .orderBy("doc_id")),
 
+    // Incremental-ingest dedup: the new batch (here the doc_id % 7 == 3
+    // slice) anti-joined on content fingerprint against the corpus
+    // already ingested — the "is this scrape already in the training
+    // set" gate every continuously-built corpus runs per batch. Scale
+    // shape: both sides reduce to 8-byte xxhash64 keys before the
+    // LEFT ANTI join, so the shuffle carries fingerprints, not text; the
+    // existing side additionally collapses to DISTINCT fingerprints
+    // (dictionary-sized relative to raw rows). In steady state the
+    // existing-fingerprint set is a materialized table keyed by
+    // fingerprint (or a Bloom pre-filter feeding this same anti-join) —
+    // the join shape here is that plan. The oracle anti-joins on the
+    // text itself: identical ground truth up to the documented
+    // ~n²/2⁶⁵ collision odds `dedup_exact` already accepts.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("text"), xxhash64(col("text")).as("fp"))
+      val existing = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(xxhash64(col("text")).as("fp")).distinct()
+      newBatch.join(existing, Seq("fp"), "left_anti")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH banding over UNIQUE token sets: collapse -> band
     // equi-join over gids only -> exact Jaccard verify on candidate set
     // pairs -> expand to member pairs (intra-group pairs are Jaccard 1 by
@@ -632,6 +656,13 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
+    "dedup_incremental" ->
+      """SELECT doc_id, text FROM documents n
+         WHERE doc_id % 7 = 3
+           AND NOT EXISTS (
+             SELECT 1 FROM documents e
+             WHERE e.doc_id % 7 <> 3 AND e.text = n.text)
+         ORDER BY doc_id""",
     // the cluster CTEs replay ml_kmeans's oracle verbatim (same unrolled
     // Lloyd loop), then the pair scan joins only within a1's clusters
     "dedup_semantic" ->

@@ -208,6 +208,60 @@ object PipelineOps {
             (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
     }),
 
+    // Precision-recall curve: one (precision, recall) point per DISTINCT
+    // classifier score, threshold = "predict positive at score ≥ t" —
+    // the threshold-sweep companion to `ml_auc` (same scorer: n_chars
+    // for lang='en'). Shape: the corpus collapses to the distinct-score
+    // relation in ONE partial-aggregated shuffle; the cumulative window
+    // then runs over |distinct scores| rows (bounded by the score
+    // domain, not the corpus — for a quantized model score this is
+    // constant). Integer cumulative counts → exactly-rounded divisions,
+    // bit-stable at 6dp.
+    "ml_pr_curve" -> ((s, dir) => {
+      val byScore = Tables.documents(s, dir)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("score")
+        .agg(sum(col("pos")).as("p"), (count(lit(1)) - sum(col("pos"))).as("ng"))
+      val cumw = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      byScore
+        .withColumn("cump", sum(col("p")).over(cumw))
+        .withColumn("cumn", sum(col("ng")).over(cumw))
+        .withColumn("npos", sum(col("p")).over(tot))
+        .select(col("score"),
+          round(col("cump").cast("double") / (col("cump") + col("cumn")), 6)
+            .as("precision"),
+          round(col("cump").cast("double") / col("npos"), 6).as("recall"),
+          (col("cump") + col("cumn")).as("n_predicted"))
+        .orderBy(col("score").desc)
+    }),
+
+    // Calibration (reliability) table: predicted probability binned into
+    // deciles vs the empirical positive rate per bin — the
+    // reliability-diagram data behind "is this scorer calibrated?".
+    // The predicted probability is a deterministic monotone transform of
+    // the score (capped linear — integer arithmetic end-to-end until the
+    // final exactly-rounded divisions, so no cross-engine fp drift and
+    // no in-engine exp() to pin). ONE corpus scan into a ≤10-group
+    // aggregate; every derived column comes off integer sums.
+    "ml_calibration" -> ((s, dir) => {
+      val phatN = least(col("n_chars"), lit(500))
+      Tables.documents(s, dir)
+        .select(least(floor(col("n_chars") / 50).cast("int"), lit(9)).as("bin"),
+          phatN.as("pn"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pn")).as("spn"),
+          sum(col("pos")).as("sp"))
+        .select(col("bin"), col("n_docs"),
+          round(col("spn").cast("double") / 500.0 / col("n_docs"), 6)
+            .as("mean_predicted"),
+          round(col("sp").cast("double") / col("n_docs"), 6).as("frac_positive"))
+        .orderBy("bin")
+    }),
+
     // Dedup accounting: the cluster-size histogram over exact-content
     // clusters (same md5-of-sorted-token-set key as `pipe_survivor`) —
     // the "how duplicated is this corpus" datasheet row every dedup run
@@ -664,6 +718,37 @@ object PipelineOps {
                 CAST(sum(p) AS BIGINT) AS n_pos,
                 CAST(sum(ng) AS BIGINT) AS n_neg
          FROM c""",
+    "ml_pr_curve" ->
+      """WITH bs AS (
+           SELECT n_chars AS score,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+                  count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ng
+           FROM documents GROUP BY n_chars
+         ), c AS (
+           SELECT score, p, ng,
+                  sum(p) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump,
+                  sum(ng) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+                  sum(p) OVER () AS npos
+           FROM bs
+         )
+         SELECT score,
+                round(CAST(cump AS DOUBLE) / (cump + cumn), 6) AS precision,
+                round(CAST(cump AS DOUBLE) / npos, 6) AS recall,
+                CAST(cump + cumn AS BIGINT) AS n_predicted
+         FROM c ORDER BY score DESC""",
+    "ml_calibration" ->
+      """SELECT bin, count(*) AS n_docs,
+                round(CAST(sum(pn) AS DOUBLE) / 500.0 / count(*), 6)
+                  AS mean_predicted,
+                round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS frac_positive
+         FROM (
+           SELECT CAST(least(floor(n_chars / 50), 9) AS INT) AS bin,
+                  least(n_chars, 500) AS pn,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents
+         ) GROUP BY bin ORDER BY bin""",
     "ml_confusion" ->
       """SELECT tp, fp, fn, tn,
                 round(pr, 6) AS precision, round(rc, 6) AS recall,

@@ -500,6 +500,43 @@ object ProvidenciasOps {
         .orderBy("hops", "node_id")
     }),
 
+    // Graph extension: degree assortativity — Newman's r, the Pearson
+    // correlation between the degrees at the two ends of every edge
+    // ("do hubs link to hubs?"), the one-number mixing diagnostic next
+    // to the degree histogram. Each undirected edge contributes both
+    // orientations so r is symmetric by construction. Shapes: ONE
+    // pairwise pass builds the edge list (persisted — it feeds the
+    // degree aggregate AND the stub explode), degrees are a
+    // node-cardinality aggregate joined back onto the directed stubs by
+    // node id (shuffle joins on the node key at scale; degrees are NOT
+    // broadcast unconditionally — n nodes can be billions), and the
+    // closed-form corr folds integer degree products as exact DECIMAL,
+    // so the single-row result is bit-identical cross-engine.
+    "graph_assortativity" -> ((s, dir) => {
+      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+        .persist()
+      val deg = e.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val directed = e.select(col("src").as("a"), col("dst").as("b"))
+        .union(e.select(col("dst").as("a"), col("src").as("b")))
+      def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      directed
+        .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+        .agg(count(lit(1)).cast("double").as("m"),
+          dsum(col("da")).as("sa"), dsum(col("db")).as("sb"),
+          dsum(col("da") * col("db")).as("sab"),
+          dsum(col("da") * col("da")).as("saa"),
+          dsum(col("db") * col("db")).as("sbb"))
+        .select((col("m") / 2).cast("long").as("n_edges"),
+          round((col("m") * col("sab") - col("sa") * col("sb")) /
+            sqrt((col("m") * col("saa") - col("sa") * col("sa")) *
+              (col("m") * col("sbb") - col("sb") * col("sb"))), 6)
+            .as("assortativity"))
+    }),
+
     // A9 — directed 1-hop SIMILAR neighborhood of node 0 with similitud in
     // [10, 90] (reference :55-71). The edge is DERIVED: one broadcastable
     // probe row joined against the embeddings table — no O(n^2) blow-up,
@@ -519,6 +556,37 @@ object ProvidenciasOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_assortativity" ->
+      """WITH e AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), deg AS (
+           SELECT id, count(*) AS degree FROM (
+             SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+           ) GROUP BY id
+         ), stubs AS (
+           SELECT src AS a, dst AS b FROM e
+           UNION ALL SELECT dst AS a, src AS b FROM e
+         ), sums AS (
+           SELECT CAST(count(*) AS DOUBLE) AS m,
+                  CAST(sum(CAST(da.degree AS DECIMAL(28,10))) AS DOUBLE) AS sa,
+                  CAST(sum(CAST(db.degree AS DECIMAL(28,10))) AS DOUBLE) AS sb,
+                  CAST(sum(CAST(da.degree * db.degree AS DECIMAL(28,10))) AS DOUBLE) AS sab,
+                  CAST(sum(CAST(da.degree * da.degree AS DECIMAL(28,10))) AS DOUBLE) AS saa,
+                  CAST(sum(CAST(db.degree * db.degree AS DECIMAL(28,10))) AS DOUBLE) AS sbb
+           FROM stubs
+           JOIN deg da ON stubs.a = da.id
+           JOIN deg db ON stubs.b = db.id
+         )
+         SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+                round((m * sab - sa * sb) /
+                      sqrt((m * saa - sa * sa) * (m * sbb - sb * sb)), 6)
+                  AS assortativity
+         FROM sums""",
     "scan_documents" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "distinct_sorted" ->

@@ -412,8 +412,70 @@ object SimilarityOps {
       lloydAssign(s, dir)
         .groupBy("cid")
         .agg(count(lit(1)).as("n_points"), min(col("vec_id")).as("min_vec"))
-        .orderBy("cid"))
+        .orderBy("cid")),
+
+    // NDCG@10 of the cosine retrieval ranking — the graded ranking metric
+    // every retrieval/RAG eval reports: does embedding similarity
+    // actually surface same-label items? Relevance is graded by label
+    // distance to the probe (3 = same label … 0 = far), gains are the
+    // standard 2^rel − 1, and the position discount 1/log2(pos+1) is a
+    // FIXED LITERAL LADDER shared verbatim with the oracle (both engines
+    // consume identical constants — in-engine log2 is not guaranteed
+    // bit-equal). Scale shape: the corpus-scale work is exactly
+    // `ann_brute`'s broadcast-probe scan + TakeOrderedAndProject top-10;
+    // both ranking windows and the final aggregate run over the 10-row
+    // candidate relation (the global Window.orderBy here is over a
+    // LIMIT-bounded set, not the corpus). Per-term products fold as
+    // exact DECIMAL so the 10-term DCG sums are order-independent.
+    "ml_ndcg" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
+        .select(col("embedding").as("qv"), col("label").as("qlabel"))
+      val top = Tables.embeddings(s, dir).filter(col("vec_id") =!= 42)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("qlabel"),
+          Vectors.similitud(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      def ladder(rank: org.apache.spark.sql.Column) =
+        NdcgWeights.tail.foldLeft(
+          when(rank === NdcgWeights.head._1, NdcgWeights.head._2)) {
+          case (acc, (p, v)) => acc.when(rank === p, v)
+        }.otherwise(0.0)
+      val scored = top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+        .withColumn("irank",
+          row_number().over(Window.orderBy(
+            abs(col("label") - col("qlabel")), col("vec_id"))))
+        .withColumn("rel",
+          greatest(lit(0), lit(3) - abs(col("label") - col("qlabel"))))
+        .withColumn("gain", when(col("rel") === 3, 7.0)
+          .when(col("rel") === 2, 3.0).when(col("rel") === 1, 1.0)
+          .otherwise(0.0))
+      scored.agg(
+          count(lit(1)).as("n_cands"),
+          sum((col("gain") * ladder(col("rank"))).cast("decimal(28,10)"))
+            .cast("double").as("dcg"),
+          sum((col("gain") * ladder(col("irank"))).cast("decimal(28,10)"))
+            .cast("double").as("idcg"))
+        .select(col("n_cands"), round(col("dcg"), 6).as("dcg"),
+          round(col("idcg"), 6).as("idcg"),
+          round(when(col("idcg") > 0, col("dcg") / col("idcg")), 6).as("ndcg"))
+    })
   )
+
+  /** NDCG position-discount ladder: (pos, 1/log2(pos+1)) for pos 1..10,
+    * fixed to 10dp so the Spark plan and the DuckDB oracle consume the
+    * SAME double constants (in-engine log2 is not bit-pinned). */
+  private[graft] val NdcgWeights: Seq[(Int, Double)] =
+    (1 to 10).map { p =>
+      p -> "%.10f".format(math.log(2.0) / math.log(p + 1.0)).toDouble
+    }
+
+  /** The ideal-ranking CASE ladder as oracle SQL (same constants). */
+  private def ndcgCaseSql(rankExpr: String): String =
+    NdcgWeights.map { case (p, v) => s"WHEN $rankExpr = $p THEN $v" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
 
   /** The (vec_id, cid) assignment after `ml_kmeans`'s 2-iteration Lloyd
     * loop (k = 8, centroids seeded from vec_id < 8, exact-DECIMAL
@@ -444,6 +506,35 @@ object SimilarityOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // the candidate CTE replays ann_brute's ranking (same probe, same
+    // rounded cosine, same tiebreak); the discount ladder interpolates
+    // the SAME double constants the Spark plan uses
+    "ml_ndcg" ->
+      s"""WITH q AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id = 42
+         ), top AS (
+           SELECT vec_id, label, qlabel,
+                  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) * 100, 4) AS sim
+           FROM embeddings CROSS JOIN q WHERE vec_id <> 42
+           ORDER BY sim DESC, vec_id LIMIT 10
+         ), scored AS (
+           SELECT vec_id,
+                  row_number() OVER (ORDER BY sim DESC, vec_id) AS rank,
+                  row_number() OVER (ORDER BY abs(label - qlabel), vec_id) AS irank,
+                  CASE greatest(0, 3 - abs(label - qlabel))
+                    WHEN 3 THEN 7.0 WHEN 2 THEN 3.0 WHEN 1 THEN 1.0
+                    ELSE 0.0 END AS gain
+           FROM top
+         ), sums AS (
+           SELECT count(*) AS n_cands,
+                  CAST(sum(CAST(gain * (${ndcgCaseSql("rank")}) AS DECIMAL(28,10))) AS DOUBLE) AS dcg,
+                  CAST(sum(CAST(gain * (${ndcgCaseSql("irank")}) AS DECIMAL(28,10))) AS DOUBLE) AS idcg
+           FROM scored
+         )
+         SELECT n_cands, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+                round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+         FROM sums""",
     // stage 1 IS text_bm25's oracle (nested WITH, top-20), so the lexical
     // candidates are pinned to the same values the text_bm25 key verifies
     "ann_hybrid_rerank" ->

@@ -225,10 +225,71 @@ object StreamingOps {
             sqrt((col("n") * col("saa") - col("sa") * col("sa")) *
               (col("n") * col("sbb") - col("sb") * col("sb"))), 6)
             .as("cross_corr"))
+    }),
+
+    // CUSUM change-point detection: per user, the timestamp where the
+    // cumulative deviation from the series mean |Σ_{i≤k}(vᵢ − v̄)| peaks —
+    // the classic offline mean-shift locator (a level change puts the
+    // CUSUM extremum exactly at the shift). Determinism discipline: the
+    // deviation is computed as S_k − k·(S_n/n) where S_k/S_n are EXACT
+    // DECIMAL prefix/total sums — subtracting the mean per-row and
+    // cumsumming doubles would make the peak location depend on fp
+    // summation order. The prefix sum, row index, total, and the argmax
+    // rank all ride ONE window sort on (user_id; es, event_id) — same
+    // exchange, Catalyst stacks the Window nodes. Output is
+    // user-cardinality.
+    "ts_changepoint" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("user_id")
+      val ev = Tables.events(s, dir)
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("sk", sum(col("value").cast("decimal(28,10)")).over(cum)
+          .cast("double"))
+        .withColumn("sn", sum(col("value").cast("decimal(28,10)")).over(all)
+          .cast("double"))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("dev", abs(col("sk") - col("k") * (col("sn") / col("n"))))
+      val pick = Window.partitionBy("user_id")
+        .orderBy(col("dev").desc, col("es"), col("event_id"))
+      ev.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1 && col("n") >= 20)
+        .select(col("user_id"), col("es").as("change_es"),
+          col("k").as("change_pos"), col("n").as("n_events"),
+          round(col("dev"), 6).as("max_cusum"))
+        .orderBy("user_id")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_changepoint" ->
+      """SELECT user_id, change_es, change_pos, n_events,
+                round(dev, 6) AS max_cusum
+         FROM (
+           SELECT user_id, es AS change_es, k AS change_pos,
+                  n AS n_events, dev,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY dev DESC, es, event_id) AS rn
+           FROM (
+             SELECT user_id, es, event_id, k, n,
+                    abs(sk - k * (sn / n)) AS dev
+             FROM (
+               SELECT user_id, es, event_id,
+                      CAST(row_number() OVER w AS BIGINT) AS k,
+                      CAST(sum(CAST(value AS DECIMAL(28,10))) OVER
+                        (PARTITION BY user_id ORDER BY es, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS sk,
+                      CAST(sum(CAST(value AS DECIMAL(28,10))) OVER
+                        (PARTITION BY user_id) AS DOUBLE) AS sn,
+                      count(*) OVER (PARTITION BY user_id) AS n
+               FROM (SELECT user_id, event_id, value,
+                            CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+               WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+             )
+           )
+         ) WHERE rn = 1 AND n_events >= 20 ORDER BY user_id""",
     // time_bucket's default origin (2000-01-01) is a whole multiple of
     // 5/10 minutes from Spark's epoch origin, so bucket edges coincide.
     "stream_tumbling" ->

@@ -69,6 +69,35 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Readability scoring: Flesch-Kincaid grade per document from the
+    // standard proxies — words per sentence and syllables per word, with
+    // syllables approximated by vowel-group count (the classic
+    // lexicon-free heuristic). Sentences = terminal-punctuation runs + 1;
+    // on this punctuation-free synthetic fixture every doc is one
+    // sentence, which exercises the degenerate edge deliberately — the
+    // formula, counts, and plan are what the key pins. Pure codegen'd
+    // row map (two regexp counts + integer arithmetic), zero shuffles;
+    // the grade is a fixed-literal linear form over exactly-rounded
+    // divisions, so 4dp is cross-engine-stable.
+    "text_readability" -> ((s, dir) => {
+      val words = size(split(col("text"), " ")).cast("long")
+      val syll = regexp_count(col("text"), lit("[aeiou]+")).cast("long")
+      val sent = (regexp_count(col("text"), lit("[.!?]+")) + 1).cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("n_words"), syll.as("n_syllables"),
+          sent.as("n_sentences"))
+        .withColumn("wps",
+          col("n_words").cast("double") / col("n_sentences"))
+        .withColumn("spw",
+          col("n_syllables").cast("double") / col("n_words"))
+        .select(col("doc_id"), col("n_words"), col("n_syllables"),
+          col("n_sentences"),
+          round(col("spw"), 4).as("syll_per_word"),
+          round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 4)
+            .as("fk_grade"))
+        .orderBy("doc_id")
+    }),
+
     // Zipf's-law fit over the corpus unigram distribution: OLS of
     // ln(freq) on ln(rank) — slope ≈ −1 is the natural-text signature;
     // a flat slope flags synthetic/templated corpora (this fixture's
@@ -449,6 +478,19 @@ object TextOps {
        ) ORDER BY doc_id"""
 
   def oracles: Map[String, String] = Map(
+    "text_readability" ->
+      """SELECT doc_id, n_words, n_syllables, n_sentences,
+                round(CAST(n_syllables AS DOUBLE) / n_words, 4) AS syll_per_word,
+                round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                      - 15.59, 4) AS fk_grade
+         FROM (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syllables,
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) + 1 AS BIGINT) AS n_sentences
+           FROM documents
+         ) ORDER BY doc_id""",
     "text_collocations" ->
       """WITH big AS MATERIALIZED (
            SELECT w1, w2, count(*) AS c_ab FROM (

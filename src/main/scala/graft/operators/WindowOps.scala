@@ -173,13 +173,70 @@ object WindowOps {
         .select(col("event_id"), col("user_id"), col("session_idx"),
           col("pos_in_session").cast("int").as("pos_in_session"))
         .orderBy("event_id")
+    }),
+
+    // Rolling OLS slope: the trend of `value` over its last SlopeFrame
+    // observations per user — the local-trend feature every monitoring /
+    // forecasting pipeline derives (a windowed `regr_slope`, which Spark
+    // has no window form of). x is the per-user row index, so the four
+    // sufficient sums (Σx, Σy, Σxy, Σx²) all ride ONE window sort on
+    // (user_id; ts, event_id); y folds as exact DECIMAL inside the frame
+    // so the sums are bit-equal cross-engine (DuckDB evaluates sliding
+    // window sums through a segment tree — a different fp summation
+    // order — and double drift would flake the 6dp round). Head rows
+    // with an under-filled frame emit NULL, the standard warm-up
+    // contract. One corpus shuffle on user_id, nothing else.
+    "win_moving_slope" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      val f = w.rowsBetween(-(SlopeFrame - 1), Window.currentRow)
+      val n = lit(SlopeFrame.toDouble)
+      val ev = Tables.events(s, dir)
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("x", row_number().over(w).cast("long"))
+        .withColumn("yd", col("value").cast("decimal(28,10)"))
+      val sx = sum(col("x")).over(f).cast("double")
+      val sy = sum(col("yd")).over(f).cast("double")
+      val sxy = sum((col("x") * col("yd")).cast("decimal(28,10)")).over(f).cast("double")
+      val sxx = sum(col("x") * col("x")).over(f).cast("double")
+      val cnt = count(lit(1)).over(f)
+      ev.select(col("event_id"), col("user_id"),
+          when(cnt === SlopeFrame,
+            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+            .as("slope"))
+        .orderBy("event_id")
     })
   )
+
+  /** Trailing observations in the rolling-regression frame. */
+  val SlopeFrame = 5
 
   /** Inactivity gap that closes a session (shared with the oracle SQL). */
   val SessionGapSec = 1800L
 
   def oracles: Map[String, String] = Map(
+    "win_moving_slope" ->
+      """SELECT event_id, user_id,
+                CASE WHEN cnt = 5 THEN
+                  round((5.0 * sxy - sx * sy) / (5.0 * sxx - sx * sx), 6)
+                END AS slope
+         FROM (
+           SELECT event_id, user_id,
+                  CAST(sum(x) OVER f AS DOUBLE) AS sx,
+                  CAST(sum(yd) OVER f AS DOUBLE) AS sy,
+                  CAST(sum(CAST(x * yd AS DECIMAL(28,10))) OVER f AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) OVER f AS DOUBLE) AS sxx,
+                  count(*) OVER f AS cnt
+           FROM (
+             SELECT event_id, user_id, es,
+                    CAST(row_number() OVER (PARTITION BY user_id
+                      ORDER BY es, event_id) AS BIGINT) AS x,
+                    CAST(value AS DECIMAL(28,10)) AS yd
+             FROM (SELECT event_id, user_id, value,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+           )
+           WINDOW f AS (PARTITION BY user_id ORDER BY es, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ) ORDER BY event_id""",
     "win_sessionize" ->
       """SELECT event_id, user_id, CAST(session_idx AS BIGINT) AS session_idx,
                 CAST(rn - sess_start + 1 AS INT) AS pos_in_session
@@ -193,7 +250,7 @@ object WindowOps {
                          THEN 0 ELSE 1 END AS brk,
                     row_number() OVER w AS rn
              FROM (SELECT event_id, user_id, ts,
-                          CAST(epoch(ts) AS BIGINT) AS es FROM events)
+                          CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
              WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
            )
            WINDOW c AS (PARTITION BY user_id ORDER BY rn

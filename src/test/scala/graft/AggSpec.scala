@@ -17,6 +17,26 @@ class AggSpec extends SparkSpec {
     assert(bm === direct, "bitmap popcount must be exactly the distinct count")
   }
 
+  test("agg_weighted_median satisfies the defining half-mass property") {
+    // the oracle pins cross-engine agreement; this pins the DEFINITION:
+    // cumulative weight strictly below the median is < half the total,
+    // and including the median reaches half
+    val med = AggOps.queries("agg_weighted_median")(spark, SfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("weighted_median")).toMap
+    val li = Tables.lineitem(spark, SfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    med.foreach { case (flag, m) =>
+      val grp = li.filter(_._1 == flag)
+      val total = grp.map(_._3).sum
+      val below = grp.filter(_._2 < m).map(_._3).sum
+      val upto = grp.filter(_._2 <= m).map(_._3).sum
+      assert(below * 2 < total + 1e-6, s"$flag: mass below median too large")
+      assert(upto * 2 >= total - 1e-6, s"$flag: median fails to reach half mass")
+    }
+  }
+
   test("agg_regression_multi coefficients solve the normal equations") {
     // recompute the moment matrix independently and check M·b = rhs —
     // pins the Cramer arithmetic, not just cross-engine agreement

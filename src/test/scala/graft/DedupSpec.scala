@@ -22,6 +22,25 @@ class DedupSpec extends SparkSpec {
     assert(joined.filter(col("min_id") =!= col("kept")).count() === 0)
   }
 
+  test("dedup_incremental admits exactly the unseen-content new docs") {
+    val docs = Tables.documents(spark, SfDir)
+    val survivors = q("dedup_incremental").persist()
+    // every survivor is from the new batch
+    assert(survivors.filter(col("doc_id") % 7 =!= 3).count() === 0)
+    // fingerprint anti-join ≡ text anti-join (the collision-odds contract)
+    val newBatch = docs.filter(col("doc_id") % 7 === 3)
+    val existingTexts = docs.filter(col("doc_id") % 7 =!= 3).select("text").distinct()
+    val byText = newBatch.join(existingTexts, Seq("text"), "left_anti")
+    assert(survivors.count() === byText.count())
+    assert(survivors.select("doc_id")
+      .except(byText.select("doc_id")).count() === 0,
+      "fingerprint survivors must equal text-equality survivors")
+    // conservation: survivors + dropped = the new batch
+    val dropped = newBatch.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(survivors.count() + dropped.count() === newBatch.count())
+    survivors.unpersist()
+  }
+
   test("dedup_semantic prunes exactly to co-clustered pairs of the global scan") {
     import graft.operators.SimilarityOps
     val sem = q("dedup_semantic").persist()

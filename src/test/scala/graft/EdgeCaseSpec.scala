@@ -311,6 +311,96 @@ class EdgeCaseSpec extends SparkSpec {
     ac.unpersist()
   }
 
+  test("ts_changepoint peaks exactly where the hand-computed CUSUM peaks") {
+    import graft.operators.StreamingOps
+    val cp = StreamingOps.queries("ts_changepoint")(spark, SfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("change_es"), r.getAs[Long]("change_pos"),
+          r.getAs[Double]("max_cusum"))).toMap
+    assert(cp.nonEmpty)
+    // replay the CUSUM for three users sequentially in Scala and check
+    // the argmax location and value — pins the prefix-sum arithmetic
+    val sample = cp.keySet.toSeq.sorted.take(3)
+    sample.foreach { uid =>
+      val vs = Tables.events(spark, SfDir)
+        .filter(col("user_id") === uid)
+        .select(unix_timestamp(col("ts")).as("es"), col("event_id"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val mean = vs.map(_._3).sum / vs.length
+      var run = 0.0
+      val devs = vs.map { case (es, _, v) => run += v - mean; (es, math.abs(run)) }
+      val bestDev = devs.map(_._2).max
+      val (gotEs, gotPos, gotDev) = cp(uid)
+      assert(gotPos >= 1 && gotPos <= vs.length)
+      // the reported peak must equal the hand-computed maximum, and the
+      // reported timestamp must actually attain it (location equality up
+      // to the double-vs-DECIMAL replay noise on near-ties)
+      assert(math.abs(gotDev - bestDev) < 1e-4,
+        s"user $uid: CUSUM peak $gotDev, expected $bestDev")
+      assert(devs.exists(d => d._1 == gotEs && math.abs(d._2 - gotDev) < 1e-4),
+        s"user $uid: reported es $gotEs does not attain the peak")
+    }
+  }
+
+  test("win_moving_slope warms up over 5 rows and matches a hand-fit line") {
+    import graft.operators.WindowOps
+    val sl = WindowOps.queries("win_moving_slope")(spark, SfDir).persist()
+    // warm-up contract: NULL exactly while the trailing frame is short
+    val ev = Tables.events(spark, SfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(unix_timestamp(col("ts")), col("event_id"))
+    val withIdx = ev.withColumn("rn", row_number().over(w))
+      .select("event_id", "rn")
+    val joined = sl.join(withIdx, "event_id")
+    assert(joined.filter(col("slope").isNull && col("rn") >= 5).count() === 0,
+      "filled frames must emit a slope")
+    assert(joined.filter(col("slope").isNotNull && col("rn") < 5).count() === 0,
+      "under-filled frames must stay NULL")
+    // hand-fit one user's first full frame
+    val uid = ev.select(min("user_id")).head().getLong(0)
+    val ys = ev.filter(col("user_id") === uid)
+      .select(unix_timestamp(col("ts")).as("es"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).take(5).map(_._3)
+    if (ys.length == 5) {
+      val xs = (1 to 5).map(_.toDouble)
+      val (n, sx, sy) = (5.0, xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val expected = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val fifth = ev.filter(col("user_id") === uid)
+        .select(unix_timestamp(col("ts")).as("es"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity).apply(4)._2
+      val got = sl.filter(col("event_id") === fifth)
+        .head().getAs[Double]("slope")
+      assert(math.abs(got - expected) < 1e-4,
+        s"slope $got, hand-fit $expected")
+    }
+    sl.unpersist()
+  }
+
+  test("text_readability counts match a hand count on a known document") {
+    import graft.operators.TextOps
+    val rd = TextOps.queries("text_readability")(spark, SfDir).persist()
+    val row = rd.orderBy("doc_id").head()
+    val text = Tables.documents(spark, SfDir).orderBy("doc_id")
+      .head().getAs[String]("text")
+    val words = text.split(" ").length
+    val syll = "[aeiou]+".r.findAllIn(text).length
+    val sents = "[.!?]+".r.findAllIn(text).length + 1
+    assert(row.getAs[Long]("n_words") === words.toLong)
+    assert(row.getAs[Long]("n_syllables") === syll.toLong)
+    assert(row.getAs[Long]("n_sentences") === sents.toLong)
+    val fk = 0.39 * (words.toDouble / sents) + 11.8 * (syll.toDouble / words) - 15.59
+    assert(math.abs(row.getAs[Double]("fk_grade") - fk) < 1e-3)
+    assert(rd.count() === Tables.documents(spark, SfDir).count(),
+      "one readability row per document")
+    rd.unpersist()
+  }
+
   test("win_sessionize labels every event and respects the gap contract") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.WindowOps

@@ -11,6 +11,31 @@ class GraphSpec extends SparkSpec {
 
   private def q(name: String) = ProvidenciasOps.queries(name)(spark, SfDir)
 
+  test("graph_assortativity equals native corr over the directed stubs") {
+    import graft.operators.SimilarityOps
+    val row = q("graph_assortativity").head()
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, "Pearson r must be in [-1,1]")
+    // rebuild the (deg(src), deg(dst)) stub relation and compare the
+    // exact-DECIMAL closed form against Spark's native corr()
+    val e = SimilarityOps.pairwiseTriangular(spark, SfDir, SimilarityOps.EdgeThreshold)
+      .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      .select(col("src"), col("dst")).persist()
+    val nEdges = e.count()
+    assert(row.getAs[Long]("n_edges") === nEdges)
+    val deg = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val directed = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
+    val native = directed
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+      .agg(corr(col("da"), col("db"))).head().getDouble(0)
+    assert(math.abs(r - native) < 1e-5,
+      s"closed form $r drifted from native corr $native")
+    e.unpersist()
+  }
+
   test("graph_pagerank conserves probability mass and covers every node") {
     val pr = q("graph_pagerank").persist()
     val n = Tables.embeddings(spark, SfDir).count()

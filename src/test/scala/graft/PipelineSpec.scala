@@ -11,6 +11,44 @@ class PipelineSpec extends SparkSpec {
 
   private def q(name: String) = PipelineOps.queries(name)(spark, SfDir)
 
+  test("ml_pr_curve sweeps monotonically and ends at full recall") {
+    val rows = q("ml_pr_curve").collect()
+    assert(rows.nonEmpty)
+    // threshold loosens down the output: predicted-positive counts grow
+    // strictly, recall never decreases, and the loosest threshold
+    // captures every positive
+    val nPred = rows.map(_.getAs[Long]("n_predicted"))
+    assert(nPred.zip(nPred.tail).forall { case (a, b) => a < b },
+      "n_predicted must be strictly increasing as the threshold loosens")
+    val recall = rows.map(_.getAs[Double]("recall"))
+    assert(recall.zip(recall.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "recall must be non-decreasing")
+    assert(math.abs(recall.last - 1.0) < 1e-9, "final recall must be 1")
+    // precision at the loosest threshold is the base rate
+    val docs = Tables.documents(spark, SfDir)
+    val base = docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    assert(math.abs(rows.last.getAs[Double]("precision") - base) < 1e-4)
+  }
+
+  test("ml_calibration bins partition the corpus and bound the mean prediction") {
+    val rows = q("ml_calibration").collect()
+    val total = Tables.documents(spark, SfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total,
+      "bins must partition the corpus")
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      val mp = r.getAs[Double]("mean_predicted")
+      val fp = r.getAs[Double]("frac_positive")
+      // p̂ = min(n_chars,500)/500 with bin = min(⌊n_chars/50⌋,9) keeps the
+      // bin mean inside [bin/10, (bin+1)/10) (top bin clamps at 1.0)
+      assert(mp >= bin / 10.0 - 1e-9, s"bin $bin mean $mp below range")
+      if (bin < 9) assert(mp < (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean $mp above range")
+      else assert(mp <= 1.0 + 1e-9)
+      assert(fp >= 0.0 && fp <= 1.0)
+    }
+  }
+
   test("pipe_sample_stratified is deterministic and a per-language subset") {
     val s1 = q("pipe_sample_stratified").collect().toSeq
     val s2 = q("pipe_sample_stratified").collect().toSeq

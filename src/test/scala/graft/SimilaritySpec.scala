@@ -17,6 +17,43 @@ class SimilaritySpec extends SparkSpec {
     assert(perSrc.filter(col("max_rn") > 5).count() === 0)
   }
 
+  test("ml_ndcg matches a hand-computed NDCG over the brute-force top-10") {
+    val row = q("ml_ndcg").head()
+    assert(row.getAs[Long]("n_cands") === 10L)
+    val (dcg, idcg, ndcg) = (row.getAs[Double]("dcg"),
+      row.getAs[Double]("idcg"), row.getAs[Double]("ndcg"))
+    assert(idcg >= dcg - 1e-9, "ideal ranking must dominate")
+    assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+    // replay the metric in Scala from ann_brute's ranking semantics
+    val probe = Tables.embeddings(spark, SfDir)
+      .filter(col("vec_id") === 42).head()
+    val qlabel = probe.getAs[Int]("label")
+    val qv = probe.getSeq[Float](probe.fieldIndex("embedding")).toArray
+    val cands = Tables.embeddings(spark, SfDir).filter(col("vec_id") =!= 42)
+      .collect().map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+        val dot = qv.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        val na = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        val sim = BigDecimal(dot / (na * nb) * 100)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), sim)
+      }
+      .sortBy { case (id, _, sim) => (-sim, id) }.take(10)
+    val gains = cands.map { case (_, l, _) =>
+      math.max(0, 3 - math.abs(l - qlabel)) match {
+        case 3 => 7.0; case 2 => 3.0; case 1 => 1.0; case _ => 0.0
+      }
+    }
+    val ws = SimilarityOps.NdcgWeights.map(_._2)
+    val expDcg = gains.zip(ws).map { case (g, w) => g * w }.sum
+    val expIdcg = gains.sorted.reverse.zip(ws).map { case (g, w) => g * w }.sum
+    assert(math.abs(dcg - expDcg) < 1e-4, s"dcg $dcg vs $expDcg")
+    assert(math.abs(idcg - expIdcg) < 1e-4, s"idcg $idcg vs $expIdcg")
+    if (expIdcg > 0)
+      assert(math.abs(ndcg - expDcg / expIdcg) < 1e-4)
+  }
+
   test("TopK partial aggregator matches the window top-k formulation") {
     // generic shuffle-topk component (map-side bounded buffer): no longer
     // on the sim_topk path (SelfPairwise top-k mode replaced it) but kept
