@@ -454,26 +454,70 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Geometric + harmonic means per group — the other two Pythagorean
+    // means (rates and ratios average geometrically/harmonically, not
+    // arithmetically; think per-token loss multipliers or throughput).
+    // Determinism discipline: ln(x) and 1/x are per-row transforms
+    // (cross-engine-identical to ≲1 ulp), but their SUMS are not — so
+    // each transform rounds to DECIMAL(28,10) BEFORE the fold, making
+    // the aggregation exact and order-independent; the final exp/divide
+    // are single exactly-rounded ops. One partial+final aggregation.
+    "agg_geomean" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(log(col("l_extendedprice")).cast("decimal(28,10)"))
+            .cast("double").as("sln"),
+          sum((lit(1.0) / col("l_extendedprice")).cast("decimal(28,10)"))
+            .cast("double").as("sinv"))
+        .select(col("l_returnflag"), col("n"),
+          round(exp(col("sln") / col("n")), 4).as("geo_mean"),
+          round(col("n") / col("sinv"), 4).as("harm_mean"))
+        .orderBy("l_returnflag")),
+
     // Exact weighted median: smallest price v whose cumulative quantity
     // weight (ordered by price) reaches half the group's total — the
     // lower weighted median, the order statistic behind cost-weighted
     // SLAs and weighted-percentile dashboards. Scale shape: the raw
-    // table first collapses to the (group, value) DISTINCT-VALUE relation
-    // with partial-aggregated weights — the only corpus-scale shuffle —
-    // and the cumulative window then sorts |groups|×|values| aggregate
-    // rows, not rows. Weights fold as exact DECIMAL so the running sum
+    // table first collapses to the (group, value) DISTINCT-VALUE
+    // relation with partial-aggregated weights — the only corpus-scale
+    // shuffle. The cumulative weight is then assigned the way
+    // `pipe_shuffle` assigns global positions: a range partition on
+    // (group, value) — a PARALLEL total sort — plus per-(partition,
+    // group) weight offsets from a #partitions×|groups|-bounded counts
+    // table; a `Window.partitionBy(group)` cumsum would serialize the
+    // whole relation through |groups| tasks, which for a low-cardinality
+    // group column (3 flags here) is the single-task collapse in
+    // disguise. Weights fold as exact DECIMAL so offsets, running sums,
     // and the ≥ total/2 comparison are order-independent and bit-equal
-    // cross-engine (plain double cumsums differ by summation tree).
+    // cross-engine — identical output to the naive one-window form the
+    // oracle replays.
     "agg_weighted_median" -> ((s, dir) => {
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // persisted: pid feeds both the offsets table and the cum join, and
+      // range boundaries come from sampling — recomputation across jobs
+      // could shift pids between the two (the pipe_shuffle determinism
+      // note); dictionary-sized relative to the raw table
       val byVal = Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(sum(col("l_quantity").cast("decimal(28,10)")).as("w"))
-      val cw = Window.partitionBy("l_returnflag").orderBy("v")
+        .repartitionByRange(nParts, col("l_returnflag"), col("v"))
+        .sortWithinPartitions(col("l_returnflag"), col("v"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offs = byVal.groupBy("pid", "l_returnflag")
+        .agg(sum(col("w")).as("pw"))
+        .withColumn("offset", coalesce(
+          sum(col("pw")).over(Window.partitionBy("l_returnflag")
+            .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast("decimal(38,10)")))
+        .withColumn("tot",
+          sum(col("pw")).over(Window.partitionBy("l_returnflag")))
+        .select("pid", "l_returnflag", "offset", "tot")
+      val cw = Window.partitionBy("pid", "l_returnflag").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tw = Window.partitionBy("l_returnflag")
-      byVal
-        .withColumn("cum", sum(col("w")).over(cw))
-        .withColumn("tot", sum(col("w")).over(tw))
+      byVal.join(broadcast(offs), Seq("pid", "l_returnflag"))
+        .withColumn("cum", sum(col("w")).over(cw) + col("offset"))
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy("l_returnflag")
         .agg(min(col("v")).as("weighted_median"),
@@ -483,6 +527,13 @@ object AggOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "agg_geomean" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(exp(CAST(sum(CAST(ln(l_extendedprice) AS DECIMAL(28,10)))
+                               AS DOUBLE) / count(*)), 4) AS geo_mean,
+                round(count(*) / CAST(sum(CAST(1.0 / l_extendedprice
+                               AS DECIMAL(28,10))) AS DOUBLE), 4) AS harm_mean
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_weighted_median" ->
       """WITH byval AS (
            SELECT l_returnflag, l_extendedprice AS v,

@@ -75,6 +75,9 @@ object PipelineOps {
     * the same code with an aggressive cutoff. */
   val VocabMinCount = 2L
 
+  /** Per-source token quota for `pipe_token_budget`'s greedy selection. */
+  val TokenBudget = 2000L
+
   /** The `pipe_vocab` plan, parameterized so the spec can force both the
     * frequency cutoff and the non-broadcast join path.
     *
@@ -260,6 +263,29 @@ object PipelineOps {
             .as("mean_predicted"),
           round(col("sp").cast("double") / col("n_docs"), 6).as("frac_positive"))
         .orderBy("bin")
+    }),
+
+    // Data selection under a token budget: per source, keep documents in
+    // quality order (longest-first here, unique doc_id tiebreak) while
+    // the running token total stays within the per-source budget — the
+    // "fill the mixture's token quota from the best documents" step of
+    // corpus curation. The cumulative window rides ONE shuffle on the
+    // source key; the budget test is on the running sum INCLUDING the
+    // candidate, and since token counts are positive the running sum is
+    // strictly increasing — the filter selects exactly a rank-order
+    // PREFIX (take-while-fits), deterministic and oracle-replayable.
+    // Integer token counts → exact cumsums.
+    "pipe_token_budget" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= TokenBudget)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
     }),
 
     // Dedup accounting: the cluster-size histogram over exact-content
@@ -718,6 +744,19 @@ object PipelineOps {
                 CAST(sum(p) AS BIGINT) AS n_pos,
                 CAST(sum(ng) AS BIGINT) AS n_neg
          FROM c""",
+    "pipe_token_budget" ->
+      """SELECT source, doc_id, n_tokens, cum_tokens FROM (
+           SELECT source, doc_id, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY n_tokens DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+           FROM (
+             SELECT source, doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents
+           )
+         ) WHERE cum_tokens <= 2000 ORDER BY source, cum_tokens""",
     "ml_pr_curve" ->
       """WITH bs AS (
            SELECT n_chars AS score,

@@ -537,6 +537,26 @@ object ProvidenciasOps {
             .as("assortativity"))
     }),
 
+    // Graph extension: bipartite projection — the user↔event-type
+    // bipartite graph projected onto event types, edge weight = number
+    // of users engaging both types (the co-occurrence/market-basket graph;
+    // same shape as item-item collaborative filtering). The raw stream
+    // first collapses to DISTINCT (user, type) — one partial-aggregated
+    // shuffle bounded by users × |types| — and the projection self-joins
+    // on user_id, where each user contributes |types(u)|² pairs, bounded
+    // by the type vocabulary squared, not by event volume. At scale the
+    // identical plan holds; a power-law entity (one user touching
+    // everything) caps at |types|² pairs, so no skew blow-up.
+    "graph_bipartite_proj" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val a = ut.select(col("user_id"), col("event_type").as("t1"))
+      val b = ut.select(col("user_id"), col("event_type").as("t2"))
+      a.join(b, "user_id").filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_shared_users"))
+        .orderBy("t1", "t2")
+    }),
+
     // A9 — directed 1-hop SIMILAR neighborhood of node 0 with similitud in
     // [10, 90] (reference :55-71). The edge is DERIVED: one broadcastable
     // probe row joined against the embeddings table — no O(n^2) blow-up,
@@ -556,6 +576,13 @@ object ProvidenciasOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_bipartite_proj" ->
+      """SELECT a.event_type AS t1, b.event_type AS t2,
+                count(*) AS n_shared_users
+         FROM (SELECT DISTINCT user_id, event_type FROM events) a
+         JOIN (SELECT DISTINCT user_id, event_type FROM events) b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY t1, t2 ORDER BY t1, t2""",
     "graph_assortativity" ->
       """WITH e AS MATERIALIZED (
            SELECT * FROM (

@@ -227,6 +227,28 @@ object StreamingOps {
             .as("cross_corr"))
     }),
 
+    // Seasonality profile: per event type, the hour-of-day activity
+    // histogram with each hour's share of the type's traffic and mean
+    // value — the diurnal fingerprint behind capacity planning and
+    // anomaly baselines ("is 3am traffic normal for this type?"). ONE
+    // partial-aggregated shuffle on (type, hour) — a ≤ |types|×24-row
+    // aggregate no matter the event volume; the share denominator is a
+    // window over that bounded aggregate, never the raw stream. Session
+    // timezone is pinned UTC on both engines, so hour() agrees.
+    "ts_seasonality" -> ((s, dir) => {
+      val byHour = Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,10)")).as("sv"))
+      val tot = Window.partitionBy("event_type")
+      byHour
+        .select(col("event_type"), col("hod"), col("n"),
+          round(col("sv").cast("double") / col("n"), 4).as("avg_value"),
+          round(col("n").cast("double") / sum(col("n")).over(tot), 6)
+            .as("share"))
+        .orderBy("event_type", "hod")
+    }),
+
     // CUSUM change-point detection: per user, the timestamp where the
     // cumulative deviation from the series mean |Σ_{i≤k}(vᵢ − v̄)| peaks —
     // the classic offline mean-shift locator (a level change puts the
@@ -263,6 +285,16 @@ object StreamingOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_seasonality" ->
+      """SELECT event_type, hod, n,
+                round(CAST(sv AS DOUBLE) / n, 4) AS avg_value,
+                round(CAST(n AS DOUBLE) /
+                      sum(n) OVER (PARTITION BY event_type), 6) AS share
+         FROM (
+           SELECT event_type, CAST(hour(ts) AS INT) AS hod, count(*) AS n,
+                  sum(CAST(value AS DECIMAL(28,10))) AS sv
+           FROM events GROUP BY event_type, hour(ts)
+         ) ORDER BY event_type, hod""",
     "ts_changepoint" ->
       """SELECT user_id, change_es, change_pos, n_events,
                 round(dev, 6) AS max_cusum

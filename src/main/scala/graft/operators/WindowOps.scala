@@ -175,6 +175,28 @@ object WindowOps {
         .orderBy("event_id")
     }),
 
+    // Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    // — the streak/churn primitive ("longest activity streak", "broke a
+    // 7-day streak"). The classic rn-difference trick: within a user,
+    // day − row_number(day) is constant exactly across a consecutive
+    // run, so one distinct-day aggregate + one window sort + one
+    // (user, anchor) groupBy does it all. The raw stream collapses to
+    // DISTINCT (user, day) in the first partial-aggregated shuffle
+    // (bounded by users × calendar, not event volume); everything after
+    // runs on that relation.
+    "win_gap_islands" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+      Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).cast("int").as("n_days"))
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    }),
+
     // Rolling OLS slope: the trend of `value` over its last SlopeFrame
     // observations per user — the local-trend feature every monitoring /
     // forecasting pipeline derives (a windowed `regr_slope`, which Spark
@@ -214,6 +236,15 @@ object WindowOps {
   val SessionGapSec = 1800L
 
   def oracles: Map[String, String] = Map(
+    "win_gap_islands" ->
+      """SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+                CAST(count(*) AS INT) AS n_days
+         FROM (
+           SELECT user_id, day,
+                  day - CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS INT) AS anchor
+           FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+         ) GROUP BY user_id, anchor ORDER BY user_id, start_day""",
     "win_moving_slope" ->
       """SELECT event_id, user_id,
                 CASE WHEN cnt = 5 THEN

@@ -17,6 +17,21 @@ class AggSpec extends SparkSpec {
     assert(bm === direct, "bitmap popcount must be exactly the distinct count")
   }
 
+  test("agg_geomean respects the AM ≥ GM ≥ HM chain") {
+    val rows = AggOps.queries("agg_geomean")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val am = Tables.lineitem(spark, SfDir).groupBy("l_returnflag")
+      .agg(avg("l_extendedprice").as("am"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("am")).toMap
+    rows.foreach { r =>
+      val (g, h) = (r.getAs[Double]("geo_mean"), r.getAs[Double]("harm_mean"))
+      val a = am(r.getString(0))
+      assert(h > 0 && g > 0)
+      assert(h <= g + 1e-6 && g <= a + 1e-6,
+        s"${r.getString(0)}: Pythagorean-mean inequality violated: $h ≤ $g ≤ $a")
+    }
+  }
+
   test("agg_weighted_median satisfies the defining half-mass property") {
     // the oracle pins cross-engine agreement; this pins the DEFINITION:
     // cumulative weight strictly below the median is < half the total,

@@ -311,6 +311,40 @@ class EdgeCaseSpec extends SparkSpec {
     ac.unpersist()
   }
 
+  test("ts_seasonality shares are a distribution over 0..23 per type") {
+    import graft.operators.StreamingOps
+    val se = StreamingOps.queries("ts_seasonality")(spark, SfDir).persist()
+    assert(se.filter(col("hod") < 0 || col("hod") > 23).count() === 0)
+    assert(se.agg(sum("n")).head().getLong(0) ===
+      Tables.events(spark, SfDir).count(), "hour cells partition the stream")
+    val shares = se.groupBy("event_type").agg(sum("share").as("s")).collect()
+    shares.foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-3,
+        s"${r.getString(0)}: shares sum to ${r.getAs[Double]("s")}")
+    }
+    se.unpersist()
+  }
+
+  test("win_gap_islands are maximal consecutive runs covering every active day") {
+    import graft.operators.WindowOps
+    val isl = WindowOps.queries("win_gap_islands")(spark, SfDir).persist()
+    // each island is internally consecutive
+    assert(isl.filter(datediff(col("end_day"), col("start_day")) + 1 =!=
+      col("n_days")).count() === 0, "island length must match its span")
+    // islands cover every distinct active day exactly once
+    val dayCount = Tables.events(spark, SfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(isl.agg(sum("n_days")).head().getLong(0) === dayCount)
+    // maximality: consecutive islands of a user are separated by ≥ 2 days
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_day")
+    val gaps = isl.withColumn("prev_end", lag(col("end_day"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        datediff(col("start_day"), col("prev_end")) < 2)
+    assert(gaps.count() === 0, "adjacent islands would merge — not maximal")
+    isl.unpersist()
+  }
+
   test("ts_changepoint peaks exactly where the hand-computed CUSUM peaks") {
     import graft.operators.StreamingOps
     val cp = StreamingOps.queries("ts_changepoint")(spark, SfDir).collect()

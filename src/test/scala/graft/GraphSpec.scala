@@ -11,6 +11,21 @@ class GraphSpec extends SparkSpec {
 
   private def q(name: String) = ProvidenciasOps.queries(name)(spark, SfDir)
 
+  test("graph_bipartite_proj weights equal the distinct shared-user counts") {
+    val proj = q("graph_bipartite_proj").persist()
+    assert(proj.filter(col("t1") >= col("t2")).count() === 0,
+      "edges must be oriented t1 < t2, no self-loops")
+    assert(proj.filter(col("n_shared_users") < 1).count() === 0)
+    // spot-check the heaviest edge against a direct two-sided count
+    val top = proj.orderBy(col("n_shared_users").desc, col("t1"), col("t2")).head()
+    val (t1, t2) = (top.getString(0), top.getString(1))
+    val ev = Tables.events(spark, SfDir)
+    val u1 = ev.filter(col("event_type") === t1).select("user_id").distinct()
+    val u2 = ev.filter(col("event_type") === t2).select("user_id").distinct()
+    assert(top.getAs[Long]("n_shared_users") === u1.join(u2, "user_id").count())
+    proj.unpersist()
+  }
+
   test("graph_assortativity equals native corr over the directed stubs") {
     import graft.operators.SimilarityOps
     val row = q("graph_assortativity").head()

@@ -11,6 +11,33 @@ class PipelineSpec extends SparkSpec {
 
   private def q(name: String) = PipelineOps.queries(name)(spark, SfDir)
 
+  test("pipe_token_budget keeps exactly the rank-prefix that fits") {
+    val kept = q("pipe_token_budget").persist()
+    assert(kept.filter(col("cum_tokens") > PipelineOps.TokenBudget).count() === 0)
+    // prefix contract per source: every document ranked above a kept one
+    // is also kept (no holes in the greedy order)
+    val ranked = Tables.documents(spark, SfDir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("n_tokens").desc, col("doc_id"))))
+    val withRk = kept.join(ranked.select("source", "doc_id", "rk"),
+      Seq("source", "doc_id"))
+    val maxRk = withRk.groupBy("source").agg(
+      max("rk").as("max_rk"), count(lit(1)).as("n_kept"))
+    assert(maxRk.filter(col("max_rk") =!= col("n_kept")).count() === 0,
+      "kept set must be a contiguous rank prefix")
+    // and the next-ranked doc (if any) would overflow the budget
+    val next = maxRk.join(ranked, "source")
+      .filter(col("rk") === col("max_rk") + 1)
+    val cumKept = kept.groupBy("source").agg(sum("n_tokens").as("kept_tokens"))
+    val overflow = next.join(cumKept, "source")
+      .filter(col("kept_tokens") + col("n_tokens") <= PipelineOps.TokenBudget)
+    assert(overflow.count() === 0, "a fitting document was left out")
+    kept.unpersist()
+  }
+
   test("ml_pr_curve sweeps monotonically and ends at full recall") {
     val rows = q("ml_pr_curve").collect()
     assert(rows.nonEmpty)
