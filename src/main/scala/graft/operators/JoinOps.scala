@@ -230,8 +230,44 @@ object JoinOps {
         .filter(col("is_click") === 0)
         .select(col("event_id"), col("user_id"), col("ts"), col("click_id"), col("click_ts"))
         .orderBy("event_id")
+    }),
+
+    // As-of join with a staleness tolerance (pandas merge_asof's
+    // `tolerance=`, kdb wj): each purchase matches its most recent click
+    // only if that click is within MaxStalenessUs — older attributions
+    // are discarded as NULL, the standard attribution-window contract.
+    // Same union-tag + last-ignoring-nulls merge as `join_asof` (ONE
+    // window sort, no row-multiplying range join); the tolerance is a
+    // post-window null-out, correct because any click older than the
+    // most recent one is staler still. Timestamps compare in exact
+    // integer microseconds (unix_micros ↔ epoch_us) — second-floored
+    // arithmetic would misclassify sub-second boundaries.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tagged = ev
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_type") === "click").cast("int").as("is_click"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fresh = unix_micros(col("ts")) - unix_micros(col("click_ts")) <=
+        MaxStalenessUs
+      tagged
+        .withColumn("click_id",
+          last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("is_click") === 1, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(fresh, col("click_id")).as("click_id"),
+          when(fresh, col("click_ts")).as("click_ts"))
+        .orderBy("event_id")
     })
   )
+
+  /** Attribution window for `join_asof_tolerance` (30 min, microseconds). */
+  val MaxStalenessUs = 1800L * 1000000L
 
   def oracles: Map[String, String] = Map(
     "join_inner_hash" ->
@@ -311,6 +347,15 @@ object JoinOps {
       """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
          FROM events p LEFT JOIN events c
            ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase'
+         QUALIFY row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1
+         ORDER BY p.event_id""",
+    "join_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
+         FROM events p LEFT JOIN events c
+           ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+          AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
          WHERE p.event_type = 'purchase'
          QUALIFY row_number() OVER (PARTITION BY p.event_id
                                     ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1

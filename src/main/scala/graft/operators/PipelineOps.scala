@@ -78,6 +78,10 @@ object PipelineOps {
   /** Per-source token quota for `pipe_token_budget`'s greedy selection. */
   val TokenBudget = 2000L
 
+  /** Epoch token budget for `pipe_repeat_factors` (double: it only ever
+    * scales exactly-rounded fp products). */
+  val EpochBudgetTokens = 1.0e7
+
   /** The `pipe_vocab` plan, parameterized so the spec can force both the
     * frequency cutoff and the non-broadcast join path.
     *
@@ -241,6 +245,45 @@ object PipelineOps {
         .orderBy(col("score").desc)
     }),
 
+    // Cumulative gains/lift table: rank the population by score, cut into
+    // deciles, and report what fraction of all positives the top-k
+    // deciles capture and their lift over the base rate — the
+    // targeting-efficiency chart next to the PR curve. Same scale
+    // discipline as `ml_pr_curve`: the corpus collapses to the
+    // distinct-score relation first, cumulative sums ride a window over
+    // the score DOMAIN, and decile assignment is pure BIGINT arithmetic
+    // (ceil via (10·cumr + N − 1) DIV N — tie blocks land wholly in the
+    // decile of their last row, the documented convention; float decile
+    // math would drift at block edges). Lift = three exactly-rounded
+    // divisions over integer sums — bit-stable at 6dp.
+    "ml_lift_gain" -> ((s, dir) => {
+      val byScore = Tables.documents(s, dir)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("score")
+        .agg(sum(col("pos")).as("p"), count(lit(1)).as("r"))
+      val cumw = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      byScore
+        .withColumn("cump", sum(col("p")).over(cumw))
+        .withColumn("cumr", sum(col("r")).over(cumw))
+        .withColumn("nt", sum(col("r")).over(tot))
+        .withColumn("np", sum(col("p")).over(tot))
+        .withColumn("decile",
+          least(lit(9L), expr("(10 * cumr + nt - 1) DIV nt") - 1))
+        .groupBy("decile")
+        .agg(sum(col("r")).as("n_rows"), sum(col("p")).as("n_pos"),
+          max(col("cumr")).as("cum_rows"), max(col("cump")).as("cum_pos"),
+          max(col("nt")).as("nt"), max(col("np")).as("np"))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          round(col("cum_pos").cast("double") / col("np"), 6)
+            .as("cum_capture"),
+          round((col("cum_pos").cast("double") / col("cum_rows")) /
+            (col("np").cast("double") / col("nt")), 6).as("lift"))
+        .orderBy("decile")
+    }),
+
     // Calibration (reliability) table: predicted probability binned into
     // deciles vs the empirical positive rate per bin — the
     // reliability-diagram data behind "is this scorer calibrated?".
@@ -263,6 +306,34 @@ object PipelineOps {
             .as("mean_predicted"),
           round(col("sp").cast("double") / col("n_docs"), 6).as("frac_positive"))
         .orderBy("bin")
+    }),
+
+    // Epoch-plan repeat factors: given each source's token count, compute
+    // its temperature-scaled mixture weight (p^0.5 — `pipe_mix_temperature`'s
+    // up-weighting of small high-quality sources), the token target it
+    // should contribute to a fixed epoch budget, and the repeat factor
+    // (>1 ⇒ the source is traversed more than once per epoch — the
+    // "how many epochs of each source" plan from data-constrained
+    // scaling practice). One tokenize aggregation into a |sources|-row
+    // relation; everything after is arithmetic on that bounded table.
+    // sqrt is IEEE-exactly-rounded (unlike ln/exp) and the √token
+    // weights round to DECIMAL before the normalizing sum, so the plan
+    // is bit-stable cross-engine.
+    "pipe_repeat_factors" -> ((s, dir) => {
+      val tot = Window.partitionBy()
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("sq",
+          sqrt(col("n_tokens").cast("double")).cast("decimal(28,10)"))
+        .withColumn("w",
+          col("sq").cast("double") / sum(col("sq")).over(tot).cast("double"))
+        .select(col("source"), col("n_tokens"),
+          round(col("w"), 6).as("weight"),
+          floor(col("w") * EpochBudgetTokens).cast("long").as("target_tokens"),
+          round(col("w") * EpochBudgetTokens / col("n_tokens"), 4)
+            .as("repeat_factor"))
+        .orderBy("source")
     }),
 
     // Data selection under a token budget: per source, keep documents in
@@ -744,6 +815,24 @@ object PipelineOps {
                 CAST(sum(p) AS BIGINT) AS n_pos,
                 CAST(sum(ng) AS BIGINT) AS n_neg
          FROM c""",
+    "pipe_repeat_factors" ->
+      """WITH tok AS (
+           SELECT source,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source
+         ), w AS (
+           SELECT source, n_tokens,
+                  CAST(sq AS DOUBLE) / CAST(sum(sq) OVER () AS DOUBLE) AS w
+           FROM (
+             SELECT source, n_tokens,
+                    CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS sq
+             FROM tok
+           )
+         )
+         SELECT source, n_tokens, round(w, 6) AS weight,
+                CAST(floor(w * 10000000.0) AS BIGINT) AS target_tokens,
+                round(w * 10000000.0 / n_tokens, 4) AS repeat_factor
+         FROM w ORDER BY source""",
     "pipe_token_budget" ->
       """SELECT source, doc_id, n_tokens, cum_tokens FROM (
            SELECT source, doc_id, n_tokens,
@@ -777,6 +866,32 @@ object PipelineOps {
                 round(CAST(cump AS DOUBLE) / npos, 6) AS recall,
                 CAST(cump + cumn AS BIGINT) AS n_predicted
          FROM c ORDER BY score DESC""",
+    "ml_lift_gain" ->
+      """WITH bs AS (
+           SELECT n_chars AS score,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+                  count(*) AS r
+           FROM documents GROUP BY n_chars
+         ), c AS (
+           SELECT p, r,
+                  CAST(sum(p) OVER w AS BIGINT) AS cump,
+                  CAST(sum(r) OVER w AS BIGINT) AS cumr,
+                  CAST(sum(r) OVER () AS BIGINT) AS nt,
+                  CAST(sum(p) OVER () AS BIGINT) AS np
+           FROM bs
+           WINDOW w AS (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )
+         SELECT decile, CAST(sum(r) AS BIGINT) AS n_rows,
+                CAST(sum(p) AS BIGINT) AS n_pos,
+                round(CAST(max(cump) AS DOUBLE) / max(np), 6) AS cum_capture,
+                round((CAST(max(cump) AS DOUBLE) / max(cumr)) /
+                      (CAST(max(np) AS DOUBLE) / max(nt)), 6) AS lift
+         FROM (
+           SELECT p, r, cump, cumr, nt, np,
+                  least(9, (10 * cumr + nt - 1) // nt - 1) AS decile
+           FROM c
+         ) GROUP BY decile ORDER BY decile""",
     "ml_calibration" ->
       """SELECT bin, count(*) AS n_docs,
                 round(CAST(sum(pn) AS DOUBLE) / 500.0 / count(*), 6)

@@ -311,6 +311,27 @@ class EdgeCaseSpec extends SparkSpec {
     ac.unpersist()
   }
 
+  test("join_asof_tolerance keeps exactly the fresh attributions") {
+    val base = JoinOps.queries("join_asof")(spark, SfDir)
+      .select(col("event_id"), col("click_ts").as("b_click_ts"),
+        col("click_id").as("b_click_id"))
+    val tol = JoinOps.queries("join_asof_tolerance")(spark, SfDir).persist()
+    assert(tol.count() === base.count(), "one row per purchase either way")
+    val j = tol.join(base, Seq("event_id"))
+    // a kept match is the SAME click the plain as-of picks, and fresh
+    val stale = unix_micros(col("ts")) - unix_micros(col("click_ts")) >
+      JoinOps.MaxStalenessUs
+    assert(j.filter(col("click_id").isNotNull &&
+      (stale || col("click_id") =!= col("b_click_id"))).count() === 0,
+      "kept matches must be the as-of click and within tolerance")
+    // a nulled row means the as-of click (if any) was stale
+    assert(j.filter(col("click_id").isNull && col("b_click_id").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("b_click_ts")) <=
+        JoinOps.MaxStalenessUs).count() === 0,
+      "a fresh as-of click must never be nulled")
+    tol.unpersist()
+  }
+
   test("ts_seasonality shares are a distribution over 0..23 per type") {
     import graft.operators.StreamingOps
     val se = StreamingOps.queries("ts_seasonality")(spark, SfDir).persist()

@@ -11,6 +11,37 @@ class PipelineSpec extends SparkSpec {
 
   private def q(name: String) = PipelineOps.queries(name)(spark, SfDir)
 
+  test("ml_lift_gain deciles partition the population and converge to lift 1") {
+    val rows = q("ml_lift_gain").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, SfDir)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === docs.count(),
+      "deciles must partition the ranked population")
+    val caps = rows.map(_.getAs[Double]("cum_capture"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "cumulative capture must be non-decreasing")
+    assert(math.abs(caps.last - 1.0) < 1e-9, "full population captures everything")
+    assert(math.abs(rows.last.getAs[Double]("lift") - 1.0) < 1e-6,
+      "lift over the whole population is 1 by definition")
+  }
+
+  test("pipe_repeat_factors weights normalize and targets fill the budget") {
+    val rows = q("pipe_repeat_factors").collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    val tsum = rows.map(_.getAs[Long]("target_tokens")).sum
+    val budget = PipelineOps.EpochBudgetTokens
+    assert(tsum <= budget && tsum >= budget - rows.length,
+      s"floored targets must fill the budget up to rounding: $tsum")
+    rows.foreach { r =>
+      val implied = r.getAs[Double]("repeat_factor") * r.getAs[Long]("n_tokens")
+      assert(math.abs(implied - r.getAs[Long]("target_tokens")) <=
+        r.getAs[Long]("n_tokens") * 1e-4 + 1.0,
+        s"${r.getString(0)}: repeat factor inconsistent with its target")
+    }
+  }
+
   test("pipe_token_budget keeps exactly the rank-prefix that fits") {
     val kept = q("pipe_token_budget").persist()
     assert(kept.filter(col("cum_tokens") > PipelineOps.TokenBudget).count() === 0)
