@@ -308,6 +308,60 @@ object PipelineOps {
         .orderBy("bin")
     }),
 
+    // BPE merge-rule learning, 3 rounds unrolled as ONE declarative plan —
+    // the tokenizer-training core (Sennrich et al. 2016): count adjacent
+    // symbol pairs across the corpus (frequency-weighted), adopt the most
+    // frequent pair as a merge rule, rewrite the vocabulary, repeat.
+    // Scale shape: the ONLY corpus-scale pass is the word-frequency
+    // aggregate; every round then runs on the VOCABULARY-sized relation
+    // (words as spaced symbol sequences), exactly how production BPE
+    // trainers operate (word-counts in, rules out). Each round is a
+    // vocab-scale pair explode + partial-agg count, a 1-row top-1
+    // (TakeOrderedAndProject, (count desc, pair) tiebreak — never a
+    // global rank window), and a broadcast rewrite. The rewrite applies
+    // the ' a b '→' ab ' regex twice because left-to-right non-overlap
+    // consumes the shared delimiter (pass 2 catches the odd occurrences
+    // of an alternating run — exact for the runs this corpus contains,
+    // and IDENTICALLY partial on both engines regardless: Java regex and
+    // RE2 share l-t-r non-overlapping semantics). Words are filtered to
+    // ^[a-z]+$ so pair strings are regex-literal-safe by construction.
+    "pipe_bpe_train" -> ((s, dir) => {
+      val vocab0 = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .select(concat(lit(" "),
+          regexp_replace(col("word"), "(.)", "$1 ")).as("seq"), col("f"))
+      def pairCounts(v: DataFrame): DataFrame =
+        v.select(split(trim(col("seq")), " ").as("a"), col("f"))
+          .filter(size(col("a")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))"))
+            .as("pair"), col("f"))
+          .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      def top1(pc: DataFrame): DataFrame =
+        pc.orderBy(col("cnt").desc, col("pair")).limit(1)
+      def merge(v: DataFrame, top: DataFrame): DataFrame = {
+        val pat = concat(lit(" "), col("pair"), lit(" "))
+        val rep = concat(lit(" "), regexp_replace(col("pair"), " ", ""), lit(" "))
+        v.crossJoin(broadcast(top.select(col("pair"))))
+          .select(regexp_replace(regexp_replace(col("seq"), pat, rep), pat, rep)
+            .as("seq"), col("f"))
+      }
+      val v0 = vocab0.persist()
+      val t1 = top1(pairCounts(v0)).persist()
+      val v1 = merge(v0, t1).persist()
+      val t2 = top1(pairCounts(v1)).persist()
+      val v2 = merge(v1, t2).persist()
+      val t3 = top1(pairCounts(v2)).persist()
+      t1.select(lit(1).as("round"), col("pair"), col("cnt"))
+        .union(t2.select(lit(2).as("round"), col("pair"), col("cnt")))
+        .union(t3.select(lit(3).as("round"), col("pair"), col("cnt")))
+        .select(col("round"), col("pair"),
+          regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
+        .orderBy("round")
+    }),
+
     // Epoch-plan repeat factors: given each source's token count, compute
     // its temperature-scaled mixture weight (p^0.5 — `pipe_mix_temperature`'s
     // up-weighting of small high-quality sources), the token target it
@@ -815,6 +869,56 @@ object PipelineOps {
                 CAST(sum(p) AS BIGINT) AS n_pos,
                 CAST(sum(ng) AS BIGINT) AS n_neg
          FROM c""",
+    // each round: pair-count CTE → 1-row top-1 CTE → rewritten vocab CTE;
+    // the double regexp_replace mirrors the Spark side's two passes
+    "pipe_bpe_train" ->
+      """WITH v0 AS (
+           SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq,
+                  count(*) AS f
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE regexp_matches(word, '^[a-z]+$')
+           GROUP BY word
+         ), p1 AS (
+           SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(a)),
+                      i -> a[i] || ' ' || a[i + 1])) AS pair, f
+             FROM (SELECT string_split(trim(seq), ' ') AS a, f FROM v0)
+             WHERE len(a) >= 2
+           ) GROUP BY pair
+         ), t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+         v1 AS (
+           SELECT regexp_replace(regexp_replace(seq,
+                    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ', 'g'),
+                    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ', 'g')
+                    AS seq, f
+           FROM v0 CROSS JOIN t1
+         ), p2 AS (
+           SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(a)),
+                      i -> a[i] || ' ' || a[i + 1])) AS pair, f
+             FROM (SELECT string_split(trim(seq), ' ') AS a, f FROM v1)
+             WHERE len(a) >= 2
+           ) GROUP BY pair
+         ), t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+         v2 AS (
+           SELECT regexp_replace(regexp_replace(seq,
+                    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ', 'g'),
+                    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ', 'g')
+                    AS seq, f
+           FROM v1 CROSS JOIN t2
+         ), p3 AS (
+           SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(a)),
+                      i -> a[i] || ' ' || a[i + 1])) AS pair, f
+             FROM (SELECT string_split(trim(seq), ' ') AS a, f FROM v2)
+             WHERE len(a) >= 2
+           ) GROUP BY pair
+         ), t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+         SELECT round, pair, replace(pair, ' ', '') AS merged, cnt FROM (
+           SELECT 1 AS round, pair, cnt FROM t1
+           UNION ALL SELECT 2 AS round, pair, cnt FROM t2
+           UNION ALL SELECT 3 AS round, pair, cnt FROM t3
+         ) ORDER BY round""",
     "pipe_repeat_factors" ->
       """WITH tok AS (
            SELECT source,

@@ -25,6 +25,31 @@ class PipelineSpec extends SparkSpec {
       "lift over the whole population is 1 by definition")
   }
 
+  test("pipe_bpe_train's first rule is the true argmax pair, merges spaceless") {
+    val rows = q("pipe_bpe_train").collect()
+    assert(rows.length === 3, "three unrolled merge rounds")
+    // replay round 1 from the raw word-frequency relation
+    val words = Tables.documents(spark, SfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    words.foreach { case (w, f) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        counts(s"${p(0)} ${p(1)}") += f
+      }
+    }
+    val best = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert(rows(0).getAs[String]("pair") === best._1,
+      s"round-1 rule ${rows(0).getAs[String]("pair")} vs replay ${best._1}")
+    assert(rows(0).getAs[Long]("cnt") === best._2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("pair").replace(" ", ""))
+    }
+  }
+
   test("pipe_repeat_factors weights normalize and targets fill the budget") {
     val rows = q("pipe_repeat_factors").collect()
     assert(rows.nonEmpty)
