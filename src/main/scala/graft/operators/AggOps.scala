@@ -523,6 +523,62 @@ object AggOps {
         .agg(min(col("v")).as("weighted_median"),
           max(col("tot")).cast("double").as("total_weight"))
         .orderBy("l_returnflag")
+    }),
+
+    // Chi-square independence test between two categoricals — the
+    // contingency-table screen behind feature selection and A/B sanity
+    // checks ("is order priority independent of status?"). ONE
+    // corpus-scale aggregation collapses the fact table to the
+    // |status|×|priority| cell relation (map-side combine does the heavy
+    // lifting); the three marginal windows and the chi2 total all run
+    // over that bounded contingency table, never the corpus. Expected
+    // counts and per-cell contributions are exactly-rounded IEEE
+    // products/divisions of integers pre-rounded at 6dp, and the final
+    // chi2 sums those ROUNDED terms as exact DECIMAL — order-independent
+    // and bit-equal cross-engine.
+    "agg_chi2" -> ((s, dir) => {
+      val tot = Window.partitionBy()
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("obs"))
+        .withColumn("row_tot",
+          sum(col("obs")).over(Window.partitionBy("status")))
+        .withColumn("col_tot",
+          sum(col("obs")).over(Window.partitionBy("priority")))
+        .withColumn("n", sum(col("obs")).over(tot))
+        .withColumn("expected", round(
+          col("row_tot").cast("double") * col("col_tot") / col("n"), 6))
+        .withColumn("contrib", round(
+          (col("obs") - col("expected")) * (col("obs") - col("expected")) /
+            col("expected"), 6))
+        .withColumn("chi2",
+          sum(col("contrib").cast("decimal(28,10)")).over(tot).cast("double"))
+        .select(col("status"), col("priority"), col("obs"), col("row_tot"),
+          col("col_tot"), col("expected"), col("contrib"), col("chi2"))
+        .orderBy("status", "priority")
+    }),
+
+    // Median absolute deviation — the robust dispersion / outlier-scale
+    // statistic data-cleaning pipelines use where stddev is skew-fragile.
+    // Two aggregation passes over the fact table (exact median of
+    // values, then exact median of |value − median|), the per-group
+    // medians joined back as a BROADCAST of the |event types|-row stats
+    // relation — never a window over raw events. Interpolating exact
+    // percentile matches DuckDB's quantile_cont; the deviation is one
+    // exactly-rounded IEEE subtraction, so the second median ranks
+    // identically cross-engine.
+    "agg_mad" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"),
+          count(lit(1)).as("n"))
+      ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(round(min(col("med")), 4).as("med"),
+          min(col("n")).as("n"),
+          round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+        .orderBy("event_type")
     })
   )
 
@@ -765,6 +821,40 @@ object AggOps {
     "agg_custom_wavg" ->
       """SELECT l_returnflag,
                 round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // marginals/expected/contrib replay the Spark windows over the same
+    // bounded cell relation; chi2 sums the pre-rounded contribs as DECIMAL
+    "agg_chi2" ->
+      """WITH cells AS (
+           SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                  count(*) AS obs
+           FROM orders GROUP BY 1, 2
+         ), t AS (
+           SELECT status, priority, CAST(obs AS BIGINT) AS obs,
+                  CAST(sum(obs) OVER (PARTITION BY status) AS BIGINT) AS row_tot,
+                  CAST(sum(obs) OVER (PARTITION BY priority) AS BIGINT) AS col_tot,
+                  CAST(sum(obs) OVER () AS BIGINT) AS n
+           FROM cells
+         ), e AS (
+           SELECT *, round(CAST(row_tot AS DOUBLE) * col_tot / n, 6) AS expected
+           FROM t
+         ), c AS (
+           SELECT *, round((obs - expected) * (obs - expected) / expected, 6) AS contrib
+           FROM e
+         )
+         SELECT status, priority, obs, row_tot, col_tot, expected, contrib,
+                CAST(sum(CAST(contrib AS DECIMAL(28,10))) OVER () AS DOUBLE) AS chi2
+         FROM c ORDER BY status, priority""",
+    // the deviation median consumes the UNROUNDED per-type median, same
+    // as the Spark side; quantile_cont == Spark's interpolating percentile
+    "agg_mad" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med, count(*) AS n
+           FROM events GROUP BY event_type
+         )
+         SELECT e.event_type, round(min(m.med), 4) AS med, min(m.n) AS n,
+                round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+         FROM events e JOIN med m USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type"""
   )
 }

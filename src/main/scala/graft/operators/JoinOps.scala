@@ -263,6 +263,62 @@ object JoinOps {
           when(fresh, col("click_id")).as("click_id"),
           when(fresh, col("click_ts")).as("click_ts"))
         .orderBy("event_id")
+    }),
+
+    // Nearest-value join: for every customer, the supplier in the SAME
+    // nation whose account balance is closest (entity matching on a
+    // numeric axis — the "closest reading / closest price" join). Done
+    // with the as-of idiom run in BOTH directions: suppliers collapse to
+    // one row per (nation, balance) first (min suppkey — makes the
+    // nearest ref deterministic AND shrinks the ref side to its value
+    // domain), then one union + ONE window sort partitioned on the
+    // nation key yields the nearest-below (last ref at-or-before) and
+    // nearest-above (first ref after) per customer; a final row-local
+    // compare picks the closer, ties preferring the LOWER balance. No
+    // row-multiplying range join, no broadcast requirement on either
+    // side — both relations can be billions of rows, and the only
+    // shuffle is the partition-by-nation sort. Distances are single
+    // exactly-rounded IEEE subtractions, so the <= compare matches the
+    // oracle's ORDER BY abs() bit-for-bit.
+    "join_nearest" -> ((s, dir) => {
+      val refs = Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey").cast("long").as("nk"),
+          col("s_acctbal").as("v"))
+        .agg(min(col("s_suppkey")).as("ref_key"))
+      val probes = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("nk"),
+          col("c_custkey"), col("c_acctbal").as("v"))
+      val tagged = refs
+        .select(col("nk"), col("v"), col("ref_key"),
+          lit(null).cast("long").as("c_custkey"), lit(0).as("is_probe"))
+        .unionByName(probes.select(col("nk"), col("v"),
+          lit(null).cast("long").as("ref_key"), col("c_custkey"),
+          lit(1).as("is_probe")))
+      // refs sort before probes at equal v, so an exactly-equal balance
+      // is "at or below" (distance 0 wins via the below branch)
+      val ord = Seq(col("v"), col("is_probe"), col("c_custkey"))
+      val wb = Window.partitionBy("nk").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy("nk").orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val ref = when(col("is_probe") === 0, struct(col("v"), col("ref_key")))
+      val below = last(ref, ignoreNulls = true).over(wb)
+      val above = first(ref, ignoreNulls = true).over(wa)
+      val dB = col("v") - col("below.v")
+      val dA = col("above.v") - col("v")
+      val pickBelow = col("above").isNull ||
+        (col("below").isNotNull && dB <= dA)
+      tagged
+        .withColumn("below", below)
+        .withColumn("above", above)
+        .filter(col("is_probe") === 1)
+        .select(col("c_custkey"), col("nk"), col("v").as("c_acctbal"),
+          when(pickBelow, col("below.ref_key")).otherwise(col("above.ref_key"))
+            .as("s_suppkey"),
+          when(pickBelow, col("below.v")).otherwise(col("above.v"))
+            .as("s_acctbal"),
+          round(when(pickBelow, dB).otherwise(dA), 2).as("dist"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -359,6 +415,24 @@ object JoinOps {
          WHERE p.event_type = 'purchase'
          QUALIFY row_number() OVER (PARTITION BY p.event_id
                                     ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1
-         ORDER BY p.event_id"""
+         ORDER BY p.event_id""",
+    // ground truth per probe via a lateral argmin over the collapsed
+    // (nation, balance) ref relation; ties on distance break to the
+    // LOWER balance, matching the Spark side's pick-below preference
+    "join_nearest" ->
+      """WITH refs AS (
+           SELECT CAST(s_nationkey AS BIGINT) AS nk, s_acctbal AS v,
+                  min(s_suppkey) AS ref_key
+           FROM supplier GROUP BY 1, 2
+         )
+         SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS nk, c.c_acctbal,
+                r.ref_key AS s_suppkey, r.v AS s_acctbal,
+                round(abs(r.v - c.c_acctbal), 2) AS dist
+         FROM customer c LEFT JOIN LATERAL (
+           SELECT v, ref_key FROM refs
+           WHERE refs.nk = CAST(c.c_nationkey AS BIGINT)
+           ORDER BY abs(v - c.c_acctbal), v LIMIT 1
+         ) r ON TRUE
+         ORDER BY c_custkey"""
   )
 }

@@ -848,8 +848,48 @@ object PipelineOps {
         .select(col("doc_id"), col("skey"),
           (row_number().over(w).cast("long") - 1L + col("offset")).as("pos"))
         .orderBy("pos")
+    }),
+
+    // Model-based quality filtering with a FIXED linear scorer — the
+    // shape of the fasttext/CCNet quality-classifier gate every web-scale
+    // corpus applies, made reproducible: engineered per-doc features
+    // (stopword ratio, length score, digit ratio) feed a literal-weight
+    // linear logit, and keep = logit ≥ 0. A pure codegen'd row map, ZERO
+    // shuffles — at 100 TB this is a scan the quality gate rides for
+    // free. Determinism: every feature is an exactly-rounded IEEE
+    // division, each weighted term pre-rounds to 6dp, and the fixed
+    // left-assoc 3-term sum of rounded doubles is bit-equal cross-engine
+    // (no ln/exp — a sigmoid would order-drift; the keep decision only
+    // needs the logit's sign anyway).
+    "pipe_quality_logit" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopRatio = round(
+        size(expr(s"filter(split(text, ' '), t -> t IN ($StopwordList))"))
+          .cast("double") / nTok, 6)
+      val lenScore = round(least(nTok, lit(256)).cast("double") / 256.0, 6)
+      val digitRatio = round(
+        size(expr("filter(split(text, ' '), t -> t rlike '^[0-9]+$')"))
+          .cast("double") / nTok, 6)
+      val logit = round(lit(-0.6) + round(lit(3.0) * stopRatio, 6) +
+        round(lit(1.5) * lenScore, 6) - round(lit(2.0) * digitRatio, 6), 6)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+          stopRatio.as("stop_ratio"), lenScore.as("len_score"),
+          digitRatio.as("digit_ratio"), logit.as("logit"),
+          (logit >= 0.0).as("keep"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Stopword mini-lexicon for `pipe_quality_logit` (SQL IN-list form,
+    * shared verbatim with the oracle): high-frequency English + Spanish
+    * function words — enough signal for the demonstration scorer while
+    * staying lexicon-free and portable. */
+  val StopwordList: String =
+    Seq("the", "of", "and", "a", "in", "to", "is", "it", "that", "for",
+      "de", "la", "el", "en", "y", "que", "los", "un", "por", "con")
+      .map(w => s"'$w'").mkString(", ")
 
   def oracles: Map[String, String] = Map(
     "ml_auc" ->
@@ -1280,6 +1320,31 @@ object PipelineOps {
          LEFT JOIN base p ON p.user_id = a.user_id AND p.event_type = 'purchase'
          WHERE a.first_click IS NOT NULL
          GROUP BY a.user_id, a.first_click, a.n_clicks, a.n_purchases
-         ORDER BY a.user_id"""
+         ORDER BY a.user_id""",
+    // identical feature definitions, identical IN-list, identical
+    // pre-rounded left-assoc logit fold (see the Spark-side scale note)
+    "pipe_quality_logit" ->
+      s"""WITH f AS (
+           SELECT doc_id,
+                  len(string_split(text, ' ')) AS n_tok,
+                  round(CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ($StopwordList))) AS DOUBLE)
+                        / len(string_split(text, ' ')), 6) AS stop_ratio,
+                  round(CAST(least(len(string_split(text, ' ')), 256) AS DOUBLE)
+                        / 256.0, 6) AS len_score,
+                  round(CAST(len(list_filter(string_split(text, ' '),
+                          t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE)
+                        / len(string_split(text, ' ')), 6) AS digit_ratio
+           FROM documents
+         ), g AS (
+           SELECT *,
+                  round(CAST(-0.6 AS DOUBLE) + round(3.0 * stop_ratio, 6)
+                        + round(1.5 * len_score, 6)
+                        - round(2.0 * digit_ratio, 6), 6) AS logit
+           FROM f
+         )
+         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, stop_ratio,
+                len_score, digit_ratio, logit, logit >= 0.0 AS keep
+         FROM g ORDER BY doc_id"""
   )
 }

@@ -461,6 +461,39 @@ object SimilarityOps {
         .select(col("n_cands"), round(col("dcg"), 6).as("dcg"),
           round(col("idcg"), 6).as("idcg"),
           round(when(col("idcg") > 0, col("dcg") / col("idcg")), 6).as("ndcg"))
+    }),
+
+    // MRR@10 + hits@10 — the binary-relevance companion to `ml_ndcg`
+    // (the metric QA/retrieval evals report when each query has exactly
+    // one right answer class): relevant = same label as the probe; MRR
+    // is the reciprocal rank of the FIRST relevant candidate, 0 if the
+    // top-10 has none. Scale shape is identical to `ann_brute`: one
+    // broadcast-probe scan + TakeOrderedAndProject top-10, then both the
+    // rank window and the final aggregate run over the 10-row candidate
+    // relation (the global Window.orderBy is LIMIT-bounded, not corpus).
+    // 1/rank is an exactly-rounded IEEE division of small integers, so
+    // no cross-engine fp drift.
+    "ml_mrr" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") === 42)
+        .select(col("embedding").as("qv"), col("label").as("qlabel"))
+      val top = Tables.embeddings(s, dir).filter(col("vec_id") =!= 42)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("qlabel"),
+          Vectors.similitud(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+        .withColumn("rel",
+          (col("label") === col("qlabel")).cast("int"))
+        .agg(
+          count(lit(1)).as("n_cands"),
+          sum(col("rel").cast("long")).as("hits"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"))
+        .select(col("n_cands"), col("hits"), col("first_rel_rank"),
+          round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6)
+            .as("mrr"))
     })
   )
 
@@ -535,6 +568,27 @@ object SimilarityOps {
          SELECT n_cands, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
                 round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
          FROM sums""",
+    // the candidate CTE replays ann_brute's ranking verbatim (same probe,
+    // same rounded cosine, same tiebreak as ml_ndcg's oracle)
+    "ml_mrr" ->
+      """WITH q AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id = 42
+         ), top AS (
+           SELECT vec_id, label, qlabel,
+                  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) * 100, 4) AS sim
+           FROM embeddings CROSS JOIN q WHERE vec_id <> 42
+           ORDER BY sim DESC, vec_id LIMIT 10
+         ), scored AS (
+           SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank,
+                  CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+           FROM top
+         )
+         SELECT count(*) AS n_cands,
+                CAST(sum(rel) AS BIGINT) AS hits,
+                CAST(min(CASE WHEN rel = 1 THEN rank END) AS INT) AS first_rel_rank,
+                round(coalesce(CAST(1.0 AS DOUBLE) / min(CASE WHEN rel = 1 THEN rank END), 0.0), 6) AS mrr
+         FROM scored""",
     // stage 1 IS text_bm25's oracle (nested WITH, top-20), so the lexical
     // candidates are pinned to the same values the text_bm25 key verifies
     "ann_hybrid_rerank" ->

@@ -281,7 +281,31 @@ object StreamingOps {
           col("k").as("change_pos"), col("n").as("n_events"),
           round(col("dev"), 6).as("max_cusum"))
         .orderBy("user_id")
-    })
+    }),
+
+    // M4 downsampling (Jugel et al., VLDB'14) — the lossless-for-plotting
+    // time-series reduction every monitoring backend applies before
+    // charting: per (series, bucket) keep min, max, FIRST and LAST, the
+    // four values a pixel column can render. ONE partial-agg shuffle into
+    // a |types|×|buckets| relation; first/last ride min/max over a
+    // (ts, event_id, value) struct (lexicographic, event_id breaks ts
+    // ties) so no window sort over raw events is ever needed — the
+    // canonical agg-not-window formulation that survives any event
+    // volume. Bucket = Spark's tumbling `window()`, whose 1970-epoch
+    // origin coincides with time_bucket's 2000-01-01 for 4h multiples.
+    "ts_m4" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), window(col("ts"), "4 hours"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("v_min"),
+          round(max(col("value")), 4).as("v_max"),
+          min(struct(col("ts"), col("event_id"), col("value"))).as("fst"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("lst"))
+        .select(col("event_type"), col("window.start").as("bucket"),
+          col("n"), col("v_min"), col("v_max"),
+          round(col("fst.value"), 4).as("v_first"),
+          round(col("lst.value"), 4).as("v_last"))
+        .orderBy("event_type", "bucket"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -472,6 +496,30 @@ object StreamingOps {
              FROM events WHERE event_type IN ('click', 'view')
              GROUP BY date_trunc('hour', ts)
            )
-         )"""
+         )""",
+    // first/last via rn CTEs (arg_min tiebreak is engine-defined); the
+    // 4h time_bucket origin (2000-01-01) is a whole multiple of 4 hours
+    // past the epoch, so buckets equal Spark's tumbling window()
+    "ts_m4" ->
+      """WITH b AS (
+           SELECT event_type,
+                  time_bucket(INTERVAL 4 HOURS, CAST(ts AS TIMESTAMP)) AS bucket,
+                  ts, event_id, value
+           FROM events
+         ), r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, bucket
+                                     ORDER BY ts, event_id) AS ra,
+                  row_number() OVER (PARTITION BY event_type, bucket
+                                     ORDER BY ts DESC, event_id DESC) AS rd
+           FROM b
+         )
+         SELECT event_type, bucket, count(*) AS n,
+                round(min(value), 4) AS v_min,
+                round(max(value), 4) AS v_max,
+                round(max(CASE WHEN ra = 1 THEN value END), 4) AS v_first,
+                round(max(CASE WHEN rd = 1 THEN value END), 4) AS v_last
+         FROM r GROUP BY event_type, bucket
+         ORDER BY event_type, bucket"""
   )
 }

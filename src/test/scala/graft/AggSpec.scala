@@ -193,4 +193,49 @@ class AggSpec extends SparkSpec {
     assert(r.getAs[Int]("n_keys") === 2)
     assert(r.getAs[String]("name_val") != null)
   }
+
+  test("agg_chi2 marginals are consistent and chi2 totals the contributions") {
+    // the oracle pins cross-engine values; this pins the contingency
+    // algebra: row/col marginals really are the sums of their cells, the
+    // cell counts sum to n, and chi2 is the sum of every contribution
+    val rows = AggOps.queries("agg_chi2")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("status")).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("obs")).sum ==
+        cells.head.getAs[Long]("row_tot"))
+    }
+    rows.groupBy(_.getAs[String]("priority")).foreach { case (_, cells) =>
+      assert(cells.map(_.getAs[Long]("obs")).sum ==
+        cells.head.getAs[Long]("col_tot"))
+    }
+    val chi2 = rows.head.getAs[Double]("chi2")
+    val total = rows.map(_.getAs[Double]("contrib")).sum
+    assert(chi2 >= 0.0 && math.abs(chi2 - total) < 1e-6,
+      s"chi2=$chi2 vs contrib total=$total")
+  }
+
+  test("agg_mad matches a brute-force interpolating median of deviations") {
+    def q50(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val got = AggOps.queries("agg_mad")(spark, SfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    val vals = Tables.events(spark, SfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1))
+      }
+    assert(got.keySet === vals.keySet)
+    vals.foreach { case (t, xs) =>
+      val m = q50(xs)
+      val mad = q50(xs.map(x => math.abs(x - m)))
+      val (gm, gd) = got(t)
+      assert(math.abs(gm - m) < 1e-3, s"$t median: $gm vs $m")
+      assert(math.abs(gd - mad) < 1e-3, s"$t mad: $gd vs $mad")
+    }
+  }
 }

@@ -578,4 +578,50 @@ class EdgeCaseSpec extends SparkSpec {
     f.unpersist()
     ()
   }
+
+  test("join_nearest equals the brute-force same-nation argmin") {
+    // the window-merge plan must agree with the quadratic definition:
+    // for every customer, min |s_acctbal − c_acctbal| over the nation's
+    // collapsed balance domain, ties to the lower balance
+    val got = JoinOps.queries("join_nearest")(spark, SfDir).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        (r.getAs[Any]("s_suppkey"), r.getAs[Any]("s_acctbal"))).toMap
+    val sup = Tables.supplier(spark, SfDir)
+      .groupBy(col("s_nationkey").cast("long").as("nk"), col("s_acctbal"))
+      .agg(min("s_suppkey").as("k")).collect()
+      .groupBy(_.getAs[Long]("nk"))
+      .map { case (nk, rs) =>
+        nk -> rs.map(r => (r.getAs[Double]("s_acctbal"), r.getAs[Long]("k")))
+      }
+    val cust = Tables.customer(spark, SfDir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        col("c_acctbal")).collect()
+    assert(got.size === cust.length)
+    cust.foreach { c =>
+      val (ck, nk, bal) = (c.getLong(0), c.getLong(1), c.getDouble(2))
+      sup.get(nk) match {
+        case None => assert(got(ck)._1 == null, s"$ck: expected no match")
+        case Some(refs) =>
+          val (bv, bk) = refs.minBy { case (v, _) => (math.abs(v - bal), v) }
+          assert(got(ck)._1 == bk && got(ck)._2 == bv,
+            s"$ck: got ${got(ck)}, brute ($bk, $bv)")
+      }
+    }
+  }
+
+  test("ts_m4 envelope bounds first/last and conserves the event count") {
+    import graft.operators.StreamingOps
+    val m4 = StreamingOps.queries("ts_m4")(spark, SfDir).collect()
+    assert(m4.nonEmpty)
+    m4.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("v_min"), r.getAs[Double]("v_max"))
+      val (f, l) = (r.getAs[Double]("v_first"), r.getAs[Double]("v_last"))
+      assert(mn <= mx + 1e-9)
+      assert(f >= mn - 1e-4 && f <= mx + 1e-4, s"first $f outside [$mn,$mx]")
+      assert(l >= mn - 1e-4 && l <= mx + 1e-4, s"last $l outside [$mn,$mx]")
+    }
+    val total = Tables.events(spark, SfDir).count()
+    assert(m4.map(_.getAs[Long]("n")).sum === total,
+      "M4 buckets must partition the event stream")
+  }
 }

@@ -355,4 +355,20 @@ class PipelineSpec extends SparkSpec {
     b.unpersist()
     ()
   }
+
+  test("pipe_quality_logit scores every doc with in-range features") {
+    val f = PipelineOps.queries("pipe_quality_logit")(spark, SfDir).persist()
+    assert(f.count() === Tables.documents(spark, SfDir).count(),
+      "the gate scores, it never drops — filtering is the caller's cut")
+    for (c <- Seq("stop_ratio", "len_score", "digit_ratio"))
+      assert(f.filter(col(c) < 0 || col(c) > 1).count() === 0, s"$c range")
+    // the keep flag IS the logit's sign — no hidden second threshold
+    assert(f.filter((col("logit") >= 0) =!= col("keep")).count() === 0)
+    // weights are live: a stopword-rich doc must outscore an all-digit doc
+    val hi = f.agg(max("logit")).head().getDouble(0)
+    val lo = f.agg(min("logit")).head().getDouble(0)
+    assert(hi > lo, "scorer must separate the corpus")
+    f.unpersist()
+    ()
+  }
 }

@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(ndcg - expDcg / expIdcg) < 1e-4)
   }
 
+  test("ml_mrr is the reciprocal rank of the first same-label candidate") {
+    val row = q("ml_mrr").head()
+    assert(row.getAs[Long]("n_cands") === 10L)
+    val hits = row.getAs[Long]("hits")
+    assert(hits >= 0L && hits <= 10L)
+    val mrr = row.getAs[Double]("mrr")
+    if (row.isNullAt(row.fieldIndex("first_rel_rank"))) {
+      assert(hits === 0L && mrr === 0.0)
+    } else {
+      val fr = row.getAs[Int]("first_rel_rank")
+      assert(fr >= 1 && fr <= 10 && hits >= 1L)
+      assert(math.abs(mrr - BigDecimal(1.0 / fr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"mrr $mrr vs 1/$fr")
+    }
+  }
+
   test("TopK partial aggregator matches the window top-k formulation") {
     // generic shuffle-topk component (map-side bounded buffer): no longer
     // on the sim_topk path (SelfPairwise top-k mode replaced it) but kept
