@@ -267,60 +267,103 @@ object JoinOps {
 
     // Nearest-value join: for every customer, the supplier in the SAME
     // nation whose account balance is closest (entity matching on a
-    // numeric axis — the "closest reading / closest price" join). Done
-    // with the as-of idiom run in BOTH directions: suppliers collapse to
-    // one row per (nation, balance) first (min suppkey — makes the
-    // nearest ref deterministic AND shrinks the ref side to its value
-    // domain), then one union + ONE window sort partitioned on the
-    // nation key yields the nearest-below (last ref at-or-before) and
-    // nearest-above (first ref after) per customer; a final row-local
-    // compare picks the closer, ties preferring the LOWER balance. No
-    // row-multiplying range join, no broadcast requirement on either
-    // side — both relations can be billions of rows, and the only
-    // shuffle is the partition-by-nation sort. Distances are single
-    // exactly-rounded IEEE subtractions, so the <= compare matches the
-    // oracle's ORDER BY abs() bit-for-bit.
-    "join_nearest" -> ((s, dir) => {
-      val refs = Tables.supplier(s, dir)
-        .groupBy(col("s_nationkey").cast("long").as("nk"),
-          col("s_acctbal").as("v"))
-        .agg(min(col("s_suppkey")).as("ref_key"))
-      val probes = Tables.customer(s, dir)
-        .select(col("c_nationkey").cast("long").as("nk"),
-          col("c_custkey"), col("c_acctbal").as("v"))
-      val tagged = refs
-        .select(col("nk"), col("v"), col("ref_key"),
-          lit(null).cast("long").as("c_custkey"), lit(0).as("is_probe"))
-        .unionByName(probes.select(col("nk"), col("v"),
-          lit(null).cast("long").as("ref_key"), col("c_custkey"),
-          lit(1).as("is_probe")))
-      // refs sort before probes at equal v, so an exactly-equal balance
-      // is "at or below" (distance 0 wins via the below branch)
-      val ord = Seq(col("v"), col("is_probe"), col("c_custkey"))
-      val wb = Window.partitionBy("nk").orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wa = Window.partitionBy("nk").orderBy(ord: _*)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val ref = when(col("is_probe") === 0, struct(col("v"), col("ref_key")))
-      val below = last(ref, ignoreNulls = true).over(wb)
-      val above = first(ref, ignoreNulls = true).over(wa)
-      val dB = col("v") - col("below.v")
-      val dA = col("above.v") - col("v")
-      val pickBelow = col("above").isNull ||
-        (col("below").isNotNull && dB <= dA)
-      tagged
-        .withColumn("below", below)
-        .withColumn("above", above)
-        .filter(col("is_probe") === 1)
-        .select(col("c_custkey"), col("nk"), col("v").as("c_acctbal"),
-          when(pickBelow, col("below.ref_key")).otherwise(col("above.ref_key"))
-            .as("s_suppkey"),
-          when(pickBelow, col("below.v")).otherwise(col("above.v"))
-            .as("s_acctbal"),
-          round(when(pickBelow, dB).otherwise(dA), 2).as("dist"))
-        .orderBy("c_custkey")
-    })
+    // numeric axis — the "closest reading / closest price" join). See
+    // [[nearestJoin]] for the plan; declared at the session's shuffle
+    // parallelism.
+    "join_nearest" -> ((s, dir) =>
+      nearestJoin(s, dir, s.sessionState.conf.numShufflePartitions))
   )
+
+  /** The `join_nearest` plan, parameterized on the range-partition count
+    * so the spec can force partition boundaries through the data and pin
+    * that the answer is invariant.
+    *
+    * Scale design: the naive form of this join is a window over
+    * `Window.partitionBy(nation)` — but parallelism would then be bounded
+    * by the PARTITION KEY's cardinality (25 nations ⇒ 25 tasks no matter
+    * the cluster), exactly the low-cardinality-key trap `pipe_shuffle`
+    * and `agg_weighted_median` avoid. So instead: suppliers collapse to
+    * one row per (nation, balance) (min suppkey — deterministic AND
+    * shrinks the ref side to its value domain), the union of refs and
+    * probes is RANGE-partitioned on the full (nation, balance, tag, key)
+    * sort order — contiguous value ranges, any number of tasks — and the
+    * nearest-below/nearest-above windows run per (physical partition,
+    * nation) segment. Probes whose segment lacks a ref on one side are
+    * patched from a boundary relation of ≤ #partitions·|nations-touching-
+    * a-boundary| rows (each segment's first/last ref, carried across the
+    * partition sequence by two windows over that BOUNDED table, then
+    * broadcast back). Two exchanges touch the merge relation (the
+    * range-partition total sort, then the (pid, nation) hash exchange the
+    * segment windows require — slim 5-column rows both times, audited
+    * via graft.Explain); both inputs can be billions of rows. Refs sort before probes at equal balance, so an
+    * exactly-equal balance is "at or below" (distance 0); ties between
+    * sides prefer the LOWER balance; distances are single exactly-rounded
+    * IEEE subtractions, so the <= compare matches the oracle's ORDER BY
+    * abs() bit-for-bit. */
+  private[graft] def nearestJoin(s: SparkSession, dir: String,
+      nParts: Int): DataFrame = {
+    val refs = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey").cast("long").as("nk"),
+        col("s_acctbal").as("v"))
+      .agg(min(col("s_suppkey")).as("ref_key"))
+    val probes = Tables.customer(s, dir)
+      .select(col("c_nationkey").cast("long").as("nk"),
+        col("c_custkey"), col("c_acctbal").as("v"))
+    val ord = Seq(col("nk"), col("v"), col("is_probe"), col("c_custkey"))
+    val keyed = refs
+      .select(col("nk"), col("v"), col("ref_key"),
+        lit(null).cast("long").as("c_custkey"), lit(0).as("is_probe"))
+      .unionByName(probes.select(col("nk"), col("v"),
+        lit(null).cast("long").as("ref_key"), col("c_custkey"),
+        lit(1).as("is_probe")))
+      .repartitionByRange(nParts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val ref = when(col("is_probe") === 0, struct(col("v"), col("ref_key")))
+    // segment = (physical partition, nation): the windows re-use the
+    // range partitioning, so no task ever sorts more than its share
+    val wb = Window.partitionBy("pid", "nk")
+      .orderBy(col("v"), col("is_probe"), col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.partitionBy("pid", "nk")
+      .orderBy(col("v"), col("is_probe"), col("c_custkey"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // per-segment first/last ref (null for probe-only segments), carried
+    // across the partition sequence per nation over the bounded table
+    val bounds = keyed.groupBy("pid", "nk")
+      .agg(min(ref).as("first_ref"), max(ref).as("last_ref"))
+    val prevW = Window.partitionBy("nk").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = Window.partitionBy("nk").orderBy("pid")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val patch = bounds
+      .withColumn("prev_ref",
+        last(col("last_ref"), ignoreNulls = true).over(prevW))
+      .withColumn("next_ref",
+        first(col("first_ref"), ignoreNulls = true).over(nextW))
+      .select("pid", "nk", "prev_ref", "next_ref")
+    val below = coalesce(last(ref, ignoreNulls = true).over(wb),
+      col("prev_ref"))
+    val above = coalesce(first(ref, ignoreNulls = true).over(wa),
+      col("next_ref"))
+    val dB = col("v") - col("below.v")
+    val dA = col("above.v") - col("v")
+    val pickBelow = col("above").isNull ||
+      (col("below").isNotNull && dB <= dA)
+    keyed
+      .join(broadcast(patch), Seq("pid", "nk"))
+      .withColumn("below", below)
+      .withColumn("above", above)
+      .filter(col("is_probe") === 1)
+      .select(col("c_custkey"), col("nk"), col("v").as("c_acctbal"),
+        when(pickBelow, col("below.ref_key")).otherwise(col("above.ref_key"))
+          .as("s_suppkey"),
+        when(pickBelow, col("below.v")).otherwise(col("above.v"))
+          .as("s_acctbal"),
+        round(when(pickBelow, dB).otherwise(dA), 2).as("dist"))
+      .orderBy("c_custkey")
+  }
 
   /** Attribution window for `join_asof_tolerance` (30 min, microseconds). */
   val MaxStalenessUs = 1800L * 1000000L

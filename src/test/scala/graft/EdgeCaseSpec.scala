@@ -580,12 +580,20 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("join_nearest equals the brute-force same-nation argmin") {
-    // the window-merge plan must agree with the quadratic definition:
-    // for every customer, min |s_acctbal − c_acctbal| over the nation's
-    // collapsed balance domain, ties to the lower balance
+    // the range-partitioned merge must agree with the quadratic
+    // definition — for every customer, min |s_acctbal − c_acctbal| over
+    // the nation's collapsed balance domain, ties to the lower balance —
+    // at BOTH partition counts: the declared one, and one high enough
+    // (64 over ~180 rows) that nations straddle partition boundaries and
+    // probe-only segments appear, exercising the boundary-patch path
     val got = JoinOps.queries("join_nearest")(spark, SfDir).collect()
       .map(r => r.getAs[Long]("c_custkey") ->
         (r.getAs[Any]("s_suppkey"), r.getAs[Any]("s_acctbal"))).toMap
+    val forced = JoinOps.nearestJoin(spark, SfDir, 64).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        (r.getAs[Any]("s_suppkey"), r.getAs[Any]("s_acctbal"))).toMap
+    assert(forced === got,
+      "the answer must be invariant to the range-partition count")
     val sup = Tables.supplier(spark, SfDir)
       .groupBy(col("s_nationkey").cast("long").as("nk"), col("s_acctbal"))
       .agg(min("s_suppkey").as("k")).collect()
