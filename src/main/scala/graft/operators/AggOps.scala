@@ -579,6 +579,54 @@ object AggOps {
           min(col("n")).as("n"),
           round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
         .orderBy("event_type")
+    }),
+
+    // Gini coefficient of order value per priority class — the
+    // concentration/inequality statistic (revenue concentration, token
+    // budget skew) via the rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
+    // The rank would naively be a per-group global sort window — the
+    // low-cardinality single-task trap — so instead: collapse to the
+    // (group, value) DISTINCT-value relation with counts (the only
+    // corpus-scale shuffle, map-side combined), then assign each value
+    // block its rank range via the range-partition + per-partition-offset
+    // discipline (`pipe_shuffle`), folding a whole tie block's rank sum
+    // in closed form (c·(cb+1) + c·(c−1)/2 — tie order provably cannot
+    // change the total). Value sums ride DECIMAL(18,2)×DECIMAL(18,0)
+    // products (exact, no precision overflow), so both engines divide
+    // identical integers/decimals at the end.
+    "agg_gini" -> ((s, dir) => {
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val byVal = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .repartitionByRange(nParts, col("g"), col("v"))
+        .sortWithinPartitions(col("g"), col("v"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offs = byVal.groupBy("pid", "g")
+        .agg(sum(col("c")).as("pc"))
+        .withColumn("offset", coalesce(
+          sum(col("pc")).over(Window.partitionBy("g").orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "g", "offset")
+      val cw = Window.partitionBy("pid", "g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byVal.join(broadcast(offs), Seq("pid", "g"))
+        .withColumn("cb",
+          coalesce(sum(col("c")).over(cw), lit(0L)) + col("offset"))
+        .withColumn("w", expr("c * (cb + 1) + (c * (c - 1)) DIV 2"))
+        .groupBy("g")
+        .agg(sum(col("c")).as("n"),
+          sum(col("v").cast("decimal(18,2)") *
+            col("c").cast("decimal(18,0)")).as("s1"),
+          sum(col("v").cast("decimal(18,2)") *
+            col("w").cast("decimal(18,0)")).as("s2"))
+        .select(col("g").as("priority"), col("n"),
+          round(col("s1").cast("double"), 2).as("total"),
+          round(lit(2.0) * col("s2").cast("double") /
+              (col("n") * col("s1").cast("double")) -
+            (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+        .orderBy("priority")
     })
   )
 
@@ -855,6 +903,30 @@ object AggOps {
          SELECT e.event_type, round(min(m.med), 4) AS med, min(m.n) AS n,
                 round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
          FROM events e JOIN med m USING (event_type)
-         GROUP BY e.event_type ORDER BY e.event_type"""
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    // the plain per-group cumulative window replays the range-partition +
+    // offset rank assignment; // is DuckDB's integer division (Spark DIV)
+    "agg_gini" ->
+      """WITH c AS (
+           SELECT o_orderpriority AS g, o_totalprice AS v, count(*) AS c
+           FROM orders GROUP BY 1, 2
+         ), r AS (
+           SELECT g, v, c,
+                  coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM c
+         ), s AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                  sum(CAST(v AS DECIMAL(18,2)) *
+                      CAST(c AS DECIMAL(18,0))) AS s1,
+                  sum(CAST(v AS DECIMAL(18,2)) *
+                      CAST(c * (cb + 1) + (c * (c - 1)) // 2
+                           AS DECIMAL(18,0))) AS s2
+           FROM r GROUP BY g
+         )
+         SELECT g AS priority, n, round(CAST(s1 AS DOUBLE), 2) AS total,
+                round(2.0 * CAST(s2 AS DOUBLE) / (n * CAST(s1 AS DOUBLE))
+                      - (n + 1.0) / n, 6) AS gini
+         FROM s ORDER BY priority"""
   )
 }

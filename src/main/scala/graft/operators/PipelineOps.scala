@@ -308,6 +308,49 @@ object PipelineOps {
         .orderBy("bin")
     }),
 
+    // Brier score + Murphy decomposition (reliability / resolution /
+    // uncertainty) of the same capped-linear scorer `ml_calibration`
+    // bins — the single-number probabilistic-forecast quality summary
+    // plus the "is it bad calibration or no signal?" split. Integer
+    // discipline end-to-end: (p − y)² = (pn − 500y)²/500², so the Brier
+    // numerator is an exact integer sum in the ONE corpus-scale
+    // aggregation (shared with the bin sums); the decomposition terms
+    // are exactly-rounded doubles over the ≤10-row bin relation, summed
+    // as DECIMAL after a 10dp pre-round. No corpus value ever rides a
+    // double fold.
+    "ml_brier" -> ((s, dir) => {
+      val phatN = least(col("n_chars"), lit(500))
+      val dev = col("pn") - lit(500L) * col("y")
+      val bins = Tables.documents(s, dir)
+        .select(least(floor(col("n_chars") / 50).cast("int"), lit(9)).as("bin"),
+          phatN.as("pn"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("nb"), sum(col("pn")).as("spn"),
+          sum(col("y")).as("sp"), sum(dev * dev).as("sq"))
+      val tot = Window.partitionBy()
+      bins
+        .withColumn("n", sum(col("nb")).over(tot))
+        .withColumn("spt", sum(col("sp")).over(tot))
+        .withColumn("sqt", sum(col("sq")).over(tot))
+        .withColumn("ybar", col("spt").cast("double") / col("n"))
+        .withColumn("pbar_b", col("spn").cast("double") / 500.0 / col("nb"))
+        .withColumn("ybar_b", col("sp").cast("double") / col("nb"))
+        .withColumn("rel_t", round(col("nb") *
+          (col("pbar_b") - col("ybar_b")) * (col("pbar_b") - col("ybar_b")), 10))
+        .withColumn("res_t", round(col("nb") *
+          (col("ybar_b") - col("ybar")) * (col("ybar_b") - col("ybar")), 10))
+        .groupBy("n", "sqt", "ybar")
+        .agg(sum(col("rel_t").cast("decimal(28,10)")).as("rel_s"),
+          sum(col("res_t").cast("decimal(28,10)")).as("res_s"))
+        .select(col("n"),
+          round(col("sqt").cast("double") / (lit(250000.0) * col("n")), 6)
+            .as("brier"),
+          round(col("rel_s").cast("double") / col("n"), 6).as("reliability"),
+          round(col("res_s").cast("double") / col("n"), 6).as("resolution"),
+          round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"))
+    }),
+
     // BPE merge-rule learning, 3 rounds unrolled as ONE declarative plan —
     // the tokenizer-training core (Sennrich et al. 2016): count adjacent
     // symbol pairs across the corpus (frequency-weighted), adopt the most
@@ -1047,6 +1090,45 @@ object PipelineOps {
                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
            FROM documents
          ) GROUP BY bin ORDER BY bin""",
+    // same bins as ml_calibration; brier numerator is an exact integer
+    // sum, decomposition terms pre-round at 10dp then fold as DECIMAL
+    "ml_brier" ->
+      """WITH b AS (
+           SELECT bin, count(*) AS nb,
+                  CAST(sum(pn) AS BIGINT) AS spn,
+                  CAST(sum(y) AS BIGINT) AS sp,
+                  CAST(sum((pn - 500 * y) * (pn - 500 * y)) AS BIGINT) AS sq
+           FROM (
+             SELECT CAST(least(floor(n_chars / 50), 9) AS INT) AS bin,
+                    least(n_chars, 500) AS pn,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             FROM documents
+           ) GROUP BY bin
+         ), t AS (
+           SELECT *,
+                  CAST(sum(nb) OVER () AS BIGINT) AS n,
+                  CAST(sum(sp) OVER () AS BIGINT) AS spt,
+                  CAST(sum(sq) OVER () AS BIGINT) AS sqt
+           FROM b
+         ), d AS (
+           SELECT *,
+                  CAST(spt AS DOUBLE) / n AS ybar,
+                  CAST(spn AS DOUBLE) / 500.0 / nb AS pbar_b,
+                  CAST(sp AS DOUBLE) / nb AS ybar_b
+           FROM t
+         ), e AS (
+           SELECT n, sqt, ybar,
+                  sum(CAST(round(nb * (pbar_b - ybar_b) * (pbar_b - ybar_b), 10)
+                           AS DECIMAL(28,10))) AS rel_s,
+                  sum(CAST(round(nb * (ybar_b - ybar) * (ybar_b - ybar), 10)
+                           AS DECIMAL(28,10))) AS res_s
+           FROM d GROUP BY n, sqt, ybar
+         )
+         SELECT n, round(CAST(sqt AS DOUBLE) / (250000.0 * n), 6) AS brier,
+                round(CAST(rel_s AS DOUBLE) / n, 6) AS reliability,
+                round(CAST(res_s AS DOUBLE) / n, 6) AS resolution,
+                round(ybar * (1.0 - ybar), 6) AS uncertainty
+         FROM e""",
     "ml_confusion" ->
       """SELECT tp, fp, fn, tn,
                 round(pr, 6) AS precision, round(rc, 6) AS recall,

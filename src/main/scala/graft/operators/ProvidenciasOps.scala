@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -557,6 +558,34 @@ object ProvidenciasOps {
         .orderBy("t1", "t2")
     }),
 
+    // Graph extension: HITS hubs/authorities (Kleinberg) over the
+    // directed user→event-type engagement graph, 2 iterations unrolled
+    // declaratively — the "which entities are endorsed by the best
+    // hubs?" ranking. Integer-exact by construction: h₀ = 1 ⇒ a₁(t) =
+    // in-degree(t); h₁(u) = Σ a₁ over u's types; a₂(t) = Σ h₁ over t's
+    // users — every score an exact BIGINT sum, so no normalization drift
+    // cross-engine (the conventional L2 norm only rescales the ranking;
+    // the share column reports the normalized view from the bounded
+    // authority relation). Scale shape: DISTINCT (user, type) is the one
+    // corpus-scale shuffle; a₁ is a |types|-row broadcast; the h₁ pass
+    // is a user-keyed shuffle join (users can be billions — never
+    // broadcast); the final authority aggregate is |types|-sized.
+    "graph_hits" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct().persist()
+      val a1 = ut.groupBy("event_type").agg(count(lit(1)).as("a1"))
+      val h1 = ut.join(broadcast(a1), "event_type")
+        .groupBy("user_id").agg(sum(col("a1")).as("h1"))
+      val tot = Window.partitionBy()
+      ut.join(h1, "user_id")
+        .groupBy("event_type").agg(sum(col("h1")).as("a2"))
+        .join(broadcast(a1), "event_type")
+        .withColumn("share",
+          round(col("a2").cast("double") / sum(col("a2")).over(tot), 6))
+        .select("event_type", "a1", "a2", "share")
+        .orderBy("event_type")
+    }),
+
     // A9 — directed 1-hop SIMILAR neighborhood of node 0 with similitud in
     // [10, 90] (reference :55-71). The edge is DERIVED: one broadcastable
     // probe row joined against the embeddings table — no O(n^2) blow-up,
@@ -583,6 +612,24 @@ object ProvidenciasOps {
          JOIN (SELECT DISTINCT user_id, event_type FROM events) b
            ON a.user_id = b.user_id AND a.event_type < b.event_type
          GROUP BY t1, t2 ORDER BY t1, t2""",
+    // h0=1 makes every score an exact integer; the CTE chain replays the
+    // two unrolled HITS sweeps verbatim
+    "graph_hits" ->
+      """WITH ut AS (
+           SELECT DISTINCT user_id, event_type FROM events
+         ), a1 AS (
+           SELECT event_type, count(*) AS a1 FROM ut GROUP BY event_type
+         ), h1 AS (
+           SELECT ut.user_id, CAST(sum(a1.a1) AS BIGINT) AS h1
+           FROM ut JOIN a1 USING (event_type) GROUP BY ut.user_id
+         ), a2 AS (
+           SELECT ut.event_type, CAST(sum(h1.h1) AS BIGINT) AS a2
+           FROM ut JOIN h1 USING (user_id) GROUP BY ut.event_type
+         )
+         SELECT a2.event_type, a1.a1, a2.a2,
+                round(CAST(a2.a2 AS DOUBLE) / sum(a2.a2) OVER (), 6) AS share
+         FROM a2 JOIN a1 USING (event_type)
+         ORDER BY event_type""",
     "graph_assortativity" ->
       """WITH e AS MATERIALIZED (
            SELECT * FROM (

@@ -238,4 +238,24 @@ class AggSpec extends SparkSpec {
       assert(math.abs(gd - mad) < 1e-3, s"$t mad: $gd vs $mad")
     }
   }
+
+  test("agg_gini matches the naive sorted-rank formula per group") {
+    // the distributed tie-block closed form must equal the textbook
+    // G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n over a plain sort
+    val got = AggOps.queries("agg_gini")(spark, SfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    val vals = Tables.orders(spark, SfDir)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0)).map { case (g, rs) =>
+        g -> rs.map(_.getDouble(1)).sorted
+      }
+    assert(got.keySet === vals.keySet)
+    vals.foreach { case (g, xs) =>
+      val n = xs.length
+      val s2 = xs.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+      val gini = 2.0 * s2 / (n * xs.sum) - (n + 1.0) / n
+      assert(math.abs(got(g) - gini) < 1e-5, s"$g: ${got(g)} vs $gini")
+      assert(got(g) >= 0.0 && got(g) < 1.0)
+    }
+  }
 }

@@ -157,4 +157,26 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
+
+  test("graph_hits authority scores equal the brute-force two-sweep HITS") {
+    // replay h0=1 → a1 → h1 → a2 over the collected bipartite edge set
+    val got = q("graph_hits").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("a1"), r.getAs[Long]("a2"))).toMap
+    val ut = Tables.events(spark, SfDir)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a1 = ut.groupBy(_._2).map { case (t, es) => t -> es.length.toLong }
+    val h1 = ut.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => a1(e._2)).sum
+    }
+    val a2 = ut.groupBy(_._2).map { case (t, es) =>
+      t -> es.map(e => h1(e._1)).sum
+    }
+    assert(got.keySet === a2.keySet)
+    got.foreach { case (t, (g1, g2)) =>
+      assert(g1 === a1(t), s"$t a1")
+      assert(g2 === a2(t), s"$t a2")
+    }
+  }
 }

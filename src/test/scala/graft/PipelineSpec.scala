@@ -356,6 +356,21 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("ml_brier obeys the Murphy decomposition inequality and bounds") {
+    val r = PipelineOps.queries("ml_brier")(spark, SfDir).head()
+    val (b, rel, res, unc) = (r.getAs[Double]("brier"),
+      r.getAs[Double]("reliability"), r.getAs[Double]("resolution"),
+      r.getAs[Double]("uncertainty"))
+    assert(b >= 0.0 && b <= 1.0)
+    assert(rel >= 0.0 && res >= 0.0)
+    assert(unc >= 0.0 && unc <= 0.25 + 1e-9, "p(1-p) maxes at 1/4")
+    assert(res <= unc + 1e-6, "resolution cannot exceed uncertainty")
+    // with within-bin forecast variance, brier = rel − res + unc + var ≥
+    // rel − res + unc (equality iff the forecast is bin-constant)
+    assert(b >= rel - res + unc - 1e-6,
+      s"brier $b < rel-res+unc ${rel - res + unc}")
+  }
+
   test("pipe_quality_logit scores every doc with in-range features") {
     val f = PipelineOps.queries("pipe_quality_logit")(spark, SfDir).persist()
     assert(f.count() === Tables.documents(spark, SfDir).count(),
