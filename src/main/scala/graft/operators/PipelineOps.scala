@@ -369,40 +369,38 @@ object PipelineOps {
     // RE2 share l-t-r non-overlapping semantics). Words are filtered to
     // ^[a-z]+$ so pair strings are regex-literal-safe by construction.
     "pipe_bpe_train" -> ((s, dir) => {
-      val vocab0 = Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word").agg(count(lit(1)).as("f"))
-        .select(concat(lit(" "),
-          regexp_replace(col("word"), "(.)", "$1 ")).as("seq"), col("f"))
-      def pairCounts(v: DataFrame): DataFrame =
-        v.select(split(trim(col("seq")), " ").as("a"), col("f"))
-          .filter(size(col("a")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))"))
-            .as("pair"), col("f"))
-          .groupBy("pair").agg(sum(col("f")).as("cnt"))
-      def top1(pc: DataFrame): DataFrame =
-        pc.orderBy(col("cnt").desc, col("pair")).limit(1)
-      def merge(v: DataFrame, top: DataFrame): DataFrame = {
-        val pat = concat(lit(" "), col("pair"), lit(" "))
-        val rep = concat(lit(" "), regexp_replace(col("pair"), " ", ""), lit(" "))
-        v.crossJoin(broadcast(top.select(col("pair"))))
-          .select(regexp_replace(regexp_replace(col("seq"), pat, rep), pat, rep)
-            .as("seq"), col("f"))
-      }
-      val v0 = vocab0.persist()
-      val t1 = top1(pairCounts(v0)).persist()
-      val v1 = merge(v0, t1).persist()
-      val t2 = top1(pairCounts(v1)).persist()
-      val v2 = merge(v1, t2).persist()
-      val t3 = top1(pairCounts(v2)).persist()
+      val (t1, t2, t3, _) = bpeLearn(s, dir)
       t1.select(lit(1).as("round"), col("pair"), col("cnt"))
         .union(t2.select(lit(2).as("round"), col("pair"), col("cnt")))
         .union(t3.select(lit(3).as("round"), col("pair"), col("cnt")))
         .select(col("round"), col("pair"),
           regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
         .orderBy("round")
+    }),
+
+    // Tokenizer APPLICATION — encode the vocabulary with the merges
+    // `pipe_bpe_train` just learned and report the corpus-level
+    // compression datasheet (distinct words, weighted occurrences,
+    // symbols before = characters, symbols after = BPE tokens, ratio).
+    // This closes the train→apply loop every tokenizer pipeline runs;
+    // like production BPE encoders it operates on the word-frequency
+    // relation, so the corpus-scale work remains the single word-count
+    // aggregate shared with training, and the merge rewrites stay
+    // vocabulary-sized broadcast regexes. All counts are exact integers;
+    // the ratio is one exactly-rounded division.
+    "pipe_bpe_encode" -> ((s, dir) => {
+      val (_, _, _, v3) = bpeLearn(s, dir)
+      v3.select(col("f"),
+          length(regexp_replace(trim(col("seq")), " ", "")).as("chars"),
+          size(split(trim(col("seq")), " ")).as("syms"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("f")).as("n_occurrences"),
+          sum(col("f") * col("chars").cast("long")).as("symbols_before"),
+          sum(col("f") * col("syms").cast("long")).as("symbols_after"))
+        .select(col("n_words"), col("n_occurrences"),
+          col("symbols_before"), col("symbols_after"),
+          round(col("symbols_after").cast("double") / col("symbols_before"), 6)
+            .as("compression"))
     }),
 
     // Epoch-plan repeat factors: given each source's token count, compute
@@ -934,28 +932,50 @@ object PipelineOps {
       "de", "la", "el", "en", "y", "que", "los", "un", "por", "con")
       .map(w => s"'$w'").mkString(", ")
 
-  def oracles: Map[String, String] = Map(
-    "ml_auc" ->
-      """WITH bs AS (
-           SELECT n_chars AS score,
-                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
-                  count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ng
-           FROM documents GROUP BY n_chars
-         ), c AS (
-           SELECT p, ng,
-                  sum(ng) OVER (ORDER BY score
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumng
-           FROM bs
-         )
-         SELECT round(CAST(sum(p * (cumng - ng)) * 2 + sum(p * ng) AS DOUBLE)
-                      / (CAST(sum(p) AS DOUBLE) * CAST(sum(ng) AS DOUBLE) * 2.0), 6) AS auc,
-                CAST(sum(p) AS BIGINT) AS n_pos,
-                CAST(sum(ng) AS BIGINT) AS n_neg
-         FROM c""",
-    // each round: pair-count CTE → 1-row top-1 CTE → rewritten vocab CTE;
-    // the double regexp_replace mirrors the Spark side's two passes
-    "pipe_bpe_train" ->
-      """WITH v0 AS (
+  /** Shared BPE machinery for `pipe_bpe_train` / `pipe_bpe_encode`:
+    * 3 Sennrich merge rounds unrolled as ONE declarative plan (see the
+    * scale note at the `pipe_bpe_train` declaration — the only
+    * corpus-scale pass is the word-frequency aggregate; every round is
+    * vocabulary-sized). Returns the three 1-row merge tables and the
+    * vocabulary with all three merges applied. */
+  private[graft] def bpeLearn(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val vocab0 = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .select(concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 ")).as("seq"), col("f"))
+    def pairCounts(v: DataFrame): DataFrame =
+      v.select(split(trim(col("seq")), " ").as("a"), col("f"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))"))
+          .as("pair"), col("f"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+    def top1(pc: DataFrame): DataFrame =
+      pc.orderBy(col("cnt").desc, col("pair")).limit(1)
+    def merge(v: DataFrame, top: DataFrame): DataFrame = {
+      val pat = concat(lit(" "), col("pair"), lit(" "))
+      val rep = concat(lit(" "), regexp_replace(col("pair"), " ", ""), lit(" "))
+      v.crossJoin(broadcast(top.select(col("pair"))))
+        .select(regexp_replace(regexp_replace(col("seq"), pat, rep), pat, rep)
+          .as("seq"), col("f"))
+    }
+    val v0 = vocab0.persist()
+    val t1 = top1(pairCounts(v0)).persist()
+    val v1 = merge(v0, t1).persist()
+    val t2 = top1(pairCounts(v1)).persist()
+    val v2 = merge(v1, t2).persist()
+    val t3 = top1(pairCounts(v2)).persist()
+    (t1, t2, t3, merge(v2, t3))
+  }
+
+  /** The DuckDB CTE chain replaying [[bpeLearn]] (v0 → p1/t1/v1 → p2/t2/
+    * v2 → p3/t3), shared verbatim by the `pipe_bpe_train` and
+    * `pipe_bpe_encode` oracles so both keys pin ONE training definition. */
+  private val BpeCtes: String =
+    """v0 AS (
            SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq,
                   count(*) AS f
            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -996,12 +1016,58 @@ object PipelineOps {
              FROM (SELECT string_split(trim(seq), ' ') AS a, f FROM v2)
              WHERE len(a) >= 2
            ) GROUP BY pair
-         ), t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+         ), t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)"""
+
+  def oracles: Map[String, String] = Map(
+    "ml_auc" ->
+      """WITH bs AS (
+           SELECT n_chars AS score,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+                  count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ng
+           FROM documents GROUP BY n_chars
+         ), c AS (
+           SELECT p, ng,
+                  sum(ng) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumng
+           FROM bs
+         )
+         SELECT round(CAST(sum(p * (cumng - ng)) * 2 + sum(p * ng) AS DOUBLE)
+                      / (CAST(sum(p) AS DOUBLE) * CAST(sum(ng) AS DOUBLE) * 2.0), 6) AS auc,
+                CAST(sum(p) AS BIGINT) AS n_pos,
+                CAST(sum(ng) AS BIGINT) AS n_neg
+         FROM c""",
+    // each round: pair-count CTE → 1-row top-1 CTE → rewritten vocab CTE;
+    // the double regexp_replace mirrors the Spark side's two passes
+    "pipe_bpe_train" ->
+      s"""WITH $BpeCtes
          SELECT round, pair, replace(pair, ' ', '') AS merged, cnt FROM (
            SELECT 1 AS round, pair, cnt FROM t1
            UNION ALL SELECT 2 AS round, pair, cnt FROM t2
            UNION ALL SELECT 3 AS round, pair, cnt FROM t3
          ) ORDER BY round""",
+    // t1..t3 replay training verbatim (shared CTE block), v3 applies the
+    // third merge, and the datasheet aggregates exact integer counts
+    "pipe_bpe_encode" ->
+      s"""WITH $BpeCtes,
+         v3 AS (
+           SELECT regexp_replace(regexp_replace(seq,
+                    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ', 'g'),
+                    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ', 'g')
+                    AS seq, f
+           FROM v2 CROSS JOIN t3
+         ), agg AS (
+           SELECT count(*) AS n_words,
+                  CAST(sum(f) AS BIGINT) AS n_occurrences,
+                  CAST(sum(f * len(replace(trim(seq), ' ', ''))) AS BIGINT)
+                    AS symbols_before,
+                  CAST(sum(f * len(string_split(trim(seq), ' '))) AS BIGINT)
+                    AS symbols_after
+           FROM v3
+         )
+         SELECT n_words, n_occurrences, symbols_before, symbols_after,
+                round(CAST(symbols_after AS DOUBLE) / symbols_before, 6)
+                  AS compression
+         FROM agg""",
     "pipe_repeat_factors" ->
       """WITH tok AS (
            SELECT source,

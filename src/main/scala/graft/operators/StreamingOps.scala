@@ -305,7 +305,28 @@ object StreamingOps {
           col("n"), col("v_min"), col("v_max"),
           round(col("fst.value"), 4).as("v_first"),
           round(col("lst.value"), 4).as("v_last"))
-        .orderBy("event_type", "bucket"))
+        .orderBy("event_type", "bucket")),
+
+    // Local-peak detection over the per-type hourly traffic series — the
+    // "alert on a spike" monitoring primitive: an hour is a peak when its
+    // count strictly exceeds BOTH neighbors (endpoints and plateaus are
+    // not peaks — strict compares against NULL lag/lead fold to false).
+    // The corpus collapses to the |types|×|hours| series in ONE
+    // partial-agg shuffle; the lag/lead window and the peak filter run
+    // over that bounded aggregate only. Integer counts — nothing to pin.
+    "ts_peaks" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      hourly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("next_n", lead(col("n"), 1).over(w))
+        .filter(col("n") > col("prev_n") && col("n") > col("next_n"))
+        .select(col("event_type"), col("h"), col("n"),
+          col("prev_n"), col("next_n"))
+        .orderBy("event_type", "h")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -520,6 +541,19 @@ object StreamingOps {
                 round(max(CASE WHEN ra = 1 THEN value END), 4) AS v_first,
                 round(max(CASE WHEN rd = 1 THEN value END), 4) AS v_last
          FROM r GROUP BY event_type, bucket
-         ORDER BY event_type, bucket"""
+         ORDER BY event_type, bucket""",
+    "ts_peaks" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2
+         ), s AS (
+           SELECT event_type, h, n,
+                  lag(n) OVER (PARTITION BY event_type ORDER BY h) AS prev_n,
+                  lead(n) OVER (PARTITION BY event_type ORDER BY h) AS next_n
+           FROM hourly
+         )
+         SELECT event_type, h, n, prev_n, next_n
+         FROM s WHERE n > prev_n AND n > next_n
+         ORDER BY event_type, h"""
   )
 }

@@ -191,6 +191,38 @@ object TextOps {
         .orderBy("lang", "predicted")
     }),
 
+    // Cohen's kappa of the lang-ID heuristic vs the labels — the
+    // chance-corrected agreement statistic that tells whether the
+    // classifier beats marginal-rate guessing (the number annotation and
+    // silver-label pipelines report next to raw accuracy). Built on the
+    // SAME confusion cells as `text_lang_confusion`; everything after
+    // the one corpus-scale prediction join is |langs|-bounded aggregates.
+    // po/pe are exact-integer divisions (pe's N² denominator multiplies
+    // as double — BIGINT N² would overflow at corpus scale), so kappa is
+    // bit-equal cross-engine before the final 6dp round.
+    "text_lang_kappa" -> ((s, dir) => {
+      val pred = queries("text_lang_id")(s, dir)
+        .select(col("doc_id"), col("predicted"))
+      val cells = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val t = cells.agg(sum(col("n")).as("nn"),
+        sum(when(col("lang") === col("predicted"), col("n")).otherwise(0L))
+          .as("diag"))
+      val rows = cells.groupBy("lang").agg(sum("n").as("r"))
+      val cols = cells.groupBy("predicted").agg(sum("n").as("c"))
+      val p = rows.join(cols, rows("lang") === cols("predicted"))
+        .agg(sum(col("r") * col("c")).as("pen"))
+      val po = col("diag").cast("double") / col("nn")
+      val pe = col("pen").cast("double") /
+        (col("nn").cast("double") * col("nn").cast("double"))
+      t.crossJoin(p)
+        .select(col("nn").as("n"), round(po, 6).as("po"), round(pe, 6).as("pe"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
     // Quality scoring: token count, mean token length, stopword ratio,
     // and a categorical grade — the standard pre-training quality gates.
     "text_quality" -> ((s, dir) => {
@@ -654,6 +686,39 @@ object TextOps {
          FROM documents d JOIN li USING (doc_id)
          GROUP BY d.lang, li.predicted
          ORDER BY lang, predicted""",
+    // same prediction CTE and confusion cells; po/pe replay the exact
+    // integer sums, pe's N² denominator multiplies as DOUBLE (see Spark)
+    "text_lang_kappa" ->
+      s"""WITH li AS (
+           $langIdSql
+         ), cells AS (
+           SELECT d.lang, li.predicted, count(*) AS n
+           FROM documents d JOIN li USING (doc_id)
+           GROUP BY 1, 2
+         ), t AS (
+           SELECT CAST(sum(n) AS BIGINT) AS nn,
+                  CAST(sum(CASE WHEN lang = predicted THEN n ELSE 0 END)
+                       AS BIGINT) AS diag
+           FROM cells
+         ), r AS (
+           SELECT lang, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY lang
+         ), c AS (
+           SELECT predicted, CAST(sum(n) AS BIGINT) AS c
+           FROM cells GROUP BY predicted
+         ), p AS (
+           SELECT CAST(sum(r.r * c.c) AS BIGINT) AS pen
+           FROM r JOIN c ON r.lang = c.predicted
+         )
+         SELECT nn AS n,
+                round(CAST(diag AS DOUBLE) / nn, 6) AS po,
+                round(CAST(pen AS DOUBLE) /
+                      (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS pe,
+                round((CAST(diag AS DOUBLE) / nn
+                       - CAST(pen AS DOUBLE) /
+                         (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+                      / (1.0 - CAST(pen AS DOUBLE) /
+                         (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6) AS kappa
+         FROM t CROSS JOIN p""",
     "text_quality" ->
       s"""SELECT doc_id, n_tokens,
                  round(CAST(char_sum AS DOUBLE) / n_tokens, 4) AS avg_token_len,

@@ -579,6 +579,41 @@ class EdgeCaseSpec extends SparkSpec {
     ()
   }
 
+  test("text_lang_kappa agrees with the confusion matrix's accuracy") {
+    import graft.operators.TextOps
+    val k = TextOps.queries("text_lang_kappa")(spark, SfDir).head()
+    val cells = TextOps.queries("text_lang_confusion")(spark, SfDir)
+      .collect()
+    val n = cells.map(_.getAs[Long]("n")).sum
+    val diag = cells.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getAs[Long]("n")).sum
+    assert(k.getAs[Long]("n") === n)
+    assert(math.abs(k.getAs[Double]("po") - diag.toDouble / n) < 1e-6,
+      "po must be the confusion matrix's diagonal mass")
+    val kappa = k.getAs[Double]("kappa")
+    assert(kappa <= 1.0 + 1e-9, "kappa is bounded above by 1")
+    assert(kappa <= k.getAs[Double]("po") + 1e-9,
+      "chance correction cannot raise agreement")
+  }
+
+  test("ts_peaks are exactly the strict local maxima of the hourly series") {
+    import graft.operators.StreamingOps
+    val got = StreamingOps.queries("ts_peaks")(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    val hourly = Tables.events(spark, SfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+    val brute = hourly.iterator.flatMap { case (t, rs) =>
+      val s = rs.map(r => r.getTimestamp(1) -> r.getAs[Long]("n"))
+        .sortBy(_._1.getTime).toSeq
+      s.sliding(3).collect {
+        case Seq((_, a), (h, b), (_, c)) if b > a && b > c => (t, h)
+      }
+    }.toSet
+    assert(got === brute)
+  }
+
   test("join_nearest equals the brute-force same-nation argmin") {
     // the range-partitioned merge must agree with the quadratic
     // definition — for every customer, min |s_acctbal − c_acctbal| over

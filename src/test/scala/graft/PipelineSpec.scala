@@ -356,6 +356,25 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("pipe_bpe_encode compression is coherent with the learned merges") {
+    val r = PipelineOps.queries("pipe_bpe_encode")(spark, SfDir).head()
+    val (before, after) = (r.getAs[Long]("symbols_before"),
+      r.getAs[Long]("symbols_after"))
+    val occ = r.getAs[Long]("n_occurrences")
+    assert(after <= before, "merges can only shrink the symbol stream")
+    assert(after >= occ, "every word keeps at least one symbol")
+    assert(math.abs(r.getAs[Double]("compression") -
+      after.toDouble / before) < 1e-6)
+    // each merge application removes one symbol per replaced occurrence,
+    // and replacements cannot exceed the counted pair frequency (they
+    // fall short only on overlapping runs)
+    val merges = PipelineOps.queries("pipe_bpe_train")(spark, SfDir)
+      .collect().map(_.getAs[Long]("cnt")).sum
+    val removed = before - after
+    assert(removed > 0 && removed <= merges,
+      s"removed $removed vs counted pair mass $merges")
+  }
+
   test("ml_brier obeys the Murphy decomposition inequality and bounds") {
     val r = PipelineOps.queries("ml_brier")(spark, SfDir).head()
     val (b, rel, res, unc) = (r.getAs[Double]("brier"),
