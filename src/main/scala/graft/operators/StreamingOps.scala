@@ -307,6 +307,31 @@ object StreamingOps {
           round(col("lst.value"), 4).as("v_last"))
         .orderBy("event_type", "bucket")),
 
+    // Maximum drawdown per user — the peak-to-trough regression metric
+    // (finance risk, SLO burn, model-metric degradation): the largest
+    // drop from a running maximum, with WHERE it bottomed. Same scale
+    // discipline as `ts_changepoint`: the series windows partition on
+    // user_id (high-cardinality — parallelism scales with users, unlike
+    // a per-type sort), the running max and the argmax rank share ONE
+    // window sort, and the output is user-cardinality. cummax and the
+    // subtraction are exact IEEE ops on raw doubles, so the (dd desc,
+    // es, event_id) pick ranks identically cross-engine.
+    "ts_drawdown" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, dir)
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("peak", max(col("value")).over(cum))
+        .withColumn("dd", col("peak") - col("value"))
+      val pick = Window.partitionBy("user_id")
+        .orderBy(col("dd").desc, col("es"), col("event_id"))
+      ev.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), round(col("dd"), 4).as("max_drawdown"),
+          round(col("peak"), 4).as("peak_value"), col("es").as("trough_es"))
+        .orderBy("user_id")
+    }),
+
     // Local-peak detection over the per-type hourly traffic series — the
     // "alert on a spike" monitoring primitive: an hour is a peak when its
     // count strictly exceeds BOTH neighbors (endpoints and plateaus are
@@ -554,6 +579,26 @@ object StreamingOps {
          )
          SELECT event_type, h, n, prev_n, next_n
          FROM s WHERE n > prev_n AND n > next_n
-         ORDER BY event_type, h"""
+         ORDER BY event_type, h""",
+    "ts_drawdown" ->
+      """SELECT user_id, round(dd, 4) AS max_drawdown,
+                round(peak, 4) AS peak_value, es AS trough_es
+         FROM (
+           SELECT user_id, es, dd, peak,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY dd DESC, es, event_id) AS rn
+           FROM (
+             SELECT user_id, es, event_id, peak, peak - value AS dd
+             FROM (
+               SELECT user_id, es, event_id, value,
+                      max(value) OVER (PARTITION BY user_id
+                        ORDER BY es, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS peak
+               FROM (SELECT user_id, event_id, value,
+                            CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+             )
+           )
+         ) WHERE rn = 1 ORDER BY user_id"""
   )
 }

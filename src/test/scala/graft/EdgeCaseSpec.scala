@@ -614,6 +614,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("ts_drawdown matches a sequential cummax replay per user") {
+    import graft.operators.StreamingOps
+    val got = StreamingOps.queries("ts_drawdown")(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("max_drawdown")).toMap
+    val series = Tables.events(spark, SfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value")).collect()
+      .groupBy(_.getLong(0))
+    assert(got.keySet === series.keySet)
+    series.foreach { case (u, rs) =>
+      val vs = rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+        .map(_.getDouble(3))
+      var peak = Double.NegativeInfinity
+      var dd = 0.0
+      vs.foreach { v => peak = math.max(peak, v); dd = math.max(dd, peak - v) }
+      assert(math.abs(got(u) - dd) < 1e-3, s"user $u: ${got(u)} vs $dd")
+      assert(got(u) >= 0.0)
+    }
+  }
+
   test("join_nearest equals the brute-force same-nation argmin") {
     // the range-partitioned merge must agree with the quadratic
     // definition — for every customer, min |s_acctbal − c_acctbal| over
