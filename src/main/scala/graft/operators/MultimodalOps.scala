@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -107,8 +108,50 @@ object MultimodalOps {
           round(aggregate(col("feature"), lit(0.0d),
             (acc, x) => acc + x.cast("double")) / FeatureDim, 4).as("f_mean"))
         .orderBy("doc_id")
+    }),
+
+    // Shard-manifest build — the WebDataset/tar-shard step every
+    // multimodal training pipeline runs: assets in a deterministic
+    // shuffled order (md5 key, the `pipe_shuffle` contract) packed into
+    // ~ShardBytes shards, assets atomic (a shard may overrun by at most
+    // one asset — maxsize-is-advisory, exactly WebDataset's behavior):
+    // shard = START offset DIV budget over the global byte cumsum.
+    // The cumsum uses the range-partition + per-partition byte-offset
+    // discipline (`pipe_shuffle`), so the manifest of a billion assets
+    // never funnels through one task; only (id, n_bytes, key) ride the
+    // exchanges — payload bytes stay in the scan. Output is
+    // shard-cardinality: per shard the asset count, byte total, and the
+    // key range a fetcher needs.
+    "mm_shard_manifest" -> ((s, dir) => {
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val keyed = media(s, dir)
+        .select(col("doc_id"), col("meta.n_bytes").as("nb"),
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("skey"))
+        .repartitionByRange(nParts, col("skey"), col("doc_id"))
+        .sortWithinPartitions("skey", "doc_id")
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offs = keyed.groupBy("pid").agg(sum(col("nb")).as("pb"))
+        .withColumn("offset", coalesce(
+          sum(col("pb")).over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "offset")
+      val cw = Window.partitionBy("pid").orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      keyed.join(broadcast(offs), "pid")
+        .withColumn("cum_before",
+          coalesce(sum(col("nb")).over(cw), lit(0L)) + col("offset"))
+        .withColumn("shard_id", expr(s"cum_before DIV $ShardBytes"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_assets"), sum(col("nb")).as("shard_bytes"),
+          min(col("skey")).as("first_key"), max(col("skey")).as("last_key"))
+        .orderBy("shard_id")
     })
   )
+
+  /** Target shard size for `mm_shard_manifest` (advisory, WebDataset
+    * maxsize semantics; small so the fixture yields multiple shards). */
+  val ShardBytes = 16384L
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class FeatureRow(doc_id: Long, feature: Array[Float])
@@ -161,7 +204,25 @@ object MultimodalOps {
                  CAST(ceil(ceil(CAST(n_bytes AS DOUBLE) / $FrameBytes) / $SampleEvery) AS BIGINT) AS n_sampled,
                  md5(substring(text, 1, $FrameBytes)) AS frame0_md5
          FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, text FROM documents)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // the plain global cumsum window replays the range-partition + offset
+    // discipline; // = integer division (Spark DIV)
+    "mm_shard_manifest" ->
+      s"""WITH k AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+                  md5('shard:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents
+         ), c AS (
+           SELECT *, coalesce(sum(nb) OVER (ORDER BY skey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+           FROM k
+         )
+         SELECT CAST(cum_before // $ShardBytes AS BIGINT) AS shard_id,
+                count(*) AS n_assets,
+                CAST(sum(nb) AS BIGINT) AS shard_bytes,
+                min(skey) AS first_key, max(skey) AS last_key
+         FROM c GROUP BY 1 ORDER BY shard_id"""
   )
 }
 

@@ -46,4 +46,31 @@ class MultimodalSpec extends SparkSpec {
       assert(ns === math.ceil(nf.toDouble / MultimodalOps.SampleEvery).toLong)
     }
   }
+
+  test("mm_shard_manifest equals a sequential pack and conserves bytes") {
+    val got = MultimodalOps.queries("mm_shard_manifest")(spark, SfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_assets"), r.getAs[Long]("shard_bytes"))).toMap
+    // replay: order by (md5 key, id), cumulative start offset DIV budget
+    val assets = MultimodalOps.media(spark, SfDir)
+      .select(col("doc_id"), col("meta.n_bytes"),
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("k"))
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val brute = scala.collection.mutable.Map[Long, (Long, Long)]()
+    assets.foreach { case (_, _, nb) =>
+      val sid = cum / MultimodalOps.ShardBytes
+      val (n, b) = brute.getOrElse(sid, (0L, 0L))
+      brute(sid) = (n + 1, b + nb)
+      cum += nb
+    }
+    assert(got === brute.toMap)
+    // conservation; contiguity holds whenever every asset fits a budget
+    // (an asset larger than ShardBytes legitimately skips shard ids)
+    assert(got.values.map(_._2).sum === assets.map(_._3).sum)
+    if (assets.map(_._3).max < MultimodalOps.ShardBytes)
+      assert(got.keySet === (0L until got.size.toLong).toSet,
+        "with all assets under budget, shard ids cannot skip")
+  }
 }
