@@ -627,6 +627,33 @@ object AggOps {
               (col("n") * col("s1").cast("double")) -
             (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
         .orderBy("priority")
+    }),
+
+    // Wilson score interval for a per-group success rate — the
+    // experiment-dashboard confidence bound that stays valid at small n
+    // and extreme rates where the normal approximation fails. ONE
+    // aggregation into the |types|-row relation (n, successes as exact
+    // integers); the interval arithmetic is a fixed chain of IEEE ops on
+    // those integers — written in the SAME association order as the
+    // oracle SQL, so every intermediate double is bit-equal (z² constant-
+    // folds identically in both engines).
+    "agg_wilson" -> ((s, dir) => {
+      val z = lit(1.96)
+      val nn = col("n").cast("double")
+      val p = col("x").cast("double") / col("n")
+      val denom = lit(1.0) + z * z / nn
+      val center = (p + z * z / (lit(2.0) * nn)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / nn +
+        z * z / (lit(4.0) * nn * nn)) / denom
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("x"))
+        .select(col("event_type"), col("n"), col("x"),
+          round(p, 6).as("rate"),
+          round(center - half, 6).as("wilson_lo"),
+          round(center + half, 6).as("wilson_hi"))
+        .orderBy("event_type")
     })
   )
 
@@ -927,6 +954,31 @@ object AggOps {
          SELECT g AS priority, n, round(CAST(s1 AS DOUBLE), 2) AS total,
                 round(2.0 * CAST(s2 AS DOUBLE) / (n * CAST(s1 AS DOUBLE))
                       - (n + 1.0) / n, 6) AS gini
-         FROM s ORDER BY priority"""
+         FROM s ORDER BY priority""",
+    // the interval chain mirrors the Spark expression association
+    // exactly; z is CAST to DOUBLE so z*z folds to the same constant
+    "agg_wilson" ->
+      """WITH a AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS x
+           FROM events GROUP BY event_type
+         ), b AS (
+           SELECT event_type, n, x,
+                  CAST(x AS DOUBLE) / n AS p,
+                  CAST(n AS DOUBLE) AS nn,
+                  CAST(1.96 AS DOUBLE) AS z
+           FROM a
+         ), c AS (
+           SELECT *,
+                  (p + z * z / (2.0 * nn)) / (1.0 + z * z / nn) AS center,
+                  z * sqrt(p * (1.0 - p) / nn + z * z / (4.0 * nn * nn))
+                    / (1.0 + z * z / nn) AS half
+           FROM b
+         )
+         SELECT event_type, n, x, round(p, 6) AS rate,
+                round(center - half, 6) AS wilson_lo,
+                round(center + half, 6) AS wilson_hi
+         FROM c ORDER BY event_type"""
   )
 }

@@ -271,7 +271,37 @@ object JoinOps {
     // [[nearestJoin]] for the plan; declared at the session's shuffle
     // parallelism.
     "join_nearest" -> ((s, dir) =>
-      nearestJoin(s, dir, s.sessionState.conf.numShufflePartitions))
+      nearestJoin(s, dir, s.sessionState.conf.numShufflePartitions)),
+
+    // Edit-distance fuzzy join: name pairs within Levenshtein ≤ 2 — the
+    // typo-tolerant complement to `join_fuzzy`'s fixed-length Hamming
+    // match. Collapse-then-compare again (distinct names with
+    // multiplicities), then LOSSLESS length blocking: lev ≤ k forces
+    // |len(a) − len(b)| ≤ k, so the longer side emits its length and the
+    // k lengths below it as join keys and only ever meets names it could
+    // match — each unordered pair exactly once (longer-emits-down for
+    // cross-length, lexicographic order for equal length). The quadratic
+    // expansion is per length class of the DISTINCT-name relation, with
+    // the codegen'd levenshtein verify inside the join; at web scale the
+    // q-gram prefix machinery (`dedup_prefix`) is the documented
+    // second-stage block within each class.
+    "join_edit_distance" -> ((s, dir) => {
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+        .withColumn("len", length(col("name")))
+        .persist()
+      val l = names.select(col("name").as("a"), col("len").as("la"),
+        col("cnt").as("cnt_a"),
+        explode(array(col("len"), col("len") - 1, col("len") - 2)).as("k"))
+      val r = names.select(col("name").as("b"), col("len").as("lb"),
+        col("cnt").as("cnt_b"))
+      l.join(r, col("k") === col("lb") &&
+          (col("la") > col("lb") || col("a") < col("b")))
+        .withColumn("dist", levenshtein(col("a"), col("b")))
+        .filter(col("dist") <= 2)
+        .select(col("a"), col("b"), col("dist"), col("cnt_a"), col("cnt_b"))
+        .orderBy("a", "b")
+    })
   )
 
   /** The `join_nearest` plan, parameterized on the range-partition count
@@ -476,6 +506,21 @@ object JoinOps {
            WHERE refs.nk = CAST(c.c_nationkey AS BIGINT)
            ORDER BY abs(v - c.c_acctbal), v LIMIT 1
          ) r ON TRUE
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+    // ground truth over the distinct-name relation with the identical
+    // pair orientation (longer first; lexicographic when equal length)
+    "join_edit_distance" ->
+      """WITH names AS (
+           SELECT p_name AS name, count(*) AS cnt, length(p_name) AS len
+           FROM part GROUP BY 1
+         )
+         SELECT a.name AS a, b.name AS b,
+                CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+                a.cnt AS cnt_a, b.cnt AS cnt_b
+         FROM names a JOIN names b
+           ON ((a.len > b.len AND a.len - b.len <= 2)
+               OR (a.len = b.len AND a.name < b.name))
+          AND levenshtein(a.name, b.name) <= 2
+         ORDER BY a, b"""
   )
 }

@@ -308,6 +308,43 @@ object PipelineOps {
         .orderBy("bin")
     }),
 
+    // Population Stability Index between the train and test splits — the
+    // distribution-drift audit every dataset release runs ("did the
+    // hash split accidentally skew a feature?"), over the same n_chars
+    // bins as `ml_calibration` and the same md5 split as `pipe_split`.
+    // ONE corpus scan into a ≤10×2 bin relation; shares clip at 1e-6
+    // (the standard empty-bin guard) before the ln ratio; per-bin terms
+    // pre-round at 10dp and fold as DECIMAL over the bounded relation,
+    // the `text_entropy` ln-parity discipline.
+    "ml_psi" -> ((s, dir) => {
+      val bucket = md5Bucket(col("doc_id"))
+      val split = when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+      val tot = Window.partitionBy()
+      Tables.documents(s, dir)
+        .select(least(floor(col("n_chars") / 50).cast("int"), lit(9)).as("bin"),
+          split.as("split"))
+        .filter(col("split") =!= "val")
+        .groupBy("bin")
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .withColumn("p", greatest(
+          col("n_train").cast("double") / sum(col("n_train")).over(tot),
+          lit(1e-6)))
+        .withColumn("q", greatest(
+          col("n_test").cast("double") / sum(col("n_test")).over(tot),
+          lit(1e-6)))
+        .withColumn("term",
+          round((col("p") - col("q")) * log(col("p") / col("q")), 10))
+        .withColumn("psi",
+          round(sum(col("term").cast("decimal(28,10)")).over(tot)
+            .cast("double"), 6))
+        .select(col("bin"), col("n_train"), col("n_test"),
+          round(col("p"), 6).as("p_train"), round(col("q"), 6).as("q_test"),
+          round(col("term"), 6).as("term"), col("psi"))
+        .orderBy("bin")
+    }),
+
     // Brier score + Murphy decomposition (reliability / resolution /
     // uncertainty) of the same capped-linear scorer `ml_calibration`
     // bins — the single-number probabilistic-forecast quality summary
@@ -1156,6 +1193,38 @@ object PipelineOps {
                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
            FROM documents
          ) GROUP BY bin ORDER BY bin""",
+    // same bins/split expressions as ml_calibration/pipe_split; shares
+    // clip at 1e-6, terms pre-round at 10dp, DECIMAL fold over ≤10 bins
+    "ml_psi" ->
+      """WITH b AS (
+           SELECT CAST(least(floor(n_chars / 50), 9) AS INT) AS bin,
+                  CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (
+             SELECT n_chars,
+                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+             FROM documents
+           )
+         ), c AS (
+           SELECT bin,
+                  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+           FROM b WHERE split <> 'val' GROUP BY bin
+         ), d AS (
+           SELECT *,
+                  greatest(CAST(n_train AS DOUBLE) / sum(n_train) OVER (),
+                           CAST(1e-6 AS DOUBLE)) AS p,
+                  greatest(CAST(n_test AS DOUBLE) / sum(n_test) OVER (),
+                           CAST(1e-6 AS DOUBLE)) AS q
+           FROM c
+         ), e AS (
+           SELECT *, round((p - q) * ln(p / q), 10) AS term FROM d
+         )
+         SELECT bin, n_train, n_test, round(p, 6) AS p_train,
+                round(q, 6) AS q_test, round(term, 6) AS term,
+                round(CAST(sum(CAST(term AS DECIMAL(28,10))) OVER ()
+                      AS DOUBLE), 6) AS psi
+         FROM e ORDER BY bin""",
     // same bins as ml_calibration; brier numerator is an exact integer
     // sum, decomposition terms pre-round at 10dp then fold as DECIMAL
     "ml_brier" ->

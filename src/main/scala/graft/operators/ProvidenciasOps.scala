@@ -586,6 +586,37 @@ object ProvidenciasOps {
         .orderBy("event_type")
     }),
 
+    // Graph extension: global transitivity (the whole-graph clustering
+    // summary next to the per-node `graph_cluster_coeff`): C = 3·△ / ∧,
+    // wedges from the degree aggregate in closed form (d·(d−1)/2 —
+    // node-cardinality, integer-exact), triangles from the same oriented
+    // two-join plan `graph_triangles` pins. One edge list persisted and
+    // shared by both sides; the final relation is a single row of exact
+    // BIGINTs plus one exactly-rounded division.
+    "graph_transitivity" -> ((s, dir) => {
+      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+        .persist()
+      val stats = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
+      val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = e.select(col("src").as("b2"), col("dst").as("c"))
+      val e3 = e.select(col("src").as("a3"), col("dst").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(tri).crossJoin(edges)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("transitivity"))
+    }),
+
     // A9 — directed 1-hop SIMILAR neighborhood of node 0 with similitud in
     // [10, 90] (reference :55-71). The edge is DERIVED: one broadcastable
     // probe row joined against the embeddings table — no O(n^2) blow-up,
@@ -630,6 +661,34 @@ object ProvidenciasOps {
                 round(CAST(a2.a2 AS DOUBLE) / sum(a2.a2) OVER (), 6) AS share
          FROM a2 JOIN a1 USING (event_type)
          ORDER BY event_type""",
+    // wedges in closed form off the degree relation; the triangle CTE is
+    // graph_triangles' oracle verbatim
+    "graph_transitivity" ->
+      """WITH e AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), deg AS (
+           SELECT id, count(*) AS d FROM (
+             SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+           ) GROUP BY id
+         ), stats AS (
+           SELECT count(*) AS n_nodes,
+                  CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+           FROM deg
+         ), tri AS (
+           SELECT count(*) AS n_triangles
+           FROM e e1
+           JOIN e e2 ON e2.src = e1.dst
+           JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+         ), ec AS (SELECT count(*) AS n_edges FROM e)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6)
+                  AS transitivity
+         FROM stats CROSS JOIN tri CROSS JOIN ec""",
     "graph_assortativity" ->
       """WITH e AS MATERIALIZED (
            SELECT * FROM (

@@ -614,6 +614,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("join_edit_distance finds every pair the quadratic scan finds") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = JoinOps.queries("join_edit_distance")(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Int]("dist")).toMap
+    val names = Tables.part(spark, SfDir).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val brute = (for {
+      x <- names; y <- names
+      if (x.length > y.length && x.length - y.length <= 2) ||
+        (x.length == y.length && x < y)
+      d = lev(x, y) if d <= 2
+    } yield (x, y) -> d).toMap
+    assert(got === brute,
+      "length blocking must be lossless for levenshtein <= 2")
+  }
+
+  test("agg_wilson brackets the rate inside [0, 1]") {
+    import graft.operators.AggOps
+    AggOps.queries("agg_wilson")(spark, SfDir).collect().foreach { r =>
+      val (rate, lo, hi) = (r.getAs[Double]("rate"),
+        r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9, s"$lo <= $rate <= $hi")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9,
+        "the Wilson interval never leaves the unit range")
+    }
+  }
+
   test("ts_drawdown matches a sequential cummax replay per user") {
     import graft.operators.StreamingOps
     val got = StreamingOps.queries("ts_drawdown")(spark, SfDir).collect()

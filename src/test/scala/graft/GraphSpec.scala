@@ -179,4 +179,15 @@ class GraphSpec extends SparkSpec {
       assert(g2 === a2(t), s"$t a2")
     }
   }
+
+  test("graph_transitivity is coherent with the per-node triangle counts") {
+    val r = q("graph_transitivity").head()
+    val triSum = q("graph_triangles").collect().map(_.getAs[Long]("n_tri")).sum
+    // each triangle contributes one count at each of its three corners
+    assert(3L * r.getAs[Long]("n_triangles") === triSum,
+      "global triangle count must be the corner-count sum over 3")
+    val c = r.getAs[Double]("transitivity")
+    assert(c >= 0.0 && c <= 1.0 + 1e-9, "closed wedges are a subset of wedges")
+    assert(r.getAs[Long]("n_wedges") >= r.getAs[Long]("n_triangles") * 3)
+  }
 }

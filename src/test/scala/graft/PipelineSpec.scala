@@ -356,6 +356,25 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("ml_psi terms are nonnegative and the total is their sum") {
+    // (p−q) and ln(p/q) always share sign, so every PSI term ≥ 0
+    val rows = PipelineOps.queries("ml_psi")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val psi = rows.head.getAs[Double]("psi")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("term") >= -1e-9)
+      assert(r.getAs[Double]("psi") === psi, "psi is a corpus-level constant")
+    }
+    assert(math.abs(psi - rows.map(_.getAs[Double]("term")).sum) < 1e-4,
+      "psi must total the per-bin terms")
+    // the split counts must partition the non-val corpus
+    val nonVal = rows.map(r =>
+      r.getAs[Long]("n_train") + r.getAs[Long]("n_test")).sum
+    val expected = PipelineOps.queries("pipe_split")(spark, SfDir)
+      .filter(col("split") =!= "val").count()
+    assert(nonVal === expected)
+  }
+
   test("pipe_bpe_encode compression is coherent with the learned merges") {
     val r = PipelineOps.queries("pipe_bpe_encode")(spark, SfDir).head()
     val (before, after) = (r.getAs[Long]("symbols_before"),
