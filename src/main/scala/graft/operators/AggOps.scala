@@ -654,8 +654,47 @@ object AggOps {
           round(center - half, 6).as("wilson_lo"),
           round(center + half, 6).as("wilson_hi"))
         .orderBy("event_type")
+    }),
+
+    // Benford first-digit screen over order totals — the classic
+    // fraud/fabrication data-quality check: naturally-occurring amounts
+    // follow P(d) = log10(1 + 1/d). The first digit comes from the
+    // DECIMAL(18,2) string form (deterministic cross-engine, unlike
+    // log10-of-double digit math whose floor flips at exact powers of
+    // ten); the expected ladder is a FIXED literal table shared with the
+    // oracle (in-engine log10 is not bit-pinned). One scan into a
+    // ≤9-row aggregate; shares are exact-integer divisions.
+    "agg_benford" -> ((s, dir) => {
+      val digit = substring(col("o_totalprice").cast("decimal(18,2)")
+        .cast("string"), 1, 1).cast("int")
+      val tot = Window.partitionBy()
+      def ladder(d: org.apache.spark.sql.Column) =
+        BenfordP.tail.foldLeft(
+          when(d === BenfordP.head._1, BenfordP.head._2)) {
+          case (acc, (dd, p)) => acc.when(d === dd, p)
+        }.otherwise(0.0)
+      Tables.orders(s, dir)
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        .withColumn("share",
+          round(col("n_orders").cast("double") /
+            sum(col("n_orders")).over(tot), 6))
+        .withColumn("benford_p", ladder(col("digit")))
+        .withColumn("deviation", round(col("share") - col("benford_p"), 6))
+        .select("digit", "n_orders", "share", "benford_p", "deviation")
+        .orderBy("digit")
     })
   )
+
+  /** Benford expected first-digit shares, log10(1+1/d) fixed to 6dp so
+    * both engines consume the SAME double constants. */
+  private[graft] val BenfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> "%.6f".format(math.log10(1.0 + 1.0 / d)).toDouble)
+
+  /** The expected-share CASE ladder as oracle SQL (same constants). */
+  private def benfordCaseSql(expr: String): String =
+    BenfordP.map { case (d, p) => s"WHEN $expr = $d THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
 
   def oracles: Map[String, String] = Map(
     "agg_geomean" ->
@@ -979,6 +1018,24 @@ object AggOps {
          SELECT event_type, n, x, round(p, 6) AS rate,
                 round(center - half, 6) AS wilson_lo,
                 round(center + half, 6) AS wilson_hi
-         FROM c ORDER BY event_type"""
+         FROM c ORDER BY event_type""",
+    // first digit off the DECIMAL(18,2) string form; the expected ladder
+    // interpolates the same 6dp constants the Spark plan uses
+    "agg_benford" ->
+      s"""WITH d AS (
+           SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                      AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders
+         ), c AS (
+           SELECT digit, count(*) AS n_orders FROM d GROUP BY digit
+         )
+         SELECT digit, n_orders,
+                round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 6)
+                  AS share,
+                CAST(${benfordCaseSql("digit")} AS DOUBLE) AS benford_p,
+                round(round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 6)
+                      - CAST(${benfordCaseSql("digit")} AS DOUBLE), 6)
+                  AS deviation
+         FROM c ORDER BY digit"""
   )
 }

@@ -308,6 +308,42 @@ object PipelineOps {
         .orderBy("bin")
     }),
 
+    // Filtering-cascade report — the "documents removed by each filter"
+    // table every dataset paper publishes (C4, Gopher, RefinedWeb all
+    // report this): gates applied in a FIXED order, each doc attributed
+    // to the FIRST gate that drops it (first-match-wins, like the
+    // reference's buscar dispatch), survivors in the terminal "kept"
+    // row. ONE codegen'd scan into a ≤5-row aggregate; n_in per stage
+    // derives from the cumulative drop window over that bounded
+    // relation, so the funnel arithmetic never touches the corpus.
+    "pipe_filter_report" -> ((s, dir) => {
+      val t = split(col("text"), " ")
+      val nTok = size(t)
+      val dupFrac = lit(1.0) -
+        size(array_distinct(t)).cast("double") / nTok
+      val stage = when(nTok < 20,
+          struct(lit(1).as("i"), lit("too_short").as("s")))
+        .when(nTok > 500, struct(lit(2).as("i"), lit("too_long").as("s")))
+        .when(dupFrac > 0.3,
+          struct(lit(3).as("i"), lit("repetitive").as("s")))
+        .when(!col("lang").isin("en", "es"),
+          struct(lit(4).as("i"), lit("non_target_lang").as("s")))
+        .otherwise(struct(lit(5).as("i"), lit("kept").as("s")))
+      val tot = Window.partitionBy()
+      val before = Window.orderBy("stage_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(stage.as("st"))
+        .groupBy(col("st.i").as("stage_idx"), col("st.s").as("stage"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_in", sum(col("n_docs")).over(tot) -
+          coalesce(sum(col("n_docs")).over(before), lit(0L)))
+        .withColumn("rate",
+          round(col("n_docs").cast("double") / col("n_in"), 6))
+        .select("stage_idx", "stage", "n_docs", "n_in", "rate")
+        .orderBy("stage_idx")
+    }),
+
     // Population Stability Index between the train and test splits — the
     // distribution-drift audit every dataset release runs ("did the
     // hash split accidentally skew a feature?"), over the same n_chars
@@ -1193,6 +1229,40 @@ object PipelineOps {
                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
            FROM documents
          ) GROUP BY bin ORDER BY bin""",
+    // identical gate expressions and first-match-wins order; the funnel
+    // window replays over the bounded stage relation
+    "pipe_filter_report" ->
+      """WITH staged AS (
+           SELECT CASE
+                    WHEN len(string_split(text, ' ')) < 20 THEN 1
+                    WHEN len(string_split(text, ' ')) > 500 THEN 2
+                    WHEN 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                               / len(string_split(text, ' ')) > 0.3 THEN 3
+                    WHEN lang NOT IN ('en', 'es') THEN 4
+                    ELSE 5 END AS stage_idx,
+                  CASE
+                    WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+                    WHEN len(string_split(text, ' ')) > 500 THEN 'too_long'
+                    WHEN 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                               / len(string_split(text, ' ')) > 0.3 THEN 'repetitive'
+                    WHEN lang NOT IN ('en', 'es') THEN 'non_target_lang'
+                    ELSE 'kept' END AS stage
+           FROM documents
+         ), c AS (
+           SELECT stage_idx, stage, count(*) AS n_docs
+           FROM staged GROUP BY 1, 2
+         )
+         SELECT stage_idx, stage, n_docs,
+                CAST(sum(n_docs) OVER () -
+                     coalesce(sum(n_docs) OVER (ORDER BY stage_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_in,
+                round(CAST(n_docs AS DOUBLE) /
+                      (sum(n_docs) OVER () -
+                       coalesce(sum(n_docs) OVER (ORDER BY stage_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)),
+                      6) AS rate
+         FROM c ORDER BY stage_idx""",
     // same bins/split expressions as ml_calibration/pipe_split; shares
     // clip at 1e-6, terms pre-round at 10dp, DECIMAL fold over ≤10 bins
     "ml_psi" ->

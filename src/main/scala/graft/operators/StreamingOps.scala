@@ -23,6 +23,9 @@ import graft.Tables
   */
 object StreamingOps {
 
+  /** ACF lags reported by `ts_correlogram`. */
+  val CorrelogramLags = 12
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 5-minute tumbling count + sum(value) per event_type.
     "stream_tumbling" -> ((s, dir) =>
@@ -307,6 +310,44 @@ object StreamingOps {
           round(col("lst.value"), 4).as("v_last"))
         .orderBy("event_type", "bucket")),
 
+    // Correlogram — the ACF diagnostic table (autocorrelation at lags
+    // 1..12) of the hourly click series: the "is there structure /
+    // seasonality left?" readout time-series work starts from. The
+    // corpus collapses to the calendar-bounded hourly series in ONE
+    // partial-agg shuffle; all 12 lag columns ride a single window sort
+    // over that bounded relation (the global Window.orderBy spans ~720
+    // rows, not the corpus), stack() unpivots in place, and each lag's
+    // Pearson uses the exact-integer DECIMAL sufficient sums
+    // (`ts_autocorr`'s discipline — bit-stable without rounding tricks).
+    "ts_correlogram" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.orderBy("h")
+      val lagged = (1 to CorrelogramLags).foldLeft(hourly) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("y"), k).over(w))
+      }
+      val arms = (1 to CorrelogramLags).map(k => s"$k, l$k").mkString(", ")
+      def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      lagged
+        .select(col("y"), expr(
+          s"stack($CorrelogramLags, $arms) AS (lag, ylag)"))
+        .filter(col("ylag").isNotNull)
+        .groupBy("lag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("y")).as("sv"), dsum(col("ylag")).as("sl"),
+          dsum(col("y") * col("ylag")).as("svl"),
+          dsum(col("y") * col("y")).as("svv"),
+          dsum(col("ylag") * col("ylag")).as("sll"))
+        .select(col("lag"), col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("svl") - col("sv") * col("sl")) /
+            sqrt((col("n") * col("svv") - col("sv") * col("sv")) *
+              (col("n") * col("sll") - col("sl") * col("sl"))), 6)
+            .as("acf"))
+        .orderBy("lag")
+    }),
+
     // Maximum drawdown per user — the peak-to-trough regression metric
     // (finance risk, SLO burn, model-metric degradation): the largest
     // drop from a running maximum, with WHERE it bottomed. Same scale
@@ -580,6 +621,31 @@ object StreamingOps {
          SELECT event_type, h, n, prev_n, next_n
          FROM s WHERE n > prev_n AND n > next_n
          ORDER BY event_type, h""",
+    // one lag arm per UNION branch over the shared hourly CTE; the
+    // Pearson replay matches ts_autocorr's exact-DECIMAL discipline
+    "ts_correlogram" -> {
+      val arms = (1 to CorrelogramLags).map(k =>
+        s"""SELECT $k AS lag, y, lag(y, $k) OVER (ORDER BY h) AS ylag
+            FROM hourly""").mkString(" UNION ALL ")
+      s"""WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, count(*) AS y
+           FROM events WHERE event_type = 'click' GROUP BY 1
+         ), p AS ($arms)
+         SELECT lag, CAST(cnt AS BIGINT) AS n_pairs,
+                round((n * svl - sv * sl) /
+                      sqrt((n * svv - sv * sv) * (n * sll - sl * sl)), 6)
+                  AS acf
+         FROM (
+           SELECT lag, count(*) AS cnt,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sv,
+                  CAST(sum(CAST(ylag AS DECIMAL(28,10))) AS DOUBLE) AS sl,
+                  CAST(sum(CAST(y * ylag AS DECIMAL(28,10))) AS DOUBLE) AS svl,
+                  CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS svv,
+                  CAST(sum(CAST(ylag * ylag AS DECIMAL(28,10))) AS DOUBLE) AS sll
+           FROM p WHERE ylag IS NOT NULL GROUP BY lag
+         ) ORDER BY lag"""
+    },
     "ts_drawdown" ->
       """SELECT user_id, round(dd, 4) AS max_drawdown,
                 round(peak, 4) AS peak_value, es AS trough_es

@@ -649,6 +649,33 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("ts_correlogram rows are valid correlations over a shrinking series") {
+    import graft.operators.StreamingOps
+    val rows = StreamingOps.queries("ts_correlogram")(spark, SfDir).collect()
+    assert(rows.length === StreamingOps.CorrelogramLags)
+    rows.foreach { r =>
+      val acf = r.getAs[Double]("acf")
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9, s"acf $acf out of range")
+    }
+    val byLag = rows.map(r => r.getAs[Int]("lag") -> r.getAs[Long]("n_pairs"))
+      .sortBy(_._1)
+    // each extra lag loses exactly one pair off the series head
+    byLag.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b === a - 1, "lag k+1 must have one fewer pair than lag k")
+    }
+  }
+
+  test("agg_benford shares are a distribution with the fixed expectation") {
+    import graft.operators.AggOps
+    val rows = AggOps.queries("agg_benford")(spark, SfDir).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val p = AggOps.BenfordP.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("benford_p") === p(r.getAs[Int]("digit")))
+    }
+  }
+
   test("ts_drawdown matches a sequential cummax replay per user") {
     import graft.operators.StreamingOps
     val got = StreamingOps.queries("ts_drawdown")(spark, SfDir).collect()

@@ -356,6 +356,24 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("pipe_filter_report is a telescoping funnel that conserves the corpus") {
+    val rows = PipelineOps.queries("pipe_filter_report")(spark, SfDir)
+      .collect().sortBy(_.getAs[Int]("stage_idx"))
+    val total = Tables.documents(spark, SfDir).count()
+    assert(rows.head.getAs[Long]("n_in") === total,
+      "the first stage sees the whole corpus")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") ===
+        a.getAs[Long]("n_in") - a.getAs[Long]("n_docs"),
+        "each stage's intake is the previous intake minus its drops")
+    case _ => ()
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total,
+      "every document lands in exactly one stage")
+    val kept = rows.find(_.getAs[String]("stage") == "kept")
+    assert(kept.nonEmpty && kept.get.getAs[Long]("n_docs") > 0)
+  }
+
   test("ml_psi terms are nonnegative and the total is their sum") {
     // (p−q) and ln(p/q) always share sign, so every PSI term ≥ 0
     val rows = PipelineOps.queries("ml_psi")(spark, SfDir).collect()
