@@ -381,6 +381,41 @@ object PipelineOps {
         .orderBy("bin")
     }),
 
+    // Two-sample Kolmogorov-Smirnov statistic between the train and test
+    // splits' n_chars distributions — PSI's nonparametric companion
+    // (binning-free, catches shape drift PSI's 10 bins smooth away).
+    // The corpus collapses to the DISTINCT n_chars domain with per-split
+    // counts in ONE shuffle (domain-bounded: the char-length range, not
+    // row count); both ECDFs are exact-integer cumulative sums over that
+    // bounded relation, and D = max |F_tr − F_te| with its location
+    // picked by a deterministic (diff desc, value) rank. Division of
+    // exact integers keeps the argmax comparisons bit-equal cross-engine.
+    "ml_ks_test" -> ((s, dir) => {
+      val bucket = md5Bucket(col("doc_id"))
+      val split = when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+      val tot = Window.partitionBy()
+      val cum = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d = Tables.documents(s, dir)
+        .select(col("n_chars"), split.as("split"))
+        .filter(col("split") =!= "val")
+        .groupBy("n_chars")
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+        .withColumn("ctr", sum(col("tr")).over(cum))
+        .withColumn("cte", sum(col("te")).over(cum))
+        .withColumn("ntr", sum(col("tr")).over(tot))
+        .withColumn("nte", sum(col("te")).over(tot))
+        .withColumn("diff", abs(col("ctr").cast("double") / col("ntr") -
+          col("cte").cast("double") / col("nte")))
+      val pick = Window.orderBy(col("diff").desc, col("n_chars"))
+      d.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("ntr").as("n_train"), col("nte").as("n_test"),
+          col("n_chars").as("ks_at"), round(col("diff"), 6).as("ks_d"))
+    }),
+
     // Brier score + Murphy decomposition (reliability / resolution /
     // uncertainty) of the same capped-linear scorer `ml_calibration`
     // bins — the single-number probabilistic-forecast quality summary
@@ -1263,6 +1298,41 @@ object PipelineOps {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)),
                       6) AS rate
          FROM c ORDER BY stage_idx""",
+    // identical split expression; ECDFs replay as plain windows over the
+    // distinct-value relation
+    "ml_ks_test" ->
+      """WITH b AS (
+           SELECT n_chars,
+                  CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           FROM (
+             SELECT n_chars,
+                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+             FROM documents
+           )
+         ), c AS (
+           SELECT n_chars,
+                  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+                  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS te
+           FROM b WHERE split <> 'val' GROUP BY n_chars
+         ), d AS (
+           SELECT n_chars,
+                  CAST(sum(tr) OVER (ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ctr,
+                  CAST(sum(te) OVER (ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cte,
+                  CAST(sum(tr) OVER () AS BIGINT) AS ntr,
+                  CAST(sum(te) OVER () AS BIGINT) AS nte
+           FROM c
+         ), e AS (
+           SELECT *, abs(CAST(ctr AS DOUBLE) / ntr - CAST(cte AS DOUBLE) / nte) AS diff,
+                  row_number() OVER (ORDER BY abs(CAST(ctr AS DOUBLE) / ntr
+                    - CAST(cte AS DOUBLE) / nte) DESC, n_chars) AS rn
+           FROM d
+         )
+         SELECT ntr AS n_train, nte AS n_test, n_chars AS ks_at,
+                round(diff, 6) AS ks_d
+         FROM e WHERE rn = 1""",
     // same bins/split expressions as ml_calibration/pipe_split; shares
     // clip at 1e-6, terms pre-round at 10dp, DECIMAL fold over ≤10 bins
     "ml_psi" ->

@@ -472,6 +472,40 @@ object ProvidenciasOps {
         .orderBy(col("jacc").desc, col("a"), col("b"))
     }),
 
+    // Graph extension: Adamic-Adar link prediction — the degree-weighted
+    // common-neighbor score Σ_z 1/ln(deg z) that outperforms raw counts
+    // by discounting promiscuous hubs. Same middle-node self-join shape
+    // as `graph_jaccard_neighbors` (never all-pairs), but the score
+    // aggregates over the MIDDLE node: its 1/ln(deg) weight joins in
+    // BEFORE the pair groupBy (a node-cardinality broadcast), pre-rounded
+    // at 10dp so the DECIMAL fold over each pair's common neighbors is
+    // order-independent — the text_entropy ln-parity discipline.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+      val und = tri.select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("s"), col("e.d").as("d"))
+        .persist()
+      val w = und.groupBy(col("s").as("m")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select(col("m"),
+          round(lit(1.0) / log(col("deg")), 10).as("w"))
+      und.select(col("s").as("a"), col("d").as("m"))
+        .join(und.select(col("s").as("m"), col("d").as("b")), "m")
+        .filter(col("a") < col("b"))
+        .join(broadcast(w), "m")
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"),
+          sum(col("w").cast("decimal(28,10)")).cast("double").as("aa_raw"))
+        .select(col("a"), col("b"), col("n_common"),
+          round(col("aa_raw"), 6).as("adamic_adar"))
+        .filter(col("n_common") >= 3)
+        .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+    }),
+
     // Graph extension: 2-hop neighborhood of node 0 (min hop count per
     // node) — the reference's 1-hop expansion (A9) taken one step further.
     // No O(n²) pairwise at all: hop 1 is a single-probe scan (O(n), the
@@ -661,6 +695,33 @@ object ProvidenciasOps {
                 round(CAST(a2.a2 AS DOUBLE) / sum(a2.a2) OVER (), 6) AS share
          FROM a2 JOIN a1 USING (event_type)
          ORDER BY event_type""",
+    // the middle-node join replays jaccard_neighbors' shape; weights
+    // pre-round at 10dp before the DECIMAL fold, same constants
+    "graph_adamic_adar" ->
+      """WITH e AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), und AS (
+           SELECT src AS s, dst AS d FROM e
+           UNION ALL SELECT dst, src FROM e
+         ), w AS (
+           SELECT s AS m, round(CAST(1.0 AS DOUBLE) / ln(count(*)), 10) AS w
+           FROM und GROUP BY s HAVING count(*) >= 2
+         ), pairs AS (
+           SELECT u1.s AS a, u2.d AS b, u1.d AS m
+           FROM und u1 JOIN und u2 ON u1.d = u2.s
+           WHERE u1.s < u2.d
+         )
+         SELECT a, b, count(*) AS n_common,
+                round(CAST(sum(CAST(w.w AS DECIMAL(28,10))) AS DOUBLE), 6)
+                  AS adamic_adar
+         FROM pairs JOIN w USING (m)
+         GROUP BY a, b HAVING count(*) >= 3
+         ORDER BY adamic_adar DESC, a, b""",
     // wedges in closed form off the degree relation; the triangle CTE is
     // graph_triangles' oracle verbatim
     "graph_transitivity" ->

@@ -30,6 +30,10 @@ object TextOps {
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small and deterministic — the point is the
     * plan shape (argmax over per-list overlap counts in one scan). */
+  /** Minimum doc frequency for `text_burstiness` (rare tokens have
+    * degenerate dispersion estimates). */
+  val MinBurstDf = 20
+
   val StopEn: Seq[String] = Seq("the", "a", "of", "and")
   val StopEs: Seq[String] = Seq("el", "la", "de", "y")
   val StopFr: Seq[String] = Seq("le", "les", "de", "et")
@@ -221,6 +225,36 @@ object TextOps {
       t.crossJoin(p)
         .select(col("nn").as("n"), round(po, 6).as("po"), round(pe, 6).as("pe"),
           round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
+    // Token burstiness — the variance-to-mean dispersion index of per-doc
+    // counts (zeros included): topical content words are overdispersed
+    // (they cluster in few docs), function words sit near Poisson — the
+    // corpus-linguistics signal behind stopword induction and keyword
+    // scoring. One tokenize pass into the (token, doc) count relation,
+    // then a vocabulary-sized aggregate carrying exact integer Σc and
+    // Σc²; the corpus doc count joins as a 1-row broadcast, every
+    // division is exact-input IEEE, and the top-20 rides
+    // TakeOrderedAndProject on the 6dp-rounded score with a token
+    // tiebreak — never a global rank window.
+    "text_burstiness" -> ((s, dir) => {
+      val stats = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("tok").agg(sum(col("c")).as("tf"),
+          sum(col("c") * col("c")).as("tf2"),
+          count(lit(1)).as("df"))
+        .filter(col("df") >= MinBurstDf)
+      val nd = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+      val mean = col("tf").cast("double") / col("nd")
+      val ex2 = col("tf2").cast("double") / col("nd")
+      stats.crossJoin(broadcast(nd))
+        .withColumn("dispersion",
+          round((ex2 - mean * mean) / mean, 6))
+        .select(col("tok"), col("df"), col("tf"),
+          round(mean, 6).as("mean_tf"), col("dispersion"))
+        .orderBy(col("dispersion").desc, col("tok"))
+        .limit(20)
     }),
 
     // Quality scoring: token count, mean token length, stopword ratio,
@@ -719,6 +753,26 @@ object TextOps {
                       / (1.0 - CAST(pen AS DOUBLE) /
                          (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6) AS kappa
          FROM t CROSS JOIN p""",
+    "text_burstiness" ->
+      s"""WITH tfd AS (
+           SELECT tok, doc_id, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents
+           ) GROUP BY tok, doc_id
+         ), stats AS (
+           SELECT tok, CAST(sum(c) AS BIGINT) AS tf,
+                  CAST(sum(c * c) AS BIGINT) AS tf2,
+                  count(*) AS df
+           FROM tfd GROUP BY tok HAVING count(*) >= $MinBurstDf
+         ), nd AS (SELECT count(*) AS nd FROM documents)
+         SELECT tok, df, tf,
+                round(CAST(tf AS DOUBLE) / nd, 6) AS mean_tf,
+                round((CAST(tf2 AS DOUBLE) / nd
+                       - (CAST(tf AS DOUBLE) / nd) * (CAST(tf AS DOUBLE) / nd))
+                      / (CAST(tf AS DOUBLE) / nd), 6) AS dispersion
+         FROM stats CROSS JOIN nd
+         ORDER BY dispersion DESC, tok
+         LIMIT 20""",
     "text_quality" ->
       s"""SELECT doc_id, n_tokens,
                  round(CAST(char_sum AS DOUBLE) / n_tokens, 4) AS avg_token_len,

@@ -676,6 +676,22 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("text_burstiness scores are nonnegative over frequent tokens") {
+    import graft.operators.TextOps
+    val rows = TextOps.queries("text_burstiness")(spark, SfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= TextOps.MinBurstDf)
+      assert(r.getAs[Double]("dispersion") >= -1e-9,
+        "a variance-to-mean ratio cannot be negative")
+      assert(r.getAs[Long]("tf") >= r.getAs[Long]("df"),
+        "total count bounds doc frequency")
+    }
+    // the list is sorted by the declared (dispersion desc, token) order
+    val ds = rows.map(r => (-r.getAs[Double]("dispersion"), r.getString(0)))
+    assert(ds.sameElements(ds.sorted), "top-20 must respect the declared order")
+  }
+
   test("ts_drawdown matches a sequential cummax replay per user") {
     import graft.operators.StreamingOps
     val got = StreamingOps.queries("ts_drawdown")(spark, SfDir).collect()

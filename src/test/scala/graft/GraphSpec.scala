@@ -180,6 +180,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graph_adamic_adar matches a direct replay over the edge set") {
+    val got = q("graph_adamic_adar").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("adamic_adar"))).toMap
+    val edges = graft.operators.SimilarityOps.queries("sim_edges")(spark, SfDir)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val brute = (for {
+      a <- adj.keys; b <- adj.keys if a < b
+      common = adj(a) intersect adj(b) if common.size >= 3
+    } yield {
+      val aa = common.toSeq.map { z =>
+        BigDecimal(1.0 / math.log(adj(z).size.toDouble))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      (a, b) -> (common.size.toLong,
+        BigDecimal(aa).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(n === brute(k)._1, s"$k common count")
+      assert(math.abs(s - brute(k)._2) < 1e-5, s"$k score $s vs ${brute(k)._2}")
+    }
+  }
+
   test("graph_transitivity is coherent with the per-node triangle counts") {
     val r = q("graph_transitivity").head()
     val triSum = q("graph_triangles").collect().map(_.getAs[Long]("n_tri")).sum

@@ -374,6 +374,26 @@ class PipelineSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.get.getAs[Long]("n_docs") > 0)
   }
 
+  test("ml_ks_test equals the brute-force ECDF sweep") {
+    val r = PipelineOps.queries("ml_ks_test")(spark, SfDir).head()
+    val split = PipelineOps.queries("pipe_split")(spark, SfDir)
+      .join(Tables.documents(spark, SfDir).select("doc_id", "n_chars"), "doc_id")
+      .filter(col("split") =!= "val")
+      .select("split", "n_chars").collect()
+      .map(row => row.getString(0) -> row.getLong(1))
+    val tr = split.filter(_._1 == "train").map(_._2).sorted
+    val te = split.filter(_._1 == "test").map(_._2).sorted
+    assert(r.getAs[Long]("n_train") === tr.length.toLong)
+    assert(r.getAs[Long]("n_test") === te.length.toLong)
+    val domain = (tr ++ te).distinct.sorted
+    val d = domain.map { v =>
+      math.abs(tr.count(_ <= v).toDouble / tr.length -
+        te.count(_ <= v).toDouble / te.length)
+    }.max
+    assert(math.abs(r.getAs[Double]("ks_d") - d) < 1e-6,
+      s"ks ${r.getAs[Double]("ks_d")} vs brute $d")
+  }
+
   test("ml_psi terms are nonnegative and the total is their sum") {
     // (p−q) and ln(p/q) always share sign, so every PSI term ≥ 0
     val rows = PipelineOps.queries("ml_psi")(spark, SfDir).collect()
