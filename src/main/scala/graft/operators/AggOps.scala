@@ -656,6 +656,57 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Tukey-fence outlier audit — the boxplot rule (beyond q1−1.5·IQR /
+    // q3+1.5·IQR) per event type: the robust screen data-cleaning runs
+    // before z-scores, since the fences themselves resist the outliers
+    // they hunt. Two passes: exact interpolating quartiles into a
+    // |types|-row relation, broadcast back, then one conditional-count
+    // scan. Fence arithmetic is IEEE ops on the exact quantiles, written
+    // in the oracle's association order.
+    "agg_tukey_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val q = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"),
+          count(lit(1)).as("n"))
+      val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+      val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+      ev.join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(min(col("n")).as("n"),
+          round(min(col("q1")), 4).as("q1"),
+          round(min(col("q3")), 4).as("q3"),
+          sum(when(col("value") < lo || col("value") > hi, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_rate",
+          round(col("n_outliers").cast("double") / col("n"), 6))
+        .orderBy("event_type")
+    }),
+
+    // Winsorized mean — the robust location estimate that clamps the
+    // tails at P05/P95 instead of dropping them: the standard guard for
+    // metric aggregation over heavy-tailed telemetry. Same two-pass
+    // shape as the Tukey audit (exact percentile relation broadcast
+    // back); the clamped values fold as DECIMAL so the mean is
+    // order-independent, next to the plain mean for the skew read-out.
+    "agg_winsorized" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val q = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      val clamped = greatest(least(col("value"), col("p95")), col("p05"))
+      ev.join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)), 4).as("mean"),
+          round(sum(clamped.cast("decimal(28,10)")).cast("double") /
+            count(lit(1)), 4).as("winsorized_mean"),
+          round(min(col("p05")), 4).as("p05"),
+          round(min(col("p95")), 4).as("p95"))
+        .orderBy("event_type")
+    }),
+
     // Benford first-digit screen over order totals — the classic
     // fraud/fabrication data-quality check: naturally-occurring amounts
     // follow P(d) = log10(1 + 1/d). The first digit comes from the
@@ -1019,6 +1070,43 @@ object AggOps {
                 round(center - half, 6) AS wilson_lo,
                 round(center + half, 6) AS wilson_hi
          FROM c ORDER BY event_type""",
+    // fences/clamps consume the UNROUNDED exact quantiles, same as Spark
+    "agg_tukey_outliers" ->
+      """WITH q AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.75) AS q3,
+                  count(*) AS n
+           FROM events GROUP BY event_type
+         )
+         SELECT e.event_type, min(q.n) AS n,
+                round(min(q.q1), 4) AS q1, round(min(q.q3), 4) AS q3,
+                CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                              OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                round(CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                              OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                              THEN 1 ELSE 0 END) AS DOUBLE) / min(q.n), 6)
+                  AS outlier_rate
+         FROM events e JOIN q USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "agg_winsorized" ->
+      """WITH q AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS p05,
+                  quantile_cont(value, 0.95) AS p95
+           FROM events GROUP BY event_type
+         )
+         SELECT e.event_type, count(*) AS n,
+                round(CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
+                      / count(*), 4) AS mean,
+                round(CAST(sum(CAST(greatest(least(e.value, q.p95), q.p05)
+                                    AS DECIMAL(28,10))) AS DOUBLE)
+                      / count(*), 4) AS winsorized_mean,
+                round(min(q.p05), 4) AS p05,
+                round(min(q.p95), 4) AS p95
+         FROM events e JOIN q USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
     // first digit off the DECIMAL(18,2) string form; the expected ladder
     // interpolates the same 6dp constants the Spark plan uses
     "agg_benford" ->

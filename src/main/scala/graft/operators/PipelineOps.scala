@@ -308,6 +308,35 @@ object PipelineOps {
         .orderBy("bin")
     }),
 
+    // Span-corruption accounting (the T5/UL2 denoising-objective prep):
+    // positions mask by a pure hash of (doc, position) at ~15%, and the
+    // report counts masked tokens and contiguous masked SPANS per doc —
+    // the sentinel-token budget a span-corruption batch builder needs.
+    // Everything is codegen'd array arithmetic over the token sequence
+    // (transform/filter over positions, span starts = masked positions
+    // whose predecessor is unmasked) — a pure row map, ZERO shuffles, and
+    // the mask is replayable (retry/repartition-safe) because it hashes
+    // content coordinates, never RNG state.
+    "pipe_span_corruption" -> ((s, dir) => {
+      val masked = expr(
+        """filter(sequence(1, size(split(text, ' '))),
+                  p -> CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+                       ':', CAST(p AS STRING))), 1, 4), 16, 10) AS INT)
+                       % 100 < 15)""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          masked.as("mp"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("mp")).cast("long").as("n_masked"),
+          expr("""size(filter(mp,
+            p -> p = 1 OR NOT array_contains(mp, p - 1)))""").cast("long")
+            .as("n_spans"))
+        .withColumn("corrupt_rate",
+          round(col("n_masked").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    }),
+
     // Filtering-cascade report — the "documents removed by each filter"
     // table every dataset paper publishes (C4, Gopher, RefinedWeb all
     // report this): gates applied in a FIXED order, each doc attributed
@@ -1264,6 +1293,25 @@ object PipelineOps {
                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
            FROM documents
          ) GROUP BY bin ORDER BY bin""",
+    // identical hash-mask expression per (doc, position); span starts =
+    // masked positions whose predecessor is unmasked
+    "pipe_span_corruption" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  list_filter(range(1, len(string_split(text, ' ')) + 1),
+                    p -> CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                         || ':' || CAST(p AS VARCHAR)), 1, 4)) AS INT)
+                         % 100 < 15) AS mp
+           FROM documents
+         )
+         SELECT doc_id, n_tokens,
+                CAST(len(mp) AS BIGINT) AS n_masked,
+                CAST(len(list_filter(mp,
+                  p -> p = 1 OR NOT list_contains(mp, p - 1))) AS BIGINT)
+                  AS n_spans,
+                round(CAST(len(mp) AS DOUBLE) / n_tokens, 6) AS corrupt_rate
+         FROM m ORDER BY doc_id""",
     // identical gate expressions and first-match-wins order; the funnel
     // window replays over the bounded stage relation
     "pipe_filter_report" ->

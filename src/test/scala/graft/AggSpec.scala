@@ -239,6 +239,23 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("agg_tukey_outliers and agg_winsorized obey their robust-stat bounds") {
+    val tk = AggOps.queries("agg_tukey_outliers")(spark, SfDir).collect()
+    tk.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+      assert(r.getAs[Double]("outlier_rate") < 0.25,
+        "the 1.5-IQR fences must contain the central half and then some")
+      assert(r.getAs[Double]("q1") <= r.getAs[Double]("q3"))
+    }
+    val wz = AggOps.queries("agg_winsorized")(spark, SfDir).collect()
+    wz.foreach { r =>
+      val (w, p05, p95) = (r.getAs[Double]("winsorized_mean"),
+        r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      assert(w >= p05 - 1e-6 && w <= p95 + 1e-6,
+        "a mean of values clamped to [p05, p95] stays inside the clamp")
+    }
+  }
+
   test("agg_gini matches the naive sorted-rank formula per group") {
     // the distributed tie-block closed form must equal the textbook
     // G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n over a plain sort

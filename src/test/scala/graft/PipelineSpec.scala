@@ -374,6 +374,36 @@ class PipelineSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.get.getAs[Long]("n_docs") > 0)
   }
 
+  test("pipe_span_corruption masks ~15% in well-formed spans") {
+    val rows = PipelineOps.queries("pipe_span_corruption")(spark, SfDir)
+      .collect()
+    rows.foreach { r =>
+      val (nt, nm, ns) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_masked"), r.getAs[Long]("n_spans"))
+      assert(nm <= nt && ns <= nm,
+        "spans cannot outnumber masked tokens, masks cannot exceed tokens")
+      assert((nm == 0) == (ns == 0))
+    }
+    val rate = rows.map(_.getAs[Long]("n_masked")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(rate > 0.10 && rate < 0.20,
+      s"corpus mask rate $rate should concentrate near the 15% target")
+    // replay one document's mask by hash
+    val d = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .head()
+    val (id, n) = (d.getLong(0), d.getInt(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val masked = (1 to n).filter { p =>
+      val h = md.digest(s"$id:$p".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(h, 16) % 100 < 15
+    }
+    val got = rows.find(_.getLong(0) == id).get
+    assert(got.getAs[Long]("n_masked") === masked.length.toLong,
+      s"doc $id mask replay")
+  }
+
   test("ml_ks_test equals the brute-force ECDF sweep") {
     val r = PipelineOps.queries("ml_ks_test")(spark, SfDir).head()
     val split = PipelineOps.queries("pipe_split")(spark, SfDir)
