@@ -656,6 +656,32 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Herfindahl-Hirschman concentration index per priority class —
+    // "how concentrated is spend across customers" (the 0–10000 scale
+    // regulators use; also the dataset-curation question "is this source
+    // dominated by a few authors?"). Two aggregations: exact-DECIMAL
+    // spend per (class, customer) — the only corpus-scale shuffle — then
+    // a per-class fold where each squared share's numerator pre-rounds
+    // at 4dp into a DECIMAL sum (order-independent; the square of an
+    // exact-decimal double is exactly rounded IEEE).
+    "agg_hhi" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"), col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+      val spd = col("sp").cast("double")
+      spend
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("sp")).as("tot"),
+          sum(round(spd * spd, 4).cast("decimal(38,4)")).as("sq"))
+        .select(col("priority"), col("n_custs"),
+          round(col("tot").cast("double"), 2).as("total"),
+          round(col("sq").cast("double") /
+            (col("tot").cast("double") * col("tot").cast("double")) *
+            10000.0, 4).as("hhi"))
+        .orderBy("priority")
+    }),
+
     // Tukey-fence outlier audit — the boxplot rule (beyond q1−1.5·IQR /
     // q3+1.5·IQR) per event type: the robust screen data-cleaning runs
     // before z-scores, since the fences themselves resist the outliers
@@ -1070,6 +1096,23 @@ object AggOps {
                 round(center - half, 6) AS wilson_lo,
                 round(center + half, 6) AS wilson_hi
          FROM c ORDER BY event_type""",
+    // Spark decimal→double goes through the string form (the ts_resample
+    // idiom) so `total` and the share denominators agree bit-for-bit
+    "agg_hhi" ->
+      """WITH spend AS (
+           SELECT o_orderpriority AS priority, o_custkey,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+           FROM orders GROUP BY 1, 2
+         )
+         SELECT priority, count(*) AS n_custs,
+                round(CAST(CAST(sum(sp) AS VARCHAR) AS DOUBLE), 2) AS total,
+                round(CAST(sum(CAST(round(CAST(CAST(sp AS VARCHAR) AS DOUBLE)
+                                          * CAST(CAST(sp AS VARCHAR) AS DOUBLE), 4)
+                                    AS DECIMAL(38,4))) AS DOUBLE)
+                      / (CAST(CAST(sum(sp) AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sum(sp) AS VARCHAR) AS DOUBLE))
+                      * 10000.0, 4) AS hhi
+         FROM spend GROUP BY priority ORDER BY priority""",
     // fences/clamps consume the UNROUNDED exact quantiles, same as Spark
     "agg_tukey_outliers" ->
       """WITH q AS (

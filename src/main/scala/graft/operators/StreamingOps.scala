@@ -125,6 +125,49 @@ object StreamingOps {
         .orderBy("user_id", "h")
     }),
 
+    // Linear-interpolation gap fill — `ts_resample`'s forward-fill
+    // upgraded to the two-sided estimate BI/feature pipelines prefer for
+    // interior gaps: v = prev + (next − prev)·Δt-fraction, anchored on
+    // the nearest observed hours each side. Same spine + left join (one
+    // shuffle, spine proportional to covered time, not events); the
+    // bracketing observations ride last/first-ignoring-nulls STRUCTS
+    // over one user-partitioned window sort, so hour and value come from
+    // the same observed row by construction. Fractions divide exact
+    // integral epoch seconds — bit-stable cross-engine.
+    "ts_interpolate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(28,10)")).cast("double").as("v"))
+      val spine = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val wb = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obs = when(col("v").isNotNull,
+        struct(col("h").as("oh"), col("v").as("ov")))
+      val frac = (unix_timestamp(col("h")) -
+        unix_timestamp(col("prev.oh"))).cast("double") /
+        (unix_timestamp(col("next.oh")) - unix_timestamp(col("prev.oh")))
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("prev", last(obs, ignoreNulls = true).over(wb))
+        .withColumn("next", first(obs, ignoreNulls = true).over(wa))
+        .select(col("user_id"), col("h"), col("v").isNull.as("gap"),
+          // explicit half-up: library round() disagrees cross-engine on
+          // the EXACT rational half-way points this interpolation grid
+          // produces (2dp values at k/den fractions); floor(x*1e6 + 0.5)
+          // is the identical IEEE chain on both engines
+          (floor((when(col("v").isNotNull, col("v"))
+            .otherwise(col("prev.ov") +
+              (col("next.ov") - col("prev.ov")) * frac)) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("v_interp"))
+        .orderBy("user_id", "h")
+    }),
+
     // Time-series anomaly flagging: events whose value is a >2.5σ outlier
     // against the emitter's own distribution. Per-user stats are a
     // partial+final aggregation broadcast back onto the stream — one scan
@@ -510,6 +553,43 @@ object StreamingOps {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
          FROM spine s LEFT JOIN hourly USING (user_id, h)
          ORDER BY user_id, h""",
+    // same spine; the bracketing h/v pairs come from matched IGNORE NULLS
+    // windows over the identical frame; CASE short-circuits the observed
+    // branch so boundary rows never evaluate the 0/0 fraction
+    "ts_interpolate" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS v
+           FROM events GROUP BY user_id, h
+         ), spine AS (
+           SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM (SELECT user_id,
+                        date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+                        date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+                 FROM events GROUP BY user_id)
+         ), j AS (
+           SELECT s.user_id, s.h, v,
+                  last_value(CASE WHEN v IS NOT NULL THEN s.h END IGNORE NULLS)
+                    OVER wb AS ph,
+                  last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+                    OVER wb AS pv,
+                  first_value(CASE WHEN v IS NOT NULL THEN s.h END IGNORE NULLS)
+                    OVER wa AS nh,
+                  first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+                    OVER wa AS nv
+           FROM spine s LEFT JOIN hourly USING (user_id, h)
+           WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wa AS (PARTITION BY s.user_id ORDER BY s.h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         )
+         SELECT user_id, h, (v IS NULL) AS gap,
+                floor((CASE WHEN v IS NOT NULL THEN v
+                       ELSE pv + (nv - pv) *
+                            (CAST(epoch(h) - epoch(ph) AS DOUBLE) /
+                             (epoch(nh) - epoch(ph))) END) * 1e6 + 0.5)
+                  / 1e6 AS v_interp
+         FROM j ORDER BY user_id, h""",
     "ts_anomaly" ->
       """WITH stats AS (
            SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd, count(*) AS n

@@ -227,6 +227,41 @@ object TextOps {
           round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
     }),
 
+    // Interpolated Kneser-Ney bigram probabilities (d = 0.75) — the
+    // smoothing that made n-gram LMs work (Kneser & Ney 1995; still the
+    // reference baseline next to neural perplexity): absolute-discounted
+    // bigram mass backed off to the CONTINUATION unigram (how many
+    // distinct left contexts a word follows — the "novel-context"
+    // probability). Every ingredient is an exact integer aggregate of
+    // the bigram relation (vocabulary²-bounded after ONE corpus tokenize
+    // pass): c(w1w2), left totals c(w1)/N1+(w1·), continuation counts
+    // N1+(·w2), type total. The probability chain is exact-input IEEE in
+    // the oracle's association order; top-20 rides
+    // TakeOrderedAndProject on (count desc, pair).
+    "text_kn_bigram" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .persist()
+      val left = bg.groupBy("w1")
+        .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1f"))
+      val right = bg.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val types = bg.agg(count(lit(1)).as("ntypes"))
+      bg.join(left, "w1").join(right, "w2").crossJoin(broadcast(types))
+        .withColumn("pkn", round(
+          (col("c") - lit(0.75)) / col("c1") +
+            lit(0.75) * col("n1f") / col("c1") *
+              (col("n1b").cast("double") / col("ntypes")), 6))
+        .select("w1", "w2", "c", "pkn")
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Token burstiness — the variance-to-mean dispersion index of per-doc
     // counts (zeros included): topical content words are overdispersed
     // (they cluster in few docs), function words sit near Poisson — the
@@ -753,6 +788,32 @@ object TextOps {
                       / (1.0 - CAST(pen AS DOUBLE) /
                          (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6) AS kappa
          FROM t CROSS JOIN p""",
+    // bigram pairs via the BpeCtes unnest idiom; the probability chain
+    // casts every 0.75 literal to DOUBLE to mirror Spark's lit(0.75)
+    "text_kn_bigram" ->
+      """WITH pairs AS (
+           SELECT split_part(pair, ' ', 1) AS w1,
+                  split_part(pair, ' ', 2) AS w2
+           FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS pair
+             FROM (SELECT string_split(text, ' ') AS t FROM documents)
+             WHERE len(t) >= 2
+           )
+         ), bg AS (
+           SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2
+         ), l AS (
+           SELECT w1, CAST(sum(c) AS BIGINT) AS c1, count(*) AS n1f
+           FROM bg GROUP BY w1
+         ), r AS (
+           SELECT w2, count(*) AS n1b FROM bg GROUP BY w2
+         ), ty AS (SELECT count(*) AS ntypes FROM bg)
+         SELECT bg.w1, bg.w2, bg.c,
+                round((bg.c - CAST(0.75 AS DOUBLE)) / l.c1 +
+                      CAST(0.75 AS DOUBLE) * l.n1f / l.c1 *
+                        (CAST(r.n1b AS DOUBLE) / ty.ntypes), 6) AS pkn
+         FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN ty
+         ORDER BY c DESC, w1, w2 LIMIT 20""",
     "text_burstiness" ->
       s"""WITH tfd AS (
            SELECT tok, doc_id, count(*) AS c FROM (

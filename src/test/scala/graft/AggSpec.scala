@@ -256,6 +256,16 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("agg_hhi stays inside the concentration bounds") {
+    val rows = AggOps.queries("agg_hhi")(spark, SfDir).collect()
+    rows.foreach { r =>
+      val (n, hhi) = (r.getAs[Long]("n_custs"), r.getAs[Double]("hhi"))
+      assert(hhi <= 10000.0 + 1e-6, "monopoly caps the index at 10000")
+      assert(hhi >= 10000.0 / n - 1e-4,
+        s"perfect competition floors the index at 10000/n: $hhi vs ${10000.0 / n}")
+    }
+  }
+
   test("agg_gini matches the naive sorted-rank formula per group") {
     // the distributed tie-block closed form must equal the textbook
     // G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n over a plain sort

