@@ -92,6 +92,42 @@ object MergeOps {
         .orderBy("user_id", "valid_from", "attr")
     }),
 
+    // Point-in-time SCD2 lookup — the Kimball pattern's second half: for
+    // every fact (purchase), the dimension version valid AT the fact's
+    // timestamp. Implemented with the as-of union idiom (ONE
+    // user-partitioned window sort — no row-multiplying interval join):
+    // versions tile each user's timeline contiguously, so "latest
+    // version at-or-before" IS interval containment, with [from, to)
+    // boundary semantics pinned by sorting version starts ahead of facts
+    // at equal timestamps. The oracle deliberately joins on the RAW
+    // interval predicate (from ≤ ts < to, null-open end) so the two
+    // formulations check each other.
+    "merge_pit_lookup" -> ((s, dir) => {
+      val dim = queries("merge_scd2")(s, dir)
+        .select(col("user_id"), col("attr"), col("valid_from"))
+      val facts = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val tagged = dim
+        .select(col("user_id"), col("valid_from").as("ts"), col("attr"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_fact"))
+        .unionByName(facts.select(col("user_id"), col("ts"),
+          lit(null).cast("string").as("attr"), col("event_id"),
+          lit(1).as("is_fact")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_fact"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("ver", last(when(col("is_fact") === 0,
+          struct(col("ts").as("vfrom"), col("attr").as("vattr"))),
+          ignoreNulls = true).over(w))
+        .filter(col("is_fact") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("ver.vattr").as("attr_at_ts"),
+          col("ver.vfrom").as("version_from"))
+        .orderBy("event_id")
+    }),
+
     // Snapshot diff: given two versions of a table, emit every changed
     // row tagged insert / delete / update — the reconciliation step that
     // turns two warehouse snapshots into a CDC feed (Delta CHANGE DATA
@@ -137,6 +173,23 @@ object MergeOps {
         .orderBy("user_id")
     }))
 
+  /** merge_scd2's oracle, shared verbatim as `merge_pit_lookup`'s dim
+    * CTE so both keys pin ONE versioning definition. */
+  private val Scd2Sql: String =
+    """WITH ordered AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events
+         ), changes AS (
+           SELECT user_id, event_type, ts, event_id FROM ordered
+           WHERE prev IS NULL OR prev <> event_type
+         )
+         SELECT user_id, event_type AS attr, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+         FROM changes
+         ORDER BY user_id, valid_from, attr"""
+
   def oracles: Map[String, String] = Map(
     "merge_upsert" ->
       """WITH tgt AS (
@@ -157,20 +210,24 @@ object MergeOps {
                      ELSE 'unchanged' END AS status
          FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.o_custkey
          ORDER BY custkey""",
-    "merge_scd2" ->
-      """WITH ordered AS (
-           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-           FROM events
-         ), changes AS (
-           SELECT user_id, event_type, ts, event_id FROM ordered
-           WHERE prev IS NULL OR prev <> event_type
+    "merge_scd2" -> Scd2Sql,
+    // the dim CTE is merge_scd2's oracle; the fact join uses the RAW
+    // [from, to) interval predicate — a deliberately different
+    // formulation from the Spark side's as-of merge, so each checks the
+    // other (contiguous tiling makes them provably equivalent)
+    "merge_pit_lookup" ->
+      s"""WITH dim AS (
+           $Scd2Sql
+         ), f AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'
          )
-         SELECT user_id, event_type AS attr, ts AS valid_from,
-                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-         FROM changes
-         ORDER BY user_id, valid_from, attr""",
+         SELECT f.event_id, f.user_id, f.ts, d.attr AS attr_at_ts,
+                d.valid_from AS version_from
+         FROM f JOIN dim d
+           ON d.user_id = f.user_id AND d.valid_from <= f.ts
+          AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+         ORDER BY event_id""",
     "merge_diff" ->
       """WITH old AS (
            SELECT o_orderkey, o_totalprice FROM orders

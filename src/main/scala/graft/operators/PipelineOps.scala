@@ -215,6 +215,30 @@ object PipelineOps {
             (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
     }),
 
+    // Matthews correlation coefficient over the SAME confusion cells as
+    // `ml_confusion` — the single-number binary-eval summary that stays
+    // honest under class imbalance (where accuracy and even F1 mislead).
+    // Cells are exact integer sums off one scan; the numerator and the
+    // four-factor denominator multiply as doubles in a pinned
+    // association (sqrt per factor, so nothing overflows BIGINT at
+    // corpus scale), identical IEEE chains on both engines.
+    "ml_mcc" -> ((s, dir) => {
+      val a = when(col("lang") === "en", 1L).otherwise(0L)
+      val p = when(col("n_chars") >= 300, 1L).otherwise(0L)
+      val num = col("tp").cast("double") * col("tn") -
+        col("fp").cast("double") * col("fn")
+      val den = sqrt((col("tp") + col("fp")).cast("double")) *
+        sqrt((col("tp") + col("fn")).cast("double")) *
+        sqrt((col("tn") + col("fp")).cast("double")) *
+        sqrt((col("tn") + col("fn")).cast("double"))
+      Tables.documents(s, dir)
+        .agg(sum(a * p).as("tp"), sum((lit(1) - a) * p).as("fp"),
+          sum(a * (lit(1) - p)).as("fn"),
+          sum((lit(1) - a) * (lit(1) - p)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round(when(den > 0, num / den).otherwise(0.0), 6).as("mcc"))
+    }),
+
     // Precision-recall curve: one (precision, recall) point per DISTINCT
     // classifier score, threshold = "predict positive at score ≥ t" —
     // the threshold-sweep companion to `ml_auc` (same scorer: n_chars
@@ -1293,6 +1317,32 @@ object PipelineOps {
                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
            FROM documents
          ) GROUP BY bin ORDER BY bin""",
+    // same cells as ml_confusion; numerator/denominator in the pinned
+    // double association (per-factor sqrt avoids BIGINT overflow)
+    "ml_mcc" ->
+      """WITH c AS (
+           SELECT CAST(sum(a * p) AS BIGINT) AS tp,
+                  CAST(sum((1 - a) * p) AS BIGINT) AS fp,
+                  CAST(sum(a * (1 - p)) AS BIGINT) AS fn,
+                  CAST(sum((1 - a) * (1 - p)) AS BIGINT) AS tn
+           FROM (
+             SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+                    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS p
+             FROM documents
+           )
+         )
+         SELECT tp, fp, fn, tn,
+                round(CASE WHEN sqrt(CAST(tp + fp AS DOUBLE))
+                                * sqrt(CAST(tp + fn AS DOUBLE))
+                                * sqrt(CAST(tn + fp AS DOUBLE))
+                                * sqrt(CAST(tn + fn AS DOUBLE)) > 0
+                      THEN (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                           / (sqrt(CAST(tp + fp AS DOUBLE))
+                              * sqrt(CAST(tp + fn AS DOUBLE))
+                              * sqrt(CAST(tn + fp AS DOUBLE))
+                              * sqrt(CAST(tn + fn AS DOUBLE)))
+                      ELSE 0.0 END, 6) AS mcc
+         FROM c""",
     // identical hash-mask expression per (doc, position); span starts =
     // masked positions whose predecessor is unmasked
     "pipe_span_corruption" ->

@@ -353,6 +353,30 @@ object StreamingOps {
           round(col("lst.value"), 4).as("v_last"))
         .orderBy("event_type", "bucket")),
 
+    // Period-over-period deltas — the day-over-day / week-over-week
+    // percent-change columns every metrics dashboard leads with. ONE
+    // partial-agg collapse to the |types|×|days| daily series, then
+    // lag(1)/lag(7) off a single window sort over that calendar-bounded
+    // relation (the fixture's days are contiguous; a gapped calendar
+    // would compose the `ts_resample` spine first — row lag ≠ calendar
+    // lag). Integer counts divide exactly; NULL warm-ups where no prior
+    // period exists.
+    "ts_pct_change" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      daily
+        .withColumn("prev_d", lag(col("n"), 1).over(w))
+        .withColumn("prev_w", lag(col("n"), 7).over(w))
+        .select(col("event_type"), col("d"), col("n"),
+          round((col("n") - col("prev_d")).cast("double") / col("prev_d"), 6)
+            .as("dod"),
+          round((col("n") - col("prev_w")).cast("double") / col("prev_w"), 6)
+            .as("wow"))
+        .orderBy("event_type", "d")
+    }),
+
     // Correlogram — the ACF diagnostic table (autocorrelation at lags
     // 1..12) of the hourly click series: the "is there structure /
     // seasonality left?" readout time-series work starts from. The
@@ -701,6 +725,20 @@ object StreamingOps {
          SELECT event_type, h, n, prev_n, next_n
          FROM s WHERE n > prev_n AND n > next_n
          ORDER BY event_type, h""",
+    "ts_pct_change" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2
+         )
+         SELECT event_type, d, CAST(n AS BIGINT) AS n,
+                round(CAST(n - lag(n) OVER w AS DOUBLE)
+                      / lag(n) OVER w, 6) AS dod,
+                round(CAST(n - lag(n, 7) OVER w AS DOUBLE)
+                      / lag(n, 7) OVER w, 6) AS wow
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY d)
+         ORDER BY event_type, d""",
     // one lag arm per UNION branch over the shared hourly CTE; the
     // Pearson replay matches ts_autocorr's exact-DECIMAL discipline
     "ts_correlogram" -> {

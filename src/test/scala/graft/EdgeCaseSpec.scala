@@ -708,6 +708,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ds.sameElements(ds.sorted), "top-20 must respect the declared order")
   }
 
+  test("ts_pct_change replays the lag identities on the daily series") {
+    import graft.operators.StreamingOps
+    val rows = StreamingOps.queries("ts_pct_change")(spark, SfDir).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { case (_, rs) =>
+      val s = rs.sortBy(_.getTimestamp(1).getTime)
+      s.indices.foreach { i =>
+        val n = s(i).getAs[Long]("n")
+        if (i >= 1) {
+          val p = s(i - 1).getAs[Long]("n")
+          assert(math.abs(s(i).getAs[Double]("dod") - (n - p).toDouble / p)
+            < 1e-6)
+        } else assert(s(i).isNullAt(s(i).fieldIndex("dod")))
+        if (i >= 7) {
+          val p = s(i - 7).getAs[Long]("n")
+          assert(math.abs(s(i).getAs[Double]("wow") - (n - p).toDouble / p)
+            < 1e-6)
+        } else assert(s(i).isNullAt(s(i).fieldIndex("wow")))
+      }
+    }
+  }
+
   test("ts_interpolate brackets every gap and agrees with observed rows") {
     import graft.operators.StreamingOps
     val interp = StreamingOps.queries("ts_interpolate")(spark, SfDir).persist()

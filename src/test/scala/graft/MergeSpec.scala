@@ -67,4 +67,23 @@ class MergeSpec extends SparkSpec {
     val mismatched = out.join(maxTs, "user_id").filter(col("last_ts") =!= col("mx")).count()
     assert(mismatched === 0)
   }
+
+  test("merge_pit_lookup picks exactly the interval-valid version") {
+    val dim = MergeOps.queries("merge_scd2")(spark, SfDir).collect()
+      .groupBy(_.getLong(0))
+    val got = MergeOps.queries("merge_pit_lookup")(spark, SfDir).collect()
+    val purchases = Tables.events(spark, SfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(got.length.toLong === purchases,
+      "every purchase resolves exactly one version")
+    got.foreach { r =>
+      val (u, ts) = (r.getLong(1), r.getTimestamp(2))
+      val hit = dim(u).filter { v =>
+        !v.getTimestamp(2).after(ts) &&
+          (v.isNullAt(3) || ts.before(v.getTimestamp(3)))
+      }
+      assert(hit.length === 1, s"versions must tile: user $u at $ts")
+      assert(hit.head.getString(1) === r.getString(3), s"user $u at $ts attr")
+    }
+  }
 }

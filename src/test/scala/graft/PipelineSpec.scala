@@ -374,6 +374,21 @@ class PipelineSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.get.getAs[Long]("n_docs") > 0)
   }
 
+  test("ml_mcc is coherent with ml_confusion's cells") {
+    val mcc = PipelineOps.queries("ml_mcc")(spark, SfDir).head()
+    val conf = PipelineOps.queries("ml_confusion")(spark, SfDir).head()
+    for (c <- Seq("tp", "fp", "fn", "tn"))
+      assert(mcc.getAs[Long](c) === conf.getAs[Long](c), s"cell $c")
+    val m = mcc.getAs[Double]("mcc")
+    assert(m >= -1.0 - 1e-9 && m <= 1.0 + 1e-9)
+    val (tp, fp, fn, tn) = (mcc.getAs[Long]("tp").toDouble,
+      mcc.getAs[Long]("fp").toDouble, mcc.getAs[Long]("fn").toDouble,
+      mcc.getAs[Long]("tn").toDouble)
+    val expect = (tp * tn - fp * fn) /
+      math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert(math.abs(m - expect) < 1e-5, s"mcc $m vs $expect")
+  }
+
   test("pipe_span_corruption masks ~15% in well-formed spans") {
     val rows = PipelineOps.queries("pipe_span_corruption")(spark, SfDir)
       .collect()
