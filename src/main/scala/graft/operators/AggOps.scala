@@ -656,6 +656,39 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Association rules (A → B) over user event-type baskets — the
+    // market-basket support/confidence/lift triple (Apriori's 1-item
+    // rules; the cross-sell/co-engagement readout). The stream collapses
+    // to DISTINCT (user, type) in ONE partial-agg shuffle (bounded by
+    // users × |types|); single-item supports are a |types|-row broadcast
+    // and pair supports come from the bounded self-join each user
+    // contributes ≤|types|² pairs to (the `graph_bipartite_proj` shape,
+    // both directions kept since confidence is asymmetric). All ratios
+    // divide exact integers.
+    "agg_assoc_rules" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct().persist()
+      val totals = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val singles = ut.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      val pairs = ut.select(col("user_id"), col("event_type").as("a"))
+        .join(ut.select(col("user_id"), col("event_type").as("b")), "user_id")
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.select(col("event_type").as("a"),
+          col("cnt").as("n_a"))), "a")
+        .join(broadcast(singles.select(col("event_type").as("b"),
+          col("cnt").as("n_b"))), "b")
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("n_users"), 6).as("support"),
+          round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+          round(col("n_ab").cast("double") * col("n_users") /
+            (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+        .orderBy("a", "b")
+    }),
+
     // Herfindahl-Hirschman concentration index per priority class —
     // "how concentrated is spend across customers" (the 0–10000 scale
     // regulators use; also the dataset-curation question "is this source
@@ -1096,6 +1129,29 @@ object AggOps {
                 round(center - half, 6) AS wilson_lo,
                 round(center + half, 6) AS wilson_hi
          FROM c ORDER BY event_type""",
+    "agg_assoc_rules" ->
+      """WITH ut AS (
+           SELECT DISTINCT user_id, event_type FROM events
+         ), totals AS (
+           SELECT count(DISTINCT user_id) AS n_users FROM ut
+         ), singles AS (
+           SELECT event_type, count(*) AS cnt FROM ut GROUP BY event_type
+         ), pairs AS (
+           SELECT a.event_type AS a, b.event_type AS b, count(*) AS n_ab
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.event_type <> b.event_type
+           GROUP BY 1, 2
+         )
+         SELECT p.a, p.b, p.n_ab,
+                round(CAST(p.n_ab AS DOUBLE) / t.n_users, 6) AS support,
+                round(CAST(p.n_ab AS DOUBLE) / sa.cnt, 6) AS confidence,
+                round(CAST(p.n_ab AS DOUBLE) * t.n_users /
+                      (CAST(sa.cnt AS DOUBLE) * sb.cnt), 6) AS lift
+         FROM pairs p
+         JOIN singles sa ON sa.event_type = p.a
+         JOIN singles sb ON sb.event_type = p.b
+         CROSS JOIN totals t
+         ORDER BY a, b""",
     // Spark decimal→double goes through the string form (the ts_resample
     // idiom) so `total` and the share denominators agree bit-for-bit
     "agg_hhi" ->

@@ -215,6 +215,40 @@ object PipelineOps {
             (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
     }),
 
+    // CUPED variance reduction (Deng et al., WSDM'13) — the experiment-
+    // analysis workhorse: regress the experiment-period metric on a
+    // pre-period covariate (θ = cov/var) and report how much metric
+    // variance the adjustment removes, in CLOSED FORM (var_adj = var_y −
+    // cov²/var_x — no second adjusted-metric pass). One shuffle builds
+    // the per-user (pre, post) click counts; the sufficient sums are
+    // exact-DECIMAL integer folds (the agg_corr discipline) solved in
+    // double at the end, so the whole analysis is two aggregations
+    // regardless of event volume.
+    "ml_cuped" -> ((s, dir) => {
+      def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      val perUser = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("x"),
+          sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)).as("y"))
+      val st = perUser.agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      val theta = dxy / dx
+      val varY = dy / (col("n") * col("n"))
+      val varAdj = (dy - dxy / dx * dxy) / (col("n") * col("n"))
+      st.select(col("n").cast("long").as("n_users"),
+        round(theta, 6).as("theta"),
+        round(varY, 6).as("var_y"),
+        round(varAdj, 6).as("var_adj"),
+        round(lit(1.0) - (dy - dxy / dx * dxy) / dy, 6).as("reduction"))
+    }),
+
     // Matthews correlation coefficient over the SAME confusion cells as
     // `ml_confusion` — the single-number binary-eval summary that stays
     // honest under class imbalance (where accuracy and even F1 mislead).
@@ -1317,6 +1351,36 @@ object PipelineOps {
                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
            FROM documents
          ) GROUP BY bin ORDER BY bin""",
+    // the sufficient sums replay the exact-DECIMAL folds; the closed-form
+    // chain mirrors the Spark association (dxy / dx * dxy, not dxy²/dx)
+    "ml_cuped" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS y
+           FROM events WHERE event_type = 'click' GROUP BY user_id
+         ), st AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+           FROM pu
+         )
+         SELECT CAST(n AS BIGINT) AS n_users,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+                round((n * syy - sy * sy) / (n * n), 6) AS var_y,
+                round(((n * syy - sy * sy)
+                       - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         * (n * sxy - sx * sy)) / (n * n), 6) AS var_adj,
+                round(1.0 - ((n * syy - sy * sy)
+                             - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                               * (n * sxy - sx * sy))
+                            / (n * syy - sy * sy), 6) AS reduction
+         FROM st""",
     // same cells as ml_confusion; numerator/denominator in the pinned
     // double association (per-factor sqrt avoids BIGINT overflow)
     "ml_mcc" ->

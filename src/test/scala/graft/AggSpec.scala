@@ -256,6 +256,27 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("agg_assoc_rules identities hold against raw basket counts") {
+    val rows = AggOps.queries("agg_assoc_rules")(spark, SfDir).collect()
+    val ut = Tables.events(spark, SfDir)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = ut.map(_._1).distinct.length
+    val byType = ut.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val nab = (byType(a) intersect byType(b)).size.toLong
+      assert(r.getAs[Long]("n_ab") === nab, s"$a->$b joint support")
+      assert(math.abs(r.getAs[Double]("confidence") -
+        nab.toDouble / byType(a).size) < 1e-6)
+      assert(math.abs(r.getAs[Double]("support") -
+        nab.toDouble / users) < 1e-6)
+      // lift symmetry: lift(a->b) == lift(b->a)
+      val rev = rows.find(x => x.getString(0) == b && x.getString(1) == a).get
+      assert(math.abs(r.getAs[Double]("lift") - rev.getAs[Double]("lift")) < 1e-5)
+    }
+  }
+
   test("agg_hhi stays inside the concentration bounds") {
     val rows = AggOps.queries("agg_hhi")(spark, SfDir).collect()
     rows.foreach { r =>

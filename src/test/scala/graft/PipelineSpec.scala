@@ -374,6 +374,25 @@ class PipelineSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.get.getAs[Long]("n_docs") > 0)
   }
 
+  test("ml_cuped reduction matches the squared pre/post correlation") {
+    // closed form: var_adj = var_y(1 − ρ²), so reduction == ρ²
+    val r = PipelineOps.queries("ml_cuped")(spark, SfDir).head()
+    val (vy, va, red) = (r.getAs[Double]("var_y"),
+      r.getAs[Double]("var_adj"), r.getAs[Double]("reduction"))
+    assert(va >= -1e-9 && va <= vy + 1e-9,
+      "adjustment can only remove variance")
+    assert(red >= -1e-9 && red <= 1.0 + 1e-9)
+    val xy = Tables.events(spark, SfDir)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("x"),
+        sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)).as("y"))
+      .agg(corr(col("x").cast("double"), col("y").cast("double")))
+      .head().getDouble(0)
+    assert(math.abs(red - xy * xy) < 1e-3,
+      s"reduction $red vs rho^2 ${xy * xy}")
+  }
+
   test("ml_mcc is coherent with ml_confusion's cells") {
     val mcc = PipelineOps.queries("ml_mcc")(spark, SfDir).head()
     val conf = PipelineOps.queries("ml_confusion")(spark, SfDir).head()
