@@ -366,6 +366,39 @@ object PipelineOps {
         .orderBy("bin")
     }),
 
+    // Cross-source overlap matrix — "how much of source A also appears
+    // in source B", the between-source contamination accounting a corpus
+    // datasheet reports next to the within-corpus dedup numbers (and the
+    // basis for choosing which source KEEPS shared content). Contents
+    // collapse to the shared `pipe_survivor` fingerprint per source
+    // (DISTINCT (fp, source) — one corpus shuffle on the 16-byte key);
+    // the pair matrix comes from an fp-keyed self-join where each
+    // fingerprint contributes ≤|sources|² pairs (bounded by the source
+    // vocabulary, never corpus size); per-source totals broadcast back
+    // for the asymmetric containment fractions.
+    "pipe_cross_source_overlap" -> ((s, dir) => {
+      val fp = md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))))
+      val fps = Tables.documents(s, dir)
+        .select(fp.as("fp"), col("source")).distinct().persist()
+      val per = fps.groupBy("source").agg(count(lit(1)).as("n_contents"))
+      fps.select(col("fp"), col("source").as("source_a"))
+        .join(fps.select(col("fp"), col("source").as("source_b")), "fp")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(per.select(col("source").as("source_a"),
+          col("n_contents").as("n_a"))), "source_a")
+        .join(broadcast(per.select(col("source").as("source_b"),
+          col("n_contents").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          round(col("n_shared").cast("double") / col("n_a"), 6)
+            .as("frac_of_a"),
+          round(col("n_shared").cast("double") / col("n_b"), 6)
+            .as("frac_of_b"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Span-corruption accounting (the T5/UL2 denoising-objective prep):
     // positions mask by a pure hash of (doc, position) at ~15%, and the
     // report counts masked tokens and contiguous masked SPANS per doc —
@@ -1407,6 +1440,34 @@ object PipelineOps {
                               * sqrt(CAST(tn + fn AS DOUBLE)))
                       ELSE 0.0 END, 6) AS mcc
          FROM c""",
+    // same fingerprint as pipe_survivor; the pair join and fractions
+    // replay over the distinct (fp, source) relation
+    "pipe_cross_source_overlap" ->
+      """WITH fps AS (
+           SELECT DISTINCT
+                  md5(array_to_string(list_sort(list_distinct(
+                    string_split(text, ' '))), ' ')) AS fp,
+                  source
+           FROM documents
+         ), per AS (
+           SELECT source, count(*) AS n_contents FROM fps GROUP BY source
+         ), pairs AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS n_shared
+           FROM fps a JOIN fps b
+             ON a.fp = b.fp AND a.source < b.source
+           GROUP BY 1, 2
+         )
+         SELECT p.source_a, p.source_b, p.n_shared,
+                pa.n_contents AS n_a, pb.n_contents AS n_b,
+                round(CAST(p.n_shared AS DOUBLE) / pa.n_contents, 6)
+                  AS frac_of_a,
+                round(CAST(p.n_shared AS DOUBLE) / pb.n_contents, 6)
+                  AS frac_of_b
+         FROM pairs p
+         JOIN per pa ON pa.source = p.source_a
+         JOIN per pb ON pb.source = p.source_b
+         ORDER BY source_a, source_b""",
     // identical hash-mask expression per (doc, position); span starts =
     // masked positions whose predecessor is unmasked
     "pipe_span_corruption" ->

@@ -592,6 +592,26 @@ object ProvidenciasOps {
         .orderBy("t1", "t2")
     }),
 
+    // Graph extension: component-size histogram + fragmentation summary
+    // off the SAME union-find/pointer-jump labels `graph_components`
+    // verifies — "is this one giant near-dup blob or many small ones?",
+    // the first question asked of any dedup/similarity graph. Two
+    // aggregations past the labels: component cardinalities, then a
+    // histogram over the (bounded) distinct-size relation; the pct
+    // window runs over that histogram, never the node set — the
+    // `pipe_dedup_report` shape applied to graph labels.
+    "graph_component_sizes" -> ((s, dir) => {
+      val tot = Window.partitionBy()
+      queries("graph_components")(s, dir)
+        .groupBy("component_id").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_components"))
+        .withColumn("n_nodes", col("csize") * col("n_components"))
+        .withColumn("pct_of_nodes",
+          round(col("n_nodes") / sum(col("n_nodes")).over(tot), 6))
+        .select("csize", "n_components", "n_nodes", "pct_of_nodes")
+        .orderBy("csize")
+    }),
+
     // Graph extension: HITS hubs/authorities (Kleinberg) over the
     // directed user→event-type engagement graph, 2 iterations unrolled
     // declaratively — the "which entities are endorsed by the best
@@ -668,6 +688,27 @@ object ProvidenciasOps {
         .orderBy("destino")
     })
   )
+
+  /** graph_components' oracle (recursive-CTE closure), shared verbatim
+    * as `graph_component_sizes`' labels CTE. */
+  private val ComponentsSql: String =
+    """WITH RECURSIVE tri AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), e AS MATERIALIZED (
+           SELECT src AS a, dst AS b FROM tri
+           UNION ALL SELECT dst, src FROM tri
+         ), reach(id, r) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.a, reach.r FROM reach JOIN e ON e.b = reach.id
+         )
+         SELECT id AS node_id, min(r) AS component_id
+         FROM reach GROUP BY id ORDER BY node_id"""
 
   def oracles: Map[String, String] = Map(
     "graph_bipartite_proj" ->
@@ -927,24 +968,23 @@ object ProvidenciasOps {
          FROM deg d LEFT JOIN tpn t ON t.node_id = d.node_id
          WHERE d.degree >= 2
          ORDER BY d.node_id""",
-    "graph_components" ->
-      """WITH RECURSIVE tri AS MATERIALIZED (
-           SELECT * FROM (
-             SELECT a.vec_id AS src, b.vec_id AS dst,
-                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
-             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
-           ) WHERE similitud >= 30.0
-         ), e AS MATERIALIZED (
-           SELECT src AS a, dst AS b FROM tri
-           UNION ALL SELECT dst, src FROM tri
-         ), reach(id, r) AS (
-           SELECT vec_id, vec_id FROM embeddings
-           UNION
-           SELECT e.a, reach.r FROM reach JOIN e ON e.b = reach.id
+    "graph_components" -> ComponentsSql,
+    // the labels CTE is graph_components' oracle verbatim; the histogram
+    // replays the two bounded aggregations
+    "graph_component_sizes" ->
+      s"""WITH comp AS (
+           $ComponentsSql
+         ), sizes AS (
+           SELECT component_id, count(*) AS csize FROM comp
+           GROUP BY component_id
+         ), hist AS (
+           SELECT csize, count(*) AS n_components FROM sizes GROUP BY csize
          )
-         SELECT id AS node_id, min(r) AS component_id
-         FROM reach GROUP BY id ORDER BY node_id""",
+         SELECT csize, n_components,
+                CAST(csize * n_components AS BIGINT) AS n_nodes,
+                round(CAST(csize * n_components AS DOUBLE) /
+                      sum(csize * n_components) OVER (), 6) AS pct_of_nodes
+         FROM hist ORDER BY csize""",
     "graph_label_prop" ->
       """WITH tri AS MATERIALIZED (
            SELECT * FROM (

@@ -208,6 +208,19 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graph_component_sizes is the histogram of the component labels") {
+    val hist = q("graph_component_sizes").collect()
+      .map(r => r.getAs[Long]("csize") -> r.getAs[Long]("n_components")).toMap
+    val labels = q("graph_components").collect()
+      .map(_.getAs[Long]("component_id"))
+    val brute = labels.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    assert(hist === brute)
+    val nodes = Tables.embeddings(spark, SfDir).count()
+    assert(hist.map { case (sz, n) => sz * n }.sum === nodes,
+      "component sizes must partition the node set")
+  }
+
   test("graph_transitivity is coherent with the per-node triangle counts") {
     val r = q("graph_transitivity").head()
     val triSum = q("graph_triangles").collect().map(_.getAs[Long]("n_tri")).sum

@@ -374,6 +374,30 @@ class PipelineSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.get.getAs[Long]("n_docs") > 0)
   }
 
+  test("pipe_cross_source_overlap matches brute-force fingerprint sets") {
+    val got = PipelineOps.queries("pipe_cross_source_overlap")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"))).toMap
+    val fps = Tables.documents(spark, SfDir)
+      .select(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " "))))).as("fp"),
+        col("source")).distinct().collect()
+      .map(r => r.getString(1) -> r.getString(0))
+    val bySource = fps.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    got.foreach { case ((a, b), (shared, na)) =>
+      assert(a < b, "pairs are emitted once, lexicographically")
+      assert(shared === (bySource(a) intersect bySource(b)).size.toLong,
+        s"$a x $b shared contents")
+      assert(na === bySource(a).size.toLong)
+    }
+    // completeness: every overlapping source pair appears
+    val expectPairs = (for {
+      a <- bySource.keys; b <- bySource.keys
+      if a < b && (bySource(a) intersect bySource(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(got.keySet === expectPairs)
+  }
+
   test("ml_cuped reduction matches the squared pre/post correlation") {
     // closed form: var_adj = var_y(1 − ρ²), so reduction == ρ²
     val r = PipelineOps.queries("ml_cuped")(spark, SfDir).head()
