@@ -215,6 +215,31 @@ object PipelineOps {
             (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
     }),
 
+    // Demographic-parity audit of the n_chars≥300 classifier across
+    // language groups — the responsible-AI release check ("does the
+    // quality gate select one language far more often?") that corpus
+    // curation reports next to the filter cascade. ONE scan into the
+    // |langs|-row (n, positives) relation; per-group selection rates,
+    // the overall rate, each group's gap, and the max spread all divide
+    // exact integers, with the spread windows over the bounded group
+    // relation only.
+    "ml_parity_gap" -> ((s, dir) => {
+      val tot = Window.partitionBy()
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("pos"))
+        .withColumn("rate", round(col("pos").cast("double") / col("n"), 6))
+        .withColumn("overall", round(
+          sum(col("pos")).over(tot).cast("double") /
+            sum(col("n")).over(tot), 6))
+        .withColumn("gap", round(col("rate") - col("overall"), 6))
+        .withColumn("max_spread", round(
+          max(col("rate")).over(tot) - min(col("rate")).over(tot), 6))
+        .select("lang", "n", "pos", "rate", "overall", "gap", "max_spread")
+        .orderBy("lang")
+    }),
+
     // CUPED variance reduction (Deng et al., WSDM'13) — the experiment-
     // analysis workhorse: regress the experiment-period metric on a
     // pre-period covariate (θ = cov/var) and report how much metric
@@ -1384,6 +1409,25 @@ object PipelineOps {
                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
            FROM documents
          ) GROUP BY bin ORDER BY bin""",
+    // rates/gaps replay over the bounded group relation; note gap uses
+    // the ROUNDED rate and overall, same as the Spark columns
+    "ml_parity_gap" ->
+      """WITH g AS (
+           SELECT lang, count(*) AS n,
+                  CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS pos
+           FROM documents GROUP BY lang
+         ), r AS (
+           SELECT lang, n, pos,
+                  round(CAST(pos AS DOUBLE) / n, 6) AS rate,
+                  round(CAST(sum(pos) OVER () AS DOUBLE) /
+                        sum(n) OVER (), 6) AS overall
+           FROM g
+         )
+         SELECT lang, n, pos, rate, overall,
+                round(rate - overall, 6) AS gap,
+                round(max(rate) OVER () - min(rate) OVER (), 6) AS max_spread
+         FROM r ORDER BY lang""",
     // the sufficient sums replay the exact-DECIMAL folds; the closed-form
     // chain mirrors the Spark association (dxy / dx * dxy, not dxy²/dx)
     "ml_cuped" ->

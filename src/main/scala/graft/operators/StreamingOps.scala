@@ -353,6 +353,27 @@ object StreamingOps {
           round(col("lst.value"), 4).as("v_last"))
         .orderBy("event_type", "bucket")),
 
+    // First-order Markov transition matrix over per-user event sequences
+    // — P(next = b | current = a), the clickstream model behind
+    // next-action prediction, funnel leak detection, and session
+    // simulators. ONE user-partitioned window sort pairs each event with
+    // its successor (the same sort `ts_autocorr` rides); the transition
+    // counts collapse into a |types|²-bounded matrix, and the row-
+    // normalizing window runs over that bounded relation. Probabilities
+    // divide exact integers.
+    "ts_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy("cur")), 6))
+        .select("cur", "nxt", "n", "p")
+        .orderBy("cur", "nxt")
+    }),
+
     // Period-over-period deltas — the day-over-day / week-over-week
     // percent-change columns every metrics dashboard leads with. ONE
     // partial-agg collapse to the |types|×|days| daily series, then
@@ -725,6 +746,20 @@ object StreamingOps {
          SELECT event_type, h, n, prev_n, next_n
          FROM s WHERE n > prev_n AND n > next_n
          ORDER BY event_type, h""",
+    "ts_transition_matrix" ->
+      """WITH pairs AS (
+           SELECT event_type AS cur,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+           FROM events
+         ), m AS (
+           SELECT cur, nxt, count(*) AS n FROM pairs
+           WHERE nxt IS NOT NULL GROUP BY cur, nxt
+         )
+         SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+                round(CAST(n AS DOUBLE) /
+                      sum(n) OVER (PARTITION BY cur), 6) AS p
+         FROM m ORDER BY cur, nxt""",
     "ts_pct_change" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,

@@ -708,6 +708,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ds.sameElements(ds.sorted), "top-20 must respect the declared order")
   }
 
+  test("ts_transition_matrix rows are distributions conserving transitions") {
+    import graft.operators.StreamingOps
+    val rows = StreamingOps.queries("ts_transition_matrix")(spark, SfDir)
+      .collect()
+    // each current-state row's probabilities sum to 1
+    rows.groupBy(_.getString(0)).foreach { case (cur, rs) =>
+      val mass = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"$cur row mass $mass")
+    }
+    // transition count conservation: n_events − n_users sequences pairs
+    val nEvents = Tables.events(spark, SfDir).count()
+    val nUsers = Tables.events(spark, SfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nEvents - nUsers,
+      "each user contributes |sequence| - 1 transitions")
+  }
+
   test("ts_pct_change replays the lag identities on the daily series") {
     import graft.operators.StreamingOps
     val rows = StreamingOps.queries("ts_pct_change")(spark, SfDir).collect()

@@ -374,6 +374,23 @@ class PipelineSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.get.getAs[Long]("n_docs") > 0)
   }
 
+  test("ml_parity_gap rates reconcile with the overall selection rate") {
+    val rows = PipelineOps.queries("ml_parity_gap")(spark, SfDir).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val pos = rows.map(_.getAs[Long]("pos")).sum
+    val overall = rows.head.getAs[Double]("overall")
+    assert(math.abs(overall - pos.toDouble / n) < 1e-6)
+    val rates = rows.map(_.getAs[Double]("rate"))
+    val spread = rows.head.getAs[Double]("max_spread")
+    assert(math.abs(spread - (rates.max - rates.min)) < 1e-9)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("gap") -
+        (r.getAs[Double]("rate") - overall)) < 1e-9)
+    }
+    assert(n === Tables.documents(spark, SfDir).count(),
+      "groups partition the corpus")
+  }
+
   test("pipe_cross_source_overlap matches brute-force fingerprint sets") {
     val got = PipelineOps.queries("pipe_cross_source_overlap")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
