@@ -9,7 +9,7 @@ the matching oracle SQL from oracle_sql.json in DuckDB against views named
 by table basename, sorts columns by name, and compares values exactly
 (row order as produced — both sides carry a total ORDER BY per SURVEY §7.4).
 """
-import json, os, subprocess, sys
+import json, os, struct, subprocess, sys
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,6 +41,12 @@ def main():
     declared = sorted(d for d in os.listdir(outdir)
                       if os.path.isdir(os.path.join(outdir, d)))
     n_ok = n_bad = 0
+    if "--only-declared" in sys.argv and not declared:
+        # SPARK_GRAFT_ONLY filtered everything out (Verify also fails fast
+        # on unknown names) — a spot-check over zero queries must not
+        # report success
+        print("✗ --only-declared set but no result dirs found in", outdir)
+        sys.exit(1)
     # an oracle key with no result dir means the Spark query itself threw
     # (Verify catches per-query exceptions) — that is a hard failure, not
     # a silently-skipped query. --only-declared skips this check for
@@ -83,21 +89,31 @@ def main():
                   + (f" (+{len(dt_bad)-1} more)" if len(dt_bad) > 1 else ""))
             n_bad += 1
             continue
-        # exact value compare, cell by cell (mirrors a hash compare)
+        # exact value compare, cell by cell (mirrors a hash compare).
+        # Floats compare BIT-exactly (struct-pack): the driver hashes raw
+        # values, so +0.0 vs -0.0 (r8's win_moving_slope) and NaN-payload
+        # drift must fail here too, even though they compare ==.
+        def cells_equal(g, e):
+            # array-valued cells (numpy arrays from parquet lists) break
+            # scalar `!=`; normalize to python lists first
+            if hasattr(g, "tolist"):
+                g = g.tolist()
+            if hasattr(e, "tolist"):
+                e = e.tolist()
+            if g is None and e is None:
+                return True
+            if isinstance(g, float) and isinstance(e, float):
+                return struct.pack("<d", g) == struct.pack("<d", e)
+            if isinstance(g, list) and isinstance(e, list):
+                return len(g) == len(e) and \
+                    all(cells_equal(a, b) for a, b in zip(g, e))
+            return g == e or str(g) == str(e)
+
         bad = None
         for c in got.columns:
             gv, ev = got[c].tolist(), exp[c].tolist()
             for i, (g, e) in enumerate(zip(gv, ev)):
-                # array-valued cells (numpy arrays from parquet lists) break
-                # scalar `!=`; normalize to python lists first
-                if hasattr(g, "tolist"):
-                    g = g.tolist()
-                if hasattr(e, "tolist"):
-                    e = e.tolist()
-                if g != e and not (g is None and e is None) \
-                        and not (isinstance(g, float) and isinstance(e, float)
-                                 and g != g and e != e) \
-                        and str(g) != str(e):
+                if not cells_equal(g, e):
                     bad = (c, i, g, e)
                     break
             if bad:

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num
 
 /** Aggregation suite (SURVEY.md §2 B5).
   *
@@ -161,11 +162,11 @@ object AggOps {
           sum(y.cast("decimal(28,10)")).cast("double").as("sy"),
           sum((x * y).cast("decimal(28,10)")).cast("double").as("sxy"),
           sum((x * x).cast("decimal(28,10)")).cast("double").as("sxx"))
-        .withColumn("slope", round(
+        .withColumn("slope", Num.pin(
           (col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx")), 6))
         .withColumn("intercept",
-          round((col("sy") - col("slope") * col("sx")) / col("n"), 6))
+          Num.pin((col("sy") - col("slope") * col("sx")) / col("n"), 6))
         .select(col("l_returnflag"), col("slope"), col("intercept"),
           col("n").cast("long").as("n"))
         .orderBy("l_returnflag")
@@ -183,7 +184,7 @@ object AggOps {
       val d = col("l_discount")
       def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
       def corr2(sxy: Column, sx: Column, sy: Column,
-                sxx: Column, syy: Column): Column = round(
+                sxx: Column, syy: Column): Column = Num.pin(
         (col("n") * sxy - sx * sy) /
           sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy)), 6)
       Tables.lineitem(s, dir)
@@ -228,8 +229,8 @@ object AggOps {
           + lit(6) * col("mu") * col("mu") * col("s2") / col("n")
           - lit(3) * col("mu") * col("mu") * col("mu") * col("mu"))
         .select(col("l_returnflag"), col("n").cast("long").as("n"),
-          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
-          round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurtosis"))
+          Num.pin(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+          Num.pin(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurtosis"))
         .orderBy("l_returnflag")
     }),
 
@@ -280,13 +281,13 @@ object AggOps {
           col("sx"), col("sxx"), col("sxd"),
           col("sd"), col("sxd"), col("sdd")))
         .select(col("l_returnflag"), col("n").cast("long").as("n"),
-          round(det3(col("sy"), col("sx"), col("sd"),
+          Num.pin(det3(col("sy"), col("sx"), col("sd"),
             col("sxy"), col("sxx"), col("sxd"),
             col("sdy"), col("sxd"), col("sdd")) / col("det"), 6).as("b0"),
-          round(det3(col("n"), col("sy"), col("sd"),
+          Num.pin(det3(col("n"), col("sy"), col("sd"),
             col("sx"), col("sxy"), col("sxd"),
             col("sd"), col("sdy"), col("sdd")) / col("det"), 6).as("b1"),
-          round(det3(col("n"), col("sx"), col("sy"),
+          Num.pin(det3(col("n"), col("sx"), col("sy"),
             col("sx"), col("sxx"), col("sxy"),
             col("sd"), col("sxd"), col("sdy")) / col("det"), 6).as("b2"))
         .orderBy("l_returnflag")
@@ -623,7 +624,7 @@ object AggOps {
             col("w").cast("decimal(18,0)")).as("s2"))
         .select(col("g").as("priority"), col("n"),
           round(col("s1").cast("double"), 2).as("total"),
-          round(lit(2.0) * col("s2").cast("double") /
+          Num.pin(lit(2.0) * col("s2").cast("double") /
               (col("n") * col("s1").cast("double")) -
             (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
         .orderBy("priority")
@@ -790,7 +791,7 @@ object AggOps {
           round(col("n_orders").cast("double") /
             sum(col("n_orders")).over(tot), 6))
         .withColumn("benford_p", ladder(col("digit")))
-        .withColumn("deviation", round(col("share") - col("benford_p"), 6))
+        .withColumn("deviation", Num.pin(col("share") - col("benford_p"), 6))
         .select("digit", "n_orders", "share", "benford_p", "deviation")
         .orderBy("digit")
     })
@@ -910,11 +911,12 @@ object AggOps {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_regression" ->
       """SELECT l_returnflag, slope,
-                round((sy - slope * sx) / n, 6) AS intercept,
+                floor((sy - slope * sx) / n * 1e6 + 0.5) / 1e6 AS intercept,
                 CAST(n AS BIGINT) AS n
          FROM (
            SELECT l_returnflag, n, sx, sy,
-                  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+                  floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                        * 1e6 + 0.5) / 1e6 AS slope
            FROM (
              SELECT l_returnflag,
                     CAST(count(*) AS DOUBLE) AS n,
@@ -927,11 +929,13 @@ object AggOps {
          ) ORDER BY l_returnflag""",
     "agg_corr" ->
       """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-                round((n * sxy - sx * sy) /
-                      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                floor((n * sxy - sx * sy) /
+                      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      * 1e6 + 0.5) / 1e6
                   AS corr_qty_price,
-                round((n * sdy - sd * sy) /
-                      sqrt((n * sdd - sd * sd) * (n * syy - sy * sy)), 6)
+                floor((n * sdy - sd * sy) /
+                      sqrt((n * sdd - sd * sd) * (n * syy - sy * sy))
+                      * 1e6 + 0.5) / 1e6
                   AS corr_disc_price
          FROM (
            SELECT l_returnflag,
@@ -950,8 +954,8 @@ object AggOps {
     // central moments in double afterwards, term order mirrored exactly
     "agg_skew_kurt" ->
       """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-                round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-                round(m4 / (m2 * m2) - 3, 6) AS kurtosis
+                floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6 AS skewness,
+                floor((m4 / (m2 * m2) - 3) * 1e6 + 0.5) / 1e6 AS kurtosis
          FROM (
            SELECT l_returnflag, n, mu,
                   s2 / n - mu * mu AS m2,
@@ -982,12 +986,15 @@ object AggOps {
     // term-for-term so the double arithmetic is bit-identical
     "agg_regression_multi" ->
       """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-                round((sy*(sxx*sdd - sxd*sxd) - sx*(sxy*sdd - sxd*sdy)
-                       + sd*(sxy*sxd - sxx*sdy)) / det, 6) AS b0,
-                round((n*(sxy*sdd - sxd*sdy) - sy*(sx*sdd - sxd*sd)
-                       + sd*(sx*sdy - sxy*sd)) / det, 6) AS b1,
-                round((n*(sxx*sdy - sxy*sxd) - sx*(sx*sdy - sxy*sd)
-                       + sy*(sx*sxd - sxx*sd)) / det, 6) AS b2
+                floor((sy*(sxx*sdd - sxd*sxd) - sx*(sxy*sdd - sxd*sdy)
+                       + sd*(sxy*sxd - sxx*sdy)) / det * 1e6 + 0.5) / 1e6
+                  AS b0,
+                floor((n*(sxy*sdd - sxd*sdy) - sy*(sx*sdd - sxd*sd)
+                       + sd*(sx*sdy - sxy*sd)) / det * 1e6 + 0.5) / 1e6
+                  AS b1,
+                floor((n*(sxx*sdy - sxy*sxd) - sx*(sx*sdy - sxy*sd)
+                       + sy*(sx*sxd - sxx*sd)) / det * 1e6 + 0.5) / 1e6
+                  AS b2
          FROM (
            SELECT *,
                   n*(sxx*sdd - sxd*sxd) - sx*(sx*sdd - sxd*sd)
@@ -1101,8 +1108,8 @@ object AggOps {
            FROM r GROUP BY g
          )
          SELECT g AS priority, n, round(CAST(s1 AS DOUBLE), 2) AS total,
-                round(2.0 * CAST(s2 AS DOUBLE) / (n * CAST(s1 AS DOUBLE))
-                      - (n + 1.0) / n, 6) AS gini
+                floor((2.0 * CAST(s2 AS DOUBLE) / (n * CAST(s1 AS DOUBLE))
+                       - (n + 1.0) / n) * 1e6 + 0.5) / 1e6 AS gini
          FROM s ORDER BY priority""",
     // the interval chain mirrors the Spark expression association
     // exactly; z is CAST to DOUBLE so z*z folds to the same constant
@@ -1220,8 +1227,9 @@ object AggOps {
                 round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 6)
                   AS share,
                 CAST(${benfordCaseSql("digit")} AS DOUBLE) AS benford_p,
-                round(round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 6)
-                      - CAST(${benfordCaseSql("digit")} AS DOUBLE), 6)
+                floor((round(CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 6)
+                       - CAST(${benfordCaseSql("digit")} AS DOUBLE))
+                      * 1e6 + 0.5) / 1e6
                   AS deviation
          FROM c ORDER BY digit"""
   )

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num
 
 /** Training-data pipeline operators (north star: the ops a 100 TB
   * LLM-corpus build needs between raw scrape and tokenizer, beyond the
@@ -177,13 +178,19 @@ object PipelineOps {
       val cum = byScore.withColumn("cumng",
         sum(col("ng")).over(Window.orderBy("score")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // pair products and the pos·neg denominator leave BIGINT before any
+      // multiply: p·cumng and n_pos·n_neg overflow LONG once class counts
+      // pass ~3e9 docs — DECIMAL(19,0)×(19,0) → (38,0) keeps the fold
+      // exact to 1e38 on both engines, then one decimal→double cast each
       cum.agg(
-          sum(col("p") * (col("cumng") - col("ng"))).as("conc"),
-          sum(col("p") * col("ng")).as("tie"),
+          sum(col("p").cast("decimal(19,0)") *
+            (col("cumng") - col("ng")).cast("decimal(19,0)")).as("conc"),
+          sum(col("p").cast("decimal(19,0)") *
+            col("ng").cast("decimal(19,0)")).as("tie"),
           sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
         .select(
-          round((col("conc") * 2 + col("tie")) /
-            (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"),
+          round((col("conc").cast("double") * 2 + col("tie").cast("double")) /
+            (col("n_pos").cast("double") * col("n_neg") * 2.0), 6).as("auc"),
           col("n_pos"), col("n_neg"))
     }),
 
@@ -233,7 +240,7 @@ object PipelineOps {
         .withColumn("overall", round(
           sum(col("pos")).over(tot).cast("double") /
             sum(col("n")).over(tot), 6))
-        .withColumn("gap", round(col("rate") - col("overall"), 6))
+        .withColumn("gap", Num.pin(col("rate") - col("overall"), 6))
         .withColumn("max_spread", round(
           max(col("rate")).over(tot) - min(col("rate")).over(tot), 6))
         .select("lang", "n", "pos", "rate", "overall", "gap", "max_spread")
@@ -256,11 +263,15 @@ object PipelineOps {
         .groupBy("user_id")
         .agg(sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("x"),
           sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)).as("y"))
+      // count products fold as DECIMAL(19,0)×(19,0) → (38,0), never LONG
+      // (x·y in BIGINT overflows once per-user counts pass ~3e9)
+      def psum(a: Column, b: Column) =
+        sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
       val st = perUser.agg(count(lit(1)).cast("double").as("n"),
         dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
-        dsum(col("x") * col("y")).as("sxy"),
-        dsum(col("x") * col("x")).as("sxx"),
-        dsum(col("y") * col("y")).as("syy"))
+        psum(col("x"), col("y")).as("sxy"),
+        psum(col("x"), col("x")).as("sxx"),
+        psum(col("y"), col("y")).as("syy"))
       val dx = col("n") * col("sxx") - col("sx") * col("sx")
       val dxy = col("n") * col("sxy") - col("sx") * col("sy")
       val dy = col("n") * col("syy") - col("sy") * col("sy")
@@ -268,10 +279,10 @@ object PipelineOps {
       val varY = dy / (col("n") * col("n"))
       val varAdj = (dy - dxy / dx * dxy) / (col("n") * col("n"))
       st.select(col("n").cast("long").as("n_users"),
-        round(theta, 6).as("theta"),
-        round(varY, 6).as("var_y"),
-        round(varAdj, 6).as("var_adj"),
-        round(lit(1.0) - (dy - dxy / dx * dxy) / dy, 6).as("reduction"))
+        Num.pin(theta, 6).as("theta"),
+        Num.pin(varY, 6).as("var_y"),
+        Num.pin(varAdj, 6).as("var_adj"),
+        Num.pin(lit(1.0) - (dy - dxy / dx * dxy) / dy, 6).as("reduction"))
     }),
 
     // Matthews correlation coefficient over the SAME confusion cells as
@@ -295,7 +306,7 @@ object PipelineOps {
           sum(a * (lit(1) - p)).as("fn"),
           sum((lit(1) - a) * (lit(1) - p)).as("tn"))
         .select(col("tp"), col("fp"), col("fn"), col("tn"),
-          round(when(den > 0, num / den).otherwise(0.0), 6).as("mcc"))
+          Num.pin(when(den > 0, num / den).otherwise(0.0), 6).as("mcc"))
     }),
 
     // Precision-recall curve: one (precision, recall) point per DISTINCT
@@ -1032,7 +1043,7 @@ object PipelineOps {
       Tables.documents(s, dir)
         .join(broadcast(stats), "lang")
         .select(col("doc_id"), col("lang"),
-          round((col("n_chars") - col("mu")) / col("sigma"), 4).as("z_chars"))
+          Num.pin((col("n_chars") - col("mu")) / col("sigma"), 4).as("z_chars"))
         .orderBy("doc_id")
     }),
 
@@ -1284,7 +1295,10 @@ object PipelineOps {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumng
            FROM bs
          )
-         SELECT round(CAST(sum(p * (cumng - ng)) * 2 + sum(p * ng) AS DOUBLE)
+         SELECT round((CAST(sum(CAST(p AS DECIMAL(19,0))
+                                 * CAST(cumng - ng AS DECIMAL(19,0))) AS DOUBLE) * 2
+                       + CAST(sum(CAST(p AS DECIMAL(19,0))
+                                  * CAST(ng AS DECIMAL(19,0))) AS DOUBLE))
                       / (CAST(sum(p) AS DOUBLE) * CAST(sum(ng) AS DOUBLE) * 2.0), 6) AS auc,
                 CAST(sum(p) AS BIGINT) AS n_pos,
                 CAST(sum(ng) AS BIGINT) AS n_neg
@@ -1425,7 +1439,7 @@ object PipelineOps {
            FROM g
          )
          SELECT lang, n, pos, rate, overall,
-                round(rate - overall, 6) AS gap,
+                floor((rate - overall) * 1e6 + 0.5) / 1e6 AS gap,
                 round(max(rate) OVER () - min(rate) OVER (), 6) AS max_spread
          FROM r ORDER BY lang""",
     // the sufficient sums replay the exact-DECIMAL folds; the closed-form
@@ -1442,21 +1456,28 @@ object PipelineOps {
            SELECT CAST(count(*) AS DOUBLE) AS n,
                   CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
                   CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
-                  CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
-                  CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
-                  CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+                  CAST(sum(CAST(x AS DECIMAL(19,0))
+                           * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(x AS DECIMAL(19,0))
+                           * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(y AS DECIMAL(19,0))
+                           * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
            FROM pu
          )
          SELECT CAST(n AS BIGINT) AS n_users,
-                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
-                round((n * syy - sy * sy) / (n * n), 6) AS var_y,
-                round(((n * syy - sy * sy)
+                floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      * 1e6 + 0.5) / 1e6 AS theta,
+                floor((n * syy - sy * sy) / (n * n) * 1e6 + 0.5) / 1e6
+                  AS var_y,
+                floor(((n * syy - sy * sy)
                        - (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                         * (n * sxy - sx * sy)) / (n * n), 6) AS var_adj,
-                round(1.0 - ((n * syy - sy * sy)
-                             - (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                               * (n * sxy - sx * sy))
-                            / (n * syy - sy * sy), 6) AS reduction
+                         * (n * sxy - sx * sy)) / (n * n) * 1e6 + 0.5) / 1e6
+                  AS var_adj,
+                floor((1.0 - ((n * syy - sy * sy)
+                              - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                                * (n * sxy - sx * sy))
+                             / (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6
+                  AS reduction
          FROM st""",
     // same cells as ml_confusion; numerator/denominator in the pinned
     // double association (per-factor sqrt avoids BIGINT overflow)
@@ -1473,16 +1494,16 @@ object PipelineOps {
            )
          )
          SELECT tp, fp, fn, tn,
-                round(CASE WHEN sqrt(CAST(tp + fp AS DOUBLE))
-                                * sqrt(CAST(tp + fn AS DOUBLE))
-                                * sqrt(CAST(tn + fp AS DOUBLE))
-                                * sqrt(CAST(tn + fn AS DOUBLE)) > 0
-                      THEN (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
-                           / (sqrt(CAST(tp + fp AS DOUBLE))
-                              * sqrt(CAST(tp + fn AS DOUBLE))
-                              * sqrt(CAST(tn + fp AS DOUBLE))
-                              * sqrt(CAST(tn + fn AS DOUBLE)))
-                      ELSE 0.0 END, 6) AS mcc
+                floor((CASE WHEN sqrt(CAST(tp + fp AS DOUBLE))
+                                 * sqrt(CAST(tp + fn AS DOUBLE))
+                                 * sqrt(CAST(tn + fp AS DOUBLE))
+                                 * sqrt(CAST(tn + fn AS DOUBLE)) > 0
+                       THEN (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                            / (sqrt(CAST(tp + fp AS DOUBLE))
+                               * sqrt(CAST(tp + fn AS DOUBLE))
+                               * sqrt(CAST(tn + fp AS DOUBLE))
+                               * sqrt(CAST(tn + fn AS DOUBLE)))
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS mcc
          FROM c""",
     // same fingerprint as pipe_survivor; the pair join and fractions
     // replay over the distinct (fp, source) relation
@@ -1880,7 +1901,8 @@ object PipelineOps {
            SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sigma
            FROM documents GROUP BY lang
          )
-         SELECT doc_id, d.lang, round((n_chars - mu) / sigma, 4) AS z_chars
+         SELECT doc_id, d.lang,
+                floor((n_chars - mu) / sigma * 1e4 + 0.5) / 1e4 AS z_chars
          FROM documents d JOIN stats USING (lang)
          ORDER BY doc_id""",
     "pipe_expectations" ->

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num
 
 /** Streaming suite, batch surface (SURVEY.md §2 B10, design §7.3).
   *
@@ -236,7 +237,7 @@ object StreamingOps {
           col("n") * col("svv") - col("sv") * col("sv") > 0 &&
           col("n") * col("sll") - col("sl") * col("sl") > 0)
         .select(col("user_id"), col("n").cast("long").as("n_pairs"),
-          round((col("n") * col("svl") - col("sv") * col("sl")) /
+          Num.pin((col("n") * col("svl") - col("sv") * col("sl")) /
             sqrt((col("n") * col("svv") - col("sv") * col("sv")) *
               (col("n") * col("sll") - col("sl") * col("sl"))), 6)
             .as("autocorr"))
@@ -267,7 +268,7 @@ object StreamingOps {
           dsum(col("a") * col("a")).as("saa"),
           dsum(col("b") * col("b")).as("sbb"))
         .select(col("n").cast("long").as("n_hours"),
-          round((col("n") * col("sab") - col("sa") * col("sb")) /
+          Num.pin((col("n") * col("sab") - col("sa") * col("sb")) /
             sqrt((col("n") * col("saa") - col("sa") * col("sa")) *
               (col("n") * col("sbb") - col("sb") * col("sb"))), 6)
             .as("cross_corr"))
@@ -391,9 +392,9 @@ object StreamingOps {
         .withColumn("prev_d", lag(col("n"), 1).over(w))
         .withColumn("prev_w", lag(col("n"), 7).over(w))
         .select(col("event_type"), col("d"), col("n"),
-          round((col("n") - col("prev_d")).cast("double") / col("prev_d"), 6)
+          Num.pin((col("n") - col("prev_d")).cast("double") / col("prev_d"), 6)
             .as("dod"),
-          round((col("n") - col("prev_w")).cast("double") / col("prev_w"), 6)
+          Num.pin((col("n") - col("prev_w")).cast("double") / col("prev_w"), 6)
             .as("wow"))
         .orderBy("event_type", "d")
     }),
@@ -418,6 +419,11 @@ object StreamingOps {
       }
       val arms = (1 to CorrelogramLags).map(k => s"$k, l$k").mkString(", ")
       def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      // count products fold as DECIMAL(19,0)×DECIMAL(19,0) → (38,0), never
+      // LONG: y·ylag in BIGINT would overflow once hourly counts pass ~3e9
+      // (the exact-integer-fold claim would silently break at corpus scale)
+      def psum(a: Column, b: Column) =
+        sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
       lagged
         .select(col("y"), expr(
           s"stack($CorrelogramLags, $arms) AS (lag, ylag)"))
@@ -425,11 +431,11 @@ object StreamingOps {
         .groupBy("lag")
         .agg(count(lit(1)).cast("double").as("n"),
           dsum(col("y")).as("sv"), dsum(col("ylag")).as("sl"),
-          dsum(col("y") * col("ylag")).as("svl"),
-          dsum(col("y") * col("y")).as("svv"),
-          dsum(col("ylag") * col("ylag")).as("sll"))
+          psum(col("y"), col("ylag")).as("svl"),
+          psum(col("y"), col("y")).as("svv"),
+          psum(col("ylag"), col("ylag")).as("sll"))
         .select(col("lag"), col("n").cast("long").as("n_pairs"),
-          round((col("n") * col("svl") - col("sv") * col("sl")) /
+          Num.pin((col("n") * col("svl") - col("sv") * col("sl")) /
             sqrt((col("n") * col("svv") - col("sv") * col("sv")) *
               (col("n") * col("sll") - col("sl") * col("sl"))), 6)
             .as("acf"))
@@ -667,8 +673,9 @@ object StreamingOps {
          ) ORDER BY event_id""",
     "ts_autocorr" ->
       """SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
-                round((n * svl - sv * sl) /
-                      sqrt((n * svv - sv * sv) * (n * sll - sl * sl)), 6)
+                floor((n * svl - sv * sl) /
+                      sqrt((n * svv - sv * sv) * (n * sll - sl * sl))
+                      * 1e6 + 0.5) / 1e6
                   AS autocorr
          FROM (
            SELECT user_id,
@@ -689,8 +696,9 @@ object StreamingOps {
          ORDER BY user_id""",
     "ts_cross_corr" ->
       """SELECT CAST(n AS BIGINT) AS n_hours,
-                round((n * sab - sa * sb) /
-                      sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6)
+                floor((n * sab - sa * sb) /
+                      sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+                      * 1e6 + 0.5) / 1e6
                   AS cross_corr
          FROM (
            SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -767,10 +775,10 @@ object StreamingOps {
            FROM events GROUP BY 1, 2
          )
          SELECT event_type, d, CAST(n AS BIGINT) AS n,
-                round(CAST(n - lag(n) OVER w AS DOUBLE)
-                      / lag(n) OVER w, 6) AS dod,
-                round(CAST(n - lag(n, 7) OVER w AS DOUBLE)
-                      / lag(n, 7) OVER w, 6) AS wow
+                floor(CAST(n - lag(n) OVER w AS DOUBLE)
+                      / lag(n) OVER w * 1e6 + 0.5) / 1e6 AS dod,
+                floor(CAST(n - lag(n, 7) OVER w AS DOUBLE)
+                      / lag(n, 7) OVER w * 1e6 + 0.5) / 1e6 AS wow
          FROM daily
          WINDOW w AS (PARTITION BY event_type ORDER BY d)
          ORDER BY event_type, d""",
@@ -785,17 +793,21 @@ object StreamingOps {
            FROM events WHERE event_type = 'click' GROUP BY 1
          ), p AS ($arms)
          SELECT lag, CAST(cnt AS BIGINT) AS n_pairs,
-                round((n * svl - sv * sl) /
-                      sqrt((n * svv - sv * sv) * (n * sll - sl * sl)), 6)
+                floor((n * svl - sv * sl) /
+                      sqrt((n * svv - sv * sv) * (n * sll - sl * sl))
+                      * 1e6 + 0.5) / 1e6
                   AS acf
          FROM (
            SELECT lag, count(*) AS cnt,
                   CAST(count(*) AS DOUBLE) AS n,
                   CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sv,
                   CAST(sum(CAST(ylag AS DECIMAL(28,10))) AS DOUBLE) AS sl,
-                  CAST(sum(CAST(y * ylag AS DECIMAL(28,10))) AS DOUBLE) AS svl,
-                  CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS svv,
-                  CAST(sum(CAST(ylag * ylag AS DECIMAL(28,10))) AS DOUBLE) AS sll
+                  CAST(sum(CAST(y AS DECIMAL(19,0))
+                           * CAST(ylag AS DECIMAL(19,0))) AS DOUBLE) AS svl,
+                  CAST(sum(CAST(y AS DECIMAL(19,0))
+                           * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS svv,
+                  CAST(sum(CAST(ylag AS DECIMAL(19,0))
+                           * CAST(ylag AS DECIMAL(19,0))) AS DOUBLE) AS sll
            FROM p WHERE ylag IS NOT NULL GROUP BY lag
          ) ORDER BY lag"""
     },

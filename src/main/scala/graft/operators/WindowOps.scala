@@ -207,7 +207,11 @@ object WindowOps {
     // window sums through a segment tree — a different fp summation
     // order — and double drift would flake the 6dp round). Head rows
     // with an under-filled frame emit NULL, the standard warm-up
-    // contract. One corpus shuffle on user_id, nothing else.
+    // contract. One corpus shuffle on user_id, nothing else. The slope
+    // rounds through Num.pin, not round(): a constant-value frame gives
+    // a numerator like −1e-17, which DuckDB's round() keeps as −0.0
+    // while Spark emits +0.0 — an ==-equal but bit-different zero the
+    // driver's hash rejects (r8 row 472).
     "win_moving_slope" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
       val f = w.rowsBetween(-(SlopeFrame - 1), Window.currentRow)
@@ -223,7 +227,8 @@ object WindowOps {
       val cnt = count(lit(1)).over(f)
       ev.select(col("event_id"), col("user_id"),
           when(cnt === SlopeFrame,
-            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+            graft.functions.Num.pin(
+              (n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
             .as("slope"))
         .orderBy("event_id")
     })
@@ -248,7 +253,8 @@ object WindowOps {
     "win_moving_slope" ->
       """SELECT event_id, user_id,
                 CASE WHEN cnt = 5 THEN
-                  round((5.0 * sxy - sx * sy) / (5.0 * sxx - sx * sx), 6)
+                  floor((5.0 * sxy - sx * sy) / (5.0 * sxx - sx * sx)
+                        * 1e6 + 0.5) / 1e6
                 END AS slope
          FROM (
            SELECT event_id, user_id,
