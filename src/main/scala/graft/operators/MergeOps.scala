@@ -78,19 +78,10 @@ object MergeOps {
     }),
 
     // SCD2: change-point collapse then [valid_from, valid_to) versioning.
-    "merge_scd2" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, dir)
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-        .select(
-          col("user_id"),
-          col("event_type").as("attr"),
-          col("ts").as("valid_from"),
-          lead("ts", 1).over(w).as("valid_to"),
-          lead("ts", 1).over(w).isNull.as("is_current"))
-        .orderBy("user_id", "valid_from", "attr")
-    }),
+    "merge_scd2" -> ((s, dir) =>
+      scd2Versions(s, dir)
+        .drop("ver_id")
+        .orderBy("user_id", "valid_from", "attr")),
 
     // Point-in-time SCD2 lookup — the Kimball pattern's second half: for
     // every fact (purchase), the dimension version valid AT the fact's
@@ -103,14 +94,21 @@ object MergeOps {
     // interval predicate (from ≤ ts < to, null-open end) so the two
     // formulations check each other.
     "merge_pit_lookup" -> ((s, dir) => {
-      val dim = queries("merge_scd2")(s, dir)
-        .select(col("user_id"), col("attr"), col("valid_from"))
+      // dim rows keep their change event's id (ver_id) as the sort key:
+      // two versions sharing a valid_from (a user with two change events
+      // at an identical ts) would otherwise order nondeterministically —
+      // last() could pick the zero-width [t, t) version the oracle's
+      // from <= ts < to predicate excludes. Ascending ver_id puts the
+      // non-zero-width version (the later change event) last, which is
+      // exactly the version the raw interval join keeps.
+      val dim = scd2Versions(s, dir)
+        .select(col("user_id"), col("attr"), col("valid_from"), col("ver_id"))
       val facts = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val tagged = dim
         .select(col("user_id"), col("valid_from").as("ts"), col("attr"),
-          lit(null).cast("long").as("event_id"), lit(0).as("is_fact"))
+          col("ver_id").as("event_id"), lit(0).as("is_fact"))
         .unionByName(facts.select(col("user_id"), col("ts"),
           lit(null).cast("string").as("attr"), col("event_id"),
           lit(1).as("is_fact")))
@@ -172,6 +170,24 @@ object MergeOps {
           col("value").as("last_value"))
         .orderBy("user_id")
     }))
+
+  /** SCD2 change-point collapse with the change event's id carried as
+    * `ver_id` — the deterministic version tiebreaker `merge_pit_lookup`
+    * sorts on (merge_scd2 itself projects it away). One window
+    * partitioning serves both the collapse and the validity lookahead. */
+  private def scd2Versions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(
+        col("user_id"),
+        col("event_id").as("ver_id"),
+        col("event_type").as("attr"),
+        col("ts").as("valid_from"),
+        lead("ts", 1).over(w).as("valid_to"),
+        lead("ts", 1).over(w).isNull.as("is_current"))
+  }
 
   /** merge_scd2's oracle, shared verbatim as `merge_pit_lookup`'s dim
     * CTE so both keys pin ONE versioning definition. */

@@ -86,4 +86,31 @@ class MergeSpec extends SparkSpec {
       assert(hit.head.getString(1) === r.getString(3), s"user $u at $ts attr")
     }
   }
+
+  test("merge_pit_lookup breaks tied valid_from deterministically " +
+      "(non-zero-width version wins)") {
+    // two change events at the SAME timestamp create a zero-width
+    // [t, t) version; the oracle's from <= ts < to predicate excludes
+    // it, so the as-of window must too — the fixture has no (user, ts)
+    // ties, so this synthetic frame pins the latent case
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 01:00:00")
+    val tmp = java.nio.file.Files.createTempDirectory("pit-tie").toString
+    import spark.implicits._
+    Seq(
+      (10L, t0, 1L, "view", 1.0, "{}"),
+      (11L, t1, 1L, "click", 1.0, "{}"),
+      (12L, t1, 1L, "scroll", 1.0, "{}"),
+      (14L, t1, 1L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = MergeOps.queries("merge_pit_lookup")(spark, tmp).collect()
+    assert(out.length === 1, out.mkString("; "))
+    val r = out.head
+    // click[t1,t1) and scroll[t1,t1) are zero-width; only purchase[t1,∞)
+    // contains t1 under [from, to) — any other pick is the r8 latent bug
+    assert(r.getString(3) === "purchase", r)
+    assert(r.getTimestamp(4) === t1, r)
+  }
 }
