@@ -119,38 +119,66 @@ object DedupOps {
     * Fingerprint collisions would silently merge distinct sets; at 64
     * bits and n unique sets the chance is ~n²/2⁶⁵ (≈1e-9 even at 10M
     * sets) — at 100 TB corpus scale swap xxhash64 for a 128-bit digest
-    * and this layout is unchanged. */
+    * and this layout is unchanged.
+    *
+    * `nDocs`/`nGids`/`thBytes` are measured in collapse()'s one stats job
+    * and drive every downstream broadcast decision: the maps and the
+    * verify-stage token arrays are CONTENT-cardinality relations, so each
+    * hint is size-conditional (Bcast) — past the budget the joins degrade
+    * to shuffle joins instead of collecting the corpus to the driver. */
   private[graft] case class Collapse(docMap: DataFrame, gidMap: DataFrame,
-      uniq: () => DataFrame)
+      uniq: () => DataFrame, nDocs: Long, nGids: Long, thBytes: Long) {
+    /** The slim (doc_id, gid) map, broadcast only while it fits. */
+    def docMapHinted: DataFrame = Bcast.ifFitsRows(docMap, nDocs, 24)
+  }
 
   private def collapse(s: SparkSession, dir: String): Collapse = {
     val df = docHashes(s, dir).withColumn("fp", xxhash64(col("th")))
-    val gidMap = df.groupBy("fp").agg(min("doc_id").as("gid")).persist()
-    val docMap = df.join(broadcast(gidMap), "fp").select("doc_id", "gid").persist()
-    val uniq = () => df.join(broadcast(gidMap), "fp")
+    // the collapse groupBy sees the arrays anyway, so the per-set token
+    // count rides the SAME shuffle — the verify-stage broadcast budget
+    // (thBytes) costs no extra scan
+    val gidFull = df.groupBy("fp")
+      .agg(min("doc_id").as("gid"), max(size(col("th"))).as("len"))
+      .persist()
+    val st = gidFull.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("len").cast("long")), lit(0L)).as("toks")).first()
+    val nGids = st.getLong(0)
+    val thBytes = 8L * st.getLong(1) + 32L * nGids
+    val gidMap = gidFull.select("fp", "gid")
+    def gidHinted = Bcast.ifFitsRows(gidMap, nGids, 24)
+    val docMap = df.join(gidHinted, "fp").select("doc_id", "gid").persist()
+    val nDocs = docMap.count()
+    val uniq = () => df.join(gidHinted, "fp")
       .filter(col("doc_id") === col("gid")).select(col("gid"), col("th"))
-    Collapse(docMap, gidMap, uniq)
+    Collapse(docMap, gidMap, uniq, nDocs, nGids, thBytes)
   }
 
   /** Expand surviving set-pairs (gid_a, gid_b, score) to member doc-pairs
-    * with doc_a < doc_b, via two broadcast joins on the slim doc map. gid
-    * order does not imply member order across groups, so the pair is
-    * re-oriented with least/greatest. */
-  private def expandPairs(pairs: DataFrame, m: DataFrame, scoreCol: String): DataFrame =
+    * with doc_a < doc_b, via two size-conditional broadcast joins on the
+    * slim doc map. gid order does not imply member order across groups,
+    * so the pair is re-oriented with least/greatest. */
+  private def expandPairs(pairs: DataFrame, c: Collapse, scoreCol: String): DataFrame =
     pairs
-      .join(broadcast(m.select(col("doc_id").as("da"), col("gid").as("gid_a"))), "gid_a")
-      .join(broadcast(m.select(col("doc_id").as("db"), col("gid").as("gid_b"))), "gid_b")
+      .join(c.docMapHinted.select(col("doc_id").as("da"), col("gid").as("gid_a")), "gid_a")
+      .join(c.docMapHinted.select(col("doc_id").as("db"), col("gid").as("gid_b")), "gid_b")
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col(scoreCol))
 
   /** All intra-group member pairs (doc_a < doc_b) with a constant score —
     * identical sets need no verification (Jaccard 1, Hamming 0). */
-  private def intraPairs(m: DataFrame, scoreCol: String, score: Column): DataFrame =
-    m.select(col("doc_id").as("doc_a"), col("gid"))
-      .join(broadcast(m.select(col("doc_id").as("doc_b"), col("gid"))), "gid")
+  private def intraPairs(c: Collapse, scoreCol: String, score: Column): DataFrame =
+    c.docMap.select(col("doc_id").as("doc_a"), col("gid"))
+      .join(c.docMapHinted.select(col("doc_id").as("doc_b"), col("gid")), "gid")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .withColumn(scoreCol, score)
+
+  /** The verify-stage token-array side (gid, th) for one join leg —
+    * content-cardinality AND wide (arrays), so the hint budgets the
+    * measured token bytes, not a per-row constant. */
+  private def thSide(c: Collapse, th: DataFrame, gidAs: String, thAs: String): DataFrame =
+    Bcast.ifFits(
+      th.select(col("gid").as(gidAs), col("th").as(thAs)), c.thBytes)
 
   private def jaccard(a: Column, b: Column): Column =
     round(ArrayExprs.sortedJaccard(a, b), 4)
@@ -221,17 +249,12 @@ object DedupOps {
     * chaining persist() alone snowballs the plan tree 4× per cycle (each
     * shortcut hop references its input twice) and OOMs on plan objects
     * long before the data matters. */
-  /** Broadcast `df` only while `rows` (long, long)-shaped rows fit the
-    * session's broadcast budget (~32 serialized bytes per row,
-    * conservative); identity otherwise, so the consuming join degrades to
-    * a shuffle join instead of collecting a huge relation to the driver.
-    * Shared by the CC loop and its label-application joins — every site
-    * that broadcasts a node-cardinality frame must make the same check. */
-  private[graft] def broadcastIfFits(df: DataFrame, rows: Long): DataFrame = {
-    val bcastBytes =
-      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-    if (bcastBytes > 0 && rows <= bcastBytes / 32) broadcast(df) else df
-  }
+  /** Size-conditional broadcast for the CC loop's node-cardinality label
+    * maps — hoisted to [[Bcast]] (r9) so every operator family shares one
+    * budget check; kept as an alias because the loop reads naturally with
+    * its original name. */
+  private[graft] def broadcastIfFits(df: DataFrame, rows: Long): DataFrame =
+    Bcast.ifFitsRows(df, rows)
 
   private[graft] def iterativeCC(edges: DataFrame, nodes: DataFrame): DataFrame = {
     // labels stay one (id, lbl) long-pair per node for the whole loop, so
@@ -355,14 +378,14 @@ object DedupOps {
         .select("gid_a", "gid_b")
       val th = sig.select(col("gid"), col("th"))
       val inter = cand
-        .join(broadcast(th.select(col("gid").as("gid_a"), col("th").as("th_a"))), "gid_a")
-        .join(broadcast(th.select(col("gid").as("gid_b"), col("th").as("th_b"))), "gid_b")
+        .join(thSide(c, th, "gid_a", "th_a"), "gid_a")
+        .join(thSide(c, th, "gid_b", "th_b"), "gid_b")
         .filter(ArrayExprs.sortedJaccard(col("th_a"), col("th_b")) >= JaccardThreshold - 1e-3)
         .select(col("gid_a"), col("gid_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
         .distinct()
-      expandPairs(inter, c.docMap, "jaccard")
-        .union(intraPairs(c.docMap, "jaccard", lit(1.0)))
+      expandPairs(inter, c, "jaccard")
+        .union(intraPairs(c, "jaccard", lit(1.0)))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -382,8 +405,8 @@ object DedupOps {
         graft.plans.SelfPairwise.Hamming, -HammingMax.toDouble, triangular = true)
         .select(col("src").as("gid_a"), col("dst").as("gid_b"),
           (-col("score")).cast("int").as("hamming"))
-      expandPairs(inter, c.docMap, "hamming")
-        .union(intraPairs(c.docMap, "hamming", lit(0).cast("int")))
+      expandPairs(inter, c, "hamming")
+        .union(intraPairs(c, "hamming", lit(0).cast("int")))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -402,8 +425,8 @@ object DedupOps {
         .select(col("src").as("gid_a"), col("dst").as("gid_b"),
           round(col("score"), 4).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
-      expandPairs(inter, c.docMap, "jaccard")
-        .union(intraPairs(c.docMap, "jaccard", lit(1.0)))
+      expandPairs(inter, c, "jaccard")
+        .union(intraPairs(c, "jaccard", lit(1.0)))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -469,14 +492,14 @@ object DedupOps {
         .select("gid_a", "gid_b")
       val th = uniq.select(col("gid"), col("th"))
       val inter = cand
-        .join(broadcast(th.select(col("gid").as("gid_a"), col("th").as("th_a"))), "gid_a")
-        .join(broadcast(th.select(col("gid").as("gid_b"), col("th").as("th_b"))), "gid_b")
+        .join(thSide(c, th, "gid_a", "th_a"), "gid_a")
+        .join(thSide(c, th, "gid_b", "th_b"), "gid_b")
         .filter(ArrayExprs.sortedJaccard(col("th_a"), col("th_b")) >= t - 1e-3)
         .select(col("gid_a"), col("gid_b"), jaccard(col("th_a"), col("th_b")).as("jaccard"))
         .filter(col("jaccard") >= t)
         .distinct()
-      expandPairs(inter, c.docMap, "jaccard")
-        .union(intraPairs(c.docMap, "jaccard", lit(1.0)))
+      expandPairs(inter, c, "jaccard")
+        .union(intraPairs(c, "jaccard", lit(1.0)))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -535,8 +558,8 @@ object DedupOps {
         .select(col("src").as("gid_a"), col("dst").as("gid_b"),
           round(col("score"), 4).as("containment"))
         .filter(col("containment") >= 1.0)
-      expandPairs(inter, c.docMap, "containment")
-        .union(intraPairs(c.docMap, "containment", lit(1.0)))
+      expandPairs(inter, c, "containment")
+        .union(intraPairs(c, "containment", lit(1.0)))
         .orderBy("doc_a", "doc_b")
     }),
 

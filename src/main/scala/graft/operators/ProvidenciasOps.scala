@@ -383,9 +383,12 @@ object ProvidenciasOps {
         .coalesce(8).persist()
       def degrees(ed: DataFrame): DataFrame =
         ed.groupBy("s").agg(count(lit(1)).as("deg"))
+      // survivor sets are node-cardinality: size-conditional hint (the
+      // node universe count bounds every peel round's keep set)
+      val nNodes = Tables.embeddings(s, dir).count()
       def induce(keep: DataFrame): DataFrame =
-        und.join(broadcast(keep), und("s") === keep("id"), "left_semi")
-          .join(broadcast(keep), und("d") === keep("id"), "left_semi")
+        und.join(Bcast.ifFitsRows(keep, nNodes, 16), und("s") === keep("id"), "left_semi")
+          .join(Bcast.ifFitsRows(keep, nNodes, 16), und("d") === keep("id"), "left_semi")
       val keep1 = degrees(und).filter(col("deg") >= KCoreK)
         .select(col("s").as("id"))
       val keep2 = degrees(induce(keep1)).filter(col("deg") >= KCoreK)
@@ -423,16 +426,20 @@ object ProvidenciasOps {
       val ranks0 = nodes.withColumn("rank", lit(1.0 / n))
       // the rank table is |nodes| rows of (id, rank) — broadcast it into
       // the edge join each iteration so the persisted edge list is never
-      // reshuffled (the standard small-messages PageRank layout; at
-      // broadcast-busting node counts drop the hints for shuffle joins)
+      // reshuffled (the standard small-messages PageRank layout). The
+      // hints are size-conditional on the node count: at broadcast-
+      // busting cardinality every term degrades to a shuffle join
       val ranksN = (1 to 3).foldLeft(ranks0) { (r, _) =>
-        val contrib = edges.join(broadcast(r), edges("s") === r("id"))
+        val contrib = edges.join(Bcast.ifFitsRows(r, n.toLong, 24),
+            edges("s") === r("id"))
           .groupBy(edges("d")).agg(sum(col("rank") / col("od")).as("c"))
           .withColumnRenamed("d", "cid")
-        val dang = r.join(broadcast(edges.select(col("s").as("id")).distinct()),
+        val dang = r.join(
+            Bcast.ifFitsRows(edges.select(col("s").as("id")).distinct(), n.toLong, 16),
             Seq("id"), "left_anti")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-        nodes.join(broadcast(contrib), nodes("id") === contrib("cid"), "left")
+        nodes.join(Bcast.ifFitsRows(contrib, n.toLong, 24),
+            nodes("id") === contrib("cid"), "left")
           .crossJoin(dang)
           .select(nodes("id"),
             (lit(0.15 / n) + lit(0.85) *
@@ -457,14 +464,17 @@ object ProvidenciasOps {
           struct(col("dst").as("s"), col("src").as("d")))).as("e"))
         .select(col("e.s").as("s"), col("e.d").as("d"))
         .persist()
+      val nNodes = Tables.embeddings(s, dir).count()
       val deg = und.groupBy(col("s").as("n")).agg(count(lit(1)).as("deg"))
       val common = und.select(col("s").as("a"), col("d").as("m"))
         .join(und.select(col("s").as("m"), col("d").as("b")), "m")
         .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
       common
-        .join(broadcast(deg.select(col("n").as("a"), col("deg").as("deg_a"))), "a")
-        .join(broadcast(deg.select(col("n").as("b"), col("deg").as("deg_b"))), "b")
+        .join(Bcast.ifFitsRows(
+          deg.select(col("n").as("a"), col("deg").as("deg_a")), nNodes, 24), "a")
+        .join(Bcast.ifFitsRows(
+          deg.select(col("n").as("b"), col("deg").as("deg_b")), nNodes, 24), "b")
         .select(col("a"), col("b"),
           round(col("inter") / (col("deg_a") + col("deg_b") - col("inter")), 4)
             .as("jacc"))
@@ -496,7 +506,7 @@ object ProvidenciasOps {
       und.select(col("s").as("a"), col("d").as("m"))
         .join(und.select(col("s").as("m"), col("d").as("b")), "m")
         .filter(col("a") < col("b"))
-        .join(broadcast(w), "m")
+        .join(Bcast.ifFitsRows(w, Tables.embeddings(s, dir).count(), 24), "m")
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_common"),
           sum(col("w").cast("decimal(28,10)")).cast("double").as("aa_raw"))

@@ -176,12 +176,16 @@ object StreamingOps {
     // |users|-sized regardless of event volume.
     "ts_anomaly" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val stats = ev.groupBy("user_id")
-        .agg(avg(col("value")).as("mu"),
-          stddev_samp(col("value")).as("sd"),
-          count(lit(1)).as("n"))
-        .filter(col("n") >= 20 && col("sd") > 0)
-      ev.join(broadcast(stats), "user_id")
+      // the per-user model table is USER-cardinality: persist + one stats
+      // job decide broadcast vs shuffle join (32 B of moments per row)
+      val stats = Bcast.vocabHinted(
+        ev.groupBy("user_id")
+          .agg(avg(col("value")).as("mu"),
+            stddev_samp(col("value")).as("sd"),
+            count(lit(1)).as("n"))
+          .filter(col("n") >= 20 && col("sd") > 0),
+        lit(32L))
+      ev.join(stats, "user_id")
         .withColumn("z", (col("value") - col("mu")) / col("sd"))
         .filter(abs(col("z")) > 2.5)
         .select(col("event_id"), col("user_id"), col("value"),

@@ -357,12 +357,18 @@ object TextOps {
       // Zipfian, so the window form sorts a giant partition per common
       // token (pure skew), while the partial-aggregated groupBy ships one
       // row per (partition, token) and the df table broadcasts back.
-      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // vocabulary-cardinality: the df table broadcasts only while its
+      // measured size fits the session budget (one stats job over the
+      // persisted aggregate); past that the join degrades to a shuffle
+      // join on token instead of OOMing the driver
+      val df_ = Bcast.vocabHinted(
+        tf.groupBy("token").agg(count(lit(1)).as("df")),
+        length(col("token")))
       val n = docs.agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("token"))
-      tf.join(broadcast(df_), "token")
+      tf.join(df_, "token")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(col("tf") *
@@ -426,12 +432,18 @@ object TextOps {
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
         .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      val left = big.groupBy("w1").agg(sum(col("c_ab")).as("c1"))
-      val right = big.groupBy("w2").agg(sum(col("c_ab")).as("c2"))
+      // the bigram table feeds four consumers (main path + two marginals
+      // + total); persist it so the marginal stats jobs don't re-tokenize
+      big.persist()
+      // marginals are vocabulary-cardinality — size-conditional broadcast
+      val left = Bcast.vocabHinted(
+        big.groupBy("w1").agg(sum(col("c_ab")).as("c1")), length(col("w1")))
+      val right = Bcast.vocabHinted(
+        big.groupBy("w2").agg(sum(col("c_ab")).as("c2")), length(col("w2")))
       val n = big.agg(sum(col("c_ab")).as("n"))
       big.filter(col("c_ab") >= 5)
-        .join(broadcast(left), "w1")
-        .join(broadcast(right), "w2")
+        .join(left, "w1")
+        .join(right, "w2")
         .crossJoin(broadcast(n))
         .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c_ab"),
           round(log(col("c_ab").cast("double") * col("n") /
@@ -478,9 +490,12 @@ object TextOps {
       val tf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
-      val freq = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
+      // vocabulary-cardinality frequency table: size-conditional broadcast
+      val freq = Bcast.vocabHinted(
+        tf.groupBy("token").agg(sum(col("tf")).as("cnt")),
+        length(col("token")))
       val total = freq.agg(sum(col("cnt")).as("total"))
-      tf.join(broadcast(freq), "token")
+      tf.join(freq, "token")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(round(sum(col("tf") * -log(col("cnt") / col("total"))) /
@@ -504,10 +519,12 @@ object TextOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .filter(col("token").isin(terms: _*))
         .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+      // df here is bounded by the CONSTANT search-term list, not the
+      // vocabulary — the row bound is known at plan time, no stats job
       val df_ = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
       val stats = docs.agg(count(lit(1)).cast("double").as("n"),
         avg(size(tokens(col("text")))).as("avgdl"))
-      tf.join(broadcast(df_), "token")
+      tf.join(Bcast.ifFitsRows(df_, terms.length, 64), "token")
         .crossJoin(broadcast(stats))
         .join(lens, "doc_id")
         .select(col("doc_id"),

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators._
+
+/** The size-conditional broadcast discipline (operators.Bcast): every
+  * family that hints a DATA-DEPENDENT relation (vocabulary-, node-, user-,
+  * or content-cardinality) must degrade to a shuffle join once the
+  * relation exceeds the session's broadcast budget — same values, no
+  * driver-side collect of an unbounded frame. Mirrors PipelineSpec's
+  * pipe_vocab threshold-forcing test for the families the r8 audit found
+  * broadcasting unconditionally. */
+class BcastSpec extends SparkSpec {
+
+  /** Build with broadcasting disabled: assert the plan's equi-joins are
+    * all shuffle joins (only explicitly-hinted BOUNDED relations — 1-row
+    * stats tables riding crossJoin — may survive as BNLJ) and the output
+    * equals the broadcast-path rows. */
+  private def degradesCleanly(name: String,
+      fn: (org.apache.spark.sql.SparkSession, String) => DataFrame): Unit = {
+    val viaBroadcast = fn(spark, SfDir).collect().toSeq
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // drop frames persisted by the broadcast-path build: cache lookup
+      // ignores hints, so the shuffle-path plan would otherwise display
+      // the cached entry's OLD BroadcastHashJoin internals
+      spark.sharedState.cacheManager.clearCache()
+      val df = fn(spark, SfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$name still broadcasts a data-dependent relation past the budget:\n$plan")
+      assert(df.collect().toSeq === viaBroadcast,
+        s"$name rows changed between broadcast and shuffle paths")
+    }
+  }
+
+  test("dedup family: collapse maps, expansion, and verify arrays " +
+      "degrade to shuffle joins past the broadcast budget") {
+    degradesCleanly("dedup_near", DedupOps.queries("dedup_near"))
+  }
+
+  test("text family: the vocabulary-cardinality df table degrades to a " +
+      "shuffle join past the broadcast budget") {
+    degradesCleanly("text_tfidf", TextOps.queries("text_tfidf"))
+  }
+
+  test("text family: collocation marginals degrade past the budget") {
+    degradesCleanly("text_collocations", TextOps.queries("text_collocations"))
+  }
+
+  test("graph family: the node-cardinality rank vector degrades to " +
+      "shuffle joins past the broadcast budget") {
+    degradesCleanly("graph_pagerank", ProvidenciasOps.queries("graph_pagerank"))
+  }
+
+  test("graph family: degree/weight maps degrade past the budget") {
+    degradesCleanly("graph_adamic_adar", ProvidenciasOps.queries("graph_adamic_adar"))
+  }
+
+  test("streaming family: the per-user model table degrades to a " +
+      "shuffle join past the broadcast budget") {
+    degradesCleanly("ts_anomaly", StreamingOps.queries("ts_anomaly"))
+  }
+}
