@@ -38,6 +38,14 @@ object Bench {
     // unset and measures everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // fail fast on a misspelled filter name — a silent drop times a
+    // subset the caller didn't ask for (same guard as graft.Verify)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val selected = only match {
       case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
       case None     => SparkEntry.queries
@@ -55,44 +63,54 @@ object Bench {
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(4)
     case class R(name: String, cold: Double, warm: Double, warmMed: Double,
                  failed: Boolean)
-    val results = selected.toSeq.map { case (name, fn) =>
-      var failed = false
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        // a failed query must not kill the whole bench run, but it must be
-        // visible IN THE PARSED ARTIFACT, not just stderr: the failure is
-        // recorded in the result row and surfaces in the JSON's "failed"
-        // list (a swallowed throw would otherwise read as a fast healthy
-        // query)
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            failed = true
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
-              String.valueOf(e.getMessage).take(200))
-        }
-        val t = (System.nanoTime() - t0) / 1e9
-        // drop intermediates the query persisted for its own reuse —
-        // without this, 100+ cached plans accumulate across the run and
-        // the later queries pay their GC bill (measured: multi-second
-        // noise)
-        spark.sharedState.cacheManager.clearCache()
-        // localCheckpoint blocks (dedup_clusters labels, ann_pq codebooks,
-        // pagerank ranks) live OUTSIDE the cache manager — they persist as
-        // RDD blocks until the ContextCleaner notices the RDD is garbage,
-        // which needs a driver GC that an all-heap-headroom bench JVM may
-        // never run; drop them explicitly so block-manager memory stays
-        // flat across the 140+ query run
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        t
+    // PASS-MAJOR loop (all queries cold, then all queries warm-1, …), not
+    // query-major: host CPU steal arrives in sustained windows, and with
+    // all of a query's passes back-to-back inside one window its min-of-
+    // warm is as inflated as any single reading (r8 driver artifact:
+    // dedup_contain 22.49 s vs 1.55 s isolated — a 14× steal artifact).
+    // Interleaving separates each query's samples by a full sweep
+    // (~minutes), so the min is taken across independent time windows and
+    // one steal burst can no longer poison every sample of one query.
+    val names = selected.toSeq
+    val times = Array.fill(names.length)(Vector.newBuilder[Double])
+    val failedFlags = Array.fill(names.length)(false)
+    for (_ <- 1 to repeat; (((name, fn), i)) <- names.zipWithIndex) {
+      val t0 = System.nanoTime()
+      // a failed query must not kill the whole bench run, but it must be
+      // visible IN THE PARSED ARTIFACT, not just stderr: the failure is
+      // recorded in the result row and surfaces in the JSON's "failed"
+      // list (a swallowed throw would otherwise read as a fast healthy
+      // query)
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failedFlags(i) = true
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))
       }
+      times(i) += (System.nanoTime() - t0) / 1e9
+      // drop intermediates the query persisted for its own reuse —
+      // without this, 100+ cached plans accumulate across the run and
+      // the later queries pay their GC bill (measured: multi-second
+      // noise)
+      spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint blocks (dedup_clusters labels, ann_pq codebooks,
+      // pagerank ranks) live OUTSIDE the cache manager — they persist as
+      // RDD blocks until the ContextCleaner notices the RDD is garbage,
+      // which needs a driver GC that an all-heap-headroom bench JVM may
+      // never run; drop them explicitly so block-manager memory stays
+      // flat across the 140+ query run
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val results = names.zipWithIndex.map { case ((name, _), i) =>
+      val ts = times(i).result()
       // warm statistics over the post-cold passes only (falling back to
       // all passes when repeat == 1 keeps the fields well-defined) — the
       // cold pass must not enter the min either, or a steal-inflated set
       // of warm passes reports a cold reading as the plan-cost floor
-      val warmPasses = if (times.length > 1) times.tail else times
+      val warmPasses = if (ts.length > 1) ts.tail else ts
       val med = warmPasses.sorted.apply(warmPasses.length / 2)
-      R(name, times.head, warmPasses.min, med, failed)
+      R(name, ts.head, warmPasses.min, med, failedFlags(i))
     }
     val total = results.map(_.cold).sum
     val warmTotal = results.map(_.warm).sum
