@@ -152,6 +152,62 @@ class DedupSpec extends SparkSpec {
     } finally { slim.unpersist(); () }
   }
 
+  test("rarest-first prefixes stay selective on a Zipfian vocabulary",
+      SlowTest) {
+    // The fixture's 31-token dense vocabulary can't distinguish canonical
+    // orders (every posting list is corpus-sized); this seeded Zipf(1)
+    // corpus can: token = floor(V^u) for hash-uniform u gives
+    // P(tok = x) ∝ 1/x, so a handful of head tokens appear in ~80% of
+    // docs while the tail is sparse. 10,000 docs × ≤16 distinct tokens
+    // over V = 2,000. Replicates dedup_prefix's prefix+join internals in
+    // both orders and pins that ascending-df prefixes (the shipped order)
+    // emit far fewer candidates than frequency-blind hash order — the
+    // AllPairs property the operator's comment claims.
+    val n = 10000L
+    val t = DedupOps.JaccardThreshold
+    val th = spark.range(n).select(col("id"),
+      array_distinct(transform(sequence(lit(0), lit(15)), j =>
+        floor(pow(lit(2000.0),
+          pmod(xxhash64(col("id"), j), lit(1000000L)).cast("double") / 1e6))
+          .cast("long"))).as("toks"))
+      .persist()
+    try {
+      // hash order: sort by xxhash64(token) — what the operator did pre-r9
+      // (token-hash arrays), random w.r.t. frequency
+      val byHash = th.select(col("id"),
+        transform(array_sort(transform(col("toks"),
+          x => struct(xxhash64(x).as("h"), x.as("tok")))),
+          p => p.getField("tok")).as("th"))
+      // df order: the shipped rarest-first rank
+      val toks = th.select(col("id"), explode(col("toks")).as("tok"))
+      val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val byDf = toks.join(broadcast(dfTab), "tok").groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("rk"))
+        .select(col("id"), transform(col("rk"), r => r.getField("tok")).as("th"))
+      def candidates(src: org.apache.spark.sql.DataFrame): Long = {
+        val pref = src.select(col("id"), size(col("th")).as("len"),
+          posexplode(slice(col("th"), lit(1),
+            (size(col("th")) - ceil(lit(t * t) * size(col("th"))) + 1)
+              .cast("int"))).as(Seq("pos", "tok")))
+        val a = pref.select(col("id").as("ida"), col("len").as("len_a"), col("tok"))
+        val b = pref.select(col("id").as("idb"), col("len").as("len_b"), col("tok"))
+        a.hint("shuffle_hash").join(b, Seq("tok"))
+          .filter(col("ida") < col("idb") &&
+            least(col("len_a"), col("len_b")).cast("double") >=
+              greatest(col("len_a"), col("len_b")) * (t - 1e-3))
+          .select("ida", "idb").distinct().count()
+      }
+      val hashCand = candidates(byHash)
+      val dfCand = candidates(byDf)
+      assert(dfCand * 5 <= hashCand,
+        s"rarest-first should prune hard on Zipf: df-order $dfCand vs " +
+          s"hash-order $hashCand candidates")
+      // and absolutely bounded: far below quadratic (~5e7 pairs)
+      assert(dfCand < n * 100, s"df-order candidate volume $dfCand")
+      ()
+    } finally { th.unpersist(); () }
+  }
+
   test("dedup_prefix (prefix-filter join) EQUALS exact pairwise dedup_ngram") {
     // the deterministic completeness claim the DuckDB oracle also pins:
     // unlike the LSH banding (subset-only above), the prefix-filtered
