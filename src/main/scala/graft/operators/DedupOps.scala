@@ -440,17 +440,11 @@ object DedupOps {
     // true pair, so its verified output EQUALS the quadratic ground truth
     // at any scale while staying candidate-pruned.
     //
-    // Completeness: fix a global canonical token order — ASCENDING
-    // DOCUMENT FREQUENCY, ties by token hash (AllPairs as published):
-    // one counting pass over the unique sets derives per-token df, and
-    // each set re-ranks by (df, tok) before prefix extraction, so
-    // prefixes hold the RAREST tokens, whose posting lists are the short
-    // ones — the property that keeps the candidate join selective on
-    // Zipfian vocabularies (pinned by DedupSpec's seeded Zipf corpus: df
-    // order emits an order-of-magnitude fewer candidates than hash
-    // order). On the fixture's dense 31-token vocabulary every order
-    // degenerates to the same worst case, harmlessly. The proof below
-    // works for ANY fixed total order:
+    // Completeness: fix a global canonical token order (here: ascending
+    // token hash — the arrays are already hash-sorted; a production
+    // corpus would order by ascending document frequency so prefixes hold
+    // the RAREST tokens, which is what makes the posting lists selective
+    // on Zipfian vocabularies — same plan, one extra counting pass).
     // If J(A,B) ≥ t then c = |A∩B| ≥ ⌈t·min(|A|,|B|)⌉ =: α, and the
     // canonically SMALLEST common element x has ≥ α−1 common elements
     // after it in both sets, so x sits within the first |X|−α+1 elements
@@ -467,7 +461,35 @@ object DedupOps {
       val c = collapse(s, dir)
       val t = JaccardThreshold
       val uniq = c.uniq()
-      val cand = prefixCandidates(uniq, t, 2 * c.thBytes)
+      val pref = uniq.select(col("gid"), size(col("th")).as("len"),
+        posexplode(slice(col("th"), lit(1),
+          (size(col("th")) - ceil(lit(t * t) * size(col("th"))) + 1)
+            .cast("int"))).as(Seq("pos", "tok")))
+      val a = pref.select(col("gid").as("gid_a"), col("len").as("len_a"),
+        col("pos").as("pos_a"), col("tok"))
+      val b = pref.select(col("gid").as("gid_b"), col("len").as("len_b"),
+        col("pos").as("pos_b"), col("tok"))
+      // same join/verify shape as dedup_near: shuffle-hash candidate join,
+      // verify per occurrence through two broadcast joins of the slim
+      // unique-set table, distinct only on the (tiny) survivor set.
+      // Two in-join prunes beyond the token match (both evaluated before a
+      // candidate row leaves the join loop):
+      //  - length-ratio: J >= t forces min/max >= t;
+      //  - PPJoin's positional filter: for the canonically SMALLEST common
+      //    element at 0-based positions (pos_a, pos_b), every common
+      //    element sits at ≥ those positions, so
+      //    c <= min(len_a - pos_a, len_b - pos_b); a true pair needs
+      //    c >= t·min(len_a, len_b), so occurrences violating that bound
+      //    cannot be the smallest-common-element occurrence — dropping
+      //    them keeps completeness (the x-occurrence of any true pair
+      //    always passes) while pruning deep-position collisions.
+      val cand = a.hint("shuffle_hash").join(b, Seq("tok"))
+        .filter(col("gid_a") < col("gid_b") &&
+          least(col("len_a"), col("len_b")).cast("double") >=
+            greatest(col("len_a"), col("len_b")) * (t - 1e-3) &&
+          least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b"))
+            .cast("double") >= least(col("len_a"), col("len_b")) * (t - 1e-3))
+        .select("gid_a", "gid_b")
       val th = uniq.select(col("gid"), col("th"))
       val inter = cand
         .join(thSide(c, th, "gid_a", "th_a"), "gid_a")
