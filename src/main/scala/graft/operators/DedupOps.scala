@@ -140,18 +140,33 @@ object DedupOps {
     val gidFull = df.groupBy("fp")
       .agg(min("doc_id").as("gid"), max(size(col("th"))).as("len"))
       .persist()
-    val st = gidFull.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("len").cast("long")), lit(0L)).as("toks")).first()
-    val nGids = st.getLong(0)
-    val thBytes = 8L * st.getLong(1) + 32L * nGids
+    val statsKey = (System.identityHashCode(s), dir)
+    val cached = collapseStats.get(statsKey)
+    val (nGids, thBytes) = if (cached != null) (cached._1, cached._2) else {
+      val st = gidFull.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("len").cast("long")), lit(0L)).as("toks")).first()
+      (st.getLong(0), 8L * st.getLong(1) + 32L * st.getLong(0))
+    }
     val gidMap = gidFull.select("fp", "gid")
     def gidHinted = Bcast.ifFitsRows(gidMap, nGids, 24)
     val docMap = df.join(gidHinted, "fp").select("doc_id", "gid").persist()
-    val nDocs = docMap.count()
+    val nDocs = if (cached != null) cached._3 else {
+      val n = docMap.count()
+      collapseStats.put(statsKey, (nGids, thBytes, n))
+      n
+    }
     val uniq = () => df.join(gidHinted, "fp")
       .filter(col("doc_id") === col("gid")).select(col("gid"), col("th"))
     Collapse(docMap, gidMap, uniq, nDocs, nGids, thBytes)
   }
+
+  /** collapse()'s measured stats (nGids, thBytes, nDocs) memoized per
+    * (session identity, data dir), mirroring Bcast.measured: the fixture dirs
+    * are immutable within a session, so every dedup query after the
+    * first skips both collapse stats jobs and lets the consuming query
+    * materialize the persisted maps as part of its own first action. */
+  private val collapseStats =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, Long, Long)]()
 
   /** Expand surviving set-pairs (gid_a, gid_b, score) to member doc-pairs
     * with doc_a < doc_b, via two size-conditional broadcast joins on the
@@ -182,6 +197,71 @@ object DedupOps {
 
   private def jaccard(a: Column, b: Column): Column =
     round(ArrayExprs.sortedJaccard(a, b), 4)
+
+  /** AllPairs/PPJoin candidate stage for `dedup_prefix`, split out so
+    * DedupSpec can pin its selectivity against the operator's own code.
+    *
+    * Input: one row per UNIQUE token set (gid, th: ARRAY<BIGINT>).
+    * Output: candidate occurrences (gid_a < gid_b, plus the lengths and
+    * prefix positions the prunes used) — every pair with Jaccard ≥ t
+    * appears at least once (completeness argument at the dedup_prefix
+    * comment); a pair may appear once per shared prefix token, so
+    * consumers dedupe AFTER their verify filter (survivors are few; raw
+    * candidate occurrences are not).
+    *
+    * Canonical order: ascending (document frequency, token) — AllPairs'
+    * rarest-first order. Prefixes then hold each set's rarest tokens,
+    * whose posting lists are short, so on a Zipfian vocabulary the
+    * equi-join on prefix tokens stays near-linear where a
+    * frequency-blind order degenerates toward quadratic (head tokens
+    * land in prefixes and every pair of docs sharing a stopword becomes
+    * a candidate). Ties on df break by token value, so the order is
+    * total and deterministic; ANY total order preserves completeness,
+    * df-order only changes selectivity. Costs one counting pass over
+    * the unique sets plus one hash shuffle to re-assemble ranked
+    * arrays — both linear in token volume, both scale-safe. */
+  private[graft] def prefixCandidates(uniq: DataFrame, t: Double): DataFrame = {
+    // Per-token document frequency over the UNIQUE sets (one counting
+    // pass); vocabulary-cardinality, so the join back onto the exploded
+    // tokens is size-conditional (16 bytes of token+count per row).
+    val toks = uniq.select(col("gid"), explode(col("th")).as("tok"))
+    val dfTab = Bcast.vocabHinted(
+      toks.groupBy("tok").agg(count(lit(1)).as("df")), lit(16))
+    // Re-rank each set by (df, tok): one hash shuffle of (gid, df, tok)
+    // triples; array_sort on the struct is lexicographic (df, tok) and
+    // the transform strips the rank back off.
+    val ranked = toks.join(dfTab, "tok")
+      .groupBy("gid")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("rk"))
+      .select(col("gid"),
+        transform(col("rk"), r => r.getField("tok")).as("rth"))
+    val pref = ranked.select(col("gid"), size(col("rth")).as("len"),
+      posexplode(slice(col("rth"), lit(1),
+        (size(col("rth")) - ceil(lit(t * t) * size(col("rth"))) + 1)
+          .cast("int"))).as(Seq("pos", "tok")))
+    val a = pref.select(col("gid").as("gid_a"), col("len").as("len_a"),
+      col("pos").as("pos_a"), col("tok"))
+    val b = pref.select(col("gid").as("gid_b"), col("len").as("len_b"),
+      col("pos").as("pos_b"), col("tok"))
+    // Shuffle-hash candidate join with two in-join prunes beyond the
+    // token match (both evaluated before a candidate row leaves the
+    // join loop):
+    //  - length-ratio: J >= t forces min/max >= t;
+    //  - PPJoin's positional filter: for the canonically SMALLEST common
+    //    element at 0-based positions (pos_a, pos_b), every common
+    //    element sits at ≥ those positions, so
+    //    c <= min(len_a - pos_a, len_b - pos_b); a true pair needs
+    //    c >= t·min(len_a, len_b), so occurrences violating that bound
+    //    cannot be the smallest-common-element occurrence — dropping
+    //    them keeps completeness (the x-occurrence of any true pair
+    //    always passes) while pruning deep-position collisions.
+    a.hint("shuffle_hash").join(b, Seq("tok"))
+      .filter(col("gid_a") < col("gid_b") &&
+        least(col("len_a"), col("len_b")).cast("double") >=
+          greatest(col("len_a"), col("len_b")) * (t - 1e-3) &&
+        least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b"))
+          .cast("double") >= least(col("len_a"), col("len_b")) * (t - 1e-3))
+  }
 
   /** Contracted-graph edge count below which [[localCC]] solves the
     * components in one task instead of the iterative relational loop. */
@@ -440,11 +520,11 @@ object DedupOps {
     // true pair, so its verified output EQUALS the quadratic ground truth
     // at any scale while staying candidate-pruned.
     //
-    // Completeness: fix a global canonical token order (here: ascending
-    // token hash — the arrays are already hash-sorted; a production
-    // corpus would order by ascending document frequency so prefixes hold
-    // the RAREST tokens, which is what makes the posting lists selective
-    // on Zipfian vocabularies — same plan, one extra counting pass).
+    // Completeness: fix a global canonical token order — here ascending
+    // (document frequency, token), the AllPairs order: prefixes hold the
+    // RAREST tokens, whose posting lists are short, which is what keeps
+    // the candidate join selective on Zipfian vocabularies (one extra
+    // counting pass over the unique sets buys it; see prefixCandidates).
     // If J(A,B) ≥ t then c = |A∩B| ≥ ⌈t·min(|A|,|B|)⌉ =: α, and the
     // canonically SMALLEST common element x has ≥ α−1 common elements
     // after it in both sets, so x sits within the first |X|−α+1 elements
@@ -455,41 +535,14 @@ object DedupOps {
     // only (gid, len, token-hash) triples — ~(1−t²)·|tokens| rows per
     // unique set; the wide arrays broadcast into the verify exactly as in
     // dedup_near. The fixture's 31-token vocabulary is the pruning
-    // worst case (every posting list is dense); completeness — the
-    // property the oracle checks — is data-independent.
+    // worst case (every posting list is dense, so df-order cannot prune
+    // there); completeness — the property the oracle checks — is
+    // data-independent, and DedupSpec's Zipf corpus pins the selectivity.
     "dedup_prefix" -> ((s, dir) => {
       val c = collapse(s, dir)
       val t = JaccardThreshold
       val uniq = c.uniq()
-      val pref = uniq.select(col("gid"), size(col("th")).as("len"),
-        posexplode(slice(col("th"), lit(1),
-          (size(col("th")) - ceil(lit(t * t) * size(col("th"))) + 1)
-            .cast("int"))).as(Seq("pos", "tok")))
-      val a = pref.select(col("gid").as("gid_a"), col("len").as("len_a"),
-        col("pos").as("pos_a"), col("tok"))
-      val b = pref.select(col("gid").as("gid_b"), col("len").as("len_b"),
-        col("pos").as("pos_b"), col("tok"))
-      // same join/verify shape as dedup_near: shuffle-hash candidate join,
-      // verify per occurrence through two broadcast joins of the slim
-      // unique-set table, distinct only on the (tiny) survivor set.
-      // Two in-join prunes beyond the token match (both evaluated before a
-      // candidate row leaves the join loop):
-      //  - length-ratio: J >= t forces min/max >= t;
-      //  - PPJoin's positional filter: for the canonically SMALLEST common
-      //    element at 0-based positions (pos_a, pos_b), every common
-      //    element sits at ≥ those positions, so
-      //    c <= min(len_a - pos_a, len_b - pos_b); a true pair needs
-      //    c >= t·min(len_a, len_b), so occurrences violating that bound
-      //    cannot be the smallest-common-element occurrence — dropping
-      //    them keeps completeness (the x-occurrence of any true pair
-      //    always passes) while pruning deep-position collisions.
-      val cand = a.hint("shuffle_hash").join(b, Seq("tok"))
-        .filter(col("gid_a") < col("gid_b") &&
-          least(col("len_a"), col("len_b")).cast("double") >=
-            greatest(col("len_a"), col("len_b")) * (t - 1e-3) &&
-          least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b"))
-            .cast("double") >= least(col("len_a"), col("len_b")) * (t - 1e-3))
-        .select("gid_a", "gid_b")
+      val cand = prefixCandidates(uniq, t).select("gid_a", "gid_b")
       val th = uniq.select(col("gid"), col("th"))
       val inter = cand
         .join(thSide(c, th, "gid_a", "th_a"), "gid_a")

@@ -159,10 +159,11 @@ class DedupSpec extends SparkSpec {
     // corpus can: token = floor(V^u) for hash-uniform u gives
     // P(tok = x) ∝ 1/x, so a handful of head tokens appear in ~80% of
     // docs while the tail is sparse. 10,000 docs × ≤16 distinct tokens
-    // over V = 2,000. Replicates dedup_prefix's prefix+join internals in
-    // both orders and pins that ascending-df prefixes (the shipped order)
-    // emit far fewer candidates than frequency-blind hash order — the
-    // AllPairs property the operator's comment claims.
+    // over V = 2,000. Runs the OPERATOR's own candidate stage
+    // (DedupOps.prefixCandidates — ascending-df order) against an inline
+    // frequency-blind hash-order replica of the same prefix+join shape,
+    // and pins that the shipped order emits ≥5× fewer candidates — the
+    // AllPairs selectivity property the operator's comment claims.
     val n = 10000L
     val t = DedupOps.JaccardThreshold
     val th = spark.range(n).select(col("id"),
@@ -172,18 +173,12 @@ class DedupSpec extends SparkSpec {
           .cast("long"))).as("toks"))
       .persist()
     try {
-      // hash order: sort by xxhash64(token) — what the operator did pre-r9
+      // hash order: sort by xxhash64(token) — what the operator did pre-r10
       // (token-hash arrays), random w.r.t. frequency
       val byHash = th.select(col("id"),
         transform(array_sort(transform(col("toks"),
           x => struct(xxhash64(x).as("h"), x.as("tok")))),
           p => p.getField("tok")).as("th"))
-      // df order: the shipped rarest-first rank
-      val toks = th.select(col("id"), explode(col("toks")).as("tok"))
-      val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      val byDf = toks.join(broadcast(dfTab), "tok").groupBy("id")
-        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("rk"))
-        .select(col("id"), transform(col("rk"), r => r.getField("tok")).as("th"))
       def candidates(src: org.apache.spark.sql.DataFrame): Long = {
         val pref = src.select(col("id"), size(col("th")).as("len"),
           posexplode(slice(col("th"), lit(1),
@@ -198,7 +193,12 @@ class DedupSpec extends SparkSpec {
           .select("ida", "idb").distinct().count()
       }
       val hashCand = candidates(byHash)
-      val dfCand = candidates(byDf)
+      // df order: the operator's OWN candidate stage, fed the same sets
+      // in dedup_prefix's (gid, th) input shape
+      val uniq = th.select(col("id").as("gid"),
+        array_sort(col("toks")).as("th"))
+      val dfCand = DedupOps.prefixCandidates(uniq, t)
+        .select("gid_a", "gid_b").distinct().count()
       assert(dfCand * 5 <= hashCand,
         s"rarest-first should prune hard on Zipf: df-order $dfCand vs " +
           s"hash-order $hashCand candidates")
