@@ -996,8 +996,12 @@ object PipelineOps {
       val docs = Tables.documents(s, dir)
       val evalSet = shingles(docs.filter(col("doc_id") % 97 === 0))
         .select("sh").distinct()
+      // Size-conditional: held-out eval suites are broadcast-sized by
+      // construction, but the hint must not be unconditional (a grown
+      // eval set past the budget degrades to a shuffle hash join on the
+      // 8-byte shingle key — same rows, no driver collect).
       shingles(docs.filter(col("doc_id") % 97 =!= 0))
-        .join(broadcast(evalSet), "sh")
+        .join(Bcast.vocabHinted(evalSet, lit(8)), "sh")
         .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
         .orderBy("doc_id")
     }),
@@ -1005,14 +1009,20 @@ object PipelineOps {
     // NEAR-duplicate decontamination: exact shingle overlap above misses
     // paraphrased contamination (reordered sentences, light edits), so
     // real pipelines also scrub by whole-document similarity against the
-    // eval set. Every corpus doc's sorted token-hash set is compared to
-    // the BROADCAST eval slice with the codegen'd merge-loop Jaccard —
-    // one corpus scan, no shuffle until the per-doc aggregation (hits are
-    // a tiny fraction). Held-out eval sets are small by construction
-    // (thousands of docs vs a billion-doc corpus), which is what makes
-    // the exact broadcast form the right default; past broadcast-scale
-    // eval sets, prefilter candidates with the MinHash band join
-    // [[DedupOps]]' dedup_near pins and keep this verify stage unchanged.
+    // eval set. Two size-conditional plans sharing one verify stage:
+    //  - eval side fits the broadcast budget (the normal case — held-out
+    //    eval suites are thousands of docs vs a billion-doc corpus):
+    //    every corpus doc's sorted token-hash set is compared to the
+    //    BROADCAST eval slice with the codegen'd merge-loop Jaccard —
+    //    one corpus scan, no shuffle until the per-doc aggregation.
+    //  - past the budget: the crossJoin would be a driver OOM (and
+    //    without the broadcast, a cartesian), so candidates come from
+    //    the DETERMINISTIC AllPairs prefix-filter join instead
+    //    ([[DedupOps.prefixCandidates]] over the union of both sides —
+    //    ids are disjoint by the % 97 split). 100% recall at the
+    //    threshold (unlike a MinHash band prefilter, whose designed
+    //    boundary miss would make the two paths diverge — §7.4), so
+    //    both paths produce IDENTICAL rows; BcastSpec pins it.
     "pipe_decontaminate_near" -> ((s, dir) => {
       val th = Tables.documents(s, dir).select(col("doc_id"),
         array_sort(transform(array_distinct(split(col("text"), " ")),
@@ -1020,7 +1030,7 @@ object PipelineOps {
       val corpus = th.filter(col("doc_id") % 97 =!= 0)
       val evalSide = th.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("eval_id"), col("th").as("th_e"))
-      corpus.crossJoin(broadcast(evalSide))
+      def verified(pairs: DataFrame): DataFrame = pairs
         .withColumn("jac",
           round(graft.functions.ArrayExprs.sortedJaccard(col("th"), col("th_e")), 4))
         .filter(col("jac") >= NearDecontamJaccard)
@@ -1028,6 +1038,27 @@ object PipelineOps {
         .agg(countDistinct("eval_id").as("n_eval_hits"),
           max("jac").as("max_jaccard"))
         .orderBy("doc_id")
+      val p = evalSide.persist()
+      if (Bcast.budget > 0 &&
+          Bcast.measuredBytes(p, size(col("th_e")) * lit(8L) + lit(16L))
+            <= Bcast.budget)
+        verified(corpus.crossJoin(broadcast(p)))
+      else {
+        val uniq = corpus.select(col("doc_id").as("gid"), col("th"))
+          .unionByName(p.select(col("eval_id").as("gid"), col("th_e").as("th")))
+        // candidates may repeat per shared prefix token and arrive in
+        // either orientation; normalize to (corpus, eval), drop
+        // same-side pairs, and dedupe BEFORE the wide-array verify join
+        val pairs = DedupOps.prefixCandidates(uniq, NearDecontamJaccard)
+          .select(
+            when(col("gid_a") % 97 === 0, col("gid_b"))
+              .otherwise(col("gid_a")).as("doc_id"),
+            when(col("gid_a") % 97 === 0, col("gid_a"))
+              .otherwise(col("gid_b")).as("eval_id"))
+          .filter(col("doc_id") % 97 =!= 0 && col("eval_id") % 97 === 0)
+          .distinct()
+        verified(pairs.join(corpus, "doc_id").join(p, "eval_id"))
+      }
     }),
 
     // Feature normalization: per-language z-score of document length —

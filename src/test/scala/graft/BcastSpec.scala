@@ -62,4 +62,17 @@ class BcastSpec extends SparkSpec {
       "shuffle join past the broadcast budget") {
     degradesCleanly("ts_anomaly", StreamingOps.queries("ts_anomaly"))
   }
+
+  test("pipeline family: the exact-decontamination eval shingle set " +
+      "degrades to a shuffle join past the broadcast budget") {
+    degradesCleanly("pipe_decontaminate",
+      PipelineOps.queries("pipe_decontaminate"))
+  }
+
+  test("pipeline family: near-decontamination swaps the broadcast " +
+      "crossJoin for the deterministic prefix-filter join past the " +
+      "budget, with identical rows") {
+    degradesCleanly("pipe_decontaminate_near",
+      PipelineOps.queries("pipe_decontaminate_near"))
+  }
 }
