@@ -28,8 +28,13 @@ object ProvidenciasOps {
     * SURVEY §7.5: lowercase whitespace tokens, OR-of-terms. */
   val SearchTerms: Seq[String] = Seq("spark", "merge")
 
-  /** Peel threshold for `graph_kcore` (see the query's Scaladoc). */
-  val KCoreK = 4
+  /** Peel threshold for `graph_kcore` (see the query's Scaladoc). 3, not
+    * 4: the fixture similarity graph's true 4-core is EMPTY at sf0.001
+    * and sf0.01 (measured r10 — 3 fixed peel rounds used to mask this by
+    * stopping early), so k = 4 would gate the converged operator on an
+    * empty table; the 3-core is non-empty at every SF (250 / 316 / 2000
+    * nodes) and converges within 10 peels. */
+  val KCoreK = 3
 
   /** Accented query forms for the unaccent variant — what a Spanish search
     * box actually receives ("año", "resolución"). */
@@ -360,18 +365,26 @@ object ProvidenciasOps {
         .orderBy("node_id")
     }),
 
-    // Graph extension: k-core decomposition by iterative peeling — "the
-    // dense heart of the similarity network once hangers-on are removed",
-    // the standard community-core / spam-filter primitive. Three unrolled
-    // peel rounds at k = [[KCoreK]]: degrees over the (persisted,
-    // symmetrized) edge list, survivors = deg ≥ k, edges induced on the
-    // survivor set via two semi-joins, repeat. Fixed round count keeps the
-    // plan declarative and the oracle expressible (the fixpoint needs
-    // diameter-many rounds; production peels converge in a handful — same
-    // trade as `graph_label_prop`'s fixed supersteps). Each round is a
-    // degree aggregation + two joins against the node-cardinality survivor
-    // set (broadcast here; at broadcast-busting node counts they become
-    // shuffle semi-joins, same plan shape — cf. the pagerank note).
+    // Graph extension: k-core decomposition by iterative peeling TO THE
+    // FIXPOINT — "the dense heart of the similarity network once
+    // hangers-on are removed", the standard community-core / spam-filter
+    // primitive. Each peel round: degrees over the survivor-induced
+    // subgraph of the (persisted, symmetrized) edge list, survivors =
+    // deg ≥ k, repeat until the survivor count stops moving (sets only
+    // shrink, so an unchanged count IS the fixpoint — one Long per round
+    // decides convergence, the dedup_clusters CC discipline). r10: the
+    // previous fixed 3-round unroll was measured to stop far short of
+    // the fixpoint (a 4th peel dropped 50 of its 63 survivors at
+    // sf0.001; the true core there was empty) — a fixed depth
+    // masquerades as the k-core without being one. Each round is a
+    // degree aggregation + two semi-joins against the node-cardinality
+    // survivor set (size-conditionally broadcast; past the budget they
+    // become shuffle semi-joins, same plan shape — cf. the pagerank
+    // note), and each round's survivor set is localCheckpoint'ed so the
+    // loop's logical plan stays flat (the iterativeCC lesson: chained
+    // persists snowball the plan tree). Peel count is bounded by the
+    // degeneracy ordering depth — a handful in practice (≤ 10 on every
+    // fixture SF), capped at 64 like the CC loop's round cap.
     "graph_kcore" -> ((s, dir) => {
       val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
         .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
@@ -389,11 +402,19 @@ object ProvidenciasOps {
       def induce(keep: DataFrame): DataFrame =
         und.join(Bcast.ifFitsRows(keep, nNodes, 16), und("s") === keep("id"), "left_semi")
           .join(Bcast.ifFitsRows(keep, nNodes, 16), und("d") === keep("id"), "left_semi")
-      val keep1 = degrees(und).filter(col("deg") >= KCoreK)
-        .select(col("s").as("id"))
-      val keep2 = degrees(induce(keep1)).filter(col("deg") >= KCoreK)
-        .select(col("s").as("id"))
-      degrees(induce(keep2)).filter(col("deg") >= KCoreK)
+      var keep = degrees(und).filter(col("deg") >= KCoreK)
+        .select(col("s").as("id")).localCheckpoint()
+      var n = keep.count()
+      var converged = false
+      var rounds = 1
+      while (!converged && n > 0 && rounds < 64) {
+        val next = degrees(induce(keep)).filter(col("deg") >= KCoreK)
+          .select(col("s").as("id")).localCheckpoint()
+        val m = next.count()
+        converged = m == n
+        n = m; keep = next; rounds += 1
+      }
+      degrees(induce(keep))
         .select(col("s").as("node_id"), col("deg").as("core_degree"))
         .orderBy("node_id")
     }),
@@ -905,10 +926,15 @@ object ProvidenciasOps {
          SELECT id, count(*) AS degree FROM (
            SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
          ) GROUP BY id ORDER BY id""",
-    // three unrolled peel rounds, k = 4 (KCoreK) — round 1 degrees over
-    // the full graph, rounds 2-3 over the survivor-induced subgraph
+    // peel to the fixpoint, k = 3 (KCoreK): the recursive term carries a
+    // round counter — each iteration's delta is exactly the previous
+    // round's survivor set, so the induced-degree filter sees the full
+    // surviving subgraph; rounds repeat (stable) until the r < 64 cap,
+    // and selecting r = 64 yields the fixpoint (or the empty set if the
+    // core peeled away entirely — the recursion then dies out early and
+    // no row reaches r = 64). 64 matches the Spark loop's round cap.
     "graph_kcore" ->
-      """WITH e AS (
+      s"""WITH RECURSIVE e AS MATERIALIZED (
            SELECT * FROM (
              SELECT a.vec_id AS src, b.vec_id AS dst,
                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -916,18 +942,24 @@ object ProvidenciasOps {
              FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
            ) WHERE similitud >= 30.0
          ),
-         und AS (SELECT src AS s, dst AS d FROM e
+         und AS MATERIALIZED (SELECT src AS s, dst AS d FROM e
                  UNION ALL SELECT dst AS s, src AS d FROM e),
-         keep1 AS (SELECT s AS id FROM und GROUP BY s HAVING count(*) >= 4),
-         keep2 AS (
-           SELECT s AS id FROM und
-           WHERE s IN (SELECT id FROM keep1) AND d IN (SELECT id FROM keep1)
-           GROUP BY s HAVING count(*) >= 4
+         surv(r, id) AS (
+           SELECT 0, s FROM und GROUP BY s HAVING count(*) >= $KCoreK
+           UNION ALL
+           SELECT u.r + 1, u.s FROM (
+             SELECT sv.r AS r, und.s AS s, count(*) AS deg
+             FROM surv sv
+             JOIN und ON und.s = sv.id
+             WHERE und.d IN (SELECT id FROM surv s2 WHERE s2.r = sv.r)
+             GROUP BY sv.r, und.s
+           ) u
+           WHERE u.deg >= $KCoreK AND u.r < 64
          )
          SELECT s AS node_id, count(*) AS core_degree FROM und
-         WHERE s IN (SELECT id FROM keep2) AND d IN (SELECT id FROM keep2)
-         GROUP BY s HAVING count(*) >= 4
-         ORDER BY node_id""",
+         WHERE s IN (SELECT id FROM surv WHERE r = 64)
+           AND d IN (SELECT id FROM surv WHERE r = 64)
+         GROUP BY s ORDER BY node_id""",
     "graph_triangles" ->
       """WITH e AS (
            SELECT * FROM (

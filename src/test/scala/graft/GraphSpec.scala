@@ -69,7 +69,7 @@ class GraphSpec extends SparkSpec {
   test("graph_kcore survivors satisfy the peel threshold and refine the degree filter") {
     val k = ProvidenciasOps.KCoreK
     val kc = q("graph_kcore").persist()
-    assert(kc.count() > 0, "fixture graph must have a non-empty 4-core")
+    assert(kc.count() > 0, s"fixture graph must have a non-empty $k-core")
     // every survivor meets the threshold in the final induced subgraph
     assert(kc.filter(col("core_degree") < k).count() === 0)
     val deg = q("graph_degree").withColumnRenamed("id", "node_id")
@@ -230,5 +230,143 @@ class GraphSpec extends SparkSpec {
     val c = r.getAs[Double]("transitivity")
     assert(c >= 0.0 && c <= 1.0 + 1e-9, "closed wedges are a subset of wedges")
     assert(r.getAs[Long]("n_wedges") >= r.getAs[Long]("n_triangles") * 3)
+  }
+
+  // ---- Fixed-depth residuals ----------------------------------------
+  // The four iterative graph queries unroll a FIXED iteration count into
+  // one declarative plan (3 PageRank power steps, 2 LPA supersteps, 3
+  // k-core peels, 2 HITS sweeps) instead of looping to convergence —
+  // SURVEY §2's documented trade. These tests measure what that truncation
+  // leaves on the table: run ONE more iteration from the shipped output
+  // and bound the movement. The fixtures are deterministic, so each bound
+  // is a measured value with ~2× headroom, documented inline.
+
+  /** The symmetrized SIMILAR edge list the iterative queries run on. */
+  private def simEdges() = {
+    import graft.operators.SimilarityOps
+    SimilarityOps.pairwiseTriangular(spark, SfDir, SimilarityOps.EdgeThreshold)
+      .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+  }
+
+  test("graph_pagerank residual: a fourth power step moves the shipped " +
+      "rank vector by a bounded L1 distance") {
+    val pr = q("graph_pagerank").persist()
+    val nodes = Tables.embeddings(spark, SfDir).select(col("vec_id").as("id"))
+    val n = nodes.count().toDouble
+    val und = simEdges()
+    val outdeg = und.groupBy("s").agg(count(lit(1)).cast("double").as("od"))
+    val edges = und.join(outdeg, "s").persist()
+    val r = pr.select(col("id"), col("pagerank").as("rank"))
+    val contrib = edges.join(r, edges("s") === r("id"))
+      .groupBy(edges("d")).agg(sum(col("rank") / col("od")).as("c"))
+      .withColumnRenamed("d", "cid")
+    val dang = r.join(edges.select(col("s").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+    val r4 = nodes.join(contrib, nodes("id") === contrib("cid"), "left")
+      .crossJoin(dang)
+      .select(nodes("id"), (lit(0.15 / n) + lit(0.85) *
+        (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("rank4"))
+    val resid = pr.join(r4, "id")
+      .agg(sum(abs(col("rank4") - col("pagerank")))).head().getDouble(0)
+    info(f"pagerank L1 residual at iteration 4: $resid%.6f")
+    // contraction caps it at 0.85³·||r1−r0||₁ ≤ 0.85³·2 ≈ 1.23;
+    // measured at sf0.001: 0.0521 (the dense fixture graph mixes much
+    // faster than worst case) — pinned at 2× headroom. The shipped
+    // depth trades ~5% L1 mass for a 3-shuffle-superstep plan; rank
+    // ORDER is already what consumers read, and the bound documents
+    // exactly how much the values can still move.
+    assert(resid < 0.11, s"4th-iteration L1 residual was $resid")
+    pr.unpersist(); edges.unpersist()
+  }
+
+  test("graph_label_prop residual: a third superstep relabels a bounded " +
+      "fraction of nodes") {
+    val out = q("graph_label_prop")
+    val nodes = Tables.embeddings(spark, SfDir).select(col("vec_id").as("id"))
+    val e = simEdges().persist()
+    val l2 = ProvidenciasOps.labelPropagate(e, nodes, 2)
+    // the spec's own 2-superstep replay must equal the shipped output
+    assert(l2.select(col("id").as("node_id"), col("lbl").as("community"))
+      .orderBy("node_id").collect().toSeq === out.collect().toSeq)
+    val l3 = ProvidenciasOps.labelPropagate(e, nodes, 3)
+      .withColumnRenamed("lbl", "lbl3")
+    val n = nodes.count()
+    val changed = l2.join(l3, "id").filter(col("lbl") =!= col("lbl3")).count()
+    info(s"label_prop relabels at superstep 3: $changed of $n")
+    val l4 = ProvidenciasOps.labelPropagate(e, nodes, 4)
+      .withColumnRenamed("lbl", "lbl4")
+    val osc = l2.join(l4, "id").filter(col("lbl") =!= col("lbl4")).count()
+    info(s"label_prop l4 vs l2 differs on: $osc of $n")
+    // Measured at sf0.001: 469/500 relabel at superstep 3, and l4 vs l2
+    // still differ on 209 — synchronous LPA does NOT converge on this
+    // dense similarity graph, and it isn't even the classic period-2
+    // oscillation; it churns. That is precisely WHY the superstep count
+    // is a capped semantic (Raghavan et al.'s sync variant is
+    // oscillation-prone by construction) rather than an approximation
+    // of a fixpoint that doesn't exist. The residual documents the
+    // truncation: consumers get "communities after 2 sync supersteps",
+    // a deterministic labeling, not a converged one. The assert pins
+    // the non-convergence so a future "just add supersteps" change has
+    // to confront it rather than silently shipping a different
+    // still-churning labeling.
+    assert(changed > n / 2,
+      s"sync LPA unexpectedly near-converged ($changed/$n moved) — if " +
+        "the fixture or operator changed, re-measure and re-document")
+    e.unpersist()
+  }
+
+  test("graph_kcore residual: one more peel round drops NOTHING — the " +
+      "shipped output is the exact peel fixpoint") {
+    // r10: graph_kcore peels to convergence (the old fixed 3-round
+    // unroll left a 4th peel dropping 50 of 63 survivors at sf0.001,
+    // and the true 4-core was empty — hence k = KCoreK = 3 now, whose
+    // core is non-empty at every SF). Residual bound: exactly 0.
+    val out = q("graph_kcore")
+    val keep = out.select(col("node_id").as("id")).persist()
+    val und = simEdges().persist()
+    val survivors = out.count()
+    val kept = und.join(keep, und("s") === keep("id"), "left_semi")
+      .join(keep, und("d") === keep("id"), "left_semi")
+      .groupBy("s").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= ProvidenciasOps.KCoreK).count()
+    info(s"kcore survivors: $survivors; after one more peel: $kept")
+    assert(survivors > 0, "the fixture 3-core must be non-empty")
+    assert(kept === survivors,
+      s"output is not the fixpoint: one more peel kept $kept of $survivors")
+    keep.unpersist(); und.unpersist()
+  }
+
+  test("graph_hits residual: a third sweep moves the authority share by " +
+      "a bounded L-inf distance") {
+    val out = q("graph_hits").persist()
+    val ut = Tables.events(spark, SfDir)
+      .select(col("user_id"), col("event_type")).distinct().persist()
+    val h2 = ut.join(out.select(col("event_type"), col("a2")), "event_type")
+      .groupBy("user_id").agg(sum(col("a2")).as("h2"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val a3 = ut.join(h2, "user_id")
+      .groupBy("event_type").agg(sum(col("h2")).as("a3"))
+      .withColumn("share3", col("a3").cast("double") / sum(col("a3")).over(tot))
+    val resid = out.join(a3, "event_type")
+      .agg(max(abs(col("share3") - col("share")))).head().getDouble(0)
+    info(f"hits L-inf share residual at sweep 3: $resid%.6f")
+    // measured at sf0.001: 0.000000 — on this bipartite co-occurrence
+    // graph the authority-share vector is already stationary after the
+    // shipped 2 sweeps (the graph is dense enough that one more
+    // hub-authority round renormalizes to the same shares). Pinned with
+    // float headroom; the rounded `share` column quantizes at 1e-6.
+    assert(resid < 1e-5, s"3rd-sweep share residual was $resid")
+    // the authority RANKING must already be stable at the shipped depth
+    val rank2 = out.orderBy(col("a2").desc, col("event_type"))
+      .select("event_type").collect().map(_.getString(0)).toSeq
+    val rank3 = a3.orderBy(col("a3").desc, col("event_type"))
+      .select("event_type").collect().map(_.getString(0)).toSeq
+    assert(rank2 === rank3, "one more sweep must not reorder authorities")
+    out.unpersist(); ut.unpersist()
   }
 }
