@@ -355,6 +355,61 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("graft-mem sink recovery soak: 100 epochs with randomized " +
+      "commit-log crashes never double-install or lose a row", SlowTest) {
+    // The single-crash e2e test above pins one recovery; production
+    // streams crash MANY times over a run, and a high-water-mark bug
+    // that survives one replay (e.g. marking the epoch before install,
+    // or a mark that regresses on restart) only shows up under repeated
+    // randomized failures. Seeded RNG — the failure schedule is
+    // deterministic across runs.
+    import graft.sources.MemSink
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val name = "stream_soak_test"
+    MemSink.tables.remove(name)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_soak_ck")
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDF().toDF("id", "tag")
+      .writeStream.format("graft-mem")
+      .option("name", name).option("checkpointLocation", ckDir.toString)
+      .outputMode("append").start()
+    var q = start()
+    var next = 1L
+    var crashes = 0
+    try {
+      for (i <- 1 to 100) {
+        input.addData((next, s"v$i")); next += 1
+        q.processAllAvailable()
+        if (rnd.nextDouble() < 0.25) {
+          // crash in the at-least-once window: offsets written + sink
+          // committed, but the engine's commit-log entry lost — on
+          // restart MicroBatchExecution replays the epoch into the sink
+          q.stop()
+          val commits = ckDir.resolve("commits").toFile
+            .listFiles().filter(_.getName.forall(_.isDigit))
+          if (commits.nonEmpty) {
+            val latest = commits.maxBy(_.getName.toLong).toPath
+            java.nio.file.Files.delete(latest)
+            java.nio.file.Files.deleteIfExists(
+              latest.resolveSibling("." + latest.getFileName + ".crc"))
+          }
+          q = start()
+          q.processAllAvailable() // replays the lost-commit epoch
+          crashes += 1
+          assert(MemSink.rows(name).size === next - 1,
+            s"after crash $crashes (epoch $i): ${MemSink.rows(name).size} " +
+              s"rows for ${next - 1} appends — replay broke exactly-once")
+        }
+      }
+      assert(crashes >= 15, s"soak exercised only $crashes crashes — seed drift?")
+      assert(MemSink.rows(name).size === next - 1)
+      assert(MemSink.rows(name).map(_.head).toSet === (1L until next).toSet,
+        "every appended id must be installed exactly once")
+    } finally { q.stop(); MemSink.tables.remove(name); () }
+  }
+
   test("streaming content dedup keeps one doc per token-set fingerprint") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
