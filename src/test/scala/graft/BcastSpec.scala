@@ -63,6 +63,41 @@ class BcastSpec extends SparkSpec {
     degradesCleanly("ts_anomaly", StreamingOps.queries("ts_anomaly"))
   }
 
+  test("vocabHinted measures a plan once per session — repeat " +
+      "invocations skip the stats job") {
+    // The r9 Bcast size measurements roughly doubled the warm time of
+    // every vocabulary-hinted query (one persist + one aggregation job
+    // per invocation); r10 memoizes the measured bytes per (session,
+    // semanticHash). Pin the elision by counting Spark jobs around two
+    // invocations of the SAME plan.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions._
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def jobsDuring(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Thread.sleep(300) // let earlier suites' async job events drain
+        counter.set(0)
+        body
+        Thread.sleep(500) // listener events are async to the job itself
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def vocab() = spark.range(1000)
+      .selectExpr("id % 37 AS tok", "'r10-memo-probe' AS tag")
+      .groupBy("tok", "tag").agg(count(lit(1)).as("df"))
+    val first = jobsDuring { Bcast.vocabHinted(vocab(), lit(16)); () }
+    val repeat = jobsDuring { Bcast.vocabHinted(vocab(), lit(16)); () }
+    assert(first >= 1, "first invocation must run the measuring stats job")
+    assert(repeat === 0,
+      s"repeat invocation of the same plan ran $repeat jobs — memo miss")
+  }
+
   test("pipeline family: the exact-decontamination eval shingle set " +
       "degrades to a shuffle join past the broadcast budget") {
     degradesCleanly("pipe_decontaminate",
