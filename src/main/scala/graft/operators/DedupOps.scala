@@ -846,7 +846,13 @@ object DedupOps {
     // converges in ecc(min-id node) rounds — measured 8 at sf0.1; the
     // 32-round cap gives 4× margin and rounds past convergence re-emit
     // the fixed vector, so selecting r = 32 yields the fixpoint.
-    "dedup_clusters" ->
+    "dedup_clusters" -> ClustersOracleSql
+  )
+
+  /** `dedup_clusters`' oracle, shared with `pipe_near_dedup_report`
+    * (which histograms these labels) the way ComponentsSql is shared on
+    * the graph side. See the r10 note at the map entry above. */
+  private[graft] val ClustersOracleSql: String =
       s"""WITH RECURSIVE toks AS (
             SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok,
                    len(list_distinct(string_split(text,' '))) AS n
@@ -877,7 +883,6 @@ object DedupOps {
           )
           SELECT id AS doc_id, lbl AS cluster_id FROM labels
           WHERE r = 32 ORDER BY doc_id"""
-  )
 
   /** Shared oracle for `dedup_prefix`/`dedup_ngram` (both compute the
     * exact J ≥ t pair set): count shared DISTINCT tokens per

@@ -740,6 +740,29 @@ object PipelineOps {
         .orderBy("cluster_size")
     }),
 
+    // NEAR-dup accounting (r10): the same datasheet over NEAR-duplicate
+    // clusters — connected components at Jaccard ≥ 0.9 from the
+    // DETERMINISTIC prefix-filter pair set (`dedup_clusters`' labels:
+    // collapse → AllPairs candidates → exact verify → CC), so the report
+    // is exact and reproducible where a MinHash-banded clustering would
+    // embed hash luck in a published corpus datasheet. n_dropped is the
+    // per-size-class cost of keeping one survivor per cluster — the
+    // headline number of a near-dedup run. Beyond the corpus-scale work
+    // the labels already did, this is two bounded aggregations (cluster
+    // cardinalities, then the histogram); the pct window runs over the
+    // histogram, never the corpus.
+    "pipe_near_dedup_report" -> ((s, dir) => {
+      DedupOps.queries("dedup_clusters")(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+        .withColumn("pct_of_docs", round(
+          col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6))
+        .orderBy("cluster_size")
+    }),
+
     // Deterministic stratified sample: language-dependent keep rate via
     // the first hex digit of md5(doc_id) — reproducible under retries and
     // repartitioning, auditable (the keep decision is a pure function of
@@ -1759,6 +1782,24 @@ object PipelineOps {
                list_sort(list_distinct(string_split(text, ' '))), ' '))
            ) GROUP BY cluster_size
          ) ORDER BY cluster_size""",
+    // labels CTE = dedup_clusters' oracle verbatim (the shared min-label
+    // closure); the histogram replays the two bounded aggregations
+    "pipe_near_dedup_report" ->
+      s"""WITH labs AS (
+            ${graft.operators.DedupOps.ClustersOracleSql}
+          ), sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size FROM labs
+            GROUP BY cluster_id
+          ), hist AS (
+            SELECT cluster_size, count(*) AS n_clusters FROM sizes
+            GROUP BY cluster_size
+          )
+          SELECT cluster_size, n_clusters,
+                 CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+                 CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_dropped,
+                 round(CAST(cluster_size * n_clusters AS DOUBLE) /
+                       sum(cluster_size * n_clusters) OVER (), 6) AS pct_of_docs
+          FROM hist ORDER BY cluster_size""",
     "pipe_shuffle" ->
       """SELECT doc_id, skey,
                 CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos

@@ -179,6 +179,29 @@ class PipelineSpec extends SparkSpec {
     rep.unpersist()
   }
 
+  test("pipe_near_dedup_report conserves docs, clusters, and drop counts " +
+      "against the dedup_clusters labels") {
+    import graft.operators.DedupOps
+    val rep = q("pipe_near_dedup_report").persist()
+    val labels = DedupOps.queries("dedup_clusters")(spark, SfDir).persist()
+    assert(rep.agg(sum("n_docs")).head.getLong(0) === labels.count(),
+      "histogram must account for every doc")
+    assert(rep.agg(sum("n_clusters")).head.getLong(0) ===
+      labels.select("cluster_id").distinct().count(),
+      "one histogram entry per near-dup cluster")
+    // dropping to one survivor per cluster removes size−1 docs per cluster
+    val dropped = rep.agg(sum("n_dropped")).head.getLong(0)
+    assert(dropped === labels.count() -
+      labels.select("cluster_id").distinct().count())
+    rep.collect().foreach { r =>
+      assert(r.getAs[Long]("n_dropped") ===
+        (r.getAs[Long]("cluster_size") - 1) * r.getAs[Long]("n_clusters"))
+    }
+    val pct = rep.agg(sum("pct_of_docs")).head.getDouble(0)
+    assert(math.abs(pct - 1.0) < 1e-3, s"pct column must sum to ~1, got $pct")
+    rep.unpersist(); labels.unpersist()
+  }
+
   test("pipe_survivor keeps exactly one doc per fingerprint, the best one") {
     val surv = q("pipe_survivor")
     assert(surv.groupBy("fp").count().filter(col("count") > 1).count() === 0)
