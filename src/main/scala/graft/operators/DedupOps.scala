@@ -220,21 +220,60 @@ object DedupOps {
     * df-order only changes selectivity. Costs one counting pass over
     * the unique sets plus one hash shuffle to re-assemble ranked
     * arrays — both linear in token volume, both scale-safe. */
+  /** Skew decision memo for [[prefixCandidates]], keyed like
+    * [[Bcast.measured]]: the rank-or-not choice is a pure function of
+    * the df distribution, so one bounded aggregate per (session, plan)
+    * decides it and repeat invocations (bench warm passes) skip the job. */
+  private val dfSkewed =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]()
+
+  /** Rank by df only when the distribution is skewed enough for
+    * rarest-first prefixes to prune: on a FLAT vocabulary (every posting
+    * list ~equally long — the fixture's dense 31-token worst case) no
+    * order prunes, and the re-rank shuffle is pure overhead, so the
+    * already-hash-sorted arrays are used as the canonical order instead.
+    * max/mean df ≥ 4 is a loose Zipf detector: real text vocabularies
+    * measure in the hundreds-to-millions (the head stopword covers a
+    * large corpus fraction while the mean is tail-dominated), flat
+    * synthetic vocabularies sit near 1. The choice affects CANDIDATE
+    * VOLUME only, never output — any total order preserves completeness
+    * — so the adaptive switch cannot change results, exactly like
+    * Spark's own stats-driven join-strategy picks. */
+  private def rankWorthIt(dfTab: DataFrame): Boolean = {
+    val key = (System.identityHashCode(dfTab.sparkSession), dfTab.semanticHash())
+    dfSkewed.get(key) match {
+      case null =>
+        val st = dfTab.agg(count(lit(1)).as("v"),
+          coalesce(max(col("df")), lit(0L)).as("mx"),
+          coalesce(sum(col("df")), lit(0L)).as("tot")).first()
+        val skewed: java.lang.Boolean =
+          st.getLong(0) > 0 && st.getLong(1) * st.getLong(0) >= 4L * st.getLong(2)
+        dfSkewed.put(key, skewed)
+        skewed
+      case b => b.booleanValue()
+    }
+  }
+
   private[graft] def prefixCandidates(uniq: DataFrame, t: Double): DataFrame = {
     // Per-token document frequency over the UNIQUE sets (one counting
     // pass); vocabulary-cardinality, so the join back onto the exploded
     // tokens is size-conditional (16 bytes of token+count per row).
     val toks = uniq.select(col("gid"), explode(col("th")).as("tok"))
-    val dfTab = Bcast.vocabHinted(
-      toks.groupBy("tok").agg(count(lit(1)).as("df")), lit(16))
-    // Re-rank each set by (df, tok): one hash shuffle of (gid, df, tok)
-    // triples; array_sort on the struct is lexicographic (df, tok) and
-    // the transform strips the rank back off.
-    val ranked = toks.join(dfTab, "tok")
-      .groupBy("gid")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("rk"))
-      .select(col("gid"),
-        transform(col("rk"), r => r.getField("tok")).as("rth"))
+    val dfTabRaw = toks.groupBy("tok").agg(count(lit(1)).as("df")).persist()
+    // Re-rank each set by (df, tok) when the distribution rewards it:
+    // one hash shuffle of (gid, df, tok) triples; array_sort on the
+    // struct is lexicographic (df, tok) and the transform strips the
+    // rank back off. Flat distribution → the hash-sorted input arrays
+    // are already a canonical total order; skip the shuffle (and the
+    // broadcast size measurement of the then-unused df table).
+    val ranked =
+      if (rankWorthIt(dfTabRaw))
+        toks.join(Bcast.vocabHinted(dfTabRaw, lit(16)), "tok")
+          .groupBy("gid")
+          .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("rk"))
+          .select(col("gid"),
+            transform(col("rk"), r => r.getField("tok")).as("rth"))
+      else uniq.select(col("gid"), col("th").as("rth"))
     val pref = ranked.select(col("gid"), size(col("rth")).as("len"),
       posexplode(slice(col("rth"), lit(1),
         (size(col("rth")) - ceil(lit(t * t) * size(col("rth"))) + 1)
@@ -520,11 +559,15 @@ object DedupOps {
     // true pair, so its verified output EQUALS the quadratic ground truth
     // at any scale while staying candidate-pruned.
     //
-    // Completeness: fix a global canonical token order — here ascending
-    // (document frequency, token), the AllPairs order: prefixes hold the
-    // RAREST tokens, whose posting lists are short, which is what keeps
-    // the candidate join selective on Zipfian vocabularies (one extra
-    // counting pass over the unique sets buys it; see prefixCandidates).
+    // Completeness: fix a global canonical token order — ascending
+    // (document frequency, token), the AllPairs order, when the df
+    // distribution is skewed: prefixes then hold the RAREST tokens,
+    // whose posting lists are short, which is what keeps the candidate
+    // join selective on Zipfian vocabularies (one extra counting pass
+    // over the unique sets buys it). On a FLAT distribution no order
+    // prunes, so the already-hash-sorted arrays serve as the canonical
+    // order and the re-rank shuffle is skipped — a stats-driven plan
+    // choice that cannot change output (see prefixCandidates).
     // If J(A,B) ≥ t then c = |A∩B| ≥ ⌈t·min(|A|,|B|)⌉ =: α, and the
     // canonically SMALLEST common element x has ≥ α−1 common elements
     // after it in both sets, so x sits within the first |X|−α+1 elements
