@@ -20,9 +20,14 @@ def main():
     sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
     if "--run" in sys.argv:
+        # run sbt in THIS script's repo root, not a hardcoded path — the
+        # clean-checkout gate (scripts/gate_clean.sh) invokes the copy
+        # inside a git-archive extraction, and a hardcoded /root/repo
+        # would silently verify the working tree instead of HEAD
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
-            cwd="/root/repo", capture_output=True, text=True)
+            cwd=repo, capture_output=True, text=True)
         if r.returncode != 0:
             print(r.stdout[-4000:], r.stderr[-4000:])
             sys.exit(1)

@@ -25,9 +25,13 @@ def main():
     outdir = args[1] if len(args) > 1 else "/tmp/verify_scale"
     budget = float(args[2]) if len(args) > 2 else 90.0
     if "--run" in sys.argv:
+        # resolve the repo root from this script's location (see the
+        # matching note in verify_local.py — the clean-checkout gate
+        # depends on it)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
-            cwd="/root/repo", capture_output=True, text=True)
+            cwd=repo, capture_output=True, text=True)
         if r.returncode != 0:
             print(r.stdout[-4000:], r.stderr[-4000:])
             sys.exit(1)

@@ -34,25 +34,34 @@ object Bcast {
   def ifFitsRows(df: DataFrame, rows: Long, bytesPerRow: Long = 32L): DataFrame =
     ifFits(df, rows * bytesPerRow)
 
-  /** Measured sizes memoized per (session identity, logical-plan semanticHash)
-    * so re-invocations of the same query in one session — bench warm
-    * passes, verify reruns — skip the stats job and pay only the
-    * persist. Safe because the fixture dirs are immutable within a
-    * session and the plan hash pins the data dir (it appears in the
-    * scan). A 32-bit hash collision across the few dozen distinct
-    * vocabulary plans a session builds is ~1e-7 and would only mis-size
-    * a hint, never change results. Unbounded growth is bounded in
-    * practice by #queries × #sfdirs per session. */
+  /** Measured sizes memoized per (session identity, logical-plan
+    * semanticHash, keyLen-expression hash) so re-invocations of the same
+    * measurement in one session — bench warm passes, verify reruns —
+    * skip the stats job and pay only the persist. The keyLen expression
+    * is part of the key: two sites measuring the SAME plan with
+    * different per-row estimates must not share a value, or the smaller
+    * estimate could silently authorize an over-budget broadcast. Safe
+    * because the fixture dirs are immutable within a session and the
+    * plan hash pins the data dir (it appears in the scan). A 32-bit
+    * hash collision across the few dozen distinct vocabulary plans a
+    * session builds is ~1e-7 and would only mis-size a hint, never
+    * change results. Unbounded growth is bounded in practice by
+    * #queries × #sfdirs per session. */
   private val measured =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), java.lang.Long]()
 
   /** Measure `df`'s estimated serialized size — sum of `keyLen` + 64
     * bytes/row of fixed overhead, the pipe_vocab convention — in ONE
-    * stats job, memoized per (session, plan) as above. `df` should
-    * already be persisted: the stats job then materializes a cache the
-    * consuming join reuses instead of recomputing the upstream scan. */
+    * stats job, memoized per (session, plan, keyLen) as above. `df`
+    * should already be persisted: the stats job then materializes a
+    * cache the consuming join reuses instead of recomputing the
+    * upstream scan. */
   def measuredBytes(df: DataFrame, keyLen: Column): Long = {
-    val key = (System.identityHashCode(df.sparkSession), df.semanticHash())
+    // Column hides its expression tree in Spark 4; the canonical
+    // toString (e.g. "(size(th_e) * 8)") distinguishes estimates just as
+    // well for the memo key
+    val key = (System.identityHashCode(df.sparkSession), df.semanticHash(),
+      keyLen.toString.hashCode)
     measured.get(key) match {
       case null =>
         val st = df.agg(count(lit(1)).as("n"),

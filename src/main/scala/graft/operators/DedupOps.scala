@@ -221,11 +221,12 @@ object DedupOps {
     * the unique sets plus one hash shuffle to re-assemble ranked
     * arrays — both linear in token volume, both scale-safe. */
   /** Skew decision memo for [[prefixCandidates]], keyed like
-    * [[Bcast.measured]]: the rank-or-not choice is a pure function of
-    * the df distribution, so one bounded aggregate per (session, plan)
-    * decides it and repeat invocations (bench warm passes) skip the job. */
+    * [[Bcast.measured]]: the rank-or-not choice (and the vocabulary row
+    * count the broadcast hint needs) is a pure function of the df
+    * distribution, so one bounded aggregate per (session, plan) decides
+    * both and repeat invocations (bench warm passes) skip the job. */
   private val dfSkewed =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Boolean, Long)]()
 
   /** Rank by df only when the distribution is skewed enough for
     * rarest-first prefixes to prune: on a FLAT vocabulary (every posting
@@ -238,19 +239,21 @@ object DedupOps {
     * synthetic vocabularies sit near 1. The choice affects CANDIDATE
     * VOLUME only, never output — any total order preserves completeness
     * — so the adaptive switch cannot change results, exactly like
-    * Spark's own stats-driven join-strategy picks. */
-  private def rankWorthIt(dfTab: DataFrame): Boolean = {
+    * Spark's own stats-driven join-strategy picks. Returns
+    * (skewed, vocabulary rows) so the caller's broadcast hint needs no
+    * second stats job over the same table. */
+  private def dfStats(dfTab: DataFrame): (Boolean, Long) = {
     val key = (System.identityHashCode(dfTab.sparkSession), dfTab.semanticHash())
     dfSkewed.get(key) match {
       case null =>
         val st = dfTab.agg(count(lit(1)).as("v"),
           coalesce(max(col("df")), lit(0L)).as("mx"),
           coalesce(sum(col("df")), lit(0L)).as("tot")).first()
-        val skewed: java.lang.Boolean =
-          st.getLong(0) > 0 && st.getLong(1) * st.getLong(0) >= 4L * st.getLong(2)
-        dfSkewed.put(key, skewed)
-        skewed
-      case b => b.booleanValue()
+        val res = (st.getLong(0) > 0 &&
+          st.getLong(1) * st.getLong(0) >= 4L * st.getLong(2), st.getLong(0))
+        dfSkewed.put(key, res)
+        res
+      case r => r
     }
   }
 
@@ -263,17 +266,24 @@ object DedupOps {
     // Re-rank each set by (df, tok) when the distribution rewards it:
     // one hash shuffle of (gid, df, tok) triples; array_sort on the
     // struct is lexicographic (df, tok) and the transform strips the
-    // rank back off. Flat distribution → the hash-sorted input arrays
-    // are already a canonical total order; skip the shuffle (and the
-    // broadcast size measurement of the then-unused df table).
+    // rank back off. The broadcast hint reuses the row count dfStats
+    // already measured (80 bytes/row = the 16-byte key+count pipe_vocab
+    // estimate + 64 fixed), so no second stats job runs. Flat
+    // distribution → the hash-sorted input arrays are already a
+    // canonical total order; skip the shuffle and drop the then-unused
+    // persisted df table.
+    val (skewed, nVocab) = dfStats(dfTabRaw)
     val ranked =
-      if (rankWorthIt(dfTabRaw))
-        toks.join(Bcast.vocabHinted(dfTabRaw, lit(16)), "tok")
+      if (skewed)
+        toks.join(Bcast.ifFitsRows(dfTabRaw, nVocab, 80), "tok")
           .groupBy("gid")
           .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("rk"))
           .select(col("gid"),
             transform(col("rk"), r => r.getField("tok")).as("rth"))
-      else uniq.select(col("gid"), col("th").as("rth"))
+      else {
+        dfTabRaw.unpersist()
+        uniq.select(col("gid"), col("th").as("rth"))
+      }
     val pref = ranked.select(col("gid"), size(col("rth")).as("len"),
       posexplode(slice(col("rth"), lit(1),
         (size(col("rth")) - ceil(lit(t * t) * size(col("rth"))) + 1)
@@ -924,8 +934,20 @@ object DedupOps {
               SELECT l.r, e.b, l.lbl FROM labels l JOIN edges e ON e.a = l.id
             ) WHERE r < 32 GROUP BY r, id
           )
-          SELECT id AS doc_id, lbl AS cluster_id FROM labels
-          WHERE r = 32 ORDER BY doc_id"""
+          SELECT doc_id, cluster_id FROM (
+            SELECT id AS doc_id, lbl AS cluster_id FROM labels WHERE r = 32
+            UNION ALL
+            -- convergence canary: min-label BFS needs ecc(min-id node)
+            -- rounds (measured 8 at sf0.1; cap 32 = 4x margin). If a
+            -- future fixture ever ships a component deeper than the cap,
+            -- labels would still be moving at r = 32 — emit a poison row
+            -- so the gate fails LOUDLY as "oracle not converged" instead
+            -- of surfacing as a plausible-looking label mismatch that
+            -- gets debugged as a Spark CC bug.
+            SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            WHERE EXISTS (SELECT 1 FROM labels a JOIN labels b USING (id)
+                          WHERE a.r = 32 AND b.r = 31 AND a.lbl <> b.lbl)
+          ) ORDER BY doc_id"""
 
   /** Shared oracle for `dedup_prefix`/`dedup_ngram` (both compute the
     * exact J ≥ t pair set): count shared DISTINCT tokens per

@@ -758,7 +758,7 @@ object PipelineOps {
         .select(col("cluster_size"), col("n_clusters"),
           (col("cluster_size") * col("n_clusters")).as("n_docs"),
           ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
-        .withColumn("pct_of_docs", round(
+        .withColumn("pct_of_corpus", round(
           col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6))
         .orderBy("cluster_size")
     }),
@@ -1067,20 +1067,55 @@ object PipelineOps {
             <= Bcast.budget)
         verified(corpus.crossJoin(broadcast(p)))
       else {
-        val uniq = corpus.select(col("doc_id").as("gid"), col("th"))
-          .unionByName(p.select(col("eval_id").as("gid"), col("th_e").as("th")))
+        // Collapse each side to UNIQUE token sets first (fingerprint
+        // groupBy, min id as representative — the dedup-family
+        // collapse-then-compare discipline): a dup-heavy corpus would
+        // otherwise inflate same-side candidate pairs quadratically in
+        // the dup factor, pairs the orientation filter can only discard
+        // AFTER the join produced them. Sides collapse separately, so
+        // an eval doc whose set matches a corpus doc keeps its own
+        // representative; min() over one side's members stays on that
+        // side (ids are disjoint by the % 97 split). Jaccard depends
+        // only on the set, so verifying at representative level and
+        // expanding through the member maps reproduces the broadcast
+        // path's doc-level rows exactly.
+        val cFp = corpus.withColumn("fp", xxhash64(col("th")))
+        val cRep = cFp.groupBy("fp")
+          .agg(min("doc_id").as("gid"), first("th").as("th")).persist()
+        val cMem = cFp.select(col("fp"), col("doc_id"))
+          .join(cRep.select("fp", "gid"), "fp").select("gid", "doc_id")
+        val eFp = p.withColumn("fp", xxhash64(col("th_e")))
+        val eRep = eFp.groupBy("fp")
+          .agg(min("eval_id").as("gid"), first("th_e").as("th_e")).persist()
+        val eMem = eFp.select(col("fp"), col("eval_id"))
+          .join(eRep.select("fp", "gid"), "fp").select("gid", "eval_id")
+        val uniq = cRep.select(col("gid"), col("th"))
+          .unionByName(eRep.select(col("gid"), col("th_e").as("th")))
         // candidates may repeat per shared prefix token and arrive in
         // either orientation; normalize to (corpus, eval), drop
         // same-side pairs, and dedupe BEFORE the wide-array verify join
-        val pairs = DedupOps.prefixCandidates(uniq, NearDecontamJaccard)
+        val candPairs = DedupOps.prefixCandidates(uniq, NearDecontamJaccard)
           .select(
             when(col("gid_a") % 97 === 0, col("gid_b"))
-              .otherwise(col("gid_a")).as("doc_id"),
+              .otherwise(col("gid_a")).as("cgid"),
             when(col("gid_a") % 97 === 0, col("gid_a"))
-              .otherwise(col("gid_b")).as("eval_id"))
-          .filter(col("doc_id") % 97 =!= 0 && col("eval_id") % 97 === 0)
+              .otherwise(col("gid_b")).as("egid"))
+          .filter(col("cgid") % 97 =!= 0 && col("egid") % 97 === 0)
           .distinct()
-        verified(pairs.join(corpus, "doc_id").join(p, "eval_id"))
+        val repPairs = candPairs
+          .join(cRep.select(col("gid").as("cgid"), col("th")), "cgid")
+          .join(eRep.select(col("gid").as("egid"), col("th_e")), "egid")
+          .withColumn("jac", round(
+            graft.functions.ArrayExprs.sortedJaccard(col("th"), col("th_e")), 4))
+          .filter(col("jac") >= NearDecontamJaccard)
+          .select("cgid", "egid", "jac")
+        repPairs
+          .join(cMem.select(col("gid").as("cgid"), col("doc_id")), "cgid")
+          .join(eMem.select(col("gid").as("egid"), col("eval_id")), "egid")
+          .groupBy("doc_id")
+          .agg(countDistinct("eval_id").as("n_eval_hits"),
+            max("jac").as("max_jaccard"))
+          .orderBy("doc_id")
       }
     }),
 
@@ -1798,7 +1833,7 @@ object PipelineOps {
                  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
                  CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_dropped,
                  round(CAST(cluster_size * n_clusters AS DOUBLE) /
-                       sum(cluster_size * n_clusters) OVER (), 6) AS pct_of_docs
+                       sum(cluster_size * n_clusters) OVER (), 6) AS pct_of_corpus
           FROM hist ORDER BY cluster_size""",
     "pipe_shuffle" ->
       """SELECT doc_id, skey,

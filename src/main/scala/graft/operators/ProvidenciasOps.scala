@@ -414,7 +414,11 @@ object ProvidenciasOps {
         converged = m == n
         n = m; keep = next; rounds += 1
       }
-      degrees(induce(keep))
+      // at convergence the deg >= k filter is a no-op (same count ⇒ same
+      // set ⇒ all induced degrees already >= k); it is load-bearing only
+      // on a 64-round cap exit, where it keeps the output and the
+      // oracle's HAVING clause identical
+      degrees(induce(keep)).filter(col("deg") >= KCoreK)
         .select(col("s").as("node_id"), col("deg").as("core_degree"))
         .orderBy("node_id")
     }),
@@ -929,10 +933,15 @@ object ProvidenciasOps {
     // peel to the fixpoint, k = 3 (KCoreK): the recursive term carries a
     // round counter — each iteration's delta is exactly the previous
     // round's survivor set, so the induced-degree filter sees the full
-    // surviving subgraph; rounds repeat (stable) until the r < 64 cap,
-    // and selecting r = 64 yields the fixpoint (or the empty set if the
-    // core peeled away entirely — the recursion then dies out early and
-    // no row reaches r = 64). 64 matches the Spark loop's round cap.
+    // surviving subgraph; rounds repeat (stable) until the cap, and
+    // selecting the cap round yields the fixpoint (or the empty set if
+    // the core peeled away entirely — the recursion then dies out early
+    // and no row reaches the cap). Alignment with the Spark loop is
+    // exact and off-by-one-audited (r10 review): Spark applies the
+    // deg ≥ k filter 64 times at most (initial keep + ≤63 loop rounds),
+    // so the guard is r < 63 and the output reads r = 63 — row r carries
+    // the set that survived r + 1 filters; the final HAVING mirrors the
+    // Spark side's cap-exit filter (both no-ops at convergence).
     "graph_kcore" ->
       s"""WITH RECURSIVE e AS MATERIALIZED (
            SELECT * FROM (
@@ -954,12 +963,13 @@ object ProvidenciasOps {
              WHERE und.d IN (SELECT id FROM surv s2 WHERE s2.r = sv.r)
              GROUP BY sv.r, und.s
            ) u
-           WHERE u.deg >= $KCoreK AND u.r < 64
+           WHERE u.deg >= $KCoreK AND u.r < 63
          )
          SELECT s AS node_id, count(*) AS core_degree FROM und
-         WHERE s IN (SELECT id FROM surv WHERE r = 64)
-           AND d IN (SELECT id FROM surv WHERE r = 64)
-         GROUP BY s ORDER BY node_id""",
+         WHERE s IN (SELECT id FROM surv WHERE r = 63)
+           AND d IN (SELECT id FROM surv WHERE r = 63)
+         GROUP BY s HAVING count(*) >= $KCoreK
+         ORDER BY node_id""",
     "graph_triangles" ->
       """WITH e AS (
            SELECT * FROM (

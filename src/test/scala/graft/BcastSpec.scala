@@ -78,14 +78,26 @@ class BcastSpec extends SparkSpec {
         counter.incrementAndGet(); ()
       }
     }
+    // Listener events are async to the jobs that produce them, so fixed
+    // sleeps flake on a loaded host (an event from the previous window
+    // can arrive after a counter reset). Instead wait until the counter
+    // has been stable for ~600 ms (3 consecutive unchanged reads),
+    // capped at 10 s — deterministic against lag up to the cap.
+    def settle(): Unit = {
+      var prev = -1; var stable = 0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val c = counter.get()
+        if (c == prev) stable += 1 else { stable = 0; prev = c }
+        Thread.sleep(200)
+      }
+    }
     def jobsDuring(body: => Unit): Int = {
       spark.sparkContext.addSparkListener(l)
       try {
-        Thread.sleep(300) // let earlier suites' async job events drain
-        counter.set(0)
+        settle(); counter.set(0)
         body
-        Thread.sleep(500) // listener events are async to the job itself
-        counter.get()
+        settle(); counter.get()
       } finally spark.sparkContext.removeSparkListener(l)
     }
     def vocab() = spark.range(1000)

@@ -197,7 +197,7 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("n_dropped") ===
         (r.getAs[Long]("cluster_size") - 1) * r.getAs[Long]("n_clusters"))
     }
-    val pct = rep.agg(sum("pct_of_docs")).head.getDouble(0)
+    val pct = rep.agg(sum("pct_of_corpus")).head.getDouble(0)
     assert(math.abs(pct - 1.0) < 1e-3, s"pct column must sum to ~1, got $pct")
     rep.unpersist(); labels.unpersist()
   }
