@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -60,6 +61,13 @@ object DedupOps {
   val NumHashes   = Bands * RowsPerBand
   val JaccardThreshold = 0.9
   val HammingMax = 3
+
+  /** `dedup_substring`'s window width in tokens. Lee et al. use 50 BPE
+    * tokens; the fixture docs average ~55 whitespace tokens, so 8 keeps
+    * the gram space (31⁸ ≈ 8.5e11 over the synthetic vocabulary) sparse
+    * enough that only genuinely shared phrases collide while still
+    * producing non-trivial span structure. */
+  val SubstringK = 8
 
   /** `dedup_semantic`'s within-cluster cosine×100 cutoff — calibrated to
     * the synthetic Gaussian fixture (pair cosines top out near 55; real
@@ -419,6 +427,43 @@ object DedupOps {
     labels
   }
 
+  /** The span frame behind `dedup_substring` — (doc_id, span_start,
+    * span_len) of every maximal cross-doc duplicated token region —
+    * factored out so `pipe_substring_report` aggregates the IDENTICAL
+    * spans the dedup key reports (one definition, two consumers, the
+    * langIdSql/lloydAssign sharing pattern). Spans are pairwise disjoint
+    * by the coverage-merge rule, so Σ span_len per doc is its exact
+    * duplicated-token count. */
+  private[graft] def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = SubstringK
+    val t = split(col("text"), " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), t.as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("ts")) - (k - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("ts"), i, lit(k))))))
+          .as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
+        col("gh"))
+    val dupGrams = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("gh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dupGrams, "gh")
+      .select("doc_id", "pos")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("grp", sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical survivor = min doc_id per identical text.
     // Grouped on a 64-bit text fingerprint, not the text itself: the
@@ -649,6 +694,36 @@ object DedupOps {
         .orderBy("segment")
     }),
 
+    // Exact-substring (span-level) dedup — the Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // granularity the set-based variants can't see: a 50-token boilerplate
+    // block shared by otherwise-distinct pages is invisible to doc-level
+    // Jaccard but is exactly what a training pipeline must scrub. The
+    // suffix-array formulation is replaced by the equivalent
+    // rolling-k-gram join, which IS distributable:
+    //   1. each doc emits one xxhash64 per k-token window (k = SubstringK,
+    //      computed in a single pass over the token array — the 8-byte
+    //      gram hashes are the only thing that ever shuffles, never text);
+    //   2. a groupBy(gram) marks grams seen in >1 distinct doc;
+    //   3. per doc, flagged window positions chain into maximal spans via
+    //      a gaps-and-islands window over TOKEN COVERAGE: flagged
+    //      positions p < q belong to one span iff q − p ≤ k (the token
+    //      intervals [p, p+k−1] and [q, q+k−1] overlap or abut — the
+    //      duplicated region is contiguous even when the gram strictly
+    //      between them is unique). A shared 50-token block therefore
+    //      reports as ONE span of length 50, not 43 overlapping 8-grams,
+    //      and spans never overlap, so Σ span_len IS the doc's
+    //      duplicated-token count.
+    // Output: (doc_id, span_start, span_len) in 1-based token positions.
+    // At 100 TB the gram table is the corpus token count — the dup-gram
+    // relation is content-cardinality, so it stays a shuffle join (no
+    // broadcast), and the islands window partitions by doc_id: all linear.
+    // The oracle groups by the gram STRING; xxhash64 over ≤~1e6 distinct
+    // grams is collision-free in the same n²/2⁶⁵ sense as the collapse
+    // fingerprint (§ scaladoc above).
+    "dedup_substring" -> ((s, dir) =>
+      substringSpans(s, dir).orderBy("doc_id", "span_start")),
+
     // Containment dedup: doc pairs whose SMALLER token set is entirely
     // inside the larger one (overlap coefficient |A∩B| / min(|A|,|B|)
     // = 1) — the scrub that catches a snippet embedded in a longer page,
@@ -783,6 +858,12 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // gram identity is the k-token STRING here vs its xxhash64 in the
+    // operator — identical grouping as long as the hash is injective on
+    // the corpus's gram set (see the operator comment)
+    "dedup_substring" ->
+      s"""SELECT * FROM ($SubstringSpansSql)
+          ORDER BY doc_id, span_start""",
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
     "dedup_incremental" ->
@@ -905,6 +986,40 @@ object DedupOps {
   /** `dedup_clusters`' oracle, shared with `pipe_near_dedup_report`
     * (which histograms these labels) the way ComponentsSql is shared on
     * the graph side. See the r10 note at the map entry above. */
+  /** `dedup_substring`'s span derivation as DuckDB SQL — one definition
+    * nested by both the dedup oracle (ordered) and
+    * `pipe_substring_report`'s (aggregated), mirroring the
+    * [[substringSpans]] factoring on the Spark side. */
+  private[graft] val SubstringSpansSql: String =
+    s"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), pos AS (
+          SELECT doc_id, ts,
+                 unnest(range(1, greatest(len(ts) - ${SubstringK - 2}, 1)))
+                   AS pos
+          FROM toks
+        ), grams AS (
+          SELECT doc_id, pos,
+                 array_to_string(ts[pos:pos + ${SubstringK - 1}], ' ') AS g
+          FROM pos
+        ), dup AS (
+          SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1
+        ), isl0 AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) > $SubstringK
+                      THEN 1 ELSE 0 END AS brk
+          FROM grams JOIN dup USING (g)
+        ), isl AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM isl0
+        )
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) - min(pos) + $SubstringK AS span_len
+        FROM isl GROUP BY doc_id, grp"""
+
   private[graft] val ClustersOracleSql: String =
       s"""WITH RECURSIVE toks AS (
             SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok,

@@ -194,6 +194,38 @@ object PipelineOps {
           col("n_pos"), col("n_neg"))
     }),
 
+    // Sliced evaluation (r10 cont.): the same rank-sum AUC computed PER
+    // SOURCE — the fairness/robustness audit that catches a classifier
+    // whose aggregate AUC hides a collapsed subgroup (the ml_parity_gap
+    // companion for threshold-free metrics). Identical exact-integer
+    // Mann-Whitney discipline as `ml_auc`; the only plan change is the
+    // slice key riding the score shuffle and the cumulative window
+    // partitioning by it (parallelism now scales with slices). Slices
+    // missing a class have no defined AUC and are filtered, not NaN'd.
+    "ml_auc_by_group" -> ((s, dir) => {
+      val byScore = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("source", "score")
+        .agg(sum(col("pos")).as("p"), (count(lit(1)) - sum(col("pos"))).as("ng"))
+      val cum = byScore.withColumn("cumng",
+        sum(col("ng")).over(Window.partitionBy("source").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.groupBy("source")
+        .agg(
+          sum(col("p").cast("decimal(19,0)") *
+            (col("cumng") - col("ng")).cast("decimal(19,0)")).as("conc"),
+          sum(col("p").cast("decimal(19,0)") *
+            col("ng").cast("decimal(19,0)")).as("tie"),
+          sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("source"),
+          round((col("conc").cast("double") * 2 + col("tie").cast("double")) /
+            (col("n_pos").cast("double") * col("n_neg") * 2.0), 6).as("auc"),
+          col("n_pos"), col("n_neg"))
+        .orderBy("source")
+    }),
+
     // Model-eval at corpus scale, part 2: the binary confusion matrix and
     // its derived metrics for a deterministic rule classifier (predict
     // "en" iff n_chars ≥ 300 — the rule is a placeholder; the OPERATOR is
@@ -761,6 +793,35 @@ object PipelineOps {
         .withColumn("pct_of_corpus", round(
           col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6))
         .orderBy("cluster_size")
+    }),
+
+    // SPAN-level dedup accounting (r10 cont.): the datasheet over
+    // `dedup_substring`'s maximal duplicated spans — per-doc duplicated-
+    // token fraction bucketed into deciles (bucket 10 = fully duplicated),
+    // the "how much of each document is boilerplate" histogram a
+    // substring-dedup run publishes before scrubbing. Spans are disjoint
+    // by the coverage merge, so Σ span_len per doc IS its duplicated-token
+    // count; docs with no flagged span (including those shorter than k)
+    // land in bucket 0 via the left join. The bucket is the exact integer
+    // division (10·dup) div n_toks — never a float path, so decile
+    // boundaries can't drift cross-engine. Beyond the span derivation the
+    // plan adds one doc-cardinality left join + a ≤11-row histogram; the
+    // pct window runs over the histogram, never the corpus.
+    "pipe_substring_report" -> ((s, dir) => {
+      val perDoc = DedupOps.substringSpans(s, dir)
+        .groupBy("doc_id").agg(sum("span_len").as("dup"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup"))
+        .withColumn("bucket", expr("(10 * dup) div n_toks"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("dup").as("dup_tokens"))
+        .withColumn("pct_of_corpus", round(
+          col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6))
+        .select("bucket", "n_docs", "dup_tokens", "pct_of_corpus")
+        .orderBy("bucket")
     }),
 
     // Deterministic stratified sample: language-dependent keep rate via
@@ -1392,6 +1453,30 @@ object PipelineOps {
                 CAST(sum(p) AS BIGINT) AS n_pos,
                 CAST(sum(ng) AS BIGINT) AS n_neg
          FROM c""",
+    "ml_auc_by_group" ->
+      """WITH bs AS (
+           SELECT source, n_chars AS score,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+                  count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ng
+           FROM documents GROUP BY source, n_chars
+         ), c AS (
+           SELECT source, p, ng,
+                  sum(ng) OVER (PARTITION BY source ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumng
+           FROM bs
+         )
+         SELECT source,
+                round((CAST(sum(CAST(p AS DECIMAL(19,0))
+                                * CAST(cumng - ng AS DECIMAL(19,0))) AS DOUBLE) * 2
+                       + CAST(sum(CAST(p AS DECIMAL(19,0))
+                                  * CAST(ng AS DECIMAL(19,0))) AS DOUBLE))
+                      / (CAST(sum(p) AS DOUBLE) * CAST(sum(ng) AS DOUBLE) * 2.0), 6) AS auc,
+                CAST(sum(p) AS BIGINT) AS n_pos,
+                CAST(sum(ng) AS BIGINT) AS n_neg
+         FROM c
+         GROUP BY source
+         HAVING sum(p) > 0 AND sum(ng) > 0
+         ORDER BY source""",
     // each round: pair-count CTE → 1-row top-1 CTE → rewritten vocab CTE;
     // the double regexp_replace mirrors the Spark side's two passes
     "pipe_bpe_train" ->
@@ -1817,6 +1902,28 @@ object PipelineOps {
                list_sort(list_distinct(string_split(text, ' '))), ' '))
            ) GROUP BY cluster_size
          ) ORDER BY cluster_size""",
+    // spans CTE = dedup_substring's oracle verbatim (the shared
+    // SubstringSpansSql); the decile is the exact integer division
+    "pipe_substring_report" ->
+      s"""WITH spans AS (
+            SELECT * FROM (${graft.operators.DedupOps.SubstringSpansSql})
+          ), per_doc AS (
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+                   coalesce(s.dup, 0) AS dup
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, sum(span_len) AS dup FROM spans GROUP BY doc_id
+            ) s USING (doc_id)
+          ), hist AS (
+            SELECT CAST((10 * dup) // n_toks AS BIGINT) AS bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(dup) AS BIGINT) AS dup_tokens
+            FROM per_doc GROUP BY 1
+          )
+          SELECT bucket, n_docs, dup_tokens,
+                 round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6)
+                   AS pct_of_corpus
+          FROM hist ORDER BY bucket""",
     // labels CTE = dedup_clusters' oracle verbatim (the shared min-label
     // closure); the histogram replays the two bounded aggregations
     "pipe_near_dedup_report" ->

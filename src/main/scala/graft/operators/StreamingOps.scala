@@ -27,6 +27,12 @@ object StreamingOps {
   /** ACF lags reported by `ts_correlogram`. */
   val CorrelogramLags = 12
 
+  /** `ts_ewma`'s smoothing pair — BOTH literal, never β = 1−α: that
+    * subtraction lands exactly on a round-to-even tie and yields a
+    * different double than the 0.7 the DuckDB oracle parses. */
+  val EwmaAlpha = 0.3
+  val EwmaBeta  = 0.7
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 5-minute tumbling count + sum(value) per event_type.
     "stream_tumbling" -> ((s, dir) =>
@@ -214,6 +220,41 @@ object StreamingOps {
         .withColumn("smooth", round(
           taps.map(_._1).reduce(_ + _) / taps.map(_._2).reduce(_ + _), 4))
         .select("event_id", "user_id", "value", "smooth")
+        .orderBy("event_id")
+    }),
+
+    // Recursive EWMA (pandas `ewm(alpha=0.3, adjust=False)`): y₀ = x₀,
+    // yₙ = α·xₙ + β·yₙ₋₁ — the infinite-impulse smoother whose fixed-tap
+    // approximation is `ts_fir_smooth`. No window function expresses the
+    // recursion, so each user's series folds once through a higher-order
+    // `aggregate` over its sort_array'ed (ts, event_id, value) structs —
+    // the same per-key-bounded collect the sessionize family already
+    // assumes (a user's history fits an executor; at 100 TB an unbounded
+    // key would instead run the fold as a chunked prefix-scan carrying the
+    // β^chunkLen decay across chunk boundaries — same recurrence, two
+    // passes). The fold order is total (event_id breaks ts ties), and
+    // α/β are the LITERAL pair 0.3/0.7 in both engines — deriving β as
+    // 1−α lands exactly on a round-to-even tie and produces a different
+    // double than the 0.7 the oracle parses.
+    "ts_ewma" -> ((s, dir) => {
+      val acc0 = struct(lit(0.0).as("prev"), lit(false).as("has"),
+        array().cast("array<double>").as("out"))
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+        .withColumn("ew", aggregate(col("seq"), acc0,
+          (acc, x) => {
+            val y = when(acc("has"),
+              lit(EwmaAlpha) * x("value") + lit(EwmaBeta) * acc("prev"))
+              .otherwise(x("value"))
+            struct(y.as("prev"), lit(true).as("has"),
+              concat(acc("out"), array(y)).as("out"))
+          },
+          acc => acc("out")))
+        .select(col("user_id"), explode(arrays_zip(col("seq"), col("ew"))).as("z"))
+        .select(col("z.seq.event_id").as("event_id"), col("user_id"),
+          col("z.seq.value").as("value"), Num.pin(col("z.ew"), 4).as("ewma"))
         .orderBy("event_id")
     }),
 
@@ -772,6 +813,28 @@ object StreamingOps {
                 round(CAST(n AS DOUBLE) /
                       sum(n) OVER (PARTITION BY cur), 6) AS p
          FROM m ORDER BY cur, nxt""",
+    // the recursion is replayed literally: one recursive-CTE step per
+    // series position (depth = the longest per-user series, ~100 at these
+    // SFs), each step |users| rows — and the arithmetic is the identical
+    // `0.3 * x + 0.7 * prev` double expression the operator folds
+    "ts_ewma" ->
+      """WITH RECURSIVE seq AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events
+         ), ew AS (
+           SELECT user_id, event_id, value, rn, value AS y
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.event_id, s.value, s.rn,
+                  0.3 * s.value + 0.7 * e.y
+           FROM ew e JOIN seq s
+             ON s.user_id = e.user_id AND s.rn = e.rn + 1
+         )
+         SELECT event_id, user_id, value,
+                floor(y * 1e4 + 0.5) / 1e4 AS ewma
+         FROM ew ORDER BY event_id""",
     "ts_pct_change" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,

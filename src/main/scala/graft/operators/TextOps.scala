@@ -571,7 +571,36 @@ object TextOps {
           (conv(substring(md5(col("token")), 1, 4), 16, 10)
             .cast("int") % 16).as("feature"))
         .groupBy("doc_id", "feature").agg(count(lit(1)).as("cnt"))
-        .orderBy("doc_id", "feature"))
+        .orderBy("doc_id", "feature")),
+
+    // Per-source distribution drift: KL(source ‖ corpus) over the unigram
+    // token distribution — the mix-audit that flags a source whose token
+    // profile has diverged from the blend it feeds (domain rot, a scraper
+    // gone wrong, a language flip). Every source token appears in the
+    // corpus distribution by construction, so q > 0 and no smoothing term
+    // is needed. Plan: ONE explode + partial-aggregated (source, token)
+    // shuffle, then three re-aggregations of that already-tiny frame
+    // (|sources|·|vocab| rows — at 100 TB with a real tokenizer this is
+    // |vocab|-bounded, the same adjudicated class as tfidf's df table);
+    // the per-term sum runs through the DECIMAL(28,10) cast so the
+    // reduction is associative (order-independent) in both engines.
+    "text_kl_drift" -> ((s, dir) => {
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val tok = st.groupBy("token").agg(sum("c").as("ct"))
+      val src = st.groupBy("source").agg(sum("c").as("ns"))
+      val tot = st.agg(sum("c").as("n"))
+      val p = col("c") / col("ns")
+      val q = col("ct") / col("n")
+      st.join(tok, "token").join(src, "source").crossJoin(tot)
+        .groupBy("source", "ns")
+        .agg(graft.functions.Num.pin(
+          sum((p * log(p / q)).cast("decimal(28,10)")).cast("double"), 4)
+          .as("kl"))
+        .select(col("source"), col("ns").as("n_tokens"), col("kl"))
+        .orderBy("source")
+    })
   )
 
   private def duckStop(list: Seq[String]): String =
@@ -596,6 +625,22 @@ object TextOps {
        ) ORDER BY doc_id"""
 
   def oracles: Map[String, String] = Map(
+    "text_kl_drift" ->
+      """WITH st AS (
+           SELECT source, token, count(*) AS c
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY 1, 2
+         ), tok AS (SELECT token, sum(c) AS ct FROM st GROUP BY 1),
+            src AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+            tot AS (SELECT sum(c) AS n FROM st)
+         SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+                floor(CAST(sum(CAST((c / ns) * ln((c / ns) / (ct / n))
+                                    AS DECIMAL(28,10))) AS DOUBLE)
+                      * 1e4 + 0.5) / 1e4 AS kl
+         FROM st JOIN tok USING (token) JOIN src USING (source) CROSS JOIN tot
+         GROUP BY source, ns
+         ORDER BY source""",
     "text_readability" ->
       """SELECT doc_id, n_words, n_syllables, n_sentences,
                 round(CAST(n_syllables AS DOUBLE) / n_words, 4) AS syll_per_word,

@@ -357,4 +357,68 @@ class DedupSpec extends SparkSpec {
     val simsCol = rows.map(_.getAs[Double]("similitud"))
     assert(simsCol.zip(simsCol.tail).forall { case (a, b) => a >= b })
   }
+
+  test("dedup_substring reports exactly the maximal cross-doc spans") {
+    // hand-built corpus pinning each clause of the span contract at
+    // k = SubstringK = 8:
+    //  - a 12-token block shared by docs 0 and 1 (at different offsets)
+    //    reports as ONE maximal span of len 12 per doc, not 5 overlapping
+    //    8-grams;
+    //  - a 7-token (k−1) shared run is invisible — below the window;
+    //  - a doc-INTERNAL repeat (doc 3 carries the same 8-token phrase
+    //    twice, no other doc has it) is NOT flagged: the contract is
+    //    cross-doc (countDistinct(doc_id) > 1), the within-doc case being
+    //    text_repetition's job;
+    //  - two shared blocks in one doc separated by a single filler token
+    //    (coverage gap > k) stay two spans (doc 4);
+    //  - two ABUTTING shared blocks (flagged positions k apart, shared
+    //    with DIFFERENT partners) merge into one contiguous span (doc 6);
+    //  - OVERLAPPING coverage with a non-duplicated gram strictly between
+    //    the flagged positions (p and p+2 flagged, p+1 not) still merges
+    //    — every token in the union is duplicated (doc 9), and the merge
+    //    is what keeps spans disjoint so Σ span_len counts tokens once.
+    import spark.implicits._
+    val k = DedupOps.SubstringK
+    assert(k === 8, "fixture offsets below are derived for k = 8")
+    val block  = (0 until 12).map(i => s"sh$i")          // shared 12-gram
+    val block2 = (0 until 12).map(i => s"sg$i")          // second shared block
+    val run7   = (0 until 7).map(i => s"r7$i")           // k−1 run
+    val phrase = (0 until 8).map(i => s"ph$i")           // internal repeat
+    val blockA = (0 until 8).map(i => s"ba$i")           // abutting pair...
+    val blockB = (0 until 8).map(i => s"bb$i")
+    val ov     = (0 until 10).map(i => s"ov$i")          // overlap triple
+    def fill(doc: Int, n: Int, off: Int = 0) =
+      (0 until n).map(i => s"u${doc}x${off + i}")
+    val rows = Seq(
+      (0L, (fill(0, 10) ++ block ++ fill(0, 10, 10)).mkString(" ")),
+      (1L, (fill(1, 5) ++ block ++ run7 ++ fill(1, 3)).mkString(" ")),
+      (2L, (fill(2, 20) ++ run7 ++ fill(2, 10, 20)).mkString(" ")),
+      (3L, (fill(3, 4) ++ phrase ++ fill(3, 4, 4) ++ phrase).mkString(" ")),
+      (4L, (block ++ Seq("u4gap") ++ block2).mkString(" ")),
+      (5L, (fill(5, 9) ++ block2 ++ fill(5, 9, 9)).mkString(" ")),
+      (6L, (blockA ++ blockB).mkString(" ")),
+      (7L, (fill(7, 2) ++ blockA).mkString(" ")),
+      (8L, (fill(8, 3) ++ blockB).mkString(" ")),
+      (9L, ov.mkString(" ")),                       // grams at 1, 2, 3
+      (10L, (ov.take(8) ++ fill(10, 2)).mkString(" ")),  // shares gram 1
+      (11L, (Seq("u11f") ++ ov.drop(2)).mkString(" ")))  // shares gram 3
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = DedupOps.queries("dedup_substring")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (0L, 11L, 12L),  // block at 1-based pos 11 in doc 0
+      (1L, 6L, 12L),   // block at pos 6 in doc 1
+      (4L, 1L, 12L),   // block at pos 1 in doc 4
+      (4L, 14L, 12L),  // block2: coverage gap > k — separate span
+      (5L, 10L, 12L),  // block2 at pos 10 in doc 5
+      (6L, 1L, 16L),   // blockA+blockB abut (flagged 1 and 9) — ONE span
+      (7L, 3L, 8L),
+      (8L, 4L, 8L),
+      (9L, 1L, 10L),   // flagged 1 and 3, gram 2 unique — still ONE span
+      (10L, 1L, 8L),
+      (11L, 2L, 8L))
+    assert(got === want)
+  }
 }

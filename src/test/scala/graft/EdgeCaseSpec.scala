@@ -854,4 +854,59 @@ class EdgeCaseSpec extends SparkSpec {
     assert(m4.map(_.getAs[Long]("n")).sum === total,
       "M4 buckets must partition the event stream")
   }
+
+  test("ts_ewma replays the exact per-user recursion") {
+    // brute-force replay: collect the fixture, fold y = 0.3x + 0.7y per
+    // user in (ts, event_id) order with the identical double arithmetic,
+    // pin bit-equality after the shared floor-chain round — the recursion
+    // the higher-order aggregate fold must reproduce term for term
+    import graft.operators.StreamingOps
+    val a = StreamingOps.EwmaAlpha
+    val b = StreamingOps.EwmaBeta
+    val events = Tables.events(spark, SfDir)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getDouble(3)))
+    def pin4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2)).toSeq
+      var prev = 0.0
+      var has = false
+      sorted.map { r =>
+        prev = if (has) a * r._4 + b * prev else r._4
+        has = true
+        r._2 -> pin4(prev)
+      }
+    }
+    val got = StreamingOps.queries("ts_ewma")(spark, SfDir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    assert(got.size === events.length)
+    want.foreach { case (id, y) =>
+      assert(got(id) === y, s"event $id: got ${got(id)}, want $y")
+    }
+  }
+
+  test("text_kl_drift is a true KL divergence (hand pin + nonnegativity)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // two mirrored sources: A = "x x x y", B = "x y y y" → corpus is
+    // uniform (q = ½,½), both sides KL = ¾ln(3/2) + ¼ln(1/2) ≈ 0.1308
+    val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
+    Seq((0L, "x x x y", "srcA"), (1L, "x y y y", "srcB"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val hand = TextOps.queries("text_kl_drift")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("kl"))).toSet
+    assert(hand === Set(("srcA", 4L, 0.1308), ("srcB", 4L, 0.1308)))
+    // fixture-wide: KL(p‖q) ≥ 0 for every source, token mass conserved
+    val rows = TextOps.queries("text_kl_drift")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("kl") >= 0.0,
+      s"negative KL for ${r.getAs[String]("source")}"))
+    val corpusTokens = Tables.documents(spark, SfDir)
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === corpusTokens,
+      "per-source token masses must partition the corpus")
+  }
 }

@@ -590,4 +590,57 @@ class PipelineSpec extends SparkSpec {
     f.unpersist()
     ()
   }
+
+  test("pipe_substring_report conserves docs and duplicated tokens " +
+      "against the dedup_substring spans") {
+    import graft.operators.DedupOps
+    val rep = q("pipe_substring_report").persist()
+    val docs = Tables.documents(spark, SfDir)
+    assert(rep.agg(sum("n_docs")).head.getLong(0) === docs.count(),
+      "decile histogram must account for every doc, spans or none")
+    val spanTokens = DedupOps.queries("dedup_substring")(spark, SfDir)
+      .agg(sum("span_len")).head.getLong(0)
+    assert(rep.agg(sum("dup_tokens")).head.getLong(0) === spanTokens,
+      "dup_tokens must total exactly the span frame's token coverage")
+    rep.collect().foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 10, s"decile bucket out of range: $b")
+    }
+    val pct = rep.agg(sum("pct_of_corpus")).head.getDouble(0)
+    assert(math.abs(pct - 1.0) < 1e-3, s"pct column must sum to ~1, got $pct")
+    rep.unpersist()
+  }
+
+  test("ml_auc_by_group slices agree with a per-slice global AUC replay") {
+    val rows = q("ml_auc_by_group").persist()
+    val docs = Tables.documents(spark, SfDir).persist()
+    val bySource = docs.groupBy("source").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+      sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every two-class slice appears, one-class slices are filtered
+    val expected = bySource.filter { case (_, (p, n)) => p > 0 && n > 0 }
+    val got = rows.collect().map(r => r.getAs[String]("source") ->
+      (r.getAs[Double]("auc"), r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg")))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (src, (auc, np, nn)) =>
+      assert(auc >= 0.0 && auc <= 1.0, s"$src AUC out of range: $auc")
+      assert((np, nn) === expected(src), s"$src class counts drifted")
+      // replay: the Mann-Whitney statistic from first principles (ties
+      // count half), per slice, collected — fixture-scale only
+      val scored = docs.filter(col("source") === src)
+        .select(col("n_chars"), (col("lang") === "en").as("y"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      val pos = scored.filter(_._2).map(_._1)
+      val neg = scored.filterNot(_._2).map(_._1)
+      val stat = pos.map(s => neg.count(_ < s) + 0.5 * neg.count(_ == s)).sum
+      val want = math.floor(stat / (pos.length.toDouble * neg.length) * 1e6
+        + 0.5) / 1e6
+      assert(math.abs(auc - want) < 2e-6, s"$src: got $auc, replay $want")
+    }
+    docs.unpersist()
+    rows.unpersist()
+    ()
+  }
 }
