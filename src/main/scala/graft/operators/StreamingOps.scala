@@ -33,6 +33,14 @@ object StreamingOps {
   val EwmaAlpha = 0.3
   val EwmaBeta  = 0.7
 
+  /** `ts_holt` smoothing coefficients — dyadic rationals (exactly
+    * representable, every product exact) and, like the EWMA pair, all four
+    * spelled as literals in both engines rather than deriving 1−α/1−β. */
+  val HoltAlpha  = 0.5
+  val HoltAlpha1 = 0.5
+  val HoltBeta   = 0.25
+  val HoltBeta1  = 0.75
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 5-minute tumbling count + sum(value) per event_type.
     "stream_tumbling" -> ((s, dir) =>
@@ -255,6 +263,50 @@ object StreamingOps {
         .select(col("user_id"), explode(arrays_zip(col("seq"), col("ew"))).as("z"))
         .select(col("z.seq.event_id").as("event_id"), col("user_id"),
           col("z.seq.value").as("value"), Num.pin(col("z.ew"), 4).as("ewma"))
+        .orderBy("event_id")
+    }),
+
+    // Holt's linear-trend (double exponential) smoothing per user:
+    //   l₁ = y₁, b₁ = 0;  lₙ = α·yₙ + (1−α)·(lₙ₋₁ + bₙ₋₁),
+    //   bₙ = β·(lₙ − lₙ₋₁) + (1−β)·bₙ₋₁;  forecast = lₙ + bₙ
+    // — the level+trend upgrade of `ts_ewma`, the standard short-horizon
+    // capacity forecaster. Same execution shape as the EWMA fold (one
+    // groupBy-collect per user, the fold parallel across users, the 100 TB
+    // unbounded-key note there applies verbatim). All four smoothing
+    // coefficients are LITERALS shared with the oracle; they're also dyadic
+    // (0.5/0.25/0.75) so every product is exact. The recursive CTE replay
+    // cannot name `l` twice in one SELECT, so the oracle substitutes the
+    // level expression into the trend line — textually different, the
+    // IDENTICAL double DAG — and the fold here computes `nl` once and
+    // reuses the expression the same way.
+    "ts_holt" -> ((s, dir) => {
+      val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+        lit(false).as("has"),
+        array().cast("array<struct<l:double,b:double>>").as("out"))
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+        .withColumn("hw", aggregate(col("seq"), acc0,
+          (acc, x) => {
+            val nl = when(acc("has"),
+              lit(HoltAlpha) * x("value") +
+                lit(HoltAlpha1) * (acc("l") + acc("b")))
+              .otherwise(x("value"))
+            val nb = when(acc("has"),
+              lit(HoltBeta) * (nl - acc("l")) + lit(HoltBeta1) * acc("b"))
+              .otherwise(lit(0.0))
+            struct(nl.as("l"), nb.as("b"), lit(true).as("has"),
+              concat(acc("out"), array(struct(nl.as("l"), nb.as("b"))))
+                .as("out"))
+          },
+          acc => acc("out")))
+        .select(col("user_id"), explode(arrays_zip(col("seq"), col("hw"))).as("z"))
+        .select(col("z.seq.event_id").as("event_id"), col("user_id"),
+          col("z.seq.value").as("value"),
+          Num.pin(col("z.hw.l"), 4).as("level"),
+          Num.pin(col("z.hw.b"), 4).as("trend"),
+          Num.pin(col("z.hw.l") + col("z.hw.b"), 4).as("forecast"))
         .orderBy("event_id")
     }),
 
@@ -835,6 +887,32 @@ object StreamingOps {
          SELECT event_id, user_id, value,
                 floor(y * 1e4 + 0.5) / 1e4 AS ewma
          FROM ew ORDER BY event_id""",
+    // ts_ewma's replay extended to the (level, trend) pair; the level
+    // expression is substituted into the trend line because SQL can't
+    // reference a same-SELECT alias — identical double DAG to the fold
+    "ts_holt" ->
+      """WITH RECURSIVE seq AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events
+         ), hw AS (
+           SELECT user_id, event_id, value, rn,
+                  value AS l, CAST(0.0 AS DOUBLE) AS b
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.event_id, s.value, s.rn,
+                  0.5 * s.value + 0.5 * (e.l + e.b),
+                  0.25 * ((0.5 * s.value + 0.5 * (e.l + e.b)) - e.l)
+                    + 0.75 * e.b
+           FROM hw e JOIN seq s
+             ON s.user_id = e.user_id AND s.rn = e.rn + 1
+         )
+         SELECT event_id, user_id, value,
+                floor(l * 1e4 + 0.5) / 1e4 AS level,
+                floor(b * 1e4 + 0.5) / 1e4 AS trend,
+                floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast
+         FROM hw ORDER BY event_id""",
     "ts_pct_change" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,

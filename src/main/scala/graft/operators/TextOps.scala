@@ -600,8 +600,114 @@ object TextOps {
           .as("kl"))
         .select(col("source"), col("ns").as("n_tokens"), col("kl"))
         .orderBy("source")
-    })
+    }),
+
+    // Per-doc n-gram novelty — the memorization-risk datasheet: what
+    // fraction of a document's distinct word trigrams appears in NO other
+    // document? Low novelty = boilerplate/template mass (dedup fodder);
+    // high novelty = uniquely-contributed text. Three linear passes: one
+    // explode → DISTINCT (doc, gram) shuffle, a gram-keyed df count
+    // (since each (doc, gram) is distinct, count(*) IS the document
+    // frequency), and the join back on gram — every exchange keyed by
+    // gram or doc_id, never a pairwise compare, so the plan is
+    // corpus-linear where a naive "compare against the rest" is n².
+    // Docs shorter than 3 tokens have no trigram and drop out (inner
+    // join semantics, both engines).
+    "text_ngram_novelty" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      // greatest(·, 0): a <3-token doc has no trigram; a negative slice
+      // length is a runtime error, an empty slice is the correct answer
+      val n3 = greatest(size(t) - 2, lit(0))
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(t, lit(1), n3), slice(t, lit(2), n3),
+          slice(t, lit(3), n3))).as("p"))
+        .select(col("doc_id"), concat_ws(" ", col("p").getField("0"),
+          col("p").getField("1"), col("p").getField("2")).as("gram"))
+        .distinct()
+      val df = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", graft.functions.Num.pin(
+          col("n_novel").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Pairwise Jensen-Shannon divergence between the sources' unigram
+    // distributions — `text_kl_drift`'s symmetric, bounded companion: the
+    // source-similarity matrix a mixture designer reads before setting
+    // sampling weights (JSD ∈ [0, ln 2], finite even on disjoint
+    // vocabularies, where KL is infinite). The only corpus-scale pass is
+    // the same (source, token) partial-agg shuffle kl_drift makes; the
+    // unordered source pairs are a broadcast |sources|²-row relation
+    // (bounded — the adjudicated unconditional-broadcast class), and the
+    // union-tagging trick materializes each pair's UNION vocabulary with
+    // plain groupBy sums — absent sides arrive as exact 0.0 — instead of
+    // a per-pair full-outer join. Per-token terms ride the DECIMAL(28,10)
+    // cast so the fold is order-independent; zero-share sides contribute
+    // the exact-0 limit via the `when` guard.
+    "text_jsd_sources" -> ((s, dir) => {
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val src = st.groupBy("source").agg(sum("c").as("ns"))
+      val p = st.join(src, "source")
+        .select(col("source"), col("token"), (col("c") / col("ns")).as("p"))
+      val prs = broadcast(
+        src.select(col("source").as("src_a"))
+          .crossJoin(src.select(col("source").as("src_b")))
+          .filter(col("src_a") < col("src_b")))
+      val a = p.join(prs, col("source") === col("src_a"))
+        .select(col("src_a"), col("src_b"), col("token"),
+          col("p").as("pa"), lit(0.0).as("pb"))
+      val b = p.join(prs, col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("token"),
+          lit(0.0).as("pa"), col("p").as("pb"))
+      val m = a.union(b)
+        .groupBy("src_a", "src_b", "token")
+        .agg(sum("pa").as("pa"), sum("pb").as("pb"))
+      val mid = (col("pa") + col("pb")) / 2
+      val term =
+        when(col("pa") > 0, lit(0.5) * col("pa") * log(col("pa") / mid))
+          .otherwise(0.0) +
+        when(col("pb") > 0, lit(0.5) * col("pb") * log(col("pb") / mid))
+          .otherwise(0.0)
+      m.groupBy("src_a", "src_b")
+        .agg(graft.functions.Num.pin(
+          sum(term.cast("decimal(28,10)")).cast("double"), 4).as("jsd"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // Code-vs-prose gate — the pretraining-corpus router that keeps
+    // Markdown/code out of a prose pipeline (and vice versa). The one
+    // feature is a CHARACTER COUNT: length(text) − length(translate(text,
+    // symbols, '')) — `translate` deletes every symbol-alphabet char in a
+    // single pass and exists with identical semantics in both engines, so
+    // there is no regex dialect surface at all — and the decision is a
+    // literal threshold on an exactly-rounded division, the
+    // `pipe_quality_logit` bit-stability recipe. Pure codegen'd row map:
+    // zero shuffles, zero joins.
+    "text_code_detect" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_sym", (length(col("text")) -
+          length(translate(col("text"), CodeSymbols, ""))).cast("long"))
+        .withColumn("sym_ratio", round(
+          col("n_sym").cast("double") / length(col("text")), 6))
+        .select(col("doc_id"), col("n_sym"), col("sym_ratio"),
+          (col("sym_ratio") >= CodeSymRatioThreshold).as("is_code"))
+        .orderBy("doc_id"))
   )
+
+  /** `text_code_detect`'s symbol alphabet — the characters whose density
+    * separates code/markup from prose. Deleted in one `translate` pass on
+    * both engines (from-chars with no to-counterpart are removed). */
+  val CodeSymbols: String = "{}();=<>[]#_"
+
+  /** Literal decision threshold for `text_code_detect` (symbol chars per
+    * text char); ≥ keeps the compare exact on round 6dp ties. */
+  val CodeSymRatioThreshold = 0.02
 
   private def duckStop(list: Seq[String]): String =
     list.mkString("['", "','", "']")
@@ -641,6 +747,70 @@ object TextOps {
          FROM st JOIN tok USING (token) JOIN src USING (source) CROSS JOIN tot
          GROUP BY source, ns
          ORDER BY source""",
+    "text_ngram_novelty" ->
+      """WITH g AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+             FROM (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents)
+           )
+         ), df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_novel,
+                floor(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+         FROM g JOIN df USING (gram)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // same union-tagging shape as the operator: absent sides arrive as
+    // exact 0.0 through the pair-tagged UNION ALL + sum, and each
+    // zero-share side contributes the exact-0 limit via the CASE guard
+    "text_jsd_sources" ->
+      """WITH st AS (
+           SELECT source, token, count(*) AS c
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY 1, 2
+         ), src AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+         p AS (
+           SELECT source, token, c / ns AS p
+           FROM st JOIN src USING (source)
+         ), prs AS (
+           SELECT a.source AS src_a, b.source AS src_b
+           FROM src a JOIN src b ON a.source < b.source
+         ), m AS (
+           SELECT src_a, src_b, token, sum(pa) AS pa, sum(pb) AS pb
+           FROM (
+             SELECT src_a, src_b, token, p AS pa, 0.0 AS pb
+             FROM p JOIN prs ON p.source = prs.src_a
+             UNION ALL
+             SELECT src_a, src_b, token, 0.0 AS pa, p AS pb
+             FROM p JOIN prs ON p.source = prs.src_b
+           ) GROUP BY 1, 2, 3
+         )
+         SELECT src_a, src_b,
+                floor(CAST(sum(CAST(
+                  (CASE WHEN pa > 0
+                        THEN 0.5 * pa * ln(pa / ((pa + pb) / 2))
+                        ELSE 0.0 END)
+                  + (CASE WHEN pb > 0
+                          THEN 0.5 * pb * ln(pb / ((pa + pb) / 2))
+                          ELSE 0.0 END) AS DECIMAL(28,10))) AS DOUBLE)
+                      * 1e4 + 0.5) / 1e4 AS jsd
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_code_detect" ->
+      s"""SELECT doc_id, n_sym,
+                round(CAST(n_sym AS DOUBLE) / len(text), 6) AS sym_ratio,
+                round(CAST(n_sym AS DOUBLE) / len(text), 6)
+                  >= $CodeSymRatioThreshold AS is_code
+         FROM (
+           SELECT doc_id, text,
+                  CAST(len(text) - len(translate(text, '$CodeSymbols', ''))
+                       AS BIGINT) AS n_sym
+           FROM documents
+         ) ORDER BY doc_id""",
     "text_readability" ->
       """SELECT doc_id, n_words, n_syllables, n_sentences,
                 round(CAST(n_syllables AS DOUBLE) / n_words, 4) AS syll_per_word,
