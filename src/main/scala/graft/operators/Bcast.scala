@@ -34,21 +34,20 @@ object Bcast {
   def ifFitsRows(df: DataFrame, rows: Long, bytesPerRow: Long = 32L): DataFrame =
     ifFits(df, rows * bytesPerRow)
 
-  /** Measured sizes memoized per (session identity, logical-plan
-    * semanticHash, keyLen-expression hash) so re-invocations of the same
-    * measurement in one session — bench warm passes, verify reruns —
-    * skip the stats job and pay only the persist. The keyLen expression
-    * is part of the key: two sites measuring the SAME plan with
-    * different per-row estimates must not share a value, or the smaller
-    * estimate could silently authorize an over-budget broadcast. Safe
-    * because the fixture dirs are immutable within a session and the
-    * plan hash pins the data dir (it appears in the scan). A 32-bit
-    * hash collision across the few dozen distinct vocabulary plans a
-    * session builds is ~1e-7 and would only mis-size a hint, never
-    * change results. Unbounded growth is bounded in practice by
-    * #queries × #sfdirs per session. */
-  private val measured =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), java.lang.Long]()
+  /** Measured sizes memoized per (session, logical-plan semanticHash,
+    * keyLen-expression hash) so re-invocations of the same measurement in
+    * one session — bench warm passes, verify reruns — skip the stats job
+    * and pay only the persist. The keyLen expression is part of the key:
+    * two sites measuring the SAME plan with different per-row estimates
+    * must not share a value, or the smaller estimate could silently
+    * authorize an over-budget broadcast. Safe because the fixture dirs
+    * are immutable within a session and the plan hash pins the data dir
+    * (it appears in the scan). A 32-bit hash collision across the few
+    * dozen distinct vocabulary plans a session builds is ~1e-7 and would
+    * only mis-size a hint, never change results. Growth is bounded by
+    * #queries × #sfdirs per LIVE session — [[SessionMemo]] drops a dead
+    * session's entries with the session itself. */
+  private val measured = new SessionMemo[(Int, Int), Long]
 
   /** Measure `df`'s estimated serialized size — sum of `keyLen` + 64
     * bytes/row of fixed overhead, the pipe_vocab convention — in ONE
@@ -60,16 +59,11 @@ object Bcast {
     // Column hides its expression tree in Spark 4; the canonical
     // toString (e.g. "(size(th_e) * 8)") distinguishes estimates just as
     // well for the memo key
-    val key = (System.identityHashCode(df.sparkSession), df.semanticHash(),
-      keyLen.toString.hashCode)
-    measured.get(key) match {
-      case null =>
-        val st = df.agg(count(lit(1)).as("n"),
-          coalesce(sum(keyLen.cast("long")), lit(0L)).as("bytes")).first()
-        val b = st.getLong(1) + 64L * st.getLong(0)
-        measured.put(key, b)
-        b
-      case b => b.longValue()
+    val key = (df.semanticHash(), keyLen.toString.hashCode)
+    measured.getOrElseUpdate(df.sparkSession, key) {
+      val st = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(keyLen.cast("long")), lit(0L)).as("bytes")).first()
+      st.getLong(1) + 64L * st.getLong(0)
     }
   }
 
@@ -84,4 +78,37 @@ object Bcast {
     val p = df.persist()
     ifFits(p, measuredBytes(p, keyLen))
   }
+}
+
+/** A memo scoped to the life of a SparkSession.
+  *
+  * The r10 memos keyed on `System.identityHashCode(session)`, which has
+  * two defects the advisor flagged: identity hashes are not unique, so
+  * after a session is GC'd a NEW session can reuse the hash and (with an
+  * equal inner key — same fixture path whose contents changed between
+  * sessions) read a stale measurement that silently authorizes an
+  * over-budget broadcast; and entries for dead sessions accumulate
+  * forever in a long-lived JVM (a Spark thrift/notebook server). Keying
+  * the OUTER map weakly on the session object itself fixes both: two
+  * live sessions can never collide (object identity, not a hash), and a
+  * collected session's entire entry set becomes unreachable with it.
+  * Values must not reference the session (all current uses store Longs/
+  * tuples), or they would pin the weak key. */
+private[operators] final class SessionMemo[K, V] {
+  private val outer = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[K, V]]())
+
+  private def inner(s: org.apache.spark.sql.SparkSession) =
+    outer.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[K, V]())
+
+  def get(s: org.apache.spark.sql.SparkSession, k: K): Option[V] =
+    Option(inner(s).get(k))
+
+  def put(s: org.apache.spark.sql.SparkSession, k: K, v: V): Unit =
+    inner(s).put(k, v)
+
+  def getOrElseUpdate(s: org.apache.spark.sql.SparkSession, k: K)(v: => V): V =
+    inner(s).computeIfAbsent(k, _ => v)
 }

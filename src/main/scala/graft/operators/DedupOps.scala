@@ -148,8 +148,7 @@ object DedupOps {
     val gidFull = df.groupBy("fp")
       .agg(min("doc_id").as("gid"), max(size(col("th"))).as("len"))
       .persist()
-    val statsKey = (System.identityHashCode(s), dir)
-    val cached = collapseStats.get(statsKey)
+    val cached = collapseStats.get(s, dir).orNull
     val (nGids, thBytes) = if (cached != null) (cached._1, cached._2) else {
       val st = gidFull.agg(count(lit(1)).as("n"),
         coalesce(sum(col("len").cast("long")), lit(0L)).as("toks")).first()
@@ -160,7 +159,7 @@ object DedupOps {
     val docMap = df.join(gidHinted, "fp").select("doc_id", "gid").persist()
     val nDocs = if (cached != null) cached._3 else {
       val n = docMap.count()
-      collapseStats.put(statsKey, (nGids, thBytes, n))
+      collapseStats.put(s, dir, (nGids, thBytes, n))
       n
     }
     val uniq = () => df.join(gidHinted, "fp")
@@ -169,12 +168,13 @@ object DedupOps {
   }
 
   /** collapse()'s measured stats (nGids, thBytes, nDocs) memoized per
-    * (session identity, data dir), mirroring Bcast.measured: the fixture dirs
+    * (session, data dir), mirroring Bcast.measured: the fixture dirs
     * are immutable within a session, so every dedup query after the
     * first skips both collapse stats jobs and lets the consuming query
-    * materialize the persisted maps as part of its own first action. */
-  private val collapseStats =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, Long, Long)]()
+    * materialize the persisted maps as part of its own first action.
+    * Session-scoped via the weak-keyed [[SessionMemo]] (r11) so a
+    * recycled identity hash can never surface a stale measurement. */
+  private val collapseStats = new SessionMemo[String, (Long, Long, Long)]
 
   /** Expand surviving set-pairs (gid_a, gid_b, score) to member doc-pairs
     * with doc_a < doc_b, via two size-conditional broadcast joins on the
@@ -233,8 +233,7 @@ object DedupOps {
     * count the broadcast hint needs) is a pure function of the df
     * distribution, so one bounded aggregate per (session, plan) decides
     * both and repeat invocations (bench warm passes) skip the job. */
-  private val dfSkewed =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Boolean, Long)]()
+  private val dfSkewed = new SessionMemo[Int, (Boolean, Long)]
 
   /** Rank by df only when the distribution is skewed enough for
     * rarest-first prefixes to prune: on a FLAT vocabulary (every posting
@@ -250,20 +249,14 @@ object DedupOps {
     * Spark's own stats-driven join-strategy picks. Returns
     * (skewed, vocabulary rows) so the caller's broadcast hint needs no
     * second stats job over the same table. */
-  private def dfStats(dfTab: DataFrame): (Boolean, Long) = {
-    val key = (System.identityHashCode(dfTab.sparkSession), dfTab.semanticHash())
-    dfSkewed.get(key) match {
-      case null =>
-        val st = dfTab.agg(count(lit(1)).as("v"),
-          coalesce(max(col("df")), lit(0L)).as("mx"),
-          coalesce(sum(col("df")), lit(0L)).as("tot")).first()
-        val res = (st.getLong(0) > 0 &&
-          st.getLong(1) * st.getLong(0) >= 4L * st.getLong(2), st.getLong(0))
-        dfSkewed.put(key, res)
-        res
-      case r => r
+  private def dfStats(dfTab: DataFrame): (Boolean, Long) =
+    dfSkewed.getOrElseUpdate(dfTab.sparkSession, dfTab.semanticHash()) {
+      val st = dfTab.agg(count(lit(1)).as("v"),
+        coalesce(max(col("df")), lit(0L)).as("mx"),
+        coalesce(sum(col("df")), lit(0L)).as("tot")).first()
+      (st.getLong(0) > 0 &&
+        st.getLong(1) * st.getLong(0) >= 4L * st.getLong(2), st.getLong(0))
     }
-  }
 
   private[graft] def prefixCandidates(uniq: DataFrame, t: Double): DataFrame = {
     // Per-token document frequency over the UNIQUE sets (one counting

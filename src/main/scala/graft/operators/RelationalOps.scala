@@ -124,24 +124,47 @@ object RelationalOps {
     // (maximize o_totalprice, minimize o_orderdate). The naive form is a
     // quadratic NOT-EXISTS self-join (that IS the oracle); this plan is
     // the linear-pass equivalent for 2-D: keep each price's earliest
-    // date (one hash shuffle), then a running min over prices in
-    // descending order marks the staircase — a row survives iff no
-    // strictly-higher price has an equal-or-earlier date. The global
-    // window runs over DISTINCT prices only (already aggregated), which
-    // at 100 TB is the standard two-step: per-partition local skylines
-    // (each partition's frontier is a superset member of the global one),
-    // then the small union re-filtered — same algebra as partial+final
-    // aggregation.
+    // date (the one corpus-scale hash shuffle), then a running min over
+    // prices in descending order marks the staircase — a row survives
+    // iff no strictly-higher price has an equal-or-earlier date. The
+    // cumulative min is assigned the `agg_weighted_median`/`pipe_shuffle`
+    // way: a DESCENDING range partition over the distinct-price relation
+    // (a parallel total sort — on a nearly-unique price domain at 100 TB
+    // the distinct relation is corpus-sized, so a global
+    // `Window.orderBy(price)` would serialize it through ONE task), a
+    // per-partition rolling min, and per-partition prefix-min offsets
+    // from a #partitions-row table; prev_mn = min(partition-local prev,
+    // all earlier partitions' min). Dates compare as exact DATE ordinals
+    // — no floating arithmetic anywhere, so the two-step is bit-equal to
+    // the single-window form the oracle replays.
     "sort_skyline" -> ((s, dir) => {
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val o = Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey", "o_totalprice", "o_orderdate")
+      // persisted: pid feeds both the offsets table and the survivor
+      // filter, and range boundaries come from sampling — recomputation
+      // across jobs could shift pids between the two
       val reps = o.groupBy("o_totalprice").agg(min("o_orderdate").as("mn_d"))
-      val wCum = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice").desc)
+        .repartitionByRange(nParts, col("o_totalprice").desc)
+        .sortWithinPartitions(col("o_totalprice").desc)
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val wPart = org.apache.spark.sql.expressions.Window
+        .orderBy("pid")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      // #partitions-row relation: the only unpartitioned window runs here
+      val offs = reps.groupBy("pid").agg(min("mn_d").as("pmn"))
+        .withColumn("off_mn", min(col("pmn")).over(wPart))
+        .select("pid", "off_mn")
+      val wLoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid").orderBy(col("o_totalprice").desc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       val live = reps
-        .withColumn("prev_mn", min(col("mn_d")).over(wCum))
+        .withColumn("loc_mn", min(col("mn_d")).over(wLoc))
+        .join(broadcast(offs), Seq("pid"))
+        // least() skips nulls: pid 0 has no offset, row 1-of-partition no local prev
+        .withColumn("prev_mn", least(col("loc_mn"), col("off_mn")))
         .filter(col("prev_mn").isNull || col("prev_mn") > col("mn_d"))
         .select(col("o_totalprice"), col("mn_d").as("o_orderdate"))
       o.join(live, Seq("o_totalprice", "o_orderdate"))

@@ -107,19 +107,41 @@ object TextOps {
     // a flat slope flags synthetic/templated corpora (this fixture's
     // ~31-token uniform vocabulary is exactly such a case, which is the
     // point of the diagnostic). Frequencies aggregate corpus-wide (one
-    // shuffle, map-side combined); ranking and the regression run over
-    // the VOCABULARY-sized relation (the single-partition window is
-    // bounded by |vocab|, same justification as `pipe_vocab`'s counts
-    // table), with the log-product sums cast to exact DECIMAL so the fit
-    // is order-independent — the `agg_regression` discipline.
+    // shuffle, map-side combined). Ranks are assigned the `pipe_vocab`
+    // way — a range partition on (cnt desc, token) + per-partition
+    // row_number + cumulative partition offsets — because a real web
+    // corpus's vocabulary has a 10⁸⁺ singleton tail: a global
+    // `Window.orderBy` would serialize ALL of it through one task,
+    // while the range partition is a parallel sort at any vocabulary
+    // size (the only single-partition window here is over the
+    // #partitions-row offsets table). The rank total order is identical
+    // to the one-window form the oracle replays, and the log-product
+    // sums cast to exact DECIMAL so the fit is order-independent — the
+    // `agg_regression` discipline.
     "text_zipf" -> ((s, dir) => {
       def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // persisted: pid feeds both the offsets table and the rank join,
+      // and range boundaries come from sampling — recomputation across
+      // jobs could shift pids between the two; vocabulary-sized
       val freq = Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).cast("double").as("cnt"))
-      val ranked = freq.withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("token")))
-          .cast("double"))
+        .repartitionByRange(nParts, col("cnt").desc, col("token"))
+        .sortWithinPartitions(col("cnt").desc, col("token"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offs = freq.groupBy("pid").agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(
+          sum(col("n")).over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "offset")
+      val wLoc = Window.partitionBy("pid")
+        .orderBy(col("cnt").desc, col("token"))
+      val ranked = freq.join(broadcast(offs), "pid")
+        .withColumn("rank",
+          (row_number().over(wLoc).cast("long") + col("offset"))
+            .cast("double"))
       ranked
         .select(log(col("rank")).as("lx"), log(col("cnt")).as("ly"))
         .agg(count(lit(1)).cast("double").as("n"),
@@ -641,8 +663,12 @@ object TextOps {
     // sampling weights (JSD ∈ [0, ln 2], finite even on disjoint
     // vocabularies, where KL is infinite). The only corpus-scale pass is
     // the same (source, token) partial-agg shuffle kl_drift makes; the
-    // unordered source pairs are a broadcast |sources|²-row relation
-    // (bounded — the adjudicated unconditional-broadcast class), and the
+    // unordered source pairs are a |sources|²-row relation broadcast
+    // only while its MEASURED size fits the session budget (r11: the
+    // source cardinality is data-dependent — a per-domain source column
+    // makes |sources|² broadcast-busting, so the hint degrades to a
+    // shuffle join past the budget like every other vocabulary-scale
+    // hint in the codebase), and the
     // union-tagging trick materializes each pair's UNION vocabulary with
     // plain groupBy sums — absent sides arrive as exact 0.0 — instead of
     // a per-pair full-outer join. Per-token terms ride the DECIMAL(28,10)
@@ -655,10 +681,11 @@ object TextOps {
       val src = st.groupBy("source").agg(sum("c").as("ns"))
       val p = st.join(src, "source")
         .select(col("source"), col("token"), (col("c") / col("ns")).as("p"))
-      val prs = broadcast(
+      val prs = Bcast.vocabHinted(
         src.select(col("source").as("src_a"))
           .crossJoin(src.select(col("source").as("src_b")))
-          .filter(col("src_a") < col("src_b")))
+          .filter(col("src_a") < col("src_b")),
+        length(col("src_a")) + length(col("src_b")))
       val a = p.join(prs, col("source") === col("src_a"))
         .select(col("src_a"), col("src_b"), col("token"),
           col("p").as("pa"), lit(0.0).as("pb"))
@@ -693,7 +720,10 @@ object TextOps {
       Tables.documents(s, dir)
         .withColumn("n_sym", (length(col("text")) -
           length(translate(col("text"), CodeSymbols, ""))).cast("long"))
-        .withColumn("sym_ratio", round(
+        // Num.pin, not library round (r11, §7.4): is_code derives from
+        // the ROUNDED ratio, so a 6dp halfway tie must resolve via the
+        // identical IEEE floor chain on both engines
+        .withColumn("sym_ratio", graft.functions.Num.pin(
           col("n_sym").cast("double") / length(col("text")), 6))
         .select(col("doc_id"), col("n_sym"), col("sym_ratio"),
           (col("sym_ratio") >= CodeSymRatioThreshold).as("is_code"))
@@ -802,8 +832,9 @@ object TextOps {
          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_code_detect" ->
       s"""SELECT doc_id, n_sym,
-                round(CAST(n_sym AS DOUBLE) / len(text), 6) AS sym_ratio,
-                round(CAST(n_sym AS DOUBLE) / len(text), 6)
+                floor(CAST(n_sym AS DOUBLE) / len(text) * 1e6 + 0.5) / 1e6
+                  AS sym_ratio,
+                floor(CAST(n_sym AS DOUBLE) / len(text) * 1e6 + 0.5) / 1e6
                   >= $CodeSymRatioThreshold AS is_code
          FROM (
            SELECT doc_id, text,
