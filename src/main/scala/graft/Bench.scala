@@ -74,7 +74,34 @@ object Bench {
     val names = selected.toSeq
     val times = Array.fill(names.length)(Vector.newBuilder[Double])
     val failedFlags = Array.fill(names.length)(false)
-    for (_ <- 1 to repeat; (((name, fn), i)) <- names.zipWithIndex) {
+    // Steal-calibration channel (r11 verdict item 4): a pinned
+    // constant-work CPU probe — 2×10⁸ xorshift64* steps on ONE thread —
+    // timed before the sweep and after every pass. The probe's work is
+    // fixed, so its reading moves only with host contention (CPU steal,
+    // noisy neighbors, thermal throttling), never with plan changes:
+    // a warm-total drift across rounds with FLAT calib readings is a
+    // plan regression; the same drift with calib up proportionally is
+    // host noise. Until now the two were indistinguishable (the r8→r10
+    // 0.25→0.37 s/query warm question). Single-threaded on purpose —
+    // steal hits per-core throughput, and one pinned thread reads it
+    // without the scheduler-elasticity a 32-way probe would add.
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        x *= 0x2545F4914F6CDD1DL
+        i += 1
+      }
+      // data-dependent guard so the JIT cannot prove the loop dead
+      if (x == 42L) System.err.println("calib sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibs = Vector.newBuilder[Double]
+    calibs += calib()
+    for (_ <- 1 to repeat) {
+      for ((((name, fn), i)) <- names.zipWithIndex) {
       val t0 = System.nanoTime()
       // a failed query must not kill the whole bench run, but it must be
       // visible IN THE PARSED ARTIFACT, not just stderr: the failure is
@@ -101,7 +128,10 @@ object Bench {
       // flat across the 140+ query run
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      }
+      calibs += calib()
     }
+    val calibTimes = calibs.result()
     val results = names.zipWithIndex.map { case ((name, _), i) =>
       val ts = times(i).result()
       // warm statistics over the post-cold passes only (falling back to
@@ -138,7 +168,11 @@ object Bench {
         s""","failed_count":${failedNames.length},"failed":""" +
           failedNames.take(15).map("\"" + _ + "\"").mkString("[", ",", "]")
       else ""
-      s"""{"metric":"total","value":${"%.3f".format(total)},"warm":${"%.3f".format(warmTotal)},"warm_med":${"%.3f".format(warmMedTotal)},"runs":$repeat,"unit":"sec","queries":$qs$om$fl,"sf":"$sfDir"}"""
+      // calib: repeat+1 pinned-probe readings (before the sweep, then
+      // after each pass) — the host-contention channel; calib_min ≈ the
+      // uncontended floor of this host class
+      val cal = calibTimes.map(c => "%.3f".format(c)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"warm":${"%.3f".format(warmTotal)},"warm_med":${"%.3f".format(warmMedTotal)},"runs":$repeat,"unit":"sec","calib":$cal,"calib_min":${"%.3f".format(calibTimes.min)},"queries":$qs$om$fl,"sf":"$sfDir"}"""
     }
     val MaxLen = 1800
     val out = Iterator((3, results.length), (2, results.length), (2, 60), (2, 40))

@@ -247,8 +247,11 @@ object SimilarityOps {
     // coarse quantization — the raw label is uncorrelated with cosine
     // geometry in the fixture). Probe: the nprobe=3 nearest lists for the
     // query, exact cosine only within them — cost |probed lists|, not |n|.
-    // No DuckDB oracle (argmax over derived centroids is not SQL-stable);
-    // validated by the SimilaritySpec recall test.
+    // Oracled since r11: the centroid means ride the ml_kmeans
+    // exact-DECIMAL + 6dp-round discipline (order-independent, so DuckDB
+    // replays them bit-for-bit), assignment/probe argmaxes rank on the
+    // identical left-fold cosine with a list_id tiebreak, and recall vs
+    // ann_brute stays pinned in SimilaritySpec.
     "ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // persisted: the tiny centroid table feeds both the assignment pass
@@ -256,7 +259,10 @@ object SimilarityOps {
       // aggregation (the "training" scan) runs twice
       val centroids = e
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("label", "pos").agg(avg("v").as("v"))
+        .groupBy("label", "pos")
+        .agg(round(
+          sum(col("v").cast("double").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)), 6).as("v"))
         .groupBy("label")
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("label").as("list_id"),
@@ -301,8 +307,11 @@ object SimilarityOps {
     // touches CODES only, never raw vectors. The top-50 by ADC re-rank
     // by exact L2 (fetch-then-rerank, the standard PQ serving shape).
     // Whole query = 2 jobs: the sample collect + the encode/probe/rerank
-    // plan. No DuckDB oracle (fp-mean argmins are not SQL-stable);
-    // recall vs the exact L2 top-10 is pinned in SimilaritySpec.
+    // plan. Oracled since r11: the fixed 2-iteration Lloyd is
+    // deterministically unrolled over the md5-ordered sample with
+    // DECIMAL-exact component means, so DuckDB replays training, encode
+    // argmins (d, cid tiebreak), the ADC table, and the exact re-rank;
+    // recall vs the exact L2 top-10 stays pinned in SimilaritySpec.
     "ann_pq" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -313,12 +322,18 @@ object SimilarityOps {
         .limit(PqTrainSample).collect()
         .map(_.getSeq[Float](1).toArray)
       // per-subspace Lloyd: seeds = first K sample rows (md5 order);
-      // argmin tiebreak = lowest cid; empty clusters keep their centroid
+      // argmin tiebreak = lowest cid; empty clusters keep their centroid.
+      // Centroid means follow the ml_kmeans replay discipline (r11): each
+      // component casts to DECIMAL(28,10) (exact, order-independent sum),
+      // the mean divides as double and rounds HALF_UP at 6dp — the
+      // identical arithmetic DuckDB's round(CAST(sum(CAST(x AS
+      // DECIMAL(28,10))) AS DOUBLE) / count(*), 6) performs, which is
+      // what lets the whole driver-side loop be oracled.
       def lloyd(m: Int): Array[Array[Double]] = {
         val pts = sample.map(v => v.slice(m * PqSub, (m + 1) * PqSub).map(_.toDouble))
         var cents = pts.take(PqK)
         for (_ <- 1 to 2) {
-          val sums = Array.fill(PqK)(new Array[Double](PqSub))
+          val sums = Array.fill(PqK, PqSub)(java.math.BigDecimal.ZERO)
           val cnts = new Array[Long](PqK)
           pts.foreach { p =>
             var best = 0; var bd = Double.MaxValue
@@ -330,20 +345,34 @@ object SimilarityOps {
               c += 1
             }
             var j = 0
-            while (j < PqSub) { sums(best)(j) += p(j); j += 1 }
+            while (j < PqSub) {
+              // valueOf (the Double.toString path), not the exact-binary
+              // constructor: it is what Spark's double→DECIMAL cast uses,
+              // the semantics the green ml_kmeans oracle already proves
+              // agree with DuckDB's cast on this fixture family
+              sums(best)(j) = sums(best)(j).add(
+                java.math.BigDecimal.valueOf(p(j))
+                  .setScale(10, java.math.RoundingMode.HALF_UP))
+              j += 1
+            }
             cnts(best) += 1
           }
           cents = Array.tabulate(cents.length) { c =>
-            if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c)
+            if (cnts(c) > 0) sums(c).map(s =>
+              java.math.BigDecimal.valueOf(s.doubleValue() / cnts(c))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+            else cents(c)
           }
         }
         cents
       }
       // codebook → one local-relation row per subspace (no job to build);
-      // array-of-structs so the encode argmin is in-row
+      // array-of-structs so the encode argmin is in-row; components stay
+      // double (a float truncation here would be one more cast the
+      // oracle had to replicate for zero benefit at 16×16×4 values)
       val cbdf = (0 until PqM).map { m =>
         (m, lloyd(m).zipWithIndex.toSeq.map { case (cv, cid) =>
-          (cid, cv.map(_.toFloat).toSeq) })
+          (cid, cv.toSeq) })
       }.toDF("m", "carr")
         .select(col("m"), transform(col("carr"), c =>
           struct(c.getField("_1").as("cid"), c.getField("_2").as("cvec"))).as("carr"))
@@ -363,8 +392,13 @@ object SimilarityOps {
         .select(col("m"), col("c.cid").as("cid"),
           Vectors.l2sq(col("c.cvec"),
             slice(col("qv"), col("m") * PqSub + lit(1), lit(PqSub))).as("dq"))
+      // the M partial distances fold as exact DECIMAL (r11): a raw
+      // double sum's order is engine-scheduling-dependent, and the
+      // top-50 cut below ranks on this value, so the oracle needs it
+      // order-independent
       val cand = codes.join(broadcast(dtab), Seq("m", "cid"))
-        .groupBy("vec_id").agg(sum(col("dq")).as("adist"))
+        .groupBy("vec_id")
+        .agg(sum(col("dq").cast("decimal(28,10)")).cast("double").as("adist"))
         .filter(col("vec_id") =!= 42)
         .orderBy(col("adist"), col("vec_id")).limit(50)
       cand.join(e, "vec_id").crossJoin(broadcast(q))
@@ -538,7 +572,155 @@ object SimilarityOps {
     assign(c1)
   }
 
+  /** The left-fold cosine `ArrayExprs.cosine` computes, as DuckDB SQL:
+    * dot / (sqrt(na) · sqrt(nb)), every accumulation in index order —
+    * `list_sum`'s sequential fold matches the codegen'd loop bit-for-bit
+    * (the ml_kmeans l2sq precedent). */
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(range($EmbedDim), i -> $a[i + 1] * $b[i + 1]))" +
+      s" / (sqrt(list_sum(list_transform(range($EmbedDim), i -> $a[i + 1] * $a[i + 1])))" +
+      s" * sqrt(list_sum(list_transform(range($EmbedDim), i -> $b[i + 1] * $b[i + 1])))))"
+
+  /** Per-subspace squared L2 between a 16-dim sub-slice and a centroid
+    * list, index-order fold — the lloyd/encode/ADC distance replay. */
+  private def l2SubSql(a: String, b: String): String =
+    s"list_sum(list_transform(range($PqSub), i -> ($a[i + 1] - $b[i + 1]) * ($a[i + 1] - $b[i + 1])))"
+
   def oracles: Map[String, String] = Map(
+    // replays ann_ivf end to end: exact-DECIMAL 6dp centroid means per
+    // (label, pos), nearest-centroid assignment and the nprobe=3 probe
+    // both ranked on the identical left-fold cosine with a list_id
+    // tiebreak, exact cosine only within the probed lists
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+          cent AS (
+            SELECT list_id, list(v ORDER BY pos) AS c FROM (
+              SELECT label AS list_id, t.i AS pos,
+                     round(CAST(sum(CAST(e[t.i + 1] AS DECIMAL(28,10))) AS DOUBLE)
+                           / count(*), 6) AS v
+              FROM e, range($EmbedDim) t(i) GROUP BY label, t.i
+            ) GROUP BY list_id
+          ),
+          q AS (SELECT e AS qv FROM e WHERE vec_id = 42),
+          asg AS (
+            SELECT vec_id, list_id FROM (
+              SELECT p.vec_id, c.list_id,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       ${cosSql("p.e", "c.c")} DESC NULLS LAST, c.list_id) AS k
+              FROM e p CROSS JOIN cent c
+            ) WHERE k = 1
+          ),
+          probed AS (
+            SELECT list_id FROM cent c CROSS JOIN q
+            ORDER BY ${cosSql("c.c", "q.qv")} DESC NULLS LAST, list_id
+            LIMIT 3
+          )
+          SELECT p.vec_id, round(${cosSql("p.e", "q.qv")} * 100, 4) AS sim
+          FROM e p JOIN asg a ON p.vec_id = a.vec_id CROSS JOIN q
+          WHERE a.list_id IN (SELECT list_id FROM probed) AND p.vec_id <> 42
+          ORDER BY sim DESC, p.vec_id LIMIT 10""",
+
+    // replays ann_pq end to end: the md5-ordered $PqTrainSample training
+    // sample, two unrolled Lloyd rounds per subspace (seeds = first $PqK
+    // sample rows, (d, cid) argmin, DECIMAL-exact 6dp component means,
+    // empty clusters keep their centroid), full-table encode against the
+    // final codebooks, the 64-entry ADC table, DECIMAL-exact ADC sums,
+    // top-50 cut, exact-L2 re-rank
+    "ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+          samp AS (
+            SELECT rn, e FROM (
+              SELECT e, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM e
+            ) WHERE rn <= $PqTrainSample
+          ),
+          subs AS (
+            SELECT s.rn, m.m AS m,
+                   list_slice(s.e, m.m * $PqSub + 1, m.m * $PqSub + $PqSub) AS sub
+            FROM samp s, range($PqM) m(m)
+          ),
+          c0 AS (SELECT m, rn - 1 AS cid, sub AS c FROM subs WHERE rn <= $PqK),
+          a1 AS (
+            SELECT m, rn, cid FROM (
+              SELECT s.m, s.rn, c.cid,
+                     row_number() OVER (PARTITION BY s.m, s.rn ORDER BY
+                       ${l2SubSql("s.sub", "c.c")}, c.cid) AS k
+              FROM subs s JOIN c0 c USING (m)
+            ) WHERE k = 1
+          ),
+          m1 AS (
+            SELECT a.m, a.cid, t.i AS j,
+                   round(CAST(sum(CAST(s.sub[t.i + 1] AS DECIMAL(28,10))) AS DOUBLE)
+                         / count(*), 6) AS v
+            FROM a1 a JOIN subs s USING (m, rn), range($PqSub) t(i)
+            GROUP BY a.m, a.cid, t.i
+          ),
+          c1 AS (
+            SELECT c0.m, c0.cid, coalesce(u.c, c0.c) AS c
+            FROM c0 LEFT JOIN (
+              SELECT m, cid, list(v ORDER BY j) AS c FROM m1 GROUP BY m, cid
+            ) u ON c0.m = u.m AND c0.cid = u.cid
+          ),
+          a2 AS (
+            SELECT m, rn, cid FROM (
+              SELECT s.m, s.rn, c.cid,
+                     row_number() OVER (PARTITION BY s.m, s.rn ORDER BY
+                       ${l2SubSql("s.sub", "c.c")}, c.cid) AS k
+              FROM subs s JOIN c1 c USING (m)
+            ) WHERE k = 1
+          ),
+          m2 AS (
+            SELECT a.m, a.cid, t.i AS j,
+                   round(CAST(sum(CAST(s.sub[t.i + 1] AS DECIMAL(28,10))) AS DOUBLE)
+                         / count(*), 6) AS v
+            FROM a2 a JOIN subs s USING (m, rn), range($PqSub) t(i)
+            GROUP BY a.m, a.cid, t.i
+          ),
+          c2 AS (
+            SELECT c1.m, c1.cid, coalesce(u.c, c1.c) AS c
+            FROM c1 LEFT JOIN (
+              SELECT m, cid, list(v ORDER BY j) AS c FROM m2 GROUP BY m, cid
+            ) u ON c1.m = u.m AND c1.cid = u.cid
+          ),
+          enc AS (
+            SELECT p.vec_id, m.m AS m,
+                   list_slice(p.e, m.m * $PqSub + 1, m.m * $PqSub + $PqSub) AS sub
+            FROM e p, range($PqM) m(m)
+          ),
+          codes AS (
+            SELECT vec_id, m, cid FROM (
+              SELECT n.vec_id, n.m, c.cid,
+                     row_number() OVER (PARTITION BY n.vec_id, n.m ORDER BY
+                       ${l2SubSql("n.sub", "c.c")}, c.cid) AS k
+              FROM enc n JOIN c2 c USING (m)
+            ) WHERE k = 1
+          ),
+          q AS (SELECT e AS qv FROM e WHERE vec_id = 42),
+          dtab AS (
+            SELECT c.m, c.cid,
+                   list_sum(list_transform(range($PqSub), i ->
+                     (c.c[i + 1] - q.qv[c.m * $PqSub + i + 1])
+                     * (c.c[i + 1] - q.qv[c.m * $PqSub + i + 1]))) AS dq
+            FROM c2 c CROSS JOIN q
+          ),
+          cand AS (
+            SELECT vec_id,
+                   CAST(sum(CAST(dq AS DECIMAL(28,10))) AS DOUBLE) AS adist
+            FROM codes JOIN dtab USING (m, cid)
+            WHERE vec_id <> 42
+            GROUP BY vec_id
+            ORDER BY adist, vec_id LIMIT 50
+          )
+          SELECT c.vec_id,
+                 round(list_sum(list_transform(range($EmbedDim), i ->
+                   (p.e[i + 1] - q.qv[i + 1]) * (p.e[i + 1] - q.qv[i + 1]))), 4)
+                   AS l2sq
+          FROM cand c JOIN e p ON p.vec_id = c.vec_id CROSS JOIN q
+          ORDER BY l2sq, c.vec_id LIMIT 10""",
+
     // the candidate CTE replays ann_brute's ranking (same probe, same
     // rounded cosine, same tiebreak); the discount ladder interpolates
     // the SAME double constants the Spark plan uses
