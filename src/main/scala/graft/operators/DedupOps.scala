@@ -804,7 +804,18 @@ object DedupOps {
     // neighbors' labels) — and runs on the tiny contracted edge list
     // (pre-collapse it iterated over every member pair: 1.9M rows per
     // round at sf0.1, measured 8.1 s total).
-    "dedup_clusters" -> ((s, dir) => {
+    "dedup_clusters" -> ((s, dir) =>
+      clusterLabels(s, dir).orderBy("doc_id"))
+  )
+
+  /** The (doc_id, cluster_id) labeling behind `dedup_clusters`, without
+    * the presentation sort — extracted (r11) so `pipe_e2e` can chain the
+    * near-dedup survivor filter (doc_id == cluster_id keeps exactly one
+    * representative per J ≥ 0.9 component) without paying a range
+    * exchange it immediately re-partitions away. cluster_id = the
+    * component's min doc_id, seeded through the exact-collapse gid. */
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    {
       val c = collapse(s, dir)
       // gid = min doc_id of its group, so min gid over a component = min
       // doc_id over the component: seeding labels with gid yields the
@@ -846,9 +857,8 @@ object DedupOps {
         .select(col("doc_id"), col("gid").as("id"))
         .join(broadcastIfFits(labels, labels.count()), "id")
         .select(col("doc_id"), col("lbl").as("cluster_id"))
-        .orderBy("doc_id")
-    })
-  )
+    }
+  }
 
   def oracles: Map[String, String] = Map(
     // gram identity is the k-token STRING here vs its xxhash64 in the

@@ -161,6 +161,57 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** `pipe_decontaminate`'s (doc_id, n_hits) relation without the
+    * presentation sort — extracted (r11) so `pipe_e2e` can chain the
+    * decontamination gate as an anti-join without paying a range
+    * exchange mid-pipeline.
+    *
+    * Benchmark decontamination: flag training docs that share any
+    * 4-token shingle with the held-out eval slice (doc_id % 97 == 0) —
+    * the n-gram-overlap scrub every pre-training corpus runs against its
+    * eval benchmarks. Shingles are generated executor-side (sequence +
+    * slice, codegen'd) and IMMEDIATELY collapsed to a 64-bit hash of the
+    * token-hash slice: no shingle string is ever materialized, the
+    * broadcast set / join keys / distinct-count all operate on longs
+    * (hashing token hashes, not re-joined text, keeps the 4-gram
+    * identity exact up to 64-bit collisions — same trade as the dedup
+    * collapse fingerprint). At 100 TB the eval side is tiny by
+    * construction (a benchmark suite, not the corpus), so Catalyst
+    * broadcasts it and the training side streams through map-side — no
+    * all-pairs comparison anywhere. */
+  private[graft] def decontamHits(s: SparkSession, dir: String): DataFrame = {
+    // th materializes as a real column BEFORE the per-shingle lambda:
+    // expression trees referenced inside lambda bodies are re-inlined
+    // per element (no CSE), so slicing the tokenize-and-hash expression
+    // directly would re-hash the whole document once per shingle index
+    // — O(tokens²) per doc (same trap [[ArrayExprs.minHashBands]]
+    // documents for band extraction).
+    def withTh(df: DataFrame): DataFrame =
+      df.withColumn("th", transform(split(col("text"), " "), t => xxhash64(t)))
+    val idxs = when(size(col("th")) >= DecontamNGram,
+      sequence(lit(0), size(col("th")) - DecontamNGram))
+      .otherwise(array().cast("array<int>"))
+    // The doc_id slice filters run BEFORE the shingle explode, so the
+    // eval pass tokenizes only its 1/97 of the corpus instead of
+    // exploding everything and filtering rows after (measured: ~2× on
+    // the whole query; caching the full shingle table was slower than
+    // the second pruned scan).
+    def shingles(df: DataFrame): DataFrame =
+      withTh(df).select(col("doc_id"),
+        explode(transform(idxs,
+          i => xxhash64(slice(col("th"), i + 1, lit(DecontamNGram))))).as("sh"))
+    val docs = Tables.documents(s, dir)
+    val evalSet = shingles(docs.filter(col("doc_id") % 97 === 0))
+      .select("sh").distinct()
+    // Size-conditional: held-out eval suites are broadcast-sized by
+    // construction, but the hint must not be unconditional (a grown
+    // eval set past the budget degrades to a shuffle hash join on the
+    // 8-byte shingle key — same rows, no driver collect).
+    shingles(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(Bcast.vocabHinted(evalSet, lit(8)), "sh")
+      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Model-eval at corpus scale: ROC AUC via the tie-corrected
     // Mann-Whitney rank statistic ("does n_chars separate English from
@@ -859,22 +910,40 @@ object PipelineOps {
     }),
 
     // The composed pipeline, end to end, as ONE declarative plan: exact
-    // dedup (survivor per identical text) -> quality gate (length band +
-    // Gopher duplicate-token fraction) -> deterministic md5 split ->
-    // per-(lang, split) corpus accounting. This is the flagship
-    // composition claim: the individual operators chain into the actual
-    // production corpus build without materialization barriers between
-    // stages — Catalyst fuses the gate and split into the post-aggregation
-    // projection, so the whole pipeline is TWO shuffles (the dedup groupBy
-    // and the final vocabulary-sized accounting groupBy) at any corpus
-    // size.
+    // dedup (survivor per identical text) -> NEAR dedup (keep only the
+    // J ≥ 0.9 component representative — `dedup_clusters`' labeling, so
+    // paraphrase-level duplicates of a survivor drop too, r11) ->
+    // benchmark decontamination (anti-join against the docs sharing any
+    // 4-token shingle with the held-out eval slice, r11) -> quality gate
+    // (length band + Gopher duplicate-token fraction) -> deterministic
+    // md5 split -> per-(lang, split) corpus accounting. This is the
+    // flagship composition claim: the individual operators chain into
+    // the actual production corpus build without materialization
+    // barriers between the chained stages (the one checkpoint inside
+    // clusterLabels is the CC loop's own discipline, identical to
+    // running dedup_clusters standalone). Corpus-scale exchanges stay
+    // bounded and slim: the dedup groupBy on text, the near/decontam
+    // stages' doc_id- and shingle-keyed joins (8-byte keys, map-side
+    // combined aggregations), and the final vocabulary-sized accounting
+    // groupBy — PlanSpec pins the exchange census.
     "pipe_e2e" -> ((s, dir) => {
       val survivors = Tables.documents(s, dir)
         .groupBy("text")
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("lang"), col("doc_id")).as("lang"))
+      // component representatives: cluster_id = min doc_id of the
+      // J ≥ 0.9 component, so doc_id == cluster_id is the survivor
+      // predicate; semi join keeps plan columns slim (doc_id only
+      // crosses the exchange)
+      val reps = DedupOps.clusterLabels(s, dir)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      val contaminated = decontamHits(s, dir).select("doc_id")
+      val clean = survivors
+        .join(reps, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
       val toks = split(col("text"), " ")
-      val gated = survivors
+      val gated = clean
         .withColumn("n_tokens", size(toks))
         .withColumn("dup_frac",
           lit(1.0) - size(array_distinct(toks)).cast("double") /
@@ -1056,39 +1125,7 @@ object PipelineOps {
     // construction (a benchmark suite, not the corpus), so Catalyst
     // broadcasts it and the training side streams through map-side — no
     // all-pairs comparison anywhere.
-    "pipe_decontaminate" -> ((s, dir) => {
-      // th materializes as a real column BEFORE the per-shingle lambda:
-      // expression trees referenced inside lambda bodies are re-inlined
-      // per element (no CSE), so slicing the tokenize-and-hash expression
-      // directly would re-hash the whole document once per shingle index
-      // — O(tokens²) per doc (same trap [[ArrayExprs.minHashBands]]
-      // documents for band extraction).
-      def withTh(df: DataFrame): DataFrame =
-        df.withColumn("th", transform(split(col("text"), " "), t => xxhash64(t)))
-      val idxs = when(size(col("th")) >= DecontamNGram,
-        sequence(lit(0), size(col("th")) - DecontamNGram))
-        .otherwise(array().cast("array<int>"))
-      // The doc_id slice filters run BEFORE the shingle explode, so the
-      // eval pass tokenizes only its 1/97 of the corpus instead of
-      // exploding everything and filtering rows after (measured: ~2× on
-      // the whole query; caching the full shingle table was slower than
-      // the second pruned scan).
-      def shingles(df: DataFrame): DataFrame =
-        withTh(df).select(col("doc_id"),
-          explode(transform(idxs,
-            i => xxhash64(slice(col("th"), i + 1, lit(DecontamNGram))))).as("sh"))
-      val docs = Tables.documents(s, dir)
-      val evalSet = shingles(docs.filter(col("doc_id") % 97 === 0))
-        .select("sh").distinct()
-      // Size-conditional: held-out eval suites are broadcast-sized by
-      // construction, but the hint must not be unconditional (a grown
-      // eval set past the budget degrades to a shuffle hash join on the
-      // 8-byte shingle key — same rows, no driver collect).
-      shingles(docs.filter(col("doc_id") % 97 =!= 0))
-        .join(Bcast.vocabHinted(evalSet, lit(8)), "sh")
-        .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
-        .orderBy("doc_id")
-    }),
+    "pipe_decontaminate" -> ((s, dir) => decontamHits(s, dir).orderBy("doc_id")),
 
     // NEAR-duplicate decontamination: exact shingle overlap above misses
     // paraphrased contamination (reordered sentences, light edits), so
@@ -1995,18 +2032,41 @@ object PipelineOps {
          FROM ev JOIN firsts USING (user_id)
          GROUP BY cohort, day_offset
          ORDER BY cohort, day_offset""",
+    // labels CTE = dedup_clusters' oracle verbatim (the shared min-label
+    // closure; its convergence canary stays live in the dedup_clusters
+    // gate that runs every round — here a non-converged poison row
+    // cannot match a real doc_id); decon CTE = pipe_decontaminate's
+    // string-shingle form
     "pipe_e2e" ->
-      """WITH survivors AS (
+      s"""WITH labs AS (
+           ${graft.operators.DedupOps.ClustersOracleSql}
+         ), survivors AS (
            SELECT min(doc_id) AS doc_id,
                   arg_min(lang, doc_id) AS lang,
                   text
            FROM documents GROUP BY text
+         ), sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(0, len(toks) - 4),
+                         i -> array_to_string(toks[i+1 : i+4], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 4
+         ), decon AS (
+           SELECT DISTINCT t.doc_id
+           FROM sh t JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0) ev
+             USING (sh)
+           WHERE t.doc_id % 97 <> 0
+         ), clean AS (
+           SELECT s.doc_id, s.lang, s.text
+           FROM survivors s
+           JOIN labs l ON l.doc_id = s.doc_id AND l.cluster_id = s.doc_id
+           WHERE s.doc_id NOT IN (SELECT doc_id FROM decon)
          ), gated AS (
            SELECT doc_id, lang,
                   len(string_split(text, ' ')) AS n_tokens,
                   1.0 - 1.0 * len(list_distinct(string_split(text, ' '))) /
                         len(string_split(text, ' ')) AS dup_frac
-           FROM survivors
+           FROM clean
          )
          SELECT lang,
                 CASE WHEN bucket < 80 THEN 'train'

@@ -643,4 +643,53 @@ class PipelineSpec extends SparkSpec {
     rows.unpersist()
     ()
   }
+
+  test("pipe_e2e conserves documents across every chained stage") {
+    // The r11 composition: exact dedup → near dedup (cluster reps) →
+    // decontamination → quality gate → split accounting. Each stage's
+    // drop count must telescope back to the corpus total — a stage that
+    // silently duplicates or loses docs would still produce a plausible-
+    // looking final table.
+    import graft.operators.DedupOps
+    val docs = Tables.documents(spark, SfDir)
+    val nTotal = docs.count()
+    val survivors = docs.groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val nExact = survivors.count()
+    assert(nExact <= nTotal)
+    val reps = DedupOps.clusterLabels(spark, SfDir)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val nNear = survivors.join(reps, Seq("doc_id"), "left_semi").count()
+    assert(nNear <= nExact, "near stage can only drop")
+    // every near-dropped survivor belongs to a >1 cluster whose rep is
+    // a DIFFERENT doc — i.e. the drop count equals survivors whose
+    // cluster_id differs from their doc_id
+    val nonRep = DedupOps.clusterLabels(spark, SfDir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val nDroppedNear = survivors.join(nonRep, Seq("doc_id"), "left_semi").count()
+    assert(nNear + nDroppedNear === nExact, "near-dedup stage must partition survivors")
+    val contaminated = graft.operators.PipelineOps
+      .decontamHits(spark, SfDir).select("doc_id")
+    val cleanDf = survivors.join(reps, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val nClean = cleanDf.count()
+    val nContam = survivors.join(reps, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_semi").count()
+    assert(nClean + nContam === nNear, "decontam stage must partition the near-kept set")
+    // the final accounting's doc total equals the gate's pass count
+    val finalDocs = q("pipe_e2e").collect().map(_.getAs[Long]("n_docs")).sum
+    val docsTab = Tables.documents(spark, SfDir)
+    val toks = split(col("text"), " ")
+    val nGated = docsTab
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens", size(toks))
+      .withColumn("dup_frac",
+        lit(1.0) - size(array_distinct(toks)).cast("double") / col("n_tokens"))
+      .filter(col("n_tokens").between(20, 400) && col("dup_frac") < 0.8)
+      .count()
+    assert(finalDocs === nGated,
+      s"accounting total $finalDocs != gate survivors $nGated")
+  }
 }

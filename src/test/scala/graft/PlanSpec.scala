@@ -52,17 +52,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(event_type"), s"type filter not pushed:\n$plan")
   }
 
-  test("pipe_e2e chains dedup→gate→split→accounting in exactly two corpus shuffles") {
-    // the flagship composition claim: the stages fuse into one plan with
-    // two hash exchanges (dedup groupBy text, accounting groupBy
-    // lang/split) plus the 15-row final sort — no materialization
-    // barriers between the chained operators
-    val plan = graft.operators.PipelineOps.queries("pipe_e2e")(spark, SfDir)
-      .queryExecution.explainString(ExplainMode.fromString("simple"))
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
-    assert(hashEx === 2, s"composed pipeline should shuffle twice:\n$plan")
-    assert(rangeEx === 1, s"expected only the final-order range exchange:\n$plan")
+  test("pipe_e2e chains dedup→near-dedup→decontam→gate→split→accounting with a pinned exchange census") {
+    // the flagship composition claim: the stages chain into one plan
+    // with no materialization barriers between them (clusterLabels'
+    // internal CC checkpoint is that operator's own discipline). The
+    // census counts PHYSICAL tree nodes (not explain-string mentions,
+    // which double-print cached subplans): dedup groupBy(text); the
+    // doc_id-keyed semi (near-dedup reps) and anti (decontam hits)
+    // join sides; the decontam groupBy(doc_id); the final
+    // groupBy(lang, split); the 15-row presentation sort. Every added
+    // exchange carries 8-byte doc_id keys or aggregated rows — never
+    // text payloads beyond the dedup groupBy.
+    val df = graft.operators.PipelineOps.queries("pipe_e2e")(spark, SfDir)
+    // sparkPlan predates EnsureRequirements (no exchanges yet); under
+    // AQE the executedPlan wraps the exchanged plan, so census the
+    // adaptive node's initial plan
+    val physical = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val shuffles = physical.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val range = shuffles.count(
+      _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+    assert(range === 1, s"expected only the final-order range exchange, got $range")
+    assert(shuffles.length <= 9,
+      s"pipe_e2e exchange census grew past the r11 budget: ${shuffles.length}\n" +
+        df.queryExecution.explainString(ExplainMode.fromString("simple")))
   }
 
   test("dedup_near verifies Jaccard inside broadcast joins (no wide shuffle)") {
