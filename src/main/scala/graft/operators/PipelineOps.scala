@@ -368,6 +368,41 @@ object PipelineOps {
         Num.pin(lit(1.0) - (dy - dxy / dx * dxy) / dy, 6).as("reduction"))
     }),
 
+    // Welch's two-sample t-test (unequal variances) on n_chars between
+    // the en slice and the rest — the A/B-significance primitive the
+    // eval family still lacked (ml_cuped reduces variance, ml_ks_test
+    // compares shapes; this is the mean-difference test itself, the
+    // Welch form because corpus slices never share a variance). ONE
+    // codegen'd scan produces exact integer sufficient statistics
+    // (n, Σx, Σx² per group — n_chars is integral, so the sums are
+    // exact DECIMAL(38,0) folds that cannot overflow at corpus scale);
+    // means, variances, the t statistic, and the Welch–Satterthwaite
+    // dof are then fixed double chains of those exact sums, identical
+    // IEEE ops on both engines, pinned at 6dp.
+    "ml_ttest" -> ((s, dir) => {
+      val en = col("lang") === "en"
+      def isum(c: Column) = sum(c.cast("decimal(38,0)"))
+      val x = col("n_chars")
+      val st = Tables.documents(s, dir).agg(
+        sum(when(en, 1L).otherwise(0L)).as("n1"),
+        sum(when(!en, 1L).otherwise(0L)).as("n2"),
+        isum(when(en, x).otherwise(0L)).cast("double").as("s1"),
+        isum(when(!en, x).otherwise(0L)).cast("double").as("s2"),
+        isum(when(en, x * x).otherwise(0L)).cast("double").as("q1"),
+        isum(when(!en, x * x).otherwise(0L)).cast("double").as("q2"))
+      val m1 = col("s1") / col("n1"); val m2 = col("s2") / col("n2")
+      val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+      val v2 = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+      val se1 = v1 / col("n1"); val se2 = v2 / col("n2")
+      val dof = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1))
+      st.select(col("n1"), col("n2"),
+        Num.pin(m1, 6).as("mean_1"), Num.pin(m2, 6).as("mean_2"),
+        Num.pin(m1 - m2, 6).as("mean_diff"),
+        Num.pin((m1 - m2) / sqrt(se1 + se2), 6).as("t_stat"),
+        Num.pin(dof, 4).as("dof"))
+    }),
+
     // Matthews correlation coefficient over the SAME confusion cells as
     // `ml_confusion` — the single-number binary-eval summary that stays
     // honest under class imbalance (where accuracy and even F1 mislead).
@@ -1127,6 +1162,72 @@ object PipelineOps {
     // all-pairs comparison anywhere.
     "pipe_decontaminate" -> ((s, dir) => decontamHits(s, dir).orderBy("doc_id")),
 
+    // Decontamination datasheet (r11): the per-source accounting a
+    // released-corpus paper publishes next to the scrub itself — how
+    // many docs each source loses to benchmark overlap and how heavy
+    // the overlap is. Rides the SAME `decontamHits` relation
+    // `pipe_decontaminate` (and pipe_e2e's decontam stage) reports, so
+    // the datasheet can never drift from the scrub; past the hits
+    // derivation it is one slim doc_id-keyed left join plus a
+    // |sources|-bounded aggregation.
+    "pipe_contam_report" -> ((s, dir) => {
+      val hits = decontamHits(s, dir)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .filter(col("doc_id") % 97 =!= 0)
+        .join(hits, Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_hits").isNotNull, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          coalesce(sum(col("n_hits")), lit(0L)).as("n_shingle_hits"))
+        .withColumn("pct_contaminated", Num.pin(
+          col("n_contaminated").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
+    // DSIR importance weights (Xie et al., NeurIPS 2023): score every
+    // raw doc by how target-like its hashed n-gram profile is —
+    // log w(x) = Σ_f c_f(x)·[ln p_tgt(f) − ln p_raw(f)] — the
+    // data-selection step between "scrape everything" and "train on the
+    // good part" (target here = the en slice, the labeled high-quality
+    // domain). Features are the D=16 portable md5-prefix hash buckets
+    // `text_hashed_features` fixed (NO vocabulary pass — the whole
+    // point of hashed DSIR at 100 TB is that the feature space is
+    // constant-size regardless of corpus growth); both feature
+    // distributions add-1 smooth so every bucket has finite log-ratio.
+    // Plan: ONE tokenize+explode into the (doc, lang, bucket) count
+    // shuffle; the 16-row ratio table re-aggregates from it map-side
+    // and broadcasts unconditionally (D is a compile-time constant —
+    // the genuinely-bounded class); per-doc terms fold as
+    // DECIMAL(28,10) like every log-sum in the text family.
+    "pipe_dsir_weights" -> ((s, dir) => {
+      val dBuckets = 16
+      val dc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("token")), 1, 4), 16, 10)
+            .cast("int") % dBuckets).as("f"))
+        .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c"))
+      val fs = dc.groupBy("f").agg(
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"),
+        sum(col("c")).as("cr"))
+      val tot = fs.agg(sum("ct").as("t"), sum("cr").as("r"))
+      val ratios = fs.crossJoin(tot)
+        .select(col("f"),
+          (log((col("ct") + 1).cast("double") /
+            (col("t") + dBuckets).cast("double")) -
+            log((col("cr") + 1).cast("double") /
+              (col("r") + dBuckets).cast("double"))).as("lr"))
+      dc.join(broadcast(ratios), "f")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          Num.pin(sum((col("c") * col("lr")).cast("decimal(28,10)"))
+            .cast("double"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // NEAR-duplicate decontamination: exact shingle overlap above misses
     // paraphrased contamination (reordered sentences, light edits), so
     // real pipelines also scrub by whole-document similarity against the
@@ -1655,6 +1756,38 @@ object PipelineOps {
          FROM r ORDER BY lang""",
     // the sufficient sums replay the exact-DECIMAL folds; the closed-form
     // chain mirrors the Spark association (dxy / dx * dxy, not dxy²/dx)
+    // n1/n2 are exact-integer casts; m/v/se/dof replay the identical
+    // double chain over the exact DECIMAL(38,0) sufficient sums
+    "ml_ttest" ->
+      """WITH st AS (
+           SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n2,
+                  CAST(sum(CAST(CASE WHEN lang = 'en' THEN n_chars
+                                ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(CASE WHEN lang <> 'en' THEN n_chars
+                                ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(CASE WHEN lang = 'en' THEN n_chars * n_chars
+                                ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS q1,
+                  CAST(sum(CAST(CASE WHEN lang <> 'en' THEN n_chars * n_chars
+                                ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) AS q2
+           FROM documents
+         ), d AS (
+           SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+                  (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+                  (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
+           FROM st
+         )
+         SELECT n1, n2,
+                floor(m1 * 1e6 + 0.5) / 1e6 AS mean_1,
+                floor(m2 * 1e6 + 0.5) / 1e6 AS mean_2,
+                floor((m1 - m2) * 1e6 + 0.5) / 1e6 AS mean_diff,
+                floor((m1 - m2) / sqrt(se1 + se2) * 1e6 + 0.5) / 1e6 AS t_stat,
+                floor((se1 + se2) * (se1 + se2)
+                      / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+                      * 1e4 + 0.5) / 1e4 AS dof
+         FROM d""",
     "ml_cuped" ->
       """WITH pu AS (
            SELECT user_id,
@@ -2190,6 +2323,55 @@ object PipelineOps {
                    SELECT DISTINCT l_orderkey FROM lineitem
                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
                  )) AS orphan_orderkeys""",
+    // same string-shingle hits CTE as pipe_decontaminate, then the
+    // per-source left-join accounting
+    "pipe_contam_report" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(0, len(toks) - 4),
+                         i -> array_to_string(toks[i+1 : i+4], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 4
+         ), hits AS (
+           SELECT t.doc_id, count(DISTINCT t.sh) AS n_hits
+           FROM sh t JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0) ev
+             USING (sh)
+           WHERE t.doc_id % 97 <> 0
+           GROUP BY t.doc_id
+         )
+         SELECT d.source, count(*) AS n_docs,
+                CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+                CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS n_shingle_hits,
+                floor(CAST(count(h.doc_id) AS DOUBLE) / count(*)
+                      * 1e6 + 0.5) / 1e6 AS pct_contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 97 <> 0
+         GROUP BY d.source ORDER BY d.source""",
+    // identical closed form: add-1-smoothed bucket distributions, ln
+    // ratio, DECIMAL term fold
+    "pipe_dsir_weights" ->
+      """WITH dc AS (
+           SELECT doc_id, lang,
+                  CAST(('0x' || substring(md5(token), 1, 4)) AS INT) % 16 AS f,
+                  count(*) AS c
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY 1, 2, 3
+         ), fs AS (
+           SELECT f, sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct,
+                  sum(c) AS cr
+           FROM dc GROUP BY f
+         ), tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM fs),
+         ratios AS (
+           SELECT f, ln(CAST(ct + 1 AS DOUBLE) / CAST(t + 16 AS DOUBLE))
+                   - ln(CAST(cr + 1 AS DOUBLE) / CAST(r + 16 AS DOUBLE)) AS lr
+           FROM fs CROSS JOIN tot
+         )
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                floor(CAST(sum(CAST(c * lr AS DECIMAL(28,10))) AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS log_weight
+         FROM dc JOIN ratios USING (f)
+         GROUP BY doc_id ORDER BY doc_id""",
     "pipe_decontaminate" ->
       """WITH sh AS (
            SELECT doc_id,

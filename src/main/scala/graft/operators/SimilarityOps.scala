@@ -528,6 +528,42 @@ object SimilarityOps {
         .select(col("n_cands"), col("hits"), col("first_rel_rank"),
           round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6)
             .as("mrr"))
+    }),
+
+    // Recall@10 over the 10-probe retrieval panel (r11) — the coverage
+    // companion to ml_mrr (rank of the first hit) and ml_ndcg (graded
+    // gain): what FRACTION of each probe's same-label items does the
+    // cosine top-10 actually surface? The denominator is the lesser of
+    // k and the probe's relevant-item count, so a label with 3 members
+    // can still score a perfect 1.0 (the standard capped-recall form).
+    // Corpus work is exactly the ml_knn broadcast-probe scan; the rank
+    // window partitions on qid (state bounded by probes), and the
+    // relevant-count side is a |labels|-row broadcast derived in one
+    // map-side-combined aggregate — never a second corpus pass.
+    "ml_recall_at_k" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val lc = e.groupBy("label").agg(count(lit(1)).as("nl"))
+      val sims = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          Vectors.similitud(col("embedding"), col("qv")).as("sim"))
+      val wNn = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      sims.withColumn("rn", row_number().over(wNn)).filter(col("rn") <= 10)
+        .groupBy("qid", "qlabel")
+        .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .as("hits"))
+        .join(broadcast(lc), col("qlabel") === col("label"))
+        // n_rel excludes the probe itself (it is not a candidate)
+        .withColumn("n_rel", col("nl") - 1)
+        .select(col("qid"), col("n_rel"), col("hits"),
+          when(col("n_rel") > 0, graft.functions.Num.pin(
+            col("hits").cast("double") / least(lit(10L), col("n_rel")), 6))
+            .as("recall_at_10"))
+        .orderBy("qid")
     })
   )
 
@@ -720,6 +756,39 @@ object SimilarityOps {
                    AS l2sq
           FROM cand c JOIN e p ON p.vec_id = c.vec_id CROSS JOIN q
           ORDER BY l2sq, c.vec_id LIMIT 10""",
+
+    // replays the 10-probe panel: same rounded cosine, same (sim desc,
+    // vec_id) tiebreak, relevant counts from the label histogram minus
+    // the probe itself, capped-recall denominator
+    "ml_recall_at_k" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+          q AS (SELECT vec_id AS qid, label AS qlabel, e AS qv
+                FROM e WHERE vec_id < 10),
+          lc AS (SELECT label, count(*) AS nl FROM e GROUP BY label),
+          sims AS (
+            SELECT q.qid, q.qlabel, p.vec_id, p.label,
+                   round(${cosSql("p.e", "q.qv")} * 100, 4) AS sim
+            FROM e p CROSS JOIN q WHERE p.vec_id <> q.qid
+          ),
+          top AS (
+            SELECT qid, qlabel, label FROM (
+              SELECT qid, qlabel, label,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, vec_id) AS rn
+              FROM sims
+            ) WHERE rn <= 10
+          )
+          SELECT t.qid, CAST(l.nl - 1 AS BIGINT) AS n_rel,
+                 CAST(sum(CASE WHEN t.label = t.qlabel THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits,
+                 CASE WHEN l.nl - 1 > 0 THEN
+                   floor(CAST(sum(CASE WHEN t.label = t.qlabel THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / least(10, l.nl - 1) * 1e6 + 0.5) / 1e6
+                 END AS recall_at_10
+          FROM top t JOIN lc l ON l.label = t.qlabel
+          GROUP BY t.qid, l.nl ORDER BY t.qid""",
 
     // the candidate CTE replays ann_brute's ranking (same probe, same
     // rounded cosine, same tiebreak); the discount ladder interpolates

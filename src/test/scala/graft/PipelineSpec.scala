@@ -644,6 +644,62 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("ml_ttest replays Welch's t from first principles and bounds the dof") {
+    val r = q("ml_ttest").collect().head
+    val xs = Tables.documents(spark, SfDir)
+      .select(col("n_chars"), (col("lang") === "en").as("en"))
+      .collect().map(row => (row.getLong(0).toDouble, row.getBoolean(1)))
+    val a = xs.filter(_._2).map(_._1); val b = xs.filterNot(_._2).map(_._1)
+    def mv(v: Array[Double]) = {
+      val m = v.sum / v.length
+      (m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+    }
+    val (m1, v1) = mv(a); val (m2, v2) = mv(b)
+    val se = v1 / a.length + v2 / b.length
+    val t = (m1 - m2) / math.sqrt(se)
+    assert(r.getAs[Long]("n1") === a.length.toLong)
+    assert(r.getAs[Long]("n2") === b.length.toLong)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-4,
+      s"t replay: got ${r.getAs[Double]("t_stat")}, want ~$t")
+    val dof = r.getAs[Double]("dof")
+    // Welch dof is bracketed by min(n1,n2)-1 and n1+n2-2
+    assert(dof >= math.min(a.length, b.length) - 1 - 1e-9 &&
+      dof <= a.length + b.length - 2 + 1e-9, s"dof out of bracket: $dof")
+  }
+
+  test("pipe_dsir_weights scores the target slice higher and conserves token counts") {
+    val rows = q("pipe_dsir_weights")
+    val docs = Tables.documents(spark, SfDir)
+    // token conservation: n_tokens = the doc's whitespace token count
+    val bad = rows.join(docs, "doc_id")
+      .filter(col("n_tokens") =!= size(split(col("text"), " ")))
+      .count()
+    assert(bad === 0, "n_tokens must equal the doc's token count")
+    // the DSIR premise: target-domain (en) docs average a higher
+    // log-weight than the rest — if this inverts, the ratio table's
+    // target/raw orientation flipped
+    val byLang = rows.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg("log_weight").as("w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} must exceed non-en ${byLang(false)}")
+  }
+
+  test("pipe_contam_report reconciles with pipe_decontaminate and the corpus") {
+    val rep = q("pipe_contam_report").collect()
+    val hits = q("pipe_decontaminate").collect()
+    assert(rep.map(_.getAs[Long]("n_contaminated")).sum === hits.length.toLong,
+      "per-source contaminated docs must sum to the scrub's hit list")
+    assert(rep.map(_.getAs[Long]("n_shingle_hits")).sum ===
+      hits.map(_.getAs[Long]("n_hits")).sum,
+      "shingle-hit mass must be conserved")
+    val nTrain = Tables.documents(spark, SfDir)
+      .filter(col("doc_id") % 97 =!= 0).count()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === nTrain,
+      "per-source doc counts must partition the training slice")
+  }
+
   test("pipe_e2e conserves documents across every chained stage") {
     // The r11 composition: exact dedup → near dedup (cluster reps) →
     // decontamination → quality gate → split accounting. Each stage's

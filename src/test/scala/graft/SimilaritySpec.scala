@@ -148,4 +148,41 @@ class SimilaritySpec extends SparkSpec {
       bruteSims.get(r.getLong(0)).foreach(b => assert(b === r.getAs[Double]("sim")))
     }
   }
+
+  test("ml_recall_at_k: bounds hold and one probe replays brute-force") {
+    import org.apache.spark.sql.functions._
+    val rows = q("ml_recall_at_k").collect()
+    assert(rows.length === 10, "one row per probe")
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits"); val nRel = r.getAs[Long]("n_rel")
+      assert(hits <= math.min(10L, nRel), s"hits $hits exceed min(10, $nRel)")
+      Option(r.getAs[Any]("recall_at_10")).foreach { v =>
+        val rec = v.asInstanceOf[Double]
+        assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $rec")
+      }
+    }
+    // brute replay for probe qid=0: rank all others by (rounded sim
+    // desc, vec_id), count same-label in the top 10
+    val e = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+    val probe = e.find(_.getLong(0) == 0L).get
+    val qv = probe.getSeq[Float](1).toArray.map(_.toDouble)
+    val qlabel = probe.getAs[Number](2).longValue
+    def cos(a: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * qv(i); na += a(i) * a(i); nb += qv(i) * qv(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ranked = e.filter(_.getLong(0) != 0L)
+      .map { r =>
+        val sim = BigDecimal(cos(r.getSeq[Float](1).toArray.map(_.toDouble)) * 100)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), r.getAs[Number](2).longValue, sim)
+      }
+      .sortBy { case (id, _, sim) => (-sim, id) }
+    val wantHits = ranked.take(10).count(_._2 == qlabel).toLong
+    val got = rows.find(_.getAs[Long]("qid") == 0L).get
+    assert(got.getAs[Long]("hits") === wantHits,
+      s"probe 0: got ${got.getAs[Long]("hits")} hits, replay says $wantHits")
+  }
 }
