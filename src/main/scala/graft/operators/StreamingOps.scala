@@ -41,6 +41,17 @@ object StreamingOps {
   val HoltBeta   = 0.25
   val HoltBeta1  = 0.75
 
+  /** `ts_holt_winters` coefficients + season length — same dyadic-literal
+    * discipline as the Holt pair; period 24 = the hour-of-day cycle
+    * `ts_seasonality` profiles statically. */
+  val HwAlpha  = 0.5
+  val HwAlpha1 = 0.5
+  val HwBeta   = 0.25
+  val HwBeta1  = 0.75
+  val HwGamma  = 0.5
+  val HwGamma1 = 0.5
+  val HwPeriod = 24
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 5-minute tumbling count + sum(value) per event_type.
     "stream_tumbling" -> ((s, dir) =>
@@ -308,6 +319,64 @@ object StreamingOps {
           Num.pin(col("z.hw.b"), 4).as("trend"),
           Num.pin(col("z.hw.l") + col("z.hw.b"), 4).as("forecast"))
         .orderBy("event_id")
+    }),
+
+    // Holt-Winters additive seasonal smoothing (triple exponential) over
+    // the per-type hourly traffic series, period m = 24 — the seasonal
+    // upgrade of `ts_holt` and the DYNAMIC counterpart of
+    // `ts_seasonality`'s static hour-of-day profile: level, trend, and a
+    // per-hour-of-cycle seasonal index that adapts as the traffic mix
+    // drifts. Online form (the streaming-friendly init): before a full
+    // season exists the seasonal lookback reads 0, so l₁ = y₁, b₁ = 0,
+    // and the general recurrences
+    //   lₜ = α·(yₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + bₜ₋₁)
+    //   bₜ = β·(lₜ − lₜ₋₁) + (1−β)bₜ₋₁
+    //   sₜ = γ·(yₜ − lₜ) + (1−γ)sₜ₋ₘ
+    // apply uniformly from t = 2. Execution shape: ONE partial-agg
+    // shuffle collapses events to the |types|×|hours|-bounded hourly
+    // aggregate (the ts_seasonality skeleton); the fold then runs per
+    // type with a 24-slot seasonal ring carried in the accumulator —
+    // state is (2 + m) doubles per series, parallel across types, and
+    // NO per-event window sort ever happens. All six coefficients are
+    // dyadic literals; the oracle's recursive CTE carries the same ring
+    // as a LIST column and repeats the level expression textually
+    // (recomputing an identical double DAG is bit-stable — the ts_holt
+    // precedent). The series is the OBSERVED hourly grid; compose with
+    // ts_resample's spine first when gap semantics matter.
+    "ts_holt_winters" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+        array_repeat(lit(0.0), HwPeriod).as("s"), lit(false).as("has"),
+        array().cast("array<struct<l:double,b:double,sn:double>>").as("out"))
+      hourly.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hr"), col("y")))).as("seq"))
+        .withColumn("hw", aggregate(col("seq"), acc0,
+          (acc, x) => {
+            val sprev = element_at(acc("s"), 1)
+            val nl = when(acc("has"),
+              lit(HwAlpha) * (x("y") - sprev) +
+                lit(HwAlpha1) * (acc("l") + acc("b")))
+              .otherwise(x("y"))
+            val nb = when(acc("has"),
+              lit(HwBeta) * (nl - acc("l")) + lit(HwBeta1) * acc("b"))
+              .otherwise(lit(0.0))
+            val ns = lit(HwGamma) * (x("y") - nl) + lit(HwGamma1) * sprev
+            struct(nl.as("l"), nb.as("b"),
+              concat(slice(acc("s"), 2, HwPeriod - 1), array(ns)).as("s"),
+              lit(true).as("has"),
+              concat(acc("out"),
+                array(struct(nl.as("l"), nb.as("b"), ns.as("sn")))).as("out"))
+          },
+          acc => acc("out")))
+        .select(col("event_type"), explode(arrays_zip(col("seq"), col("hw"))).as("z"))
+        .select(col("event_type"), col("z.seq.hr").as("hr"),
+          col("z.seq.y").as("y"),
+          Num.pin(col("z.hw.l"), 4).as("level"),
+          Num.pin(col("z.hw.b"), 4).as("trend"),
+          Num.pin(col("z.hw.sn"), 4).as("seasonal"))
+        .orderBy("event_type", "hr")
     }),
 
     // Lag-1 autocorrelation of the value series per user — the
@@ -913,6 +982,43 @@ object StreamingOps {
                 floor(b * 1e4 + 0.5) / 1e4 AS trend,
                 floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast
          FROM hw ORDER BY event_id""",
+    // the 24-slot seasonal ring rides the recursion as a LIST column;
+    // the level expression repeats textually inside trend/seasonal
+    // (identical double DAG — the ts_holt replay note)
+    "ts_holt_winters" -> {
+      val nl = "0.5 * (s.y - e.s[1]) + 0.5 * (e.l + e.b)"
+      val ns = s"0.5 * (s.y - ($nl)) + 0.5 * e.s[1]"
+      s"""WITH RECURSIVE hourly AS (
+           SELECT event_type,
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                  CAST(count(*) AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2
+         ), seq AS (
+           SELECT event_type, hr, y,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hr) AS rn
+           FROM hourly
+         ), hw AS (
+           SELECT event_type, hr, y, rn,
+                  y AS l, CAST(0.0 AS DOUBLE) AS b,
+                  CAST(0.0 AS DOUBLE) AS sn,
+                  list_transform(range(24), i -> CAST(0.0 AS DOUBLE)) AS s
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.event_type, s.hr, s.y, s.rn,
+                  $nl,
+                  0.25 * (($nl) - e.l) + 0.75 * e.b,
+                  $ns,
+                  e.s[2:24] || [$ns]
+           FROM hw e JOIN seq s
+             ON s.event_type = e.event_type AND s.rn = e.rn + 1
+         )
+         SELECT event_type, hr, y,
+                floor(l * 1e4 + 0.5) / 1e4 AS level,
+                floor(b * 1e4 + 0.5) / 1e4 AS trend,
+                floor(sn * 1e4 + 0.5) / 1e4 AS seasonal
+         FROM hw ORDER BY event_type, hr"""
+    },
     "ts_pct_change" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,

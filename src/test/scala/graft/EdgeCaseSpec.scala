@@ -909,4 +909,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_tokens")).sum === corpusTokens,
       "per-source token masses must partition the corpus")
   }
+
+  test("ts_holt_winters replays the seasonal recursion past a full 24-hour ring") {
+    import graft.operators.StreamingOps
+    val n = 60 // > one 24-slot season, so the ring lookback is exercised
+    val got = StreamingOps.queries("ts_holt_winters")(spark, SfDir)
+      .filter(col("event_type") === "click")
+      .orderBy("hr").limit(n).collect()
+    assert(got.length === n, "fixture series shorter than the replay window")
+    val ys = Tables.events(spark, SfDir)
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .orderBy("hr").limit(n).collect().map(_.getDouble(1))
+    def pin4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    var l = 0.0; var b = 0.0; var has = false
+    val ring = Array.fill(24)(0.0)
+    ys.zipWithIndex.foreach { case (y, i) =>
+      val sp = ring(0)
+      val nl = if (has) 0.5 * (y - sp) + 0.5 * (l + b) else y
+      val nb = if (has) 0.25 * (nl - l) + 0.75 * b else 0.0
+      val ns = 0.5 * (y - nl) + 0.5 * sp
+      System.arraycopy(ring, 1, ring, 0, 23); ring(23) = ns
+      assert(got(i).getAs[Double]("level") === pin4(nl), s"level diverged at step $i")
+      assert(got(i).getAs[Double]("trend") === pin4(nb), s"trend diverged at step $i")
+      assert(got(i).getAs[Double]("seasonal") === pin4(ns), s"seasonal diverged at step $i")
+      l = nl; b = nb; has = true
+    }
+  }
 }
