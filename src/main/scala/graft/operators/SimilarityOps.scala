@@ -530,6 +530,31 @@ object SimilarityOps {
             .as("mrr"))
     }),
 
+    // Filtered vector search, PRE-filter semantics (r11): top-10 among
+    // rows passing a metadata predicate (label == the probe's label) —
+    // "vector search with a WHERE clause", the serving-stack feature
+    // every production ANN system grows. Pre-filter means the predicate
+    // prunes BEFORE ranking, so the result has k rows whenever k
+    // candidates exist; the tempting post-filter form (take the
+    // unfiltered top-k, then apply the predicate) silently returns
+    // FEWER than k — the documented recall trap this key pins the right
+    // semantics against. Execution: exactly ann_brute's broadcast-probe
+    // scan with the equality predicate fused into it (codegen'd filter
+    // before the cosine, so non-matching rows never pay the kernel) and
+    // TakeOrderedAndProject for the top-k — no shuffle of ranked rows.
+    "ann_prefiltered" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 42)
+        .select(col("embedding").as("qv"), col("label").as("qlabel"))
+      e.filter(col("vec_id") =!= 42)
+        .crossJoin(broadcast(q))
+        .filter(col("label") === col("qlabel"))
+        .select(col("vec_id"),
+          Vectors.similitud(col("embedding"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Recall@10 over the 10-probe retrieval panel (r11) — the coverage
     // companion to ml_mrr (rank of the first hit) and ml_ndcg (graded
     // gain): what FRACTION of each probe's same-label items does the
@@ -756,6 +781,15 @@ object SimilarityOps {
                    AS l2sq
           FROM cand c JOIN e p ON p.vec_id = c.vec_id CROSS JOIN q
           ORDER BY l2sq, c.vec_id LIMIT 10""",
+
+    "ann_prefiltered" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+          q AS (SELECT e AS qv, label AS qlabel FROM e WHERE vec_id = 42)
+          SELECT p.vec_id, round(${cosSql("p.e", "q.qv")} * 100, 4) AS sim
+          FROM e p CROSS JOIN q
+          WHERE p.vec_id <> 42 AND p.label = q.qlabel
+          ORDER BY sim DESC, p.vec_id LIMIT 10""",
 
     // replays the 10-probe panel: same rounded cosine, same (sim desc,
     // vec_id) tiebreak, relevant counts from the label histogram minus

