@@ -785,6 +785,49 @@ object PipelineOps {
             .as("compression"))
     }),
 
+    // Tokenizer fertility by language (r11): average BPE tokens per word
+    // occurrence after the 3 learned merges — the standard
+    // tokenizer-equity metric (a tokenizer trained on an English-heavy
+    // blend fragments other languages into more pieces; fertility gaps
+    // are how that bias is reported). Shares bpeLearn's trained rules
+    // (one definition with pipe_bpe_train/encode) but re-encodes the
+    // (lang, word) vocabulary so the per-language split survives:
+    // corpus-scale work is the one word-frequency aggregate, the three
+    // rule applications are broadcast regex rewrites over the
+    // dictionary-sized vocab, and the datasheet is a |langs|-row
+    // aggregate.
+    "pipe_bpe_fertility" -> ((s, dir) => {
+      val (t1, t2, t3, _) = bpeLearn(s, dir)
+      val wl = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("f"))
+        .select(col("lang"), col("f"),
+          concat(lit(" "),
+            regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+      // same double-application rewrite as bpeLearn's merge (l-t-r
+      // non-overlap consumes the shared delimiter)
+      def applyRule(v: DataFrame, top: DataFrame): DataFrame = {
+        val pat = concat(lit(" "), col("pair"), lit(" "))
+        val rep = concat(lit(" "),
+          regexp_replace(col("pair"), " ", ""), lit(" "))
+        v.crossJoin(broadcast(top.select(col("pair"))))
+          .select(col("lang"), col("f"),
+            regexp_replace(regexp_replace(col("seq"), pat, rep), pat, rep)
+              .as("seq"))
+      }
+      applyRule(applyRule(applyRule(wl, t1), t2), t3)
+        .select(col("lang"), col("f"),
+          size(split(trim(col("seq")), " ")).as("syms"))
+        .groupBy("lang")
+        .agg(sum(col("f")).as("n_words"),
+          sum(col("f") * col("syms").cast("long")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          Num.pin(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+
     // Epoch-plan repeat factors: given each source's token count, compute
     // its temperature-scaled mixture weight (p^0.5 — `pipe_mix_temperature`'s
     // up-weighting of small high-quality sources), the token target it
@@ -1647,6 +1690,44 @@ object PipelineOps {
                 round(CAST(symbols_after AS DOUBLE) / symbols_before, 6)
                   AS compression
          FROM agg""",
+    // nests BpeCtes (one training definition across train/encode/
+    // fertility) and re-encodes the lang-keyed vocabulary with the same
+    // double-application rewrites
+    "pipe_bpe_fertility" ->
+      s"""WITH $BpeCtes,
+         wl AS (
+           SELECT lang, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
+                  count(*) AS f
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE regexp_matches(word, '^[a-z]+$$')
+           GROUP BY 1, 2
+         ), e1 AS (
+           SELECT lang, f, regexp_replace(regexp_replace(seq,
+                    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ', 'g'),
+                    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ', 'g')
+                    AS seq
+           FROM wl CROSS JOIN t1
+         ), e2 AS (
+           SELECT lang, f, regexp_replace(regexp_replace(seq,
+                    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ', 'g'),
+                    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ', 'g')
+                    AS seq
+           FROM e1 CROSS JOIN t2
+         ), e3 AS (
+           SELECT lang, f, regexp_replace(regexp_replace(seq,
+                    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ', 'g'),
+                    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ', 'g')
+                    AS seq
+           FROM e2 CROSS JOIN t3
+         )
+         SELECT lang, CAST(sum(f) AS BIGINT) AS n_words,
+                CAST(sum(f * len(string_split(trim(seq), ' '))) AS BIGINT)
+                  AS n_tokens,
+                floor(CAST(CAST(sum(f * len(string_split(trim(seq), ' ')))
+                           AS BIGINT) AS DOUBLE)
+                      / CAST(sum(f) AS BIGINT) * 1e6 + 0.5) / 1e6 AS fertility
+         FROM e3 GROUP BY lang ORDER BY lang""",
     "pipe_repeat_factors" ->
       """WITH tok AS (
            SELECT source,

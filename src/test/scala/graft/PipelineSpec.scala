@@ -700,6 +700,21 @@ class PipelineSpec extends SparkSpec {
       "per-source doc counts must partition the training slice")
   }
 
+  test("pipe_bpe_fertility reconciles with pipe_bpe_encode's global totals") {
+    val fert = q("pipe_bpe_fertility").collect()
+    val enc = q("pipe_bpe_encode").collect().head
+    // the per-language split must partition the global encode datasheet:
+    // same trained rules, same vocabulary, sliced by lang
+    assert(fert.map(_.getAs[Long]("n_words")).sum ===
+      enc.getAs[Long]("n_occurrences"), "word occurrences must partition")
+    assert(fert.map(_.getAs[Long]("n_tokens")).sum ===
+      enc.getAs[Long]("symbols_after"), "post-merge symbol mass must partition")
+    fert.foreach { r =>
+      val f = r.getAs[Double]("fertility")
+      assert(f >= 1.0, s"${r.getString(0)}: fertility $f < 1 (a word is >= 1 symbol)")
+    }
+  }
+
   test("pipe_e2e conserves documents across every chained stage") {
     // The r11 composition: exact dedup → near dedup (cluster reps) →
     // decontamination → quality gate → split accounting. Each stage's
