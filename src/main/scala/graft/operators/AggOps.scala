@@ -526,6 +526,33 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Shannon entropy of a categorical distribution per group (r11): how
+    // evenly each order status spreads across priorities — the
+    // category-balance audit behind "is this slice degenerate"
+    // dashboards, and `agg_chi2`'s information-theoretic companion on
+    // the SAME contingency cells (chi2 asks independence; entropy asks
+    // concentration — H→0 flags a collapsed slice, H→log2(k) a uniform
+    // one). One corpus-scale partial-agg shuffle to the |status|×
+    // |priority| cells; the entropy identity H = (ln n − Σ c·ln c / n) /
+    // ln 2 (text_entropy's form — exact integer counts, one log per
+    // CELL, never per row) folds over that bounded relation as exact
+    // DECIMAL so the reduction is order-independent.
+    "agg_entropy_group" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("status")
+        .agg(sum(col("c")).as("n_orders"),
+          count(lit(1)).as("n_cats"),
+          sum((col("c") * log(col("c"))).cast("decimal(28,10)"))
+            .cast("double").as("slc"))
+        .select(col("status"), col("n_orders"), col("n_cats"),
+          graft.functions.Num.pin(
+            (log(col("n_orders")) - col("slc") / col("n_orders")) /
+              log(lit(2.0)), 6).as("entropy_bits"))
+        .orderBy("status")),
+
     // Chi-square independence test between two categoricals — the
     // contingency-table screen behind feature selection and A/B sanity
     // checks ("is order priority independent of status?"). ONE
@@ -1055,6 +1082,21 @@ object AggOps {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // marginals/expected/contrib replay the Spark windows over the same
     // bounded cell relation; chi2 sums the pre-rounded contribs as DECIMAL
+    "agg_entropy_group" ->
+      """SELECT status, n_orders, n_cats,
+                floor((ln(CAST(n_orders AS DOUBLE)) - slc / n_orders)
+                      / ln(2.0) * 1e6 + 0.5) / 1e6 AS entropy_bits
+         FROM (
+           SELECT status, CAST(sum(c) AS BIGINT) AS n_orders,
+                  CAST(count(*) AS BIGINT) AS n_cats,
+                  CAST(sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,10)))
+                       AS DOUBLE) AS slc
+           FROM (
+             SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                    count(*) AS c
+             FROM orders GROUP BY 1, 2
+           ) GROUP BY status
+         ) ORDER BY status""",
     "agg_chi2" ->
       """WITH cells AS (
            SELECT o_orderstatus AS status, o_orderpriority AS priority,

@@ -520,6 +520,37 @@ object PipelineOps {
         .orderBy("bin")
     }),
 
+    // Expected Calibration Error (r11): the single-number summary of
+    // `ml_calibration`'s reliability diagram — ECE = Σ_b (n_b/N)·|acc_b −
+    // conf_b|, plus the max per-bin gap (MCE). The paper-standard
+    // calibration headline, computed over the SAME decile bins as the
+    // diagram (identical bin/conf/acc arithmetic, so the two keys can
+    // never disagree). One corpus scan into the ≤10-row bin relation;
+    // everything after is arithmetic over that bounded table — per-bin
+    // gaps use the PUBLISHED 6dp-rounded conf/acc, terms pre-round at
+    // 10dp and fold as exact DECIMAL (the ml_psi discipline).
+    "ml_ece" -> ((s, dir) => {
+      val phatN = least(col("n_chars"), lit(500))
+      val bins = Tables.documents(s, dir)
+        .select(least(floor(col("n_chars") / 50).cast("int"), lit(9)).as("bin"),
+          phatN.as("pn"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pn")).as("spn"),
+          sum(col("pos")).as("sp"))
+      val tot = bins.agg(sum(col("n_docs")).as("n"))
+      val conf = round(col("spn").cast("double") / 500.0 / col("n_docs"), 6)
+      val acc = round(col("sp").cast("double") / col("n_docs"), 6)
+      bins.crossJoin(broadcast(tot))
+        .withColumn("ce", Num.pin(abs(acc - conf), 6))
+        .withColumn("term", Num.pin(
+          col("n_docs").cast("double") / col("n") * col("ce"), 10))
+        .agg(count(lit(1)).as("n_bins"),
+          max(col("ce")).as("max_ce"),
+          Num.pin(sum(col("term").cast("decimal(28,10)")).cast("double"), 6)
+            .as("ece"))
+    }),
+
     // Cross-source overlap matrix — "how much of source A also appears
     // in source B", the between-source contamination accounting a corpus
     // datasheet reports next to the within-corpus dedup numbers (and the
@@ -1805,6 +1836,32 @@ object PipelineOps {
                   least(9, (10 * cumr + nt - 1) // nt - 1) AS decile
            FROM c
          ) GROUP BY decile ORDER BY decile""",
+    // same bin/conf/acc arithmetic as ml_calibration's oracle; gaps on
+    // the published 6dp values, 10dp-pre-rounded DECIMAL term fold
+    "ml_ece" ->
+      """WITH bins AS (
+           SELECT bin, count(*) AS n_docs,
+                  sum(pn) AS spn, sum(pos) AS sp
+           FROM (
+             SELECT CAST(least(floor(n_chars / 50), 9) AS INT) AS bin,
+                    least(n_chars, 500) AS pn,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+             FROM documents
+           ) GROUP BY bin
+         ), tot AS (SELECT sum(n_docs) AS n FROM bins),
+         ce AS (
+           SELECT n_docs, n,
+                  floor(abs(round(CAST(sp AS DOUBLE) / n_docs, 6)
+                            - round(CAST(spn AS DOUBLE) / 500.0 / n_docs, 6))
+                        * 1e6 + 0.5) / 1e6 AS ce
+           FROM bins CROSS JOIN tot
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_bins,
+                max(ce) AS max_ce,
+                floor(CAST(sum(CAST(
+                        floor(CAST(n_docs AS DOUBLE) / n * ce * 1e10 + 0.5) / 1e10
+                      AS DECIMAL(28,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ece
+         FROM ce""",
     "ml_calibration" ->
       """SELECT bin, count(*) AS n_docs,
                 round(CAST(sum(pn) AS DOUBLE) / 500.0 / count(*), 6)

@@ -379,6 +379,43 @@ object StreamingOps {
         .orderBy("event_type", "hr")
     }),
 
+    // Robust (median/MAD) anomaly flags per user (r11): `ts_anomaly`'s
+    // z-score breaks exactly when it matters — outliers inflate the
+    // mean and stddev they are judged against — so production anomaly
+    // gates use the median and the median absolute deviation, both
+    // 50%-breakdown estimators. A point flags when |v − med| > 3·MAD
+    // (the raw-MAD form; the Gaussian-consistency constant 1.4826 is a
+    // presentation scale that would only move the literal 3). Both
+    // medians are LOWER medians (element (n+1)÷2 of the sorted list) —
+    // a selection, not an interpolation, so the statistic is an exact
+    // input value and the compare is bit-deterministic cross-engine.
+    // Shape: one groupBy-collect per user (key-bounded state, the
+    // sessionize/ewma class), medians picked in-row from the sorted
+    // arrays, flags from one explode + codegen'd filter.
+    "ts_mad_anomaly" -> ((s, dir) => {
+      val byUser = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+        .withColumn("vals",
+          array_sort(transform(col("seq"), x => x("value"))))
+        .withColumn("n", size(col("vals")))
+        .withColumn("med",
+          element_at(col("vals"), ((col("n") + 1) / 2).cast("int")))
+        .withColumn("mad", element_at(
+          array_sort(transform(col("vals"), v => abs(v - col("med")))),
+          ((col("n") + 1) / 2).cast("int")))
+      byUser
+        .select(col("user_id"), col("med"), col("mad"),
+          explode(col("seq")).as("e"))
+        .filter(abs(col("e.value") - col("med")) > lit(3.0) * col("mad"))
+        .select(col("e.event_id").as("event_id"), col("user_id"),
+          col("e.value").as("value"),
+          Num.pin(col("med"), 4).as("med"),
+          Num.pin(col("mad"), 4).as("mad"))
+        .orderBy("event_id")
+    }),
+
     // Lag-1 autocorrelation of the value series per user — the
     // mean-reversion/trend diagnostic run over every metric stream. One
     // window sort pairs each value with its predecessor; the Pearson corr
@@ -982,6 +1019,29 @@ object StreamingOps {
                 floor(b * 1e4 + 0.5) / 1e4 AS trend,
                 floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast
          FROM hw ORDER BY event_id""",
+    // lower medians picked from sorted lists (selection, not
+    // interpolation), flags on the identical raw-double compare
+    "ts_mad_anomaly" ->
+      """WITH bu AS (
+           SELECT user_id, list_sort(list(value)) AS vals,
+                  count(*) AS n
+           FROM events GROUP BY user_id
+         ), med AS (
+           SELECT user_id, n, vals,
+                  vals[CAST((n + 1) // 2 AS BIGINT)] AS med
+           FROM bu
+         ), mad AS (
+           SELECT user_id, med,
+                  list_sort(list_transform(vals, v -> abs(v - med)))
+                    [CAST((n + 1) // 2 AS BIGINT)] AS mad
+           FROM med
+         )
+         SELECT e.event_id, e.user_id, e.value,
+                floor(m.med * 1e4 + 0.5) / 1e4 AS med,
+                floor(m.mad * 1e4 + 0.5) / 1e4 AS mad
+         FROM events e JOIN mad m USING (user_id)
+         WHERE abs(e.value - m.med) > 3.0 * m.mad
+         ORDER BY event_id""",
     // the 24-slot seasonal ring rides the recursion as a LIST column;
     // the level expression repeats textually inside trend/seasonal
     // (identical double DAG — the ts_holt replay note)

@@ -910,6 +910,40 @@ class EdgeCaseSpec extends SparkSpec {
       "per-source token masses must partition the corpus")
   }
 
+  test("agg_entropy_group stays inside the [0, log2(k)] Shannon bounds") {
+    import graft.operators.AggOps
+    val rows = AggOps.queries("agg_entropy_group")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val k = r.getAs[Long]("n_cats").toDouble
+      assert(h >= -1e-9, s"${r.getString(0)}: negative entropy $h")
+      assert(h <= math.log(k) / math.log(2.0) + 1e-9,
+        s"${r.getString(0)}: H $h exceeds log2($k)")
+    }
+  }
+
+  test("ts_mad_anomaly replays the median/MAD flags for one user") {
+    import graft.operators.StreamingOps
+    val got = StreamingOps.queries("ts_mad_anomaly")(spark, SfDir).collect()
+    assert(got.nonEmpty, "fixture produces at least one robust outlier")
+    val uid = got.head.getAs[Number]("user_id").longValue
+    val vals = Tables.events(spark, SfDir)
+      .filter(col("user_id") === uid)
+      .select("event_id", "value").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getDouble(1)))
+    val sorted = vals.map(_._2).sorted
+    val med = sorted((sorted.length + 1) / 2 - 1)
+    val devs = vals.map(v => math.abs(v._2 - med)).sorted
+    val mad = devs((devs.length + 1) / 2 - 1)
+    val wantFlagged = vals.filter(v => math.abs(v._2 - med) > 3.0 * mad)
+      .map(_._1).toSet
+    val gotFlagged = got.filter(_.getAs[Number]("user_id").longValue == uid)
+      .map(_.getAs[Number]("event_id").longValue).toSet
+    assert(gotFlagged === wantFlagged,
+      s"user $uid: flags diverged (med=$med mad=$mad)")
+  }
+
   test("ts_holt_winters replays the seasonal recursion past a full 24-hour ring") {
     import graft.operators.StreamingOps
     val n = 60 // > one 24-slot season, so the ring lookback is exercised

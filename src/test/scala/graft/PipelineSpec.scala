@@ -700,6 +700,23 @@ class PipelineSpec extends SparkSpec {
       "per-source doc counts must partition the training slice")
   }
 
+  test("ml_ece replays from ml_calibration's published bins") {
+    val bins = q("ml_calibration").collect()
+    val r = q("ml_ece").collect().head
+    assert(r.getAs[Long]("n_bins") === bins.length.toLong)
+    val n = bins.map(_.getAs[Long]("n_docs")).sum.toDouble
+    def pin(x: Double, d: Int) = math.floor(x * math.pow(10, d) + 0.5) / math.pow(10, d)
+    val ces = bins.map(b => pin(math.abs(
+      b.getAs[Double]("frac_positive") - b.getAs[Double]("mean_predicted")), 6))
+    val ece = pin(bins.zip(ces).map { case (b, ce) =>
+      pin(b.getAs[Long]("n_docs") / n * ce, 10) }.sum, 6)
+    assert(math.abs(r.getAs[Double]("ece") - ece) < 1e-9,
+      s"ece ${r.getAs[Double]("ece")} != replay $ece")
+    assert(r.getAs[Double]("max_ce") === ces.max)
+    assert(r.getAs[Double]("ece") <= r.getAs[Double]("max_ce") + 1e-12,
+      "ECE is a weighted mean of gaps, bounded by the max gap")
+  }
+
   test("pipe_bpe_fertility reconciles with pipe_bpe_encode's global totals") {
     val fert = q("pipe_bpe_fertility").collect()
     val enc = q("pipe_bpe_encode").collect().head
