@@ -645,6 +645,58 @@ object StreamingOps {
         .orderBy("lag")
     }),
 
+    // Partial autocorrelation function at lags 1..12 (r11) — the AR-order
+    // diagnostic read next to the ACF: PACF cuts off after lag p for an
+    // AR(p) process where the raw ACF only decays, so the pair is how a
+    // forecasting order gets chosen. Defined (deliberately) over
+    // `ts_correlogram`'s PUBLISHED 6dp lag correlations via the
+    // Durbin–Levinson recursion — one definition of the ACF, both keys
+    // pinned to it, and the recursion is pure arithmetic on a 12-value
+    // array: the corpus-scale work is exactly the correlogram's (one
+    // partial-agg collapse + one window over the calendar-bounded
+    // series); D-L then folds in-row over the 12-element ρ vector
+    // carrying the φ coefficient vector in the accumulator (the
+    // holt_winters ring pattern). Every inner sum is an ascending-j
+    // left fold the oracle replays term-for-term; the k = 1 base keeps
+    // the same (ρ₁ − 0)/(1 − 0) shape on both sides (exact IEEE
+    // identities, so base and general steps share one formula).
+    "ts_pacf" -> ((s, dir) => {
+      val rho = queries("ts_correlogram")(s, dir)
+        .agg(sort_array(collect_list(struct(col("lag"), col("acf")))).as("ra"))
+        .select(transform(col("ra"), x => x("acf")).as("rho"))
+      val acc0 = struct(
+        array().cast("array<double>").as("phi"),
+        array().cast("array<double>").as("out"))
+      rho.withColumn("pacf_arr", aggregate(
+          sequence(lit(1), lit(CorrelogramLags)), acc0,
+          (acc, k) => {
+            val phi = acc("phi")
+            val num = element_at(col("rho"), k) -
+              when(k > 1, aggregate(sequence(lit(1), k - 1), lit(0.0),
+                (s2, j) => s2 + element_at(phi, j) *
+                  element_at(col("rho"), k - j))).otherwise(lit(0.0))
+            val den = lit(1.0) -
+              when(k > 1, aggregate(sequence(lit(1), k - 1), lit(0.0),
+                (s2, j) => s2 + element_at(phi, j) *
+                  element_at(col("rho"), j))).otherwise(lit(0.0))
+            val pkk = num / den
+            val newPhi = when(k === 1, array(pkk))
+              .otherwise(concat(
+                transform(sequence(lit(1), k - 1),
+                  j => element_at(phi, j) - pkk * element_at(phi, k - j)),
+                array(pkk)))
+            struct(newPhi.as("phi"),
+              concat(acc("out"), array(pkk)).as("out"))
+          },
+          a => a("out")))
+        .select(posexplode(arrays_zip(col("rho"), col("pacf_arr")))
+          .as(Seq("i", "z")))
+        .select((col("i") + 1).as("lag"),
+          col("z.rho").as("acf"),
+          Num.pin(col("z.pacf_arr"), 6).as("pacf"))
+        .orderBy("lag")
+    }),
+
     // Maximum drawdown per user — the peak-to-trough regression metric
     // (finance risk, SLO burn, model-metric degradation): the largest
     // drop from a running maximum, with WHERE it bottomed. Same scale
@@ -691,6 +743,37 @@ object StreamingOps {
         .orderBy("event_type", "h")
     })
   )
+
+  /** `ts_correlogram`'s oracle, factored out so `ts_pacf` nests it
+    * verbatim (the ann_hybrid_rerank pattern — ONE ACF definition, both
+    * keys pinned to the same published correlations). */
+  private val CorrelogramSql: String = {
+    val arms = (1 to CorrelogramLags).map(k =>
+      s"""SELECT $k AS lag, y, lag(y, $k) OVER (ORDER BY h) AS ylag
+          FROM hourly""").mkString(" UNION ALL ")
+    s"""WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, count(*) AS y
+           FROM events WHERE event_type = 'click' GROUP BY 1
+         ), p AS ($arms)
+         SELECT lag, CAST(cnt AS BIGINT) AS n_pairs,
+                floor((n * svl - sv * sl) /
+                      sqrt((n * svv - sv * sv) * (n * sll - sl * sl))
+                      * 1e6 + 0.5) / 1e6
+                  AS acf
+         FROM (
+           SELECT lag, count(*) AS cnt,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sv,
+                  CAST(sum(CAST(ylag AS DECIMAL(28,10))) AS DOUBLE) AS sl,
+                  CAST(sum(CAST(y AS DECIMAL(19,0))
+                           * CAST(ylag AS DECIMAL(19,0))) AS DOUBLE) AS svl,
+                  CAST(sum(CAST(y AS DECIMAL(19,0))
+                           * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS svv,
+                  CAST(sum(CAST(ylag AS DECIMAL(19,0))
+                           * CAST(ylag AS DECIMAL(19,0))) AS DOUBLE) AS sll
+           FROM p WHERE ylag IS NOT NULL GROUP BY lag
+         ) ORDER BY lag"""
+  }
 
   def oracles: Map[String, String] = Map(
     "ts_seasonality" ->
@@ -1095,33 +1178,41 @@ object StreamingOps {
          ORDER BY event_type, d""",
     // one lag arm per UNION branch over the shared hourly CTE; the
     // Pearson replay matches ts_autocorr's exact-DECIMAL discipline
-    "ts_correlogram" -> {
-      val arms = (1 to CorrelogramLags).map(k =>
-        s"""SELECT $k AS lag, y, lag(y, $k) OVER (ORDER BY h) AS ylag
-            FROM hourly""").mkString(" UNION ALL ")
-      s"""WITH hourly AS (
-           SELECT date_trunc('hour', ts) AS h, count(*) AS y
-           FROM events WHERE event_type = 'click' GROUP BY 1
-         ), p AS ($arms)
-         SELECT lag, CAST(cnt AS BIGINT) AS n_pairs,
-                floor((n * svl - sv * sl) /
-                      sqrt((n * svv - sv * sv) * (n * sll - sl * sl))
-                      * 1e6 + 0.5) / 1e6
-                  AS acf
-         FROM (
-           SELECT lag, count(*) AS cnt,
-                  CAST(count(*) AS DOUBLE) AS n,
-                  CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sv,
-                  CAST(sum(CAST(ylag AS DECIMAL(28,10))) AS DOUBLE) AS sl,
-                  CAST(sum(CAST(y AS DECIMAL(19,0))
-                           * CAST(ylag AS DECIMAL(19,0))) AS DOUBLE) AS svl,
-                  CAST(sum(CAST(y AS DECIMAL(19,0))
-                           * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS svv,
-                  CAST(sum(CAST(ylag AS DECIMAL(19,0))
-                           * CAST(ylag AS DECIMAL(19,0))) AS DOUBLE) AS sll
-           FROM p WHERE ylag IS NOT NULL GROUP BY lag
-         ) ORDER BY lag"""
-    },
+    "ts_correlogram" -> CorrelogramSql,
+
+    // Durbin–Levinson over corr's published 6dp lag correlations; the
+    // recursion carries φ as a LIST column (the holt_winters ring
+    // pattern) and every inner sum replays the ascending-j left fold
+    "ts_pacf" ->
+      s"""WITH RECURSIVE corr AS (
+           $CorrelogramSql
+         ), rho AS (
+           SELECT list(acf ORDER BY lag) AS rho FROM corr
+         ), dl AS (
+           SELECT 1 AS k,
+                  [(r.rho[1] - 0.0) / (1.0 - 0.0)] AS phi,
+                  (r.rho[1] - 0.0) / (1.0 - 0.0) AS pacf
+           FROM rho r
+           UNION ALL
+           SELECT k + 1,
+                  list_transform(range(k), i -> phi[i + 1] - pkk * phi[k - i])
+                    || [pkk] AS phi,
+                  pkk AS pacf
+           FROM (
+             SELECT d.k AS k, d.phi AS phi,
+                    (r.rho[d.k + 1]
+                      - coalesce(list_sum(list_transform(range(d.k),
+                          i -> d.phi[i + 1] * r.rho[d.k - i])), 0.0))
+                    / (1.0 - coalesce(list_sum(list_transform(range(d.k),
+                          i -> d.phi[i + 1] * r.rho[i + 1])), 0.0)) AS pkk
+             FROM dl d, rho r
+             WHERE d.k < $CorrelogramLags
+           )
+         )
+         SELECT c.lag, c.acf,
+                floor(d.pacf * 1e6 + 0.5) / 1e6 AS pacf
+         FROM corr c JOIN dl d ON d.k = c.lag
+         ORDER BY c.lag""",
     "ts_drawdown" ->
       """SELECT user_id, round(dd, 4) AS max_drawdown,
                 round(peak, 4) AS peak_value, es AS trough_es

@@ -944,6 +944,30 @@ class EdgeCaseSpec extends SparkSpec {
       s"user $uid: flags diverged (med=$med mad=$mad)")
   }
 
+  test("ts_pacf replays the Durbin-Levinson recursion from the published ACF") {
+    import graft.operators.StreamingOps
+    val rows = StreamingOps.queries("ts_pacf")(spark, SfDir)
+      .orderBy("lag").collect()
+    assert(rows.length === 12)
+    val rho = rows.map(_.getAs[Double]("acf"))
+    // PACF(1) = ACF(1) by definition
+    assert(rows.head.getAs[Double]("pacf") ===
+      math.floor(rho(0) * 1e6 + 0.5) / 1e6)
+    // full scalar replay of the recursion
+    var phi = Array.empty[Double]
+    rho.indices.foreach { i =>
+      val k = i + 1
+      val num = rho(i) -
+        (1 until k).map(j => phi(j - 1) * rho(k - j - 1)).foldLeft(0.0)(_ + _)
+      val den = 1.0 -
+        (1 until k).map(j => phi(j - 1) * rho(j - 1)).foldLeft(0.0)(_ + _)
+      val pkk = num / den
+      phi = (1 until k).map(j => phi(j - 1) - pkk * phi(k - j - 1)).toArray :+ pkk
+      assert(rows(i).getAs[Double]("pacf") ===
+        math.floor(pkk * 1e6 + 0.5) / 1e6, s"pacf diverged at lag $k")
+    }
+  }
+
   test("ts_holt_winters replays the seasonal recursion past a full 24-hour ring") {
     import graft.operators.StreamingOps
     val n = 60 // > one 24-slot season, so the ring lookback is exercised
