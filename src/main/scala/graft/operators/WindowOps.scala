@@ -231,6 +231,52 @@ object WindowOps {
               (n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
             .as("slope"))
         .orderBy("event_id")
+    }),
+
+    // Rolling 24-hour Pearson correlation between the hourly click and
+    // view series (r11) — the co-movement monitor behind "did these two
+    // metrics decouple" alerts, where `ts_cross_corr` reports one global
+    // number. The series aligns in ONE conditional-sum aggregation
+    // (never a self-join); the rolling frame then runs over the
+    // calendar-bounded hourly relation (the correlogram's adjudicated
+    // bounded-window class — at any corpus size this relation is
+    // |hours|). All six frame sums fold as exact DECIMAL, which is what
+    // makes the window aggregation order-independent: Spark accumulates
+    // frames by sliding while DuckDB combines segment-tree nodes, and
+    // only exact arithmetic makes those two association orders agree
+    // bit-for-bit. Partial (< 24 h) head windows are dropped — a 3-point
+    // correlation is noise presented as signal; zero-variance windows
+    // yield NULL via the guarded denominator, not a NaN that hashes
+    // differently.
+    "win_rolling_corr" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+      val w = Window.orderBy("h").rowsBetween(-23, Window.currentRow)
+      def dsum(x: org.apache.spark.sql.Column) =
+        sum(x.cast("decimal(28,10)")).over(w).cast("double")
+      def psum(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).over(w)
+          .cast("double")
+      hourly
+        .withColumn("n", count(lit(1)).over(w).cast("double"))
+        .withColumn("sc", dsum(col("c")))
+        .withColumn("sv", dsum(col("v")))
+        .withColumn("scv", psum(col("c"), col("v")))
+        .withColumn("scc", psum(col("c"), col("c")))
+        .withColumn("svv", psum(col("v"), col("v")))
+        .filter(col("n") === 24.0)
+        .select(col("h"), col("c"), col("v"),
+          when((col("n") * col("scc") - col("sc") * col("sc")) *
+            (col("n") * col("svv") - col("sv") * col("sv")) > 0,
+            graft.functions.Num.pin(
+              (col("n") * col("scv") - col("sc") * col("sv")) /
+                sqrt((col("n") * col("scc") - col("sc") * col("sc")) *
+                  (col("n") * col("svv") - col("sv") * col("sv"))), 6))
+            .as("corr24"))
+        .orderBy("h")
     })
   )
 
@@ -241,6 +287,36 @@ object WindowOps {
   val SessionGapSec = 1800L
 
   def oracles: Map[String, String] = Map(
+    // same DECIMAL frame sums (exactness is what lets Spark's sliding
+    // accumulation and DuckDB's segment-tree combine agree), same
+    // full-window filter and zero-variance guard
+    "win_rolling_corr" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h,
+                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+           FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+         ), r AS (
+           SELECT h, c, v,
+                  CAST(count(*) OVER w AS DOUBLE) AS n,
+                  CAST(sum(CAST(c AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sc,
+                  CAST(sum(CAST(v AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sv,
+                  CAST(sum(CAST(c AS DECIMAL(19,0))
+                           * CAST(v AS DECIMAL(19,0))) OVER w AS DOUBLE) AS scv,
+                  CAST(sum(CAST(c AS DECIMAL(19,0))
+                           * CAST(c AS DECIMAL(19,0))) OVER w AS DOUBLE) AS scc,
+                  CAST(sum(CAST(v AS DECIMAL(19,0))
+                           * CAST(v AS DECIMAL(19,0))) OVER w AS DOUBLE) AS svv
+           FROM hourly
+           WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+         )
+         SELECT h, CAST(c AS BIGINT) AS c, CAST(v AS BIGINT) AS v,
+                CASE WHEN (n * scc - sc * sc) * (n * svv - sv * sv) > 0 THEN
+                  floor((n * scv - sc * sv)
+                        / sqrt((n * scc - sc * sc) * (n * svv - sv * sv))
+                        * 1e6 + 0.5) / 1e6
+                END AS corr24
+         FROM r WHERE n = 24.0 ORDER BY h""",
     "win_gap_islands" ->
       """SELECT user_id, min(day) AS start_day, max(day) AS end_day,
                 CAST(count(*) AS INT) AS n_days

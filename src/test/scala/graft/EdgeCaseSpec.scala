@@ -944,6 +944,22 @@ class EdgeCaseSpec extends SparkSpec {
       s"user $uid: flags diverged (med=$med mad=$mad)")
   }
 
+  test("win_rolling_corr: full windows only, correlations bounded") {
+    import graft.operators.WindowOps
+    val rows = WindowOps.queries("win_rolling_corr")(spark, SfDir).collect()
+    val hours = Tables.events(spark, SfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(rows.length === (hours - 23).max(0),
+      "one row per full 24-hour window")
+    rows.foreach { r =>
+      Option(r.getAs[Any]("corr24")).foreach { v =>
+        val c = v.asInstanceOf[Double]
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range: $c")
+      }
+    }
+  }
+
   test("ts_pacf replays the Durbin-Levinson recursion from the published ACF") {
     import graft.operators.StreamingOps
     val rows = StreamingOps.queries("ts_pacf")(spark, SfDir)
