@@ -365,6 +365,53 @@ object ProvidenciasOps {
         .orderBy("node_id")
     }),
 
+    // Newman modularity Q of the label-propagation communities (r11) —
+    // the score that says whether the detected communities are real
+    // structure or noise (Q ≈ 0 = no better than random given the
+    // degree sequence; this fixture's threshold graph scores near 0,
+    // which IS the diagnostic). Same labels as `graph_label_prop` (one
+    // community definition, both keys pinned to it — the oracle nests
+    // the shared CTE chain). On the symmetrized edge list E:
+    // Q = Σ_c [ w_c/|E| − (d_c/|E|)² ] with w_c = within-community
+    // directed edges and d_c = the community's degree mass — both from
+    // ONE pass over E with the node→label maps attached via
+    // size-conditional broadcasts (labels are node-cardinality). The
+    // per-community contributions pre-round at 10dp and fold as exact
+    // DECIMAL in a global aggregate — never a window over the
+    // community relation, whose cardinality is node-bounded at scale.
+    "graph_modularity" -> ((s, dir) => {
+      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+      val e = tri.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+        .select(col("p.s").as("s"), col("p.d").as("d"))
+        .persist()
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+      val nNodes = Tables.embeddings(s, dir).count()
+      val labels = labelPropagate(e, nodes, iters = 2).persist()
+      val el = e
+        .join(Bcast.ifFitsRows(
+          labels.select(col("id").as("s"), col("lbl").as("cs")), nNodes, 16), "s")
+        .join(Bcast.ifFitsRows(
+          labels.select(col("id").as("d"), col("lbl").as("cd")), nNodes, 16), "d")
+      val byC = el.groupBy(col("cs").as("community"))
+        .agg(count(lit(1)).as("deg_sum"),
+          sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("w_in"))
+      val tot = e.agg(count(lit(1)).as("ne"))
+      byC.crossJoin(broadcast(tot))
+        .withColumn("contrib", graft.functions.Num.pin(
+          col("w_in").cast("double") / col("ne") -
+            (col("deg_sum").cast("double") / col("ne")) *
+              (col("deg_sum").cast("double") / col("ne")), 10))
+        .agg(count(lit(1)).as("n_communities"),
+          (max(col("ne")) / 2).cast("long").as("n_edges"),
+          graft.functions.Num.pin(
+            sum(col("contrib").cast("decimal(28,10)")).cast("double"), 6)
+            .as("modularity"))
+    }),
+
     // Graph extension: k-core decomposition by iterative peeling TO THE
     // FIXPOINT — "the dense heart of the similarity network once
     // hangers-on are removed", the standard community-core / spam-filter
@@ -745,6 +792,39 @@ object ProvidenciasOps {
          SELECT id AS node_id, min(r) AS component_id
          FROM reach GROUP BY id ORDER BY node_id"""
 
+  /** The 2-superstep sync-LPA label chain as DuckDB CTEs, factored out so
+    * `graph_modularity` nests the SAME community definition
+    * `graph_label_prop` publishes (the ann_hybrid_rerank pattern). */
+  private val LabelPropCtes: String =
+    """tri AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), e AS MATERIALIZED (
+           SELECT src AS s, dst AS d FROM tri UNION ALL SELECT dst, src FROM tri
+         ), l0 AS (
+           SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+         ), p1 AS (
+           SELECT s AS id, lbl AS newlbl FROM (
+             SELECT e.s, l.lbl, count(*) AS c
+             FROM e JOIN l0 l ON e.d = l.id GROUP BY e.s, l.lbl
+           ) QUALIFY row_number() OVER (PARTITION BY s ORDER BY c DESC, lbl) = 1
+         ), l1 AS (
+           SELECT l0.id, coalesce(p1.newlbl, l0.lbl) AS lbl
+           FROM l0 LEFT JOIN p1 ON l0.id = p1.id
+         ), p2 AS (
+           SELECT s AS id, lbl AS newlbl FROM (
+             SELECT e.s, l.lbl, count(*) AS c
+             FROM e JOIN l1 l ON e.d = l.id GROUP BY e.s, l.lbl
+           ) QUALIFY row_number() OVER (PARTITION BY s ORDER BY c DESC, lbl) = 1
+         ), l2 AS (
+           SELECT l1.id, coalesce(p2.newlbl, l1.lbl) AS lbl
+           FROM l1 LEFT JOIN p2 ON l1.id = p2.id
+         )"""
+
   def oracles: Map[String, String] = Map(
     "graph_bipartite_proj" ->
       """SELECT a.event_type AS t1, b.event_type AS t2,
@@ -1038,35 +1118,32 @@ object ProvidenciasOps {
                       sum(csize * n_components) OVER (), 6) AS pct_of_nodes
          FROM hist ORDER BY csize""",
     "graph_label_prop" ->
-      """WITH tri AS MATERIALIZED (
-           SELECT * FROM (
-             SELECT a.vec_id AS src, b.vec_id AS dst,
-                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
-             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
-           ) WHERE similitud >= 30.0
-         ), e AS MATERIALIZED (
-           SELECT src AS s, dst AS d FROM tri UNION ALL SELECT dst, src FROM tri
-         ), l0 AS (
-           SELECT vec_id AS id, vec_id AS lbl FROM embeddings
-         ), p1 AS (
-           SELECT s AS id, lbl AS newlbl FROM (
-             SELECT e.s, l.lbl, count(*) AS c
-             FROM e JOIN l0 l ON e.d = l.id GROUP BY e.s, l.lbl
-           ) QUALIFY row_number() OVER (PARTITION BY s ORDER BY c DESC, lbl) = 1
-         ), l1 AS (
-           SELECT l0.id, coalesce(p1.newlbl, l0.lbl) AS lbl
-           FROM l0 LEFT JOIN p1 ON l0.id = p1.id
-         ), p2 AS (
-           SELECT s AS id, lbl AS newlbl FROM (
-             SELECT e.s, l.lbl, count(*) AS c
-             FROM e JOIN l1 l ON e.d = l.id GROUP BY e.s, l.lbl
-           ) QUALIFY row_number() OVER (PARTITION BY s ORDER BY c DESC, lbl) = 1
-         ), l2 AS (
-           SELECT l1.id, coalesce(p2.newlbl, l1.lbl) AS lbl
-           FROM l1 LEFT JOIN p2 ON l1.id = p2.id
-         )
+      s"""WITH $LabelPropCtes
          SELECT id AS node_id, lbl AS community FROM l2 ORDER BY node_id""",
+
+    // nests the SAME label chain (one community definition, both keys
+    // pinned to it); Q folds 10dp-pre-rounded per-community
+    // contributions as exact DECIMAL
+    "graph_modularity" ->
+      s"""WITH $LabelPropCtes,
+         el AS (
+           SELECT ls.lbl AS cs, ld.lbl AS cd
+           FROM e JOIN l2 ls ON e.s = ls.id JOIN l2 ld ON e.d = ld.id
+         ), byc AS (
+           SELECT cs AS community, count(*) AS deg_sum,
+                  sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS w_in
+           FROM el GROUP BY cs
+         ), tot AS (SELECT count(*) AS ne FROM e)
+         SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                CAST(max(ne) / 2 AS BIGINT) AS n_edges,
+                floor(CAST(sum(CAST(
+                        floor((CAST(w_in AS DOUBLE) / ne
+                               - (CAST(deg_sum AS DOUBLE) / ne)
+                                 * (CAST(deg_sum AS DOUBLE) / ne))
+                              * 1e10 + 0.5) / 1e10
+                      AS DECIMAL(28,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                  AS modularity
+         FROM byc CROSS JOIN tot""",
     "graph_pagerank" ->
       """WITH tri AS MATERIALIZED (
            SELECT * FROM (

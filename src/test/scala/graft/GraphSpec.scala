@@ -369,4 +369,34 @@ class GraphSpec extends SparkSpec {
     assert(rank2 === rank3, "one more sweep must not reorder authorities")
     out.unpersist(); ut.unpersist()
   }
+
+  test("graph_modularity: Q bounded and reconciled against the published communities") {
+    import org.apache.spark.sql.functions._
+    val r = q("graph_modularity").collect().head
+    val qmod = r.getAs[Double]("modularity")
+    // Newman bounds: Q in [-1/2, 1)
+    assert(qmod >= -0.5 - 1e-9 && qmod < 1.0, s"Q out of range: $qmod")
+    // replay from graph_label_prop's published labels + the same edges
+    val labels = q("graph_label_prop").collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val edges = graft.operators.SimilarityOps
+      .pairwiseTriangular(spark, SfDir, graft.operators.SimilarityOps.EdgeThreshold)
+      .filter(col("similitud") >= graft.operators.SimilarityOps.EdgeThreshold)
+      .select("src", "dst").collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    val ne = 2.0 * edges.length
+    // communities WITH edges only (an isolated node's community
+    // contributes exactly 0); replay Q with the same 10dp pre-round
+    def pin(x: Double, d: Int) = math.floor(x * math.pow(10, d) + 0.5) / math.pow(10, d)
+    val wMap = edges.filter { case (a, b) => labels(a) == labels(b) }
+      .groupBy { case (a, _) => labels(a) }.map { case (k, v) => k -> 2L * v.size }
+    val dMap = edges.flatMap { case (a, b) => Seq(labels(a) -> 1L, labels(b) -> 1L) }
+      .groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val want = pin(dMap.map { case (c, d) =>
+      pin(wMap.getOrElse(c, 0L) / ne - (d / ne) * (d / ne), 10)
+    }.sum, 6)
+    assert(math.abs(qmod - want) < 1e-6, s"Q $qmod != replay $want")
+    assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(r.getAs[Long]("n_communities") === dMap.size.toLong)
+  }
 }
