@@ -551,6 +551,66 @@ object PipelineOps {
             .as("ece"))
     }),
 
+    // Clipped cross-entropy (log loss) of the same capped-linear scorer
+    // `ml_calibration` bins — the proper-scoring-rule headline reported
+    // next to ECE/Brier, plus the constant-predictor baseline that makes
+    // it readable (skill = doing better than always predicting the base
+    // rate). The predicted probability pn/500 takes ≤501 distinct values,
+    // so ONE corpus-scale partial-agg shuffle collapses the scan to the
+    // ≤1002-row (pn, y) contingency and every logarithm runs once per
+    // CELL, never per row (the agg_entropy_group discipline). Clipping at
+    // [1e-3, 1−1e-3] keeps ln away from the p∈{0,1} poles; per-cell
+    // ln-terms pre-round at 10dp (libm ln is not bit-pinned cross-engine)
+    // and fold as exact integer×DECIMAL products, so the reduction is
+    // order-independent and the compare bit-exact.
+    "ml_log_loss" -> ((s, dir) => {
+      val p = col("pn").cast("double") / 500.0
+      val pc = greatest(least(p, lit(0.999)), lit(0.001))
+      val lnt = Num.pin(log(when(col("y") === 1L, pc).otherwise(lit(1.0) - pc)), 10)
+      Tables.documents(s, dir)
+        .select(least(col("n_chars"), lit(500)).as("pn"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy("pn", "y").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_docs"), sum(col("c") * col("y")).as("n_pos"),
+          sum(col("c") * lnt.cast("decimal(18,10)")).as("slt"))
+        .withColumn("ybar",
+          greatest(least(col("n_pos").cast("double") / col("n_docs"),
+            lit(0.999)), lit(0.001)))
+        .select(col("n_docs"), col("n_pos"),
+          Num.pin(-col("slt").cast("double") / col("n_docs"), 6).as("log_loss"),
+          Num.pin(-(col("n_pos") * Num.pin(log(col("ybar")), 10) +
+            (col("n_docs") - col("n_pos")) *
+              Num.pin(log(lit(1.0) - col("ybar")), 10)) / col("n_docs"), 6)
+            .as("baseline_loss"))
+    }),
+
+    // Fβ sweep over `ml_confusion`'s exact cells — the precision-weighted
+    // (β=0.5) and recall-weighted (β=2) companions to F1 that a filter-
+    // threshold review reads together (a corpus-quality gate usually
+    // prices false positives and false negatives differently). The four
+    // cells are integer sums off a single codegen'd scan, the 3-row β
+    // spine cross-joins onto that one-row relation, and every derived
+    // ratio divides exact integers in a pinned association order shared
+    // verbatim with the oracle.
+    "ml_fbeta" -> ((s, dir) => {
+      val a = when(col("lang") === "en", 1L).otherwise(0L)
+      val p = when(col("n_chars") >= 300, 1L).otherwise(0L)
+      val betas = Seq(0.5, 1.0, 2.0).map(b => lit(b))
+      Tables.documents(s, dir)
+        .agg(sum(a * p).as("tp"), sum((lit(1) - a) * p).as("fp"),
+          sum(a * (lit(1) - p)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          explode(array(betas: _*)).as("beta"))
+        .select(col("beta"), col("tp"), col("fp"), col("fn"),
+          (col("tp").cast("double") / (col("tp") + col("fp"))).as("pr"),
+          (col("tp").cast("double") / (col("tp") + col("fn"))).as("rc"))
+        .select(col("beta"), col("tp"), col("fp"), col("fn"),
+          round(col("pr"), 6).as("precision"), round(col("rc"), 6).as("recall"),
+          round((lit(1.0) + col("beta") * col("beta")) * col("pr") * col("rc") /
+            (col("beta") * col("beta") * col("pr") + col("rc")), 6).as("fbeta"))
+        .orderBy("beta")
+    }),
+
     // Cross-source overlap matrix — "how much of source A also appears
     // in source B", the between-source contamination accounting a corpus
     // datasheet reports next to the within-corpus dedup numbers (and the
@@ -1862,6 +1922,57 @@ object PipelineOps {
                         floor(CAST(n_docs AS DOUBLE) / n * ce * 1e10 + 0.5) / 1e10
                       AS DECIMAL(28,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ece
          FROM ce""",
+    // one ln per (pn, y) CELL over the ≤1002-row contingency; ln-terms
+    // pre-round at 10dp (floor chain) and fold as exact c×DECIMAL products
+    "ml_log_loss" ->
+      """WITH cells AS (
+           SELECT pn, y, count(*) AS c
+           FROM (SELECT least(n_chars, 500) AS pn,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                 FROM documents) GROUP BY pn, y
+         ), t AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+                  CAST(sum(c * y) AS BIGINT) AS n_pos,
+                  sum(c * CAST(floor(ln(CASE WHEN y = 1
+                        THEN greatest(least(CAST(pn AS DOUBLE) / 500.0, 0.999), 0.001)
+                        ELSE 1.0 - greatest(least(CAST(pn AS DOUBLE) / 500.0, 0.999), 0.001)
+                      END) * 1e10 + 0.5) / 1e10 AS DECIMAL(18,10))) AS slt
+           FROM cells
+         ), b AS (
+           SELECT n_docs, n_pos, slt,
+                  greatest(least(CAST(n_pos AS DOUBLE) / n_docs, 0.999), 0.001)
+                    AS ybar
+           FROM t
+         )
+         SELECT n_docs, n_pos,
+                floor(-CAST(slt AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+                  AS log_loss,
+                floor(-(n_pos * (floor(ln(ybar) * 1e10 + 0.5) / 1e10)
+                        + (n_docs - n_pos) *
+                          (floor(ln(1.0 - ybar) * 1e10 + 0.5) / 1e10))
+                      / n_docs * 1e6 + 0.5) / 1e6 AS baseline_loss
+         FROM b""",
+    // the β spine cross-joins the one-row cell relation; CAST pins the
+    // VALUES literal to DOUBLE (DuckDB would type it DECIMAL(2,1))
+    "ml_fbeta" ->
+      """WITH cells AS (
+           SELECT CAST(sum(a * p) AS BIGINT) AS tp,
+                  CAST(sum((1 - a) * p) AS BIGINT) AS fp,
+                  CAST(sum(a * (1 - p)) AS BIGINT) AS fn
+           FROM (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+                        CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS p
+                 FROM documents)
+         ), r AS (
+           SELECT CAST(beta AS DOUBLE) AS beta, tp, fp, fn,
+                  CAST(tp AS DOUBLE) / (tp + fp) AS pr,
+                  CAST(tp AS DOUBLE) / (tp + fn) AS rc
+           FROM cells CROSS JOIN (VALUES (0.5), (1.0), (2.0)) AS b(beta)
+         )
+         SELECT beta, tp, fp, fn,
+                round(pr, 6) AS precision, round(rc, 6) AS recall,
+                round((1.0 + beta * beta) * pr * rc /
+                      (beta * beta * pr + rc), 6) AS fbeta
+         FROM r ORDER BY beta""",
     "ml_calibration" ->
       """SELECT bin, count(*) AS n_docs,
                 round(CAST(sum(pn) AS DOUBLE) / 500.0 / count(*), 6)

@@ -717,6 +717,49 @@ class PipelineSpec extends SparkSpec {
       "ECE is a weighted mean of gaps, bounded by the max gap")
   }
 
+  test("ml_log_loss replays brute-force and stays inside the clip bounds") {
+    val r = q("ml_log_loss").collect().head
+    def pin(x: Double, d: Int) = math.floor(x * math.pow(10, d) + 0.5) / math.pow(10, d)
+    val docs = Tables.documents(spark, SfDir)
+      .select(col("n_chars"), col("lang")).collect()
+    def clip(p: Double) = math.max(math.min(p, 0.999), 0.001)
+    // brute per-row replay (the query folds per-CELL; the difference is
+    // only association order of exact DECIMAL terms, so sums agree)
+    val terms = docs.map { d =>
+      val p = clip(math.min(d.getAs[Long]("n_chars"), 500L).toDouble / 500.0)
+      pin(math.log(if (d.getAs[String]("lang") == "en") p else 1.0 - p), 10)
+    }
+    val brute = pin(-BigDecimal(terms.map(BigDecimal(_)).sum.toDouble).toDouble
+      / docs.length, 6)
+    assert(math.abs(r.getAs[Double]("log_loss") - brute) < 1e-6,
+      s"log_loss ${r.getAs[Double]("log_loss")} != brute $brute")
+    assert(r.getAs[Long]("n_docs") === docs.length.toLong)
+    // both losses live inside the clip bounds: (0, -ln(0.001)]
+    val bl = r.getAs[Double]("baseline_loss")
+    assert(r.getAs[Double]("log_loss") > 0.0 &&
+      r.getAs[Double]("log_loss") <= -math.log(0.001) + 1e-9)
+    assert(bl > 0.0 && bl <= -math.log(0.001) + 1e-9)
+  }
+
+  test("ml_fbeta agrees with ml_confusion at beta=1 and orders by beta weight") {
+    val rows = q("ml_fbeta").collect()
+    assert(rows.map(_.getAs[Double]("beta")).toSeq === Seq(0.5, 1.0, 2.0))
+    val conf = q("ml_confusion").collect().head
+    val f1row = rows(1)
+    assert(f1row.getAs[Long]("tp") === conf.getAs[Long]("tp"))
+    assert(math.abs(f1row.getAs[Double]("fbeta") - conf.getAs[Double]("f1")) < 1e-6,
+      "F1 must match ml_confusion's F1 on the same cells")
+    // Fβ interpolates between precision (β→0) and recall (β→∞): each
+    // value lies inside [min(P,R), max(P,R)], and ordering follows which
+    // of P/R dominates
+    rows.foreach { r =>
+      val (p, rc, f) = (r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+        r.getAs[Double]("fbeta"))
+      assert(f >= math.min(p, rc) - 1e-9 && f <= math.max(p, rc) + 1e-9,
+        s"beta=${r.getAs[Double]("beta")}: $f outside [$p, $rc]")
+    }
+  }
+
   test("pipe_bpe_fertility reconciles with pipe_bpe_encode's global totals") {
     val fert = q("pipe_bpe_fertility").collect()
     val enc = q("pipe_bpe_encode").collect().head
