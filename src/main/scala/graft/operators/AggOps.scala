@@ -657,6 +657,111 @@ object AggOps {
         .orderBy("priority")
     }),
 
+    // Theil T inequality index with the between/within decomposition —
+    // `agg_gini`'s additively-decomposable companion: gini says HOW
+    // unequal, Theil says WHERE the inequality lives (T_total = T_between
+    // + Σ w_g·T_g, the one identity gini cannot offer). One corpus-scale
+    // partial-agg shuffle collapses orders to the (priority, price, c)
+    // cell relation, so ln runs once per DISTINCT value, never per row
+    // (the agg_entropy_group discipline); per-cell x·ln x terms pre-round
+    // at 6dp (|v·ln v| ≤ ~8e6 keeps the floor chain inside exact-double
+    // range) and fold as exact c×DECIMAL products; group relations are
+    // |priority|-bounded, so every window below runs over ≤5 rows.
+    "agg_theil" -> ((s, dir) => {
+      val tot = Window.partitionBy()
+      val lnv = Num.pin(log(col("v")), 10)
+      val grp = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("g")
+        .agg(sum(col("c")).as("n"),
+          sum(col("v").cast("decimal(18,2)") *
+            col("c").cast("decimal(18,0)")).as("s"),
+          sum(col("c") * Num.pin(col("v") * lnv, 6).cast("decimal(28,6)"))
+            .as("slvx"))
+      val mu = col("s").cast("double") / col("n")
+      val muT = col("st").cast("double") / col("nt")
+      val w = col("s").cast("double") / col("st").cast("double")
+      val r = col("n").cast("double") / col("nt")
+      grp
+        .withColumn("nt", sum(col("n")).over(tot))
+        .withColumn("st", sum(col("s")).over(tot))
+        .withColumn("slvxt", sum(col("slvx")).over(tot))
+        .withColumn("tb_term", Num.pin(
+          w * (Num.pin(log(w), 10) - Num.pin(log(r), 10)), 10))
+        .withColumn("theil_between", Num.pin(
+          sum(col("tb_term").cast("decimal(28,10)")).over(tot)
+            .cast("double"), 6))
+        .withColumn("theil_total", Num.pin(
+          col("slvxt").cast("double") / (col("nt") * muT) -
+            Num.pin(log(muT), 10), 6))
+        .select(col("g").as("priority"), col("n"),
+          round(col("s").cast("double"), 2).as("total"),
+          round(mu, 6).as("mean"),
+          Num.pin(w, 6).as("value_share"),
+          Num.pin(col("slvx").cast("double") / (col("n") * mu) -
+            Num.pin(log(mu), 10), 6).as("theil_within"),
+          col("theil_between"), col("theil_total"))
+        .orderBy("priority")
+    }),
+
+    // Lorenz curve deciles over the order-value distribution — the
+    // inequality DIAGRAM behind `agg_gini`'s single number ("the poorest
+    // 50% of orders carry 31% of the value"): cumulative population share
+    // vs cumulative value share at each population decile. The corpus
+    // collapses to the DISTINCT-price relation first; the global
+    // ascending cumulative sums then ride the agg_gini range-partition +
+    // per-partition-offset discipline (pid offsets broadcast back — never
+    // a single-partition window over a near-unique price domain), and the
+    // ceil-DIV decile assignment keeps tie blocks wholly in one decile
+    // (the ml_lift_gain rule).
+    "agg_lorenz" -> ((s, dir) => {
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val tot = Window.partitionBy()
+      val byVal = Tables.orders(s, dir)
+        .groupBy(col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("sv", col("v").cast("decimal(18,2)") *
+          col("c").cast("decimal(18,0)"))
+        .repartitionByRange(nParts, col("v"))
+        .sortWithinPartitions(col("v"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offs = byVal.groupBy("pid")
+        .agg(sum(col("c")).as("pc"), sum(col("sv")).as("pv"))
+        .withColumn("coff", coalesce(
+          sum(col("pc")).over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("voff", coalesce(
+          sum(col("pv")).over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast("decimal(38,2)")))
+        .select("pid", "coff", "voff")
+      val cw = Window.partitionBy("pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the global count rides a one-row broadcast, NOT a window over the
+      // near-unique price domain (that would serialize it through one task)
+      val nt = byVal.agg(sum(col("c")).as("nt"))
+      byVal.join(broadcast(offs), "pid")
+        .crossJoin(broadcast(nt))
+        .withColumn("cb", sum(col("c")).over(cw) + col("coff"))
+        .withColumn("cv", sum(col("sv")).over(cw) + col("voff"))
+        .withColumn("decile",
+          least(lit(9L), expr("(10 * cb + nt - 1) DIV nt") - 1))
+        .groupBy("decile")
+        .agg(sum(col("c")).as("n_orders"),
+          round(sum(col("sv")).cast("double"), 2).as("value_total"),
+          max(col("cb")).as("cum_orders"), max(col("cv")).as("cumv"))
+        .withColumn("ntot", max(col("cum_orders")).over(tot))
+        .withColumn("vtot", max(col("cumv")).over(tot))
+        .select(col("decile"), col("n_orders"), col("value_total"),
+          Num.pin(col("cum_orders").cast("double") / col("ntot"), 6)
+            .as("cum_pop_share"),
+          Num.pin(col("cumv").cast("double") / col("vtot").cast("double"), 6)
+            .as("cum_value_share"))
+        .orderBy("decile")
+    }),
+
     // Wilson score interval for a per-group success rate — the
     // experiment-dashboard confidence bound that stays valid at small n
     // and extreme rates where the normal approximation fails. ONE
@@ -1153,6 +1258,80 @@ object AggOps {
                 floor((2.0 * CAST(s2 AS DOUBLE) / (n * CAST(s1 AS DOUBLE))
                        - (n + 1.0) / n) * 1e6 + 0.5) / 1e6 AS gini
          FROM s ORDER BY priority""",
+    // ln once per distinct value; x·ln x terms pre-round at 6dp and fold
+    // as c×DECIMAL; every window is over the ≤5-row group relation
+    "agg_theil" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS g, o_totalprice AS v, count(*) AS c
+           FROM orders GROUP BY 1, 2
+         ), grp AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                  sum(CAST(v AS DECIMAL(18,2)) * CAST(c AS DECIMAL(18,0))) AS s,
+                  sum(c * CAST(floor(v * (floor(ln(v) * 1e10 + 0.5) / 1e10)
+                        * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS slvx
+           FROM cells GROUP BY g
+         ), t AS (
+           SELECT g, n, s, slvx,
+                  CAST(sum(n) OVER () AS BIGINT) AS nt,
+                  sum(s) OVER () AS st,
+                  sum(slvx) OVER () AS slvxt
+           FROM grp
+         ), u AS (
+           SELECT g, n, s, slvx, nt, st, slvxt,
+                  CAST(s AS DOUBLE) / CAST(st AS DOUBLE) AS w,
+                  CAST(n AS DOUBLE) / nt AS r,
+                  CAST(s AS DOUBLE) / n AS mu,
+                  CAST(st AS DOUBLE) / nt AS mut
+           FROM t
+         ), v2 AS (
+           SELECT u.*,
+                  floor(w * ((floor(ln(w) * 1e10 + 0.5) / 1e10) -
+                             (floor(ln(r) * 1e10 + 0.5) / 1e10))
+                        * 1e10 + 0.5) / 1e10 AS tb_term
+           FROM u
+         )
+         SELECT g AS priority, n, round(CAST(s AS DOUBLE), 2) AS total,
+                round(mu, 6) AS mean,
+                floor(w * 1e6 + 0.5) / 1e6 AS value_share,
+                floor((CAST(slvx AS DOUBLE) / (n * mu)
+                       - floor(ln(mu) * 1e10 + 0.5) / 1e10)
+                      * 1e6 + 0.5) / 1e6 AS theil_within,
+                floor(CAST(sum(CAST(tb_term AS DECIMAL(28,10))) OVER ()
+                           AS DOUBLE) * 1e6 + 0.5) / 1e6 AS theil_between,
+                floor((CAST(slvxt AS DOUBLE) / (nt * mut)
+                       - floor(ln(mut) * 1e10 + 0.5) / 1e10)
+                      * 1e6 + 0.5) / 1e6 AS theil_total
+         FROM v2 ORDER BY priority""",
+    // the plain ascending cumulative windows replay the range-partition +
+    // offset cumsums; ceil-DIV (// is DuckDB integer division) keeps tie
+    // blocks wholly inside one decile, as in ml_lift_gain
+    "agg_lorenz" ->
+      """WITH byval AS (
+           SELECT v, c, CAST(v AS DECIMAL(18,2)) * CAST(c AS DECIMAL(18,0)) AS sv
+           FROM (SELECT o_totalprice AS v, count(*) AS c FROM orders GROUP BY 1)
+         ), cum AS (
+           SELECT v, c, sv,
+                  sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cb,
+                  sum(sv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cv,
+                  sum(c) OVER () AS nt
+           FROM byval
+         ), g AS (
+           SELECT least(9, (10 * cb + nt - 1) // nt - 1) AS decile,
+                  CAST(sum(c) AS BIGINT) AS n_orders,
+                  round(CAST(sum(sv) AS DOUBLE), 2) AS value_total,
+                  max(cb) AS cum_orders, max(cv) AS cumv
+           FROM cum GROUP BY 1
+         )
+         SELECT CAST(decile AS BIGINT) AS decile, n_orders, value_total,
+                floor(CAST(cum_orders AS DOUBLE) /
+                      CAST(max(cum_orders) OVER () AS DOUBLE) * 1e6 + 0.5)
+                  / 1e6 AS cum_pop_share,
+                floor(CAST(cumv AS DOUBLE) /
+                      CAST(max(cumv) OVER () AS DOUBLE) * 1e6 + 0.5)
+                  / 1e6 AS cum_value_share
+         FROM g ORDER BY decile""",
     // the interval chain mirrors the Spark expression association
     // exactly; z is CAST to DOUBLE so z*z folds to the same constant
     "agg_wilson" ->

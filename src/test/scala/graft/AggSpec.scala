@@ -306,4 +306,40 @@ class AggSpec extends SparkSpec {
       assert(got(g) >= 0.0 && got(g) < 1.0)
     }
   }
+
+  test("agg_theil satisfies the between/within decomposition identity") {
+    val rows = AggOps.queries("agg_theil")(spark, SfDir).collect()
+    assert(rows.length === 5, "one row per order priority")
+    val tb = rows.head.getAs[Double]("theil_between")
+    val tt = rows.head.getAs[Double]("theil_total")
+    assert(rows.forall(r => r.getAs[Double]("theil_between") === tb &&
+      r.getAs[Double]("theil_total") === tt),
+      "between/total are global columns, identical on every row")
+    // the additive decomposition is Theil's defining property:
+    // T_total = T_between + Σ value_share_g · T_within_g
+    val within = rows.map(r =>
+      r.getAs[Double]("value_share") * r.getAs[Double]("theil_within")).sum
+    assert(math.abs(tt - (tb + within)) < 1e-4,
+      s"decomposition broke: $tt vs between $tb + within $within")
+    assert(tt >= 0.0 && tb >= -1e-9, "Theil indices are nonnegative")
+    assert(math.abs(rows.map(_.getAs[Double]("value_share")).sum - 1.0) < 1e-5)
+  }
+
+  test("agg_lorenz curve is below the diagonal and partitions the corpus") {
+    val rows = AggOps.queries("agg_lorenz")(spark, SfDir).collect()
+    assert(rows.length === 10, "ten population deciles")
+    val nOrders = Tables.orders(spark, SfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === nOrders,
+      "deciles must partition the order population")
+    val pop = rows.map(_.getAs[Double]("cum_pop_share"))
+    val v = rows.map(_.getAs[Double]("cum_value_share"))
+    assert(pop.zip(pop.tail).forall { case (a, b) => a < b }, "pop share strictly grows")
+    assert(v.zip(v.tail).forall { case (a, b) => a < b }, "value share strictly grows")
+    assert(math.abs(pop.last - 1.0) < 1e-9 && math.abs(v.last - 1.0) < 1e-9,
+      "both shares reach 1 at the last decile")
+    // ordered poorest-first, cumulative value lags cumulative population
+    pop.zip(v).foreach { case (p, vv) =>
+      assert(vv <= p + 1e-9, s"Lorenz point above the diagonal: $vv > $p")
+    }
+  }
 }
