@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Vectors
+import graft.functions.{Num, Vectors}
 
 /** Part A of SURVEY.md §2 — every data operation the reference app performs,
   * re-hosted on Spark.
@@ -654,6 +654,71 @@ object ProvidenciasOps {
             .as("assortativity"))
     }),
 
+    // Graph extension: average-nearest-neighbor-degree curve knn(k)
+    // (Pastor-Satorras et al. 2001) — `graph_assortativity`'s DIAGRAM:
+    // the single r coefficient says whether hubs prefer hubs, knn(k)
+    // shows WHERE the mixing bends. Degrees are a node-cardinality
+    // aggregate shuffle-joined onto the directed stubs (never an
+    // unconditional broadcast — nodes can be billions), then one
+    // partial-agg shuffle into the ≤|distinct degrees|-bounded curve;
+    // the neighbor-degree sums fold as exact integers.
+    "graph_knn_degree" -> ((s, dir) => {
+      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+        .persist()
+      val deg = e.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val directed = e.select(col("src").as("a"), col("dst").as("b"))
+        .union(e.select(col("dst").as("a"), col("src").as("b")))
+      directed
+        .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+        .groupBy(col("da").as("degree"))
+        .agg(count(lit(1)).as("n_stubs"), sum(col("db")).as("sdb"))
+        .select(col("degree"),
+          expr("n_stubs DIV degree").as("n_nodes"),
+          round(col("sdb").cast("double") / col("n_stubs"), 6)
+            .as("avg_neighbor_degree"))
+        .orderBy("degree")
+    }),
+
+    // Graph extension: rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1))
+    // for k = 1..8 — "do the high-degree rulings preferentially connect
+    // to each other?", the hub-interconnection diagnostic read next to
+    // assortativity and the spam/citation-cartel screen on document
+    // graphs. Both inputs collapse to BOUNDED histograms first (edge
+    // min-endpoint-degree counts and the node degree distribution — one
+    // partial-agg scan each); the 8-row k spine then joins those
+    // histograms, so no k ever rescans edges and the suffix counts are
+    // exact integer folds over degree-domain-sized relations.
+    "graph_rich_club" -> ((s, dir) => {
+      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+        .persist()
+      val deg = e.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val ed = e
+        .join(deg.select(col("id").as("src"), col("degree").as("ds")), "src")
+        .join(deg.select(col("id").as("dst"), col("degree").as("dd")), "dst")
+        .groupBy(least(col("ds"), col("dd")).as("m")).agg(count(lit(1)).as("ec"))
+      val nd = deg.groupBy("degree").agg(count(lit(1)).as("nc"))
+      val ks = Seq.range(1, 9).map(k => lit(k.toLong))
+      val spine = s.range(1).select(explode(array(ks: _*)).as("k"))
+      val nk = spine.join(nd, col("degree") > col("k"), "left")
+        .groupBy("k").agg(sum(coalesce(col("nc"), lit(0L))).as("n_nodes"))
+      val ek = spine.join(ed, col("m") > col("k"), "left")
+        .groupBy("k").agg(sum(coalesce(col("ec"), lit(0L))).as("n_edges"))
+      nk.join(ek, "k")
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          when(col("n_nodes") >= 2, Num.pin(
+            lit(2.0) * col("n_edges") /
+              (col("n_nodes") * (col("n_nodes") - lit(1L))), 6))
+            .as("phi"))
+        .orderBy("k")
+    }),
+
     // Graph extension: bipartite projection — the user↔event-type
     // bipartite graph projected onto event types, edge weight = number
     // of users engaging both types (the co-occurrence/market-basket graph;
@@ -937,6 +1002,66 @@ object ProvidenciasOps {
                       sqrt((m * saa - sa * sa) * (m * sbb - sb * sb)), 6)
                   AS assortativity
          FROM sums""",
+    "graph_knn_degree" ->
+      """WITH e AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), deg AS (
+           SELECT id, count(*) AS degree FROM (
+             SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+           ) GROUP BY id
+         ), stubs AS (
+           SELECT src AS a, dst AS b FROM e
+           UNION ALL SELECT dst AS a, src AS b FROM e
+         ), g AS (
+           SELECT da.degree AS degree, count(*) AS n_stubs,
+                  sum(db.degree) AS sdb
+           FROM stubs
+           JOIN deg da ON stubs.a = da.id
+           JOIN deg db ON stubs.b = db.id
+           GROUP BY da.degree
+         )
+         SELECT degree, CAST(n_stubs // degree AS BIGINT) AS n_nodes,
+                round(CAST(sdb AS DOUBLE) / n_stubs, 6) AS avg_neighbor_degree
+         FROM g ORDER BY degree""",
+    "graph_rich_club" ->
+      """WITH e AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), deg AS (
+           SELECT id, count(*) AS degree FROM (
+             SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+           ) GROUP BY id
+         ), ed AS (
+           SELECT least(da.degree, db.degree) AS m, count(*) AS ec
+           FROM e
+           JOIN deg da ON e.src = da.id
+           JOIN deg db ON e.dst = db.id
+           GROUP BY 1
+         ), nd AS (SELECT degree, count(*) AS nc FROM deg GROUP BY degree),
+         ks AS (
+           SELECT CAST(k AS BIGINT) AS k
+           FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) AS t(k)
+         ), nk AS (
+           SELECT k, CAST(sum(coalesce(nc, 0)) AS BIGINT) AS n_nodes
+           FROM ks LEFT JOIN nd ON nd.degree > ks.k GROUP BY k
+         ), ek AS (
+           SELECT k, CAST(sum(coalesce(ec, 0)) AS BIGINT) AS n_edges
+           FROM ks LEFT JOIN ed ON ed.m > ks.k GROUP BY k
+         )
+         SELECT nk.k, n_nodes, n_edges,
+                CASE WHEN n_nodes >= 2
+                     THEN floor(2.0 * n_edges / (n_nodes * (n_nodes - 1))
+                                * 1e6 + 0.5) / 1e6 END AS phi
+         FROM nk JOIN ek ON nk.k = ek.k ORDER BY nk.k""",
     "scan_documents" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "distinct_sorted" ->

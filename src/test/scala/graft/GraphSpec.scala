@@ -252,6 +252,51 @@ class GraphSpec extends SparkSpec {
       .select(col("e.s").as("s"), col("e.d").as("d"))
   }
 
+  test("graph_rich_club replays brute-force on the induced subgraphs") {
+    val rows = q("graph_rich_club").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq === (1L to 8L))
+    // brute replay: collect the (small-fixture) edge set, induce on
+    // degree > k, count nodes and edges directly
+    val edges = simEdges().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < b }.distinct
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val rich = deg.filter(_._2 > k).keySet
+      val ek = edges.count { case (a, b) => rich(a) && rich(b) }
+      assert(r.getAs[Long]("n_nodes") === rich.size.toLong, s"k=$k nodes")
+      assert(r.getAs[Long]("n_edges") === ek.toLong, s"k=$k edges")
+      if (rich.size >= 2) {
+        val phi = math.floor(2.0 * ek / (rich.size.toLong * (rich.size - 1L))
+          * 1e6 + 0.5) / 1e6
+        assert(r.getAs[Double]("phi") === phi, s"k=$k phi")
+        assert(r.getAs[Double]("phi") <= 1.0 + 1e-9, "phi is a density, <= 1")
+      } else assert(r.isNullAt(r.fieldIndex("phi")), s"k=$k: phi undefined")
+    }
+  }
+
+  test("graph_knn_degree reconciles with the degree relation and stub mass") {
+    val rows = q("graph_knn_degree").collect()
+    val degHist = q("graph_degree").collect()
+      .map(_.getAs[Long]("degree")).groupBy(identity)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    // one curve point per distinct degree, with the node count matching
+    // the degree distribution and each knn value inside [1, max degree]
+    assert(rows.map(_.getAs[Long]("degree")).toSet === degHist.keySet)
+    val maxDeg = degHist.keys.max.toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") === degHist(r.getAs[Long]("degree")))
+      val knn = r.getAs[Double]("avg_neighbor_degree")
+      assert(knn >= 1.0 - 1e-9 && knn <= maxDeg + 1e-9, s"knn $knn out of range")
+    }
+    // stub-mass identity: Σ_k k·N_k over the curve = 2·|E| (every edge
+    // contributes two stubs)
+    val stubMass = rows.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    val nEdges = simEdges().count() // directed stubs = 2|E|
+    assert(stubMass === nEdges, "degree-weighted node mass must equal stub count")
+  }
+
   test("graph_pagerank residual: a fourth power step moves the shipped " +
       "rank vector by a bounded L1 distance") {
     val pr = q("graph_pagerank").persist()
