@@ -499,6 +499,93 @@ object StreamingOps {
         .orderBy("event_type", "hod")
     }),
 
+    // Seasonal-strength summary per event type — the single number read
+    // next to `ts_seasonality`'s 24-row profile: how much of the hourly
+    // series' variance the hour-of-day cycle explains (the correlation
+    // ratio η² = SSB/SST, i.e. strength = 1 − SSW/SST from the exact
+    // ANOVA decomposition — residual variance IS within-group variance,
+    // so no per-row residual is ever materialized). Two partial-agg
+    // shuffles total: events → the calendar-bounded (type, hour) series,
+    // series → the ≤|types|×24 cell relation; per-cell SSW terms are
+    // IEEE chains over exact integer sums, pre-round at 6dp, and fold as
+    // DECIMAL over the 24-row relation. The peak hour is a deterministic
+    // (mean desc, hod) argmax over the same bounded cells.
+    "ts_seasonal_strength" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("v"))
+      val cells = hourly
+        .groupBy(col("event_type"), hour(col("h")).as("hod"))
+        .agg(count(lit(1)).as("nh"), sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"))
+      val wpk = Window.partitionBy("event_type")
+        .orderBy(col("mean_hod").desc, col("hod"))
+      val tot = Window.partitionBy("event_type")
+      cells
+        .withColumn("mean_hod", col("s1").cast("double") / col("nh"))
+        .withColumn("ssw_term", Num.pin(
+          col("s2") - col("s1").cast("double") * col("s1") / col("nh"), 6))
+        .withColumn("nt", sum(col("nh")).over(tot))
+        .withColumn("s1t", sum(col("s1")).over(tot))
+        .withColumn("s2t", sum(col("s2")).over(tot))
+        .withColumn("ssw",
+          sum(col("ssw_term").cast("decimal(28,10)")).over(tot).cast("double"))
+        .withColumn("sst",
+          col("s2t") - col("s1t").cast("double") * col("s1t") / col("nt"))
+        .withColumn("rn", row_number().over(wpk))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("nt").as("n_hours"),
+          col("hod").as("peak_hour"),
+          Num.pin(col("mean_hod"), 4).as("peak_mean"),
+          when(col("sst") > 0, Num.pin(
+            greatest(lit(0.0), lit(1.0) - col("ssw") / col("sst")), 6))
+            .as("strength"))
+        .orderBy("event_type")
+    }),
+
+    // Bollinger bands over the hourly click series — the rolling
+    // mean ± 2σ envelope with breakout flags, the volatility-aware
+    // anomaly gate a fixed z-score (`ts_anomaly`) can't give on a
+    // nonstationary series. One partial-agg shuffle collapses events to
+    // the calendar-bounded hourly relation; the 24-hour frame sums ride
+    // exact DECIMAL folds over that bounded relation (the
+    // win_rolling_corr discipline — exactness makes Spark's sliding
+    // accumulation and DuckDB's segment-tree combine agree), and the
+    // band arithmetic is one IEEE chain off those exact sums, so even
+    // the unpinned breakout comparison is bit-deterministic. Partial
+    // head windows are dropped (full-frame contract).
+    "ts_bollinger" -> ((s, dir) => {
+      val w = Window.orderBy("h").rowsBetween(-23, Window.currentRow)
+      val hourly = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val mean = col("sc") / col("n")
+      // clamp: a constant frame's variance can round to a tiny negative
+      // in double; both engines clamp the identical value, so the bands
+      // stay defined (sd = 0) instead of diverging through sqrt(<0)
+      val sd = sqrt(greatest(lit(0.0),
+        (col("n") * col("scc") - col("sc") * col("sc")) /
+          (col("n") * (col("n") - lit(1.0)))))
+      val upper = mean + lit(2.0) * sd
+      val lower = mean - lit(2.0) * sd
+      hourly
+        .withColumn("n", count(lit(1)).over(w).cast("double"))
+        .withColumn("sc", sum(col("c").cast("decimal(28,10)")).over(w)
+          .cast("double"))
+        .withColumn("scc", sum(col("c").cast("decimal(19,0)") *
+          col("c").cast("decimal(19,0)")).over(w).cast("double"))
+        .filter(col("n") === 24.0)
+        .select(col("h"), col("c"),
+          Num.pin(mean, 6).as("mean_24"),
+          Num.pin(sd, 6).as("sd_24"),
+          Num.pin(upper, 6).as("upper_band"),
+          Num.pin(lower, 6).as("lower_band"),
+          when(col("c") > upper, "up")
+            .when(col("c") < lower, "down").as("breakout"))
+        .orderBy("h")
+    }),
+
     // CUSUM change-point detection: per user, the timestamp where the
     // cumulative deviation from the series mean |Σ_{i≤k}(vᵢ − v̄)| peaks —
     // the classic offline mean-shift locator (a level change puts the
@@ -786,6 +873,68 @@ object StreamingOps {
                   sum(CAST(value AS DECIMAL(28,10))) AS sv
            FROM events GROUP BY event_type, hour(ts)
          ) ORDER BY event_type, hod""",
+    // the ANOVA decomposition replays over the same bounded cells; the
+    // argmax ORDER BY repeats the mean expression verbatim
+    "ts_seasonal_strength" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS v
+           FROM events GROUP BY 1, 2
+         ), cells AS (
+           SELECT event_type, CAST(hour(h) AS INT) AS hod, count(*) AS nh,
+                  CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
+           FROM hourly GROUP BY 1, 2
+         ), t AS (
+           SELECT event_type, hod, nh, s1, s2,
+                  CAST(s1 AS DOUBLE) / nh AS mean_hod,
+                  floor((s2 - CAST(s1 AS DOUBLE) * s1 / nh) * 1e6 + 0.5) / 1e6
+                    AS ssw_term,
+                  CAST(sum(nh) OVER (PARTITION BY event_type) AS BIGINT) AS nt,
+                  CAST(sum(s1) OVER (PARTITION BY event_type) AS BIGINT) AS s1t,
+                  CAST(sum(s2) OVER (PARTITION BY event_type) AS BIGINT) AS s2t
+           FROM cells
+         ), u AS (
+           SELECT t.*,
+                  CAST(sum(CAST(ssw_term AS DECIMAL(28,10)))
+                       OVER (PARTITION BY event_type) AS DOUBLE) AS ssw,
+                  s2t - CAST(s1t AS DOUBLE) * s1t / nt AS sst,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY CAST(s1 AS DOUBLE) / nh DESC, hod) AS rn
+           FROM t
+         )
+         SELECT event_type, nt AS n_hours, hod AS peak_hour,
+                floor(mean_hod * 1e4 + 0.5) / 1e4 AS peak_mean,
+                CASE WHEN sst > 0 THEN
+                  floor(greatest(0.0, 1.0 - ssw / sst) * 1e6 + 0.5) / 1e6
+                END AS strength
+         FROM u WHERE rn = 1 ORDER BY event_type""",
+    // same DECIMAL frame sums and full-window filter as win_rolling_corr;
+    // the band chain repeats the identical IEEE association
+    "ts_bollinger" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, count(*) AS c
+           FROM events WHERE event_type = 'click' GROUP BY 1
+         ), f AS (
+           SELECT h, c,
+                  CAST(count(*) OVER w AS DOUBLE) AS n,
+                  CAST(sum(CAST(c AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sc,
+                  CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                       OVER w AS DOUBLE) AS scc
+           FROM hourly
+           WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+         ), g AS (
+           SELECT h, c, sc / n AS mean,
+                  sqrt(greatest(0.0, (n * scc - sc * sc) /
+                                     (n * (n - 1.0)))) AS sd
+           FROM f WHERE n = 24.0
+         )
+         SELECT h, c,
+                floor(mean * 1e6 + 0.5) / 1e6 AS mean_24,
+                floor(sd * 1e6 + 0.5) / 1e6 AS sd_24,
+                floor((mean + 2.0 * sd) * 1e6 + 0.5) / 1e6 AS upper_band,
+                floor((mean - 2.0 * sd) * 1e6 + 0.5) / 1e6 AS lower_band,
+                CASE WHEN c > mean + 2.0 * sd THEN 'up'
+                     WHEN c < mean - 2.0 * sd THEN 'down' END AS breakout
+         FROM g ORDER BY h""",
     "ts_changepoint" ->
       """SELECT user_id, change_es, change_pos, n_events,
                 round(dev, 6) AS max_cusum

@@ -346,6 +346,66 @@ class EdgeCaseSpec extends SparkSpec {
     se.unpersist()
   }
 
+  test("ts_bollinger replays one frame brute-force and flags coherently") {
+    import graft.operators.StreamingOps
+    val rows = StreamingOps.queries("ts_bollinger")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    def pin(x: Double, d: Int) = math.floor(x * math.pow(10, d) + 0.5) / math.pow(10, d)
+    // brute replay of the LAST row's 24-hour frame from the raw stream
+    val hourly = Tables.events(spark, SfDir)
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("h").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1))
+    val last = rows.last
+    val frame = hourly.takeRight(24).map(_._2.toDouble)
+    assert(hourly.last._1 === last.getTimestamp(0), "last frame aligns")
+    val m = frame.sum / 24.0
+    val sd = math.sqrt(frame.map(x => (x - m) * (x - m)).sum / 23.0)
+    assert(math.abs(last.getAs[Double]("mean_24") - pin(m, 6)) < 1e-6)
+    assert(math.abs(last.getAs[Double]("sd_24") - sd) < 1e-4,
+      s"sd ${last.getAs[Double]("sd_24")} vs brute $sd")
+    // every published row: band symmetry and flag coherence
+    rows.foreach { r =>
+      val (mean, up, lo) = (r.getAs[Double]("mean_24"),
+        r.getAs[Double]("upper_band"), r.getAs[Double]("lower_band"))
+      assert(math.abs((up + lo) / 2.0 - mean) < 1e-5, "bands center on the mean")
+      val c = r.getAs[Long]("c").toDouble
+      val flag = Option(r.getAs[String]("breakout"))
+      if (c > up + 1e-6) assert(flag.contains("up"))
+      else if (c < lo - 1e-6) assert(flag.contains("down"))
+      else if (c < up - 1e-6 && c > lo + 1e-6) assert(flag.isEmpty)
+    }
+  }
+
+  test("ts_seasonal_strength equals the brute ANOVA eta-squared per type") {
+    import graft.operators.StreamingOps
+    val rows = StreamingOps.queries("ts_seasonal_strength")(spark, SfDir).collect()
+    val hourly = Tables.events(spark, SfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("v")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val vs = hourly.filter(_._1 == t)
+      assert(r.getAs[Long]("n_hours") === vs.length.toLong)
+      val xs = vs.map(_._3.toDouble)
+      val mean = xs.sum / xs.length
+      val sst = xs.map(x => (x - mean) * (x - mean)).sum
+      val ssw = vs.groupBy(v => v._2.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .getHour).values.map { g =>
+          val gs = g.map(_._3.toDouble); val gm = gs.sum / gs.length
+          gs.map(x => (x - gm) * (x - gm)).sum
+        }.sum
+      val eta = math.max(0.0, 1.0 - ssw / sst)
+      val got = r.getAs[Double]("strength")
+      assert(got >= 0.0 && got <= 1.0, s"$t: strength $got out of [0,1]")
+      assert(math.abs(got - eta) < 1e-4, s"$t: $got vs brute $eta")
+      assert(r.getAs[Int]("peak_hour") >= 0 && r.getAs[Int]("peak_hour") <= 23)
+    }
+  }
+
   test("win_gap_islands are maximal consecutive runs covering every active day") {
     import graft.operators.WindowOps
     val isl = WindowOps.queries("win_gap_islands")(spark, SfDir).persist()
