@@ -50,6 +50,13 @@ object PipelineOps {
   /** Mixture-sampling temperature exponent (p^alpha). */
   val MixAlpha = 0.5
 
+  /** UniMax per-language epoch cap (Chung et al. 2023): no language may
+    * be repeated more than this many times, however much budget is left.
+    * The declared budget is half the corpus's token mass (T DIV 2), so
+    * by construction at least one language is always uncapped (4·T ≤ T/2
+    * is impossible) and the equal-share divisor never hits zero. */
+  val UniMaxEpochCap = 4L
+
   /** Decontamination shingle width (tokens). Real corpora use 8-13-gram
     * overlap; the fixture's synthetic text has near-zero 8-gram collision
     * mass, so 4 is the width at which the declared query pins non-trivial
@@ -1194,6 +1201,84 @@ object PipelineOps {
           round(col("q"), 4).as("q"),
           round(col("q") / col("p"), 4).as("boost"))
         .orderBy("source")
+    }),
+
+    // UniMax language-budget allocation (Chung et al. 2023) — the fairer
+    // alternative to temperature sampling `pipe_mix_temperature`
+    // implements: spend a total token budget B across languages so every
+    // language gets an equal share UNLESS that share would repeat it
+    // more than UniMaxEpochCap epochs, in which case it caps at cap·c
+    // and the surplus waterfills to the rest. The greedy loop has a
+    // closed form because the capped set is an ascending-capacity PREFIX
+    // (the test statistic E·cum_{<i} + c_i·E·(L−i+1) is monotone in i —
+    // proof in-line), so the whole allocation is one corpus scan into
+    // the |langs|-row relation plus windows over that bounded relation,
+    // in EXACT integer arithmetic end to end (uncapped shares use floor
+    // division; the ≤|langs|-token remainder stays unallocated).
+    "pipe_unimax" -> ((s, dir) => {
+      val tot = Window.partitionBy()
+      val wAsc = Window.orderBy(col("c"), col("lang"))
+      val e = UniMaxEpochCap
+      // monotonicity: t_i = E·cum_{<i} + c_i·E·(L−i+1); t_{i+1} − t_i =
+      // (L−i)·E·(c_{i+1} − c_i) ≥ 0 under the ascending sort, so
+      // "t_i ≤ B" cuts a prefix and treating every earlier language as
+      // capped inside cum_{<i} is self-consistent.
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("c"))
+        .withColumn("i", row_number().over(wAsc))
+        .withColumn("l", count(lit(1)).over(tot))
+        .withColumn("t", sum(col("c")).over(tot))
+        .withColumn("b", expr("t DIV 2"))
+        .withColumn("cumprev", coalesce(sum(col("c")).over(
+          wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("capped",
+          col("cumprev") * e + col("c") * e * (col("l") - col("i") + 1)
+            <= col("b"))
+        .withColumn("scapped", sum(when(col("capped"), col("c") * e)
+          .otherwise(0L)).over(tot))
+        .withColumn("nunc", sum(when(col("capped"), 0L).otherwise(1L))
+          .over(tot))
+        .withColumn("alloc", when(col("capped"), col("c") * e)
+          .otherwise(expr("(b - scapped) DIV nunc")))
+        .select(col("lang"), col("c").as("n_tokens"), col("capped"),
+          col("alloc").as("alloc_tokens"),
+          round(col("alloc").cast("double") / col("c"), 4).as("epochs"),
+          Num.pin(col("alloc").cast("double") / col("b"), 6)
+            .as("budget_share"))
+        .orderBy("lang")
+    }),
+
+    // CCNet-style perplexity bucketing: per language, split the corpus
+    // into head/middle/tail terciles of the `text_unigram_ppl` document
+    // cross-entropy — the quality-stratification datasheet behind "train
+    // on the head, sample the middle, drop the tail". Documents collapse
+    // to the DISTINCT (lang, 4dp cross-entropy) relation before any
+    // window runs (the published entropy is rounded at 4dp, so the
+    // domain is value-bounded — the ml_lift_gain distinct-score class),
+    // cumulative counts and the ceil-DIV tercile assignment ride that
+    // bounded relation, and tie blocks land wholly in one bucket.
+    "pipe_ppl_buckets" -> ((s, dir) => {
+      val wl = Window.partitionBy("lang")
+      val wc = Window.partitionBy("lang").orderBy("ce")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      docs.join(TextOps.queries("text_unigram_ppl")(s, dir), "doc_id")
+        .groupBy(col("lang"), col("cross_entropy").as("ce"))
+        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("tok"))
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(wl))
+        .withColumn("bucket", least(lit(2L), expr("(3 * cum + n - 1) DIV n") - 1))
+        .groupBy("lang", "bucket")
+        .agg(sum(col("c")).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          min(col("ce")).as("min_ce"), max(col("ce")).as("max_ce"))
+        .withColumn("pct_docs", Num.pin(
+          col("n_docs").cast("double") / sum(col("n_docs")).over(wl), 6))
+        .select("lang", "bucket", "n_docs", "n_tokens", "min_ce", "max_ce",
+          "pct_docs")
+        .orderBy("lang", "bucket")
     }),
 
     // Context-window chunking: split each doc into ChunkSize-token
@@ -2492,6 +2577,87 @@ object PipelineOps {
          SELECT source, n_docs, round(p, 4) AS p, round(q, 4) AS q,
                 round(q / p, 4) AS boost
          FROM w2 ORDER BY source""",
+    // the closed-form waterfill replays in exact integer arithmetic;
+    // // is DuckDB integer division (Spark DIV)
+    "pipe_unimax" ->
+      """WITH bylang AS (
+           SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+           FROM documents GROUP BY lang
+         ), r AS (
+           SELECT lang, c,
+                  row_number() OVER (ORDER BY c, lang) AS i,
+                  CAST(count(*) OVER () AS BIGINT) AS l,
+                  CAST(sum(c) OVER () AS BIGINT) AS t,
+                  CAST(coalesce(sum(c) OVER (ORDER BY c, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cumprev
+           FROM bylang
+         ), f AS (
+           SELECT lang, c, t // 2 AS b,
+                  cumprev * 4 + c * 4 * (l - i + 1) <= t // 2 AS capped
+           FROM r
+         ), g AS (
+           SELECT lang, c, b, capped,
+                  CAST(sum(CASE WHEN capped THEN c * 4 ELSE 0 END) OVER ()
+                       AS BIGINT) AS scapped,
+                  CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER ()
+                       AS BIGINT) AS nunc
+           FROM f
+         ), a AS (
+           SELECT lang, c, b, capped,
+                  CASE WHEN capped THEN c * 4
+                       ELSE (b - scapped) // nunc END AS alloc
+           FROM g
+         )
+         SELECT lang, c AS n_tokens, capped,
+                CAST(alloc AS BIGINT) AS alloc_tokens,
+                round(CAST(alloc AS DOUBLE) / c, 4) AS epochs,
+                floor(CAST(alloc AS DOUBLE) / b * 1e6 + 0.5) / 1e6
+                  AS budget_share
+         FROM a ORDER BY lang""",
+    // the ce CTE nests text_unigram_ppl's oracle verbatim; the tercile
+    // windows run over the DISTINCT (lang, 4dp ce) relation only
+    "pipe_ppl_buckets" ->
+      """WITH tf AS (
+           SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token
+         ), freq AS (
+           SELECT token, sum(tf) AS cnt FROM tf GROUP BY token
+         ), tot AS (SELECT sum(cnt) AS total FROM freq),
+         ce AS (
+           SELECT doc_id,
+                  round(sum(tf * -ln(cnt / total)) / sum(tf), 4) AS ce
+           FROM tf JOIN freq USING (token) CROSS JOIN tot
+           GROUP BY doc_id
+         ), cells AS (
+           SELECT d.lang, ce.ce, count(*) AS c,
+                  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tok
+           FROM documents d JOIN ce ON d.doc_id = ce.doc_id
+           GROUP BY 1, 2
+         ), cum AS (
+           SELECT lang, ce, c, tok,
+                  CAST(sum(c) OVER (PARTITION BY lang ORDER BY ce
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                  CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+           FROM cells
+         ), g AS (
+           SELECT lang,
+                  CAST(least(2, (3 * cum + n - 1) // n - 1) AS BIGINT) AS bucket,
+                  c, tok, ce
+           FROM cum
+         ), agg AS (
+           SELECT lang, bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+                  CAST(sum(tok) AS BIGINT) AS n_tokens,
+                  min(ce) AS min_ce, max(ce) AS max_ce
+           FROM g GROUP BY 1, 2
+         )
+         SELECT lang, bucket, n_docs, n_tokens, min_ce, max_ce,
+                floor(CAST(n_docs AS DOUBLE) /
+                      sum(n_docs) OVER (PARTITION BY lang) * 1e6 + 0.5) / 1e6
+                  AS pct_docs
+         FROM agg ORDER BY lang, bucket""",
     "pipe_dataset_mix" ->
       """SELECT doc_id, lang,
                 CAST(unnest(generate_series(1,

@@ -760,6 +760,59 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pipe_unimax respects the epoch cap and conserves the budget") {
+    val rows = q("pipe_unimax").collect()
+    val e = PipelineOps.UniMaxEpochCap
+    val total = Tables.documents(spark, SfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val b = total / 2
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
+    rows.foreach { r =>
+      val (c, a) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("alloc_tokens"))
+      assert(a <= e * c, s"${r.getString(0)}: alloc $a exceeds the epoch cap")
+      if (r.getAs[Boolean]("capped")) assert(a === e * c, "capped = full cap")
+    }
+    // the waterfill spends the whole budget up to the floor-division
+    // remainder (< one token per uncapped language)
+    val spent = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    val nUnc = rows.count(!_.getAs[Boolean]("capped"))
+    assert(spent <= b && b - spent < math.max(nUnc, 1).toLong,
+      s"spent $spent of $b with $nUnc uncapped")
+    // fairness: uncapped languages all receive the identical equal share,
+    // and no capped language's cap exceeds that share
+    val shares = rows.filter(!_.getAs[Boolean]("capped"))
+      .map(_.getAs[Long]("alloc_tokens")).distinct
+    assert(shares.length <= 1, "uncapped shares must be equal")
+    shares.headOption.foreach { sh =>
+      rows.filter(_.getAs[Boolean]("capped")).foreach { r =>
+        assert(r.getAs[Long]("alloc_tokens") <= sh,
+          "a capped language cannot out-receive the equal share")
+      }
+    }
+  }
+
+  test("pipe_ppl_buckets terciles partition each language in ce order") {
+    val rows = q("pipe_ppl_buckets").collect()
+    val perLang = Tables.documents(spark, SfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bucket"))
+      assert(sorted.map(_.getAs[Long]("bucket")).toSeq === Seq(0L, 1L, 2L),
+        s"$lang: expected head/middle/tail")
+      assert(sorted.map(_.getAs[Long]("n_docs")).sum === perLang(lang),
+        s"$lang: buckets must partition the language")
+      // ce ranges are disjoint and ordered: head is the LOWEST perplexity
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("max_ce") < b.getAs[Double]("min_ce") + 1e-12,
+          s"$lang: bucket ranges overlap")
+      }
+      val pct = sorted.map(_.getAs[Double]("pct_docs")).sum
+      assert(math.abs(pct - 1.0) < 1e-3, s"$lang: pcts sum to $pct")
+    }
+  }
+
   test("pipe_bpe_fertility reconciles with pipe_bpe_encode's global totals") {
     val fert = q("pipe_bpe_fertility").collect()
     val enc = q("pipe_bpe_encode").collect().head
