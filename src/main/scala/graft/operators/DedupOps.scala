@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.ArrayExprs
+import graft.functions.{ArrayExprs, Num}
 
 /** Deduplication suite (SURVEY.md §2 B1 + the north-star LLM-pipeline ops):
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
@@ -671,6 +671,46 @@ object DedupOps {
     // whole-document dedup can't see. One generator explode + one
     // hash-shuffle on the segment key; at 100 TB the segment id would be
     // its 128-bit digest and the group-by shape is unchanged.
+    // Content-defined-chunking dedup datasheet (the FastCDC/storage-
+    // dedup shape brought to corpus text): chunk boundaries are a pure
+    // function of LOCAL content (an md5-derived 1-in-8 token gate), so
+    // insertions shift chunk ids but never re-cut downstream boundaries —
+    // the property that lets chunk-level dedup find shared tails that
+    // fixed-offset segmentation (`dedup_paragraph`) misses after a
+    // one-token edit. Chunks fingerprint to 16-byte md5 keys (the only
+    // thing the cluster shuffle carries), clusters histogram by size,
+    // and the duplicate-token mass prices what chunk-level scrubbing
+    // would reclaim. Windows are doc-partitioned (high-cardinality key);
+    // the pct window runs over the bounded histogram only.
+    "dedup_chunk" -> ((s, dir) => {
+      val tot = Window.partitionBy()
+      val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .withColumn("b", when(
+          conv(substring(md5(col("token")), 1, 4), 16, 10).cast("int")
+            % 8 === 0, 1L).otherwise(0L))
+        .withColumn("chunk_id", sum(col("b")).over(wdoc))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("n_toks"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")))).as("fp"))
+      chunks.groupBy("fp")
+        .agg(count(lit(1)).as("cluster_size"), min(col("n_toks")).as("n_toks"))
+        .withColumn("dup", col("n_toks") * (col("cluster_size") - 1))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), sum(col("dup")).as("dup_token_mass"))
+        .withColumn("n_chunks", col("cluster_size") * col("n_clusters"))
+        .withColumn("pct_chunks", Num.pin(
+          col("n_chunks").cast("double") / sum(col("n_chunks")).over(tot), 6))
+        .select("cluster_size", "n_clusters", "n_chunks", "dup_token_mass",
+          "pct_chunks")
+        .orderBy("cluster_size")
+    }),
+
     "dedup_paragraph" -> ((s, dir) => {
       val seg = 10
       val t = split(col("text"), " ")
@@ -935,6 +975,45 @@ object DedupOps {
            SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n_copies
            FROM documents
          ) ORDER BY doc_id""",
+    // the boundary gate replays via the text_hashed_features 0x-cast md5
+    // mapping; string_agg(ORDER BY pos) rebuilds each chunk in token order
+    "dedup_chunk" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         ), pos AS (
+           SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM toks
+         ), tk AS (
+           SELECT doc_id, pos, ts[pos] AS token,
+                  CASE WHEN CAST(('0x' || substring(md5(ts[pos]), 1, 4))
+                            AS INT) % 8 = 0 THEN 1 ELSE 0 END AS b
+           FROM pos
+         ), ch AS (
+           SELECT doc_id, pos, token,
+                  CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS chunk_id
+           FROM tk
+         ), chunks AS (
+           SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_toks,
+                  md5(string_agg(token, ' ' ORDER BY pos)) AS fp
+           FROM ch GROUP BY doc_id, chunk_id
+         ), clusters AS (
+           SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size,
+                  CAST(min(n_toks) AS BIGINT) AS n_toks
+           FROM chunks GROUP BY fp
+         ), hist AS (
+           SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                  CAST(sum(n_toks * (cluster_size - 1)) AS BIGINT)
+                    AS dup_token_mass
+           FROM clusters GROUP BY cluster_size
+         )
+         SELECT cluster_size, n_clusters,
+                CAST(cluster_size * n_clusters AS BIGINT) AS n_chunks,
+                dup_token_mass,
+                floor(CAST(cluster_size * n_clusters AS DOUBLE) /
+                      sum(cluster_size * n_clusters) OVER () * 1e6 + 0.5)
+                  / 1e6 AS pct_chunks
+         FROM hist ORDER BY cluster_size""",
     "dedup_paragraph" ->
       """SELECT segment, count(DISTINCT doc_id) AS n_docs,
                 min(doc_id) AS first_doc

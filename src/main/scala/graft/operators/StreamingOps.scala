@@ -543,6 +543,48 @@ object StreamingOps {
         .orderBy("event_type")
     }),
 
+    // Classical additive decomposition of the hourly click series —
+    // trend (25-term centered moving average) + hour-of-day seasonal +
+    // residual, the decomposition read under every traffic dashboard
+    // (and `ts_seasonal_strength`'s row-level counterpart). Determinism
+    // discipline: the trend is an exact 25-hour integer frame sum over
+    // the calendar-bounded hourly relation divided once, the seasonal
+    // means divide exact per-hod integer sums of (c, frame-sum) — no
+    // double is ever summed across rows — and the 24-value centering
+    // fold pre-rounds at 10dp into DECIMAL. Edge hours without a full
+    // centered frame are dropped (full-window contract).
+    "ts_decompose" -> ((s, dir) => {
+      val wf = Window.orderBy("h").rowsBetween(-12, 12)
+      val w24 = Window.partitionBy()
+      val hourly = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val full = hourly
+        .withColumn("nf", count(lit(1)).over(wf))
+        .withColumn("sc25", sum(col("c")).over(wf))
+        .filter(col("nf") === 25)
+        .withColumn("hod", hour(col("h")))
+        .persist()
+      // per-hod seasonal mean of (c − trend), from exact integer sums
+      val seas = full.groupBy("hod")
+        .agg(count(lit(1)).as("nh"), sum(col("c")).as("s1"),
+          sum(col("sc25")).as("s2"))
+        .withColumn("seasonal_raw",
+          col("s1").cast("double") / col("nh") -
+            col("s2").cast("double") / (lit(25.0) * col("nh")))
+        .withColumn("m", sum(Num.pin(col("seasonal_raw"), 10)
+          .cast("decimal(28,10)")).over(w24).cast("double") / lit(24.0))
+        .select(col("hod"), (col("seasonal_raw") - col("m")).as("seasonal"))
+      full.join(broadcast(seas), "hod")
+        .select(col("h"), col("c"),
+          Num.pin(col("sc25").cast("double") / 25.0, 6).as("trend"),
+          Num.pin(col("seasonal"), 6).as("seasonal"),
+          Num.pin(col("c") - col("sc25").cast("double") / 25.0 -
+            col("seasonal"), 6).as("residual"))
+        .orderBy("h")
+    }),
+
     // Bollinger bands over the hourly click series — the rolling
     // mean ± 2σ envelope with breakout flags, the volatility-aware
     // anomaly gate a fixed z-score (`ts_anomaly`) can't give on a
@@ -907,6 +949,41 @@ object StreamingOps {
                   floor(greatest(0.0, 1.0 - ssw / sst) * 1e6 + 0.5) / 1e6
                 END AS strength
          FROM u WHERE rn = 1 ORDER BY event_type""",
+    // trend/seasonal replay off the identical exact integer frame and
+    // group sums; the 24-value centering fold pre-rounds at 10dp
+    "ts_decompose" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, count(*) AS c
+           FROM events WHERE event_type = 'click' GROUP BY 1
+         ), f AS (
+           SELECT h, c,
+                  count(*) OVER w AS nf,
+                  CAST(sum(c) OVER w AS BIGINT) AS sc25
+           FROM hourly
+           WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+         ), ff AS (
+           SELECT h, c, sc25, CAST(hour(h) AS INT) AS hod FROM f WHERE nf = 25
+         ), seas0 AS (
+           SELECT hod, count(*) AS nh, CAST(sum(c) AS BIGINT) AS s1,
+                  CAST(sum(sc25) AS BIGINT) AS s2
+           FROM ff GROUP BY hod
+         ), seas1 AS (
+           SELECT hod, CAST(s1 AS DOUBLE) / nh -
+                       CAST(s2 AS DOUBLE) / (25.0 * nh) AS seasonal_raw
+           FROM seas0
+         ), seas AS (
+           SELECT hod, seasonal_raw -
+                  CAST(sum(CAST(floor(seasonal_raw * 1e10 + 0.5) / 1e10
+                                AS DECIMAL(28,10))) OVER () AS DOUBLE) / 24.0
+                    AS seasonal
+           FROM seas1
+         )
+         SELECT h, c,
+                floor(CAST(sc25 AS DOUBLE) / 25.0 * 1e6 + 0.5) / 1e6 AS trend,
+                floor(seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
+                floor((c - CAST(sc25 AS DOUBLE) / 25.0 - seasonal)
+                      * 1e6 + 0.5) / 1e6 AS residual
+         FROM ff JOIN seas USING (hod) ORDER BY h""",
     // same DECIMAL frame sums and full-window filter as win_rolling_corr;
     // the band chain repeats the identical IEEE association
     "ts_bollinger" ->

@@ -421,4 +421,53 @@ class DedupSpec extends SparkSpec {
       (11L, 2L, 8L))
     assert(got === want)
   }
+
+  // JVM replica of dedup_chunk's md5-derived boundary gate
+  private def cdcBoundary(token: String): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+    val hex = d.take(2).map("%02x".format(_)).mkString
+    Integer.parseInt(hex, 16) % 8 == 0
+  }
+
+  private def cdcChunks(text: String): Seq[String] = {
+    val toks = text.split(" ", -1)
+    val ids = toks.scanLeft(0L) { (acc, t) =>
+      acc + (if (cdcBoundary(t)) 1 else 0)
+    }.tail
+    toks.zip(ids).groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._1).mkString(" "))
+  }
+
+  test("dedup_chunk histogram equals the brute CDC replay") {
+    val got = q("dedup_chunk").collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_token_mass")))
+      .sortBy(_._1)
+    val docs = Tables.documents(spark, SfDir).select("text").collect()
+      .map(_.getString(0))
+    val clusters = docs.flatMap(cdcChunks)
+      .groupBy(identity).toSeq.map { case (c, xs) =>
+        (xs.length.toLong, c.split(" ", -1).length.toLong)
+      }
+    val want = clusters.groupBy(_._1).toSeq.map { case (size, cs) =>
+      (size, cs.length.toLong, size * cs.length,
+        cs.map { case (s, nt) => nt * (s - 1) }.sum)
+    }.sortBy(_._1)
+    assert(got === want, s"histogram mismatch:\n got $got\nwant $want")
+  }
+
+  test("dedup_chunk boundaries are content-defined: a prefix edit only " +
+    "touches the head chunk") {
+    // the CDC property fixed-offset segmentation lacks: prepending a
+    // token may merge/split the FIRST chunk but every later boundary is
+    // a function of local content alone, so the chunk streams re-align
+    val doc = Tables.documents(spark, SfDir)
+      .orderBy("doc_id").select("text").head().getString(0)
+    val base = cdcChunks(doc)
+    val edited = cdcChunks("zzedit " + doc)
+    // all base chunks from the second onward survive verbatim in order
+    assert(base.length >= 2, "fixture doc long enough to chunk")
+    assert(edited.containsSlice(base.tail),
+      "tail chunks must be shift-invariant under a prefix edit")
+  }
 }

@@ -406,6 +406,31 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("ts_decompose components reconstruct the series and center the cycle") {
+    import graft.operators.StreamingOps
+    val rows = StreamingOps.queries("ts_decompose")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      // three 6dp-pinned components reconstruct the integer count
+      assert(math.abs(recon - r.getAs[Long]("c")) < 3e-6,
+        s"${r.getTimestamp(0)}: $recon != ${r.getAs[Long]("c")}")
+    }
+    // the seasonal is a (near-)centered cycle: its hod-distinct values
+    // sum to ~0 by construction
+    val hodVals = rows.map(r => r.getTimestamp(0).toInstant
+      .atZone(java.time.ZoneOffset.UTC).getHour -> r.getAs[Double]("seasonal"))
+      .toMap.values
+    assert(hodVals.size <= 24)
+    assert(math.abs(hodVals.sum) < 1e-3, s"seasonal cycle sums to ${hodVals.sum}")
+    // full-window contract: 12 head and 12 tail hours are dropped
+    val hourly = Tables.events(spark, SfDir)
+      .filter(col("event_type") === "click")
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(rows.length.toLong === hourly - 24)
+  }
+
   test("win_gap_islands are maximal consecutive runs covering every active day") {
     import graft.operators.WindowOps
     val isl = WindowOps.queries("win_gap_islands")(spark, SfDir).persist()
