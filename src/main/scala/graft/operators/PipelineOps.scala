@@ -591,6 +591,42 @@ object PipelineOps {
             .as("baseline_loss"))
     }),
 
+    // Hash-deterministic half-sample bootstrap CI for the corpus mean —
+    // the resampling-uncertainty primitive (Politis-Romano subsampling
+    // with b = n/2) made retry-safe the same way every sampler in this
+    // repo is: replica membership is a pure md5 function of
+    // (doc_id, replica), never RNG state, so the interval is bit-stable
+    // across retries, partitionings, and engines. 64 replicas ride ONE
+    // scan — the membership predicate evaluates per (row, replica) in a
+    // codegen'd explode and map-side combine collapses to 64 partial
+    // rows per task before the constant-size shuffle. The 2.5%/97.5%
+    // bounds are rank SELECTIONS from the 64 sorted replica means
+    // (deterministic (mean, r) order), not interpolations.
+    "ml_bootstrap_ci" -> ((s, dir) => {
+      val reps = 64
+      val w = Window.orderBy(col("mean_rep"), col("r"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val full = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("s"))
+      val means = docs
+        .crossJoin(broadcast(s.range(reps).select(col("id").cast("int").as("r"))))
+        .filter(conv(substring(
+          md5(concat_ws("_", col("doc_id"), col("r"))), 1, 4), 16, 10)
+          .cast("int") % 2 === 0)
+        .groupBy("r")
+        .agg(count(lit(1)).as("nr"), sum(col("n_chars")).as("sr"))
+        .withColumn("mean_rep", col("sr").cast("double") / col("nr"))
+        .withColumn("rn", row_number().over(w))
+      means
+        .agg(count(lit(1)).as("n_replicas"),
+          max(when(col("rn") === 2, col("mean_rep"))).as("lo"),
+          max(when(col("rn") === 63, col("mean_rep"))).as("hi"))
+        .crossJoin(broadcast(full))
+        .select(col("n_docs"), col("n_replicas"),
+          Num.pin(col("s").cast("double") / col("n_docs"), 6).as("mean_full"),
+          Num.pin(col("lo"), 6).as("ci_lo"), Num.pin(col("hi"), 6).as("ci_hi"))
+    }),
+
     // Fβ sweep over `ml_confusion`'s exact cells — the precision-weighted
     // (β=0.5) and recall-weighted (β=2) companions to F1 that a filter-
     // threshold review reads together (a corpus-quality gate usually
@@ -2037,6 +2073,39 @@ object PipelineOps {
                           (floor(ln(1.0 - ybar) * 1e10 + 0.5) / 1e10))
                       / n_docs * 1e6 + 0.5) / 1e6 AS baseline_loss
          FROM b""",
+    // replica membership replays via the 0x-cast md5 idiom; the CI
+    // bounds are the same rank selections over the 64 sorted means
+    "ml_bootstrap_ci" ->
+      """WITH reps AS (SELECT unnest(range(0, 64)) AS r),
+         mem AS (
+           SELECT d.n_chars, r.r
+           FROM documents d CROSS JOIN reps r
+           WHERE CAST(('0x' || substring(md5(
+                   CAST(d.doc_id AS VARCHAR) || '_' || CAST(r.r AS VARCHAR)),
+                   1, 4)) AS INT) % 2 = 0
+         ), means AS (
+           SELECT r, CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_rep
+           FROM mem GROUP BY r
+         ), rk AS (
+           SELECT mean_rep,
+                  row_number() OVER (ORDER BY mean_rep, r) AS rn
+           FROM means
+         ), sel AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+                  max(CASE WHEN rn = 2 THEN mean_rep END) AS lo,
+                  max(CASE WHEN rn = 63 THEN mean_rep END) AS hi
+           FROM rk
+         ), full_ AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS s
+           FROM documents
+         )
+         SELECT n_docs, n_replicas,
+                floor(CAST(s AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+                  AS mean_full,
+                floor(lo * 1e6 + 0.5) / 1e6 AS ci_lo,
+                floor(hi * 1e6 + 0.5) / 1e6 AS ci_hi
+         FROM sel CROSS JOIN full_""",
     // the β spine cross-joins the one-row cell relation; CAST pins the
     // VALUES literal to DOUBLE (DuckDB would type it DECIMAL(2,1))
     "ml_fbeta" ->

@@ -46,6 +46,54 @@ object TextOps {
     size(filter(toks, t => t.isin(list: _*)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style rule-by-rule quality accounting (Rae et al. 2021
+    // §A1.1 adapted to the fixture's newline-free text): per rule, how
+    // many documents fail — the diagnostic TABLE read before composing a
+    // gate (`pipe_filter_report` is the composed first-match cascade;
+    // `text_quality` the per-doc grade; this is the marginal view that
+    // says WHICH rule bites). Every threshold compare is cross-multiplied
+    // into exact INTEGER arithmetic (sym·10 > n, not sym/n > 0.1), so no
+    // ratio boundary can round differently cross-engine. One codegen'd
+    // scan into a one-row aggregate, stacked into the 7-row table — a
+    // pure map at any corpus scale with a constant-size shuffle.
+    "text_gopher_rules" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val n = size(t).cast("long")
+      val charSum = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+      val sym = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long")
+      val digit = size(filter(t, x => x.rlike("^[0-9]+$"))).cast("long")
+      val dups = n - size(array_distinct(t)).cast("long")
+      val stops = stopCount(t, StopEn).cast("long")
+      def b(c: Column) = when(c, 1L).otherwise(0L)
+      val f1 = b(n < 20 || n > 500)
+      val f2 = b(charSum < n * 3 || charSum > n * 10)
+      val f3 = b(sym * 10 > n)
+      val f4 = b(digit * 5 > n)
+      val f5 = b(dups * 10 > n * 3)
+      val f6 = b(stops * 20 < n)
+      Tables.documents(s, dir)
+        .select(f1.as("f1"), f2.as("f2"), f3.as("f3"), f4.as("f4"),
+          f5.as("f5"), f6.as("f6"),
+          b(f1 + f2 + f3 + f4 + f5 + f6 > 0).as("fany"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("f1")).as("s1"),
+          sum(col("f2")).as("s2"), sum(col("f3")).as("s3"),
+          sum(col("f4")).as("s4"), sum(col("f5")).as("s5"),
+          sum(col("f6")).as("s6"), sum(col("fany")).as("sany"))
+        .select(expr("""stack(7,
+            1, 'word_count_out_of_range', s1,
+            2, 'mean_word_len_out_of_range', s2,
+            3, 'symbol_ratio_high', s3,
+            4, 'digit_token_frac_high', s4,
+            5, 'dup_token_frac_high', s5,
+            6, 'stop_ratio_low', s6,
+            7, 'any_rule', sany) AS (rule_idx, rule, n_fail)"""),
+          col("n_docs"))
+        .select(col("rule_idx"), col("rule"), col("n_fail"), col("n_docs"),
+          graft.functions.Num.pin(
+            col("n_fail").cast("double") / col("n_docs"), 6).as("pct_fail"))
+        .orderBy("rule_idx")
+    }),
+
     // Global term frequencies (word count — the UDTF/explode surface).
     "text_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1097,6 +1145,54 @@ object TextOps {
          FROM stats CROSS JOIN nd
          ORDER BY dispersion DESC, tok
          LIMIT 20""",
+    // every rule compare replays in the identical cross-multiplied
+    // INTEGER form; the 7-row table is a UNION ALL over the one-row agg
+    "text_gopher_rules" ->
+      s"""WITH d AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                  CAST(list_sum(list_transform(string_split(text, ' '),
+                       x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS char_sum,
+                  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                       AS BIGINT) AS sym,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS digit,
+                  CAST(n - len(list_distinct(string_split(text, ' ')))
+                       AS BIGINT) AS dups,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       t -> list_contains(${duckStop(StopEn)}, t)))
+                       AS BIGINT) AS stops
+           FROM documents
+         ), fl AS (
+           SELECT CASE WHEN n < 20 OR n > 500 THEN 1 ELSE 0 END AS f1,
+                  CASE WHEN char_sum < 3 * n OR char_sum > 10 * n
+                       THEN 1 ELSE 0 END AS f2,
+                  CASE WHEN sym * 10 > n THEN 1 ELSE 0 END AS f3,
+                  CASE WHEN digit * 5 > n THEN 1 ELSE 0 END AS f4,
+                  CASE WHEN dups * 10 > 3 * n THEN 1 ELSE 0 END AS f5,
+                  CASE WHEN stops * 20 < n THEN 1 ELSE 0 END AS f6
+           FROM d
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(f1) AS BIGINT) AS s1, CAST(sum(f2) AS BIGINT) AS s2,
+                  CAST(sum(f3) AS BIGINT) AS s3, CAST(sum(f4) AS BIGINT) AS s4,
+                  CAST(sum(f5) AS BIGINT) AS s5, CAST(sum(f6) AS BIGINT) AS s6,
+                  CAST(sum(CASE WHEN f1 + f2 + f3 + f4 + f5 + f6 > 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS sany
+           FROM fl
+         ), st AS (
+           SELECT CAST(1 AS INT) AS rule_idx, 'word_count_out_of_range' AS rule,
+                  s1 AS n_fail, n_docs FROM a
+           UNION ALL SELECT 2, 'mean_word_len_out_of_range', s2, n_docs FROM a
+           UNION ALL SELECT 3, 'symbol_ratio_high', s3, n_docs FROM a
+           UNION ALL SELECT 4, 'digit_token_frac_high', s4, n_docs FROM a
+           UNION ALL SELECT 5, 'dup_token_frac_high', s5, n_docs FROM a
+           UNION ALL SELECT 6, 'stop_ratio_low', s6, n_docs FROM a
+           UNION ALL SELECT 7, 'any_rule', sany, n_docs FROM a
+         )
+         SELECT rule_idx, rule, n_fail, n_docs,
+                floor(CAST(n_fail AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+                  AS pct_fail
+         FROM st ORDER BY rule_idx""",
     "text_quality" ->
       s"""SELECT doc_id, n_tokens,
                  round(CAST(char_sum AS DOUBLE) / n_tokens, 4) AS avg_token_len,

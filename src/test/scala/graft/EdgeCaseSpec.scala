@@ -346,6 +346,30 @@ class EdgeCaseSpec extends SparkSpec {
     se.unpersist()
   }
 
+  test("text_gopher_rules counts equal a brute integer-rule replay") {
+    import graft.operators.TextOps
+    val rows = TextOps.queries("text_gopher_rules")(spark, SfDir).collect()
+    assert(rows.map(_.getAs[Int]("rule_idx")).toSeq === (1 to 7))
+    val docs = Tables.documents(spark, SfDir).select("text").collect()
+      .map(_.getString(0))
+    val stop = TextOps.StopEn.toSet
+    val brute = docs.map { text =>
+      val t = text.split(" ", -1)
+      val n = t.length.toLong
+      val charSum = t.map(_.length.toLong).sum
+      val sym = "[^a-z0-9 ]".r.findAllIn(text).length.toLong
+      val digit = t.count(_.matches("[0-9]+")).toLong
+      val dups = n - t.distinct.length
+      val stops = t.count(stop).toLong
+      Seq(n < 20 || n > 500, charSum < n * 3 || charSum > n * 10,
+        sym * 10 > n, digit * 5 > n, dups * 10 > n * 3, stops * 20 < n)
+    }
+    val want = (0 until 6).map(i => brute.count(_(i)).toLong) :+
+      brute.count(_.exists(identity)).toLong
+    assert(rows.map(_.getAs[Long]("n_fail")).toSeq === want)
+    assert(rows.forall(_.getAs[Long]("n_docs") === docs.length.toLong))
+  }
+
   test("ts_bollinger replays one frame brute-force and flags coherently") {
     import graft.operators.StreamingOps
     val rows = StreamingOps.queries("ts_bollinger")(spark, SfDir).collect()

@@ -760,6 +760,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ml_bootstrap_ci brackets the full mean deterministically") {
+    val r1 = q("ml_bootstrap_ci").collect().head
+    assert(r1.getAs[Long]("n_replicas") === 64L)
+    val (lo, m, hi) = (r1.getAs[Double]("ci_lo"), r1.getAs[Double]("mean_full"),
+      r1.getAs[Double]("ci_hi"))
+    assert(lo <= hi, "interval is ordered")
+    assert(lo <= m && m <= hi,
+      s"half-sample CI [$lo, $hi] fails to bracket the full mean $m")
+    // membership is a pure content hash: a second evaluation is identical
+    val r2 = q("ml_bootstrap_ci").collect().head
+    assert(r1 === r2, "bootstrap must be retry-deterministic")
+    // the interval is non-degenerate but far tighter than the data range
+    val widths = hi - lo
+    assert(widths > 0.0, "64 half-samples cannot all share one mean here")
+  }
+
   test("pipe_unimax respects the epoch cap and conserves the budget") {
     val rows = q("pipe_unimax").collect()
     val e = PipelineOps.UniMaxEpochCap
