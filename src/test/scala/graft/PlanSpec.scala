@@ -192,6 +192,35 @@ class PlanSpec extends SparkSpec {
     assert(partitioned.nonEmpty, "pid-partitioned rank window missing")
   }
 
+  test("agg_lorenz: cumulative windows are pid-partitioned; globals are bounded") {
+    // the r12 Lorenz deciles must ride the agg_gini range-partition +
+    // offsets discipline: any unpartitioned window either sorts the
+    // #partitions-row offsets table (key = pid) or is an order-free
+    // total over the ≤10-row decile histogram (empty key set) — never a
+    // sorted window over the near-unique price domain
+    val df = graft.operators.AggOps.queries("agg_lorenz")(spark, SfDir)
+    val global = unpartitionedWindowKeys(df)
+    assert(global.forall(k => k == Set("pid") || k.isEmpty),
+      s"agg_lorenz serializes the price domain through one task: $global")
+    val partitioned = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty => w
+    }
+    assert(partitioned.nonEmpty, "pid-partitioned cumsum window missing")
+  }
+
+  test("dedup_chunk and pipe_ppl_buckets window only on real partition keys") {
+    // dedup_chunk's chunk-id cumsum is doc-partitioned; ppl_buckets'
+    // tercile cumsum is lang-partitioned over the distinct-ce relation —
+    // neither may plan an unpartitioned window over data-sized input
+    for (name <- Seq("dedup_chunk", "pipe_ppl_buckets")) {
+      val df = SparkEntry.queries(name)(spark, SfDir)
+      val global = unpartitionedWindowKeys(df)
+      assert(global.forall(_.isEmpty),
+        s"$name: unpartitioned sorted window over data: $global")
+    }
+  }
+
   test("join_fuzzy blocks via equi-joins, never a cartesian candidate space") {
     val plan = JoinOps.queries("join_fuzzy")(spark, SfDir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
