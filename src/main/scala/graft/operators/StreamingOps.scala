@@ -585,6 +585,33 @@ object StreamingOps {
         .orderBy("h")
     }),
 
+    // Residual-based anomaly flags off `ts_decompose` — the seasonality-
+    // aware upgrade of a raw z-score/band gate: an hour is anomalous only
+    // if it deviates after the trend and the daily cycle are explained
+    // away, scored against the 50%-breakdown median/MAD of the residual
+    // series (the ts_mad_anomaly robustness discipline). The residual
+    // relation is calendar-bounded, so the two median SELECTIONS ride
+    // sorted in-row arrays (exact input values, never interpolation) and
+    // the stats broadcast back onto the rows.
+    "ts_resid_anomaly" -> ((s, dir) => {
+      val dec = queries("ts_decompose")(s, dir)
+        .select(col("h"), col("c"), col("residual"))
+      val stats = dec
+        .agg(array_sort(collect_list(col("residual"))).as("vals"))
+        .withColumn("n", size(col("vals")))
+        .withColumn("med",
+          element_at(col("vals"), ((col("n") + 1) / 2).cast("int")))
+        .withColumn("mad", element_at(
+          array_sort(transform(col("vals"), v => abs(v - col("med")))),
+          ((col("n") + 1) / 2).cast("int")))
+        .select("med", "mad")
+      dec.crossJoin(broadcast(stats))
+        .filter(abs(col("residual") - col("med")) > lit(3.0) * col("mad"))
+        .select(col("h"), col("c"), col("residual"),
+          Num.pin(col("med"), 6).as("med"), Num.pin(col("mad"), 6).as("mad"))
+        .orderBy("h")
+    }),
+
     // Bollinger bands over the hourly click series — the rolling
     // mean ± 2σ envelope with breakout flags, the volatility-aware
     // anomaly gate a fixed z-score (`ts_anomaly`) can't give on a
@@ -904,6 +931,37 @@ object StreamingOps {
          ) ORDER BY lag"""
   }
 
+  /** Shared decomposition CTE chain — one definition nested by both the
+    * `ts_decompose` oracle and `ts_resid_anomaly`'s, so the residual the
+    * anomaly gate scores is pinned to the published decomposition. */
+  private val DecomposeCtes: String =
+    """hourly AS (
+           SELECT date_trunc('hour', ts) AS h, count(*) AS c
+           FROM events WHERE event_type = 'click' GROUP BY 1
+         ), f AS (
+           SELECT h, c,
+                  count(*) OVER w AS nf,
+                  CAST(sum(c) OVER w AS BIGINT) AS sc25
+           FROM hourly
+           WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+         ), ff AS (
+           SELECT h, c, sc25, CAST(hour(h) AS INT) AS hod FROM f WHERE nf = 25
+         ), seas0 AS (
+           SELECT hod, count(*) AS nh, CAST(sum(c) AS BIGINT) AS s1,
+                  CAST(sum(sc25) AS BIGINT) AS s2
+           FROM ff GROUP BY hod
+         ), seas1 AS (
+           SELECT hod, CAST(s1 AS DOUBLE) / nh -
+                       CAST(s2 AS DOUBLE) / (25.0 * nh) AS seasonal_raw
+           FROM seas0
+         ), seas AS (
+           SELECT hod, seasonal_raw -
+                  CAST(sum(CAST(floor(seasonal_raw * 1e10 + 0.5) / 1e10
+                                AS DECIMAL(28,10))) OVER () AS DOUBLE) / 24.0
+                    AS seasonal
+           FROM seas1
+         )"""
+
   def oracles: Map[String, String] = Map(
     "ts_seasonality" ->
       """SELECT event_type, hod, n,
@@ -952,38 +1010,37 @@ object StreamingOps {
     // trend/seasonal replay off the identical exact integer frame and
     // group sums; the 24-value centering fold pre-rounds at 10dp
     "ts_decompose" ->
-      """WITH hourly AS (
-           SELECT date_trunc('hour', ts) AS h, count(*) AS c
-           FROM events WHERE event_type = 'click' GROUP BY 1
-         ), f AS (
-           SELECT h, c,
-                  count(*) OVER w AS nf,
-                  CAST(sum(c) OVER w AS BIGINT) AS sc25
-           FROM hourly
-           WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
-         ), ff AS (
-           SELECT h, c, sc25, CAST(hour(h) AS INT) AS hod FROM f WHERE nf = 25
-         ), seas0 AS (
-           SELECT hod, count(*) AS nh, CAST(sum(c) AS BIGINT) AS s1,
-                  CAST(sum(sc25) AS BIGINT) AS s2
-           FROM ff GROUP BY hod
-         ), seas1 AS (
-           SELECT hod, CAST(s1 AS DOUBLE) / nh -
-                       CAST(s2 AS DOUBLE) / (25.0 * nh) AS seasonal_raw
-           FROM seas0
-         ), seas AS (
-           SELECT hod, seasonal_raw -
-                  CAST(sum(CAST(floor(seasonal_raw * 1e10 + 0.5) / 1e10
-                                AS DECIMAL(28,10))) OVER () AS DOUBLE) / 24.0
-                    AS seasonal
-           FROM seas1
-         )
+      s"""WITH $DecomposeCtes
          SELECT h, c,
                 floor(CAST(sc25 AS DOUBLE) / 25.0 * 1e6 + 0.5) / 1e6 AS trend,
                 floor(seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
                 floor((c - CAST(sc25 AS DOUBLE) / 25.0 - seasonal)
                       * 1e6 + 0.5) / 1e6 AS residual
          FROM ff JOIN seas USING (hod) ORDER BY h""",
+    // nests the decompose CTEs verbatim (one definition, two keys); the
+    // median/MAD are the same list-sort index selections as ts_mad_anomaly
+    "ts_resid_anomaly" ->
+      s"""WITH $DecomposeCtes,
+         dec AS (
+           SELECT h, c,
+                  floor((c - CAST(sc25 AS DOUBLE) / 25.0 - seasonal)
+                        * 1e6 + 0.5) / 1e6 AS residual
+           FROM ff JOIN seas USING (hod)
+         ), bu AS (
+           SELECT list_sort(list(residual)) AS vals, count(*) AS n FROM dec
+         ), med AS (
+           SELECT vals, n, vals[CAST((n + 1) // 2 AS BIGINT)] AS med FROM bu
+         ), mad AS (
+           SELECT med, list_sort(list_transform(vals, v -> abs(v - med)))
+                         [CAST((n + 1) // 2 AS BIGINT)] AS mad
+           FROM med
+         )
+         SELECT d.h, d.c, d.residual,
+                floor(m.med * 1e6 + 0.5) / 1e6 AS med,
+                floor(m.mad * 1e6 + 0.5) / 1e6 AS mad
+         FROM dec d CROSS JOIN mad m
+         WHERE abs(d.residual - m.med) > 3.0 * m.mad
+         ORDER BY d.h""",
     // same DECIMAL frame sums and full-window filter as win_rolling_corr;
     // the band chain repeats the identical IEEE association
     "ts_bollinger" ->

@@ -166,6 +166,52 @@ object TextOps {
     // to the one-window form the oracle replays, and the log-product
     // sums cast to exact DECIMAL so the fit is order-independent — the
     // `agg_regression` discipline.
+    // Vocabulary coverage curve — "how much of the corpus token mass do
+    // the top-k vocabulary entries cover", the tokenizer-design
+    // datasheet behind choosing a vocab size (the reason real tokenizers
+    // stop at 32k/64k entries while raw web vocab runs to 10⁸⁺). Ranks
+    // and cumulative mass ride the text_zipf/pipe_vocab range-partition
+    // + per-partition-offset discipline — the frequency-sorted vocabulary
+    // is NEVER serialized through one task — and the k ladder then joins
+    // those global ranks (clamped at the vocabulary size) as a tiny
+    // broadcast.
+    "text_vocab_coverage" -> ((s, dir) => {
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val freq = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .repartitionByRange(nParts, col("cnt").desc, col("token"))
+        .sortWithinPartitions(col("cnt").desc, col("token"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val pidw = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = freq.groupBy("pid")
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("m"))
+        .withColumn("offset", coalesce(sum(col("n")).over(pidw), lit(0L)))
+        .withColumn("moffset", coalesce(sum(col("m")).over(pidw), lit(0L)))
+        .select("pid", "offset", "moffset")
+      val wLoc = Window.partitionBy("pid")
+        .orderBy(col("cnt").desc, col("token"))
+      val ranked = freq.join(broadcast(offs), "pid")
+        .withColumn("rank",
+          row_number().over(wLoc).cast("long") + col("offset"))
+        .withColumn("cum_mass",
+          sum(col("cnt")).over(wLoc.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)) + col("moffset"))
+      val tots = freq.agg(count(lit(1)).as("vsize"), sum(col("cnt")).as("total"))
+      val ks = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L).map(lit(_))
+      val spine = s.range(1).select(explode(array(ks: _*)).as("k"))
+        .crossJoin(broadcast(tots))
+        .withColumn("rank", least(col("k"), col("vsize")))
+      spine.join(ranked.select("rank", "token", "cum_mass"), "rank")
+        .select(col("k"), col("rank").as("vocab_used"),
+          col("token").as("boundary_token"), col("cum_mass").as("token_mass"),
+          graft.functions.Num.pin(
+            col("cum_mass").cast("double") / col("total"), 6).as("coverage"))
+        .orderBy("k")
+    }),
+
     "text_zipf" -> ((s, dir) => {
       def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
       val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -934,6 +980,36 @@ object TextOps {
          ) ORDER BY doc_id""",
     // same exact-DECIMAL OLS discipline as agg_regression; intercept uses
     // the ROUNDED slope, mirroring the Spark withColumn chain
+    // the plain frequency-ordered windows replay the range-partition +
+    // offset ranks/cumsums; the VALUES ladder is the same literal spine
+    "text_vocab_coverage" ->
+      """WITH freq AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token
+         ), ranked AS (
+           SELECT token, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+                  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_mass
+           FROM freq
+         ), tots AS (
+           SELECT CAST(count(*) AS BIGINT) AS vsize,
+                  CAST(sum(cnt) AS BIGINT) AS total
+           FROM freq
+         ), spine AS (
+           SELECT CAST(k AS BIGINT) AS k,
+                  least(CAST(k AS BIGINT), vsize) AS rank, total
+           FROM (VALUES (1), (2), (4), (8), (16), (32), (64), (128)) AS t(k)
+           CROSS JOIN tots
+         )
+         SELECT s.k, s.rank AS vocab_used, r.token AS boundary_token,
+                r.cum_mass AS token_mass,
+                floor(CAST(r.cum_mass AS DOUBLE) / s.total * 1e6 + 0.5) / 1e6
+                  AS coverage
+         FROM spine s JOIN ranked r ON s.rank = r.rank
+         ORDER BY s.k""",
     "text_zipf" ->
       """SELECT CAST(n AS BIGINT) AS n_ranks, slope,
                 round((sy - slope * sx) / n, 6) AS intercept,

@@ -455,6 +455,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.length.toLong === hourly - 24)
   }
 
+  test("ts_resid_anomaly flags exactly the decompose residual outliers") {
+    import graft.operators.StreamingOps
+    val dec = StreamingOps.queries("ts_decompose")(spark, SfDir).collect()
+    val got = StreamingOps.queries("ts_resid_anomaly")(spark, SfDir).collect()
+    val rs = dec.map(_.getAs[Double]("residual")).sorted
+    def lowerMed(xs: Array[Double]) = xs((xs.length + 1) / 2 - 1)
+    val med = lowerMed(rs)
+    val mad = lowerMed(rs.map(x => math.abs(x - med)).sorted)
+    val want = dec.filter(r =>
+      math.abs(r.getAs[Double]("residual") - med) > 3.0 * mad)
+      .map(_.getTimestamp(0)).toSet
+    assert(got.map(_.getTimestamp(0)).toSet === want,
+      s"flag set mismatch (med=$med mad=$mad)")
+    assert(got.nonEmpty, "fixture should surface at least one outlier hour")
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("med") - med) < 2e-6)
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 2e-6)
+    }
+  }
+
+  test("text_vocab_coverage is monotone and replays the brute counts") {
+    import graft.operators.TextOps
+    val rows = TextOps.queries("text_vocab_coverage")(spark, SfDir).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq ===
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+    val counts = Tables.documents(spark, SfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    rows.foreach { r =>
+      val used = r.getAs[Long]("vocab_used").toInt
+      assert(used === math.min(r.getAs[Long]("k"), counts.length.toLong).toInt)
+      assert(r.getAs[Long]("token_mass") === counts.take(used).map(_._2).sum,
+        s"k=${r.getAs[Long]("k")}: cumulative mass mismatch")
+      assert(r.getString(r.fieldIndex("boundary_token")) === counts(used - 1)._1)
+    }
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(cov.last - 1.0) < 1e-9, "full vocab covers everything")
+    assert(rows.last.getAs[Long]("token_mass") === total)
+  }
+
   test("win_gap_islands are maximal consecutive runs covering every active day") {
     import graft.operators.WindowOps
     val isl = WindowOps.queries("win_gap_islands")(spark, SfDir).persist()
