@@ -81,6 +81,30 @@ object MultimodalOps {
           md5(col("frame0")).as("frame0_md5"))
         .orderBy("doc_id")),
 
+    // Cross-media shared-FRAME detection — the sub-asset dedup a video/
+    // image pipeline runs to find repeated intros, watermarks, and
+    // boilerplate segments that whole-payload `mm_dedup` cannot see
+    // (the binary twin of `dedup_paragraph`). Every payload explodes
+    // into FrameBytes-sized frames scan-side and ONLY the 128-bit frame
+    // digests ride the shuffle (a 100 TB blob column contributes 32
+    // hex chars per frame to the exchange); map-side combine collapses
+    // repeats before the exchange and the output is bounded by the
+    // shared-frame set.
+    "mm_frame_dedup" -> ((s, dir) => {
+      val nf = ceil(col("meta.n_bytes").cast("double") / FrameBytes).cast("int")
+      media(s, dir)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), nf - 1),
+            i => md5(col("payload").substr(i * FrameBytes + 1, lit(FrameBytes)))))
+            .as("frame_md5"))
+        .groupBy("frame_md5")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("frame_md5")
+    }),
+
     // Resize through the per-partition codec-batch shape: binary in ->
     // binary out, payloads never leave the executors. The stub decimates
     // bytes (keep every 4th) standing in for decode -> downscale ->
@@ -205,6 +229,27 @@ object MultimodalOps {
                  md5(substring(text, 1, $FrameBytes)) AS frame0_md5
          FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes, text FROM documents)
          ORDER BY doc_id""",
+    // byte i == char i on the ASCII fixture payload (the mm_frame_sample
+    // equivalence), so the frame digests replay off text substrings
+    "mm_frame_dedup" ->
+      s"""WITH d AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+         ), fr AS (
+           SELECT doc_id, text,
+                  unnest(range(0, CAST(ceil(CAST(nb AS DOUBLE) / $FrameBytes)
+                                       AS BIGINT))) AS i
+           FROM d
+         ), fh AS (
+           SELECT doc_id,
+                  md5(substring(text, CAST(i * $FrameBytes + 1 AS INT),
+                                $FrameBytes)) AS frame_md5
+           FROM fr
+         )
+         SELECT frame_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_occurrences,
+                min(doc_id) AS first_doc
+         FROM fh GROUP BY frame_md5 HAVING count(DISTINCT doc_id) > 1
+         ORDER BY frame_md5""",
     // the plain global cumsum window replays the range-partition + offset
     // discipline; // = integer division (Spark DIV)
     "mm_shard_manifest" ->

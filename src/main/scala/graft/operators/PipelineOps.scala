@@ -464,6 +464,34 @@ object PipelineOps {
         .orderBy(col("score").desc)
     }),
 
+    // ROC curve off the same distinct-score relation as `ml_pr_curve` —
+    // the (FPR, TPR) threshold sweep read next to `ml_auc`'s single
+    // number (AggSpec reconciles: the trapezoid over THIS curve equals
+    // the exact tie-corrected Mann-Whitney AUC). Identical scale
+    // discipline: one partial-agg collapse to the score domain,
+    // cumulative windows over that bounded relation, exactly-rounded
+    // integer divisions.
+    "ml_roc_curve" -> ((s, dir) => {
+      val byScore = Tables.documents(s, dir)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("score")
+        .agg(sum(col("pos")).as("p"), (count(lit(1)) - sum(col("pos"))).as("ng"))
+      val cumw = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      byScore
+        .withColumn("cump", sum(col("p")).over(cumw))
+        .withColumn("cumn", sum(col("ng")).over(cumw))
+        .withColumn("npos", sum(col("p")).over(tot))
+        .withColumn("nneg", sum(col("ng")).over(tot))
+        .select(col("score"),
+          round(col("cumn").cast("double") / col("nneg"), 6).as("fpr"),
+          round(col("cump").cast("double") / col("npos"), 6).as("tpr"),
+          (col("cump") + col("cumn")).as("n_predicted"))
+        .orderBy(col("score").desc)
+    }),
+
     // Cumulative gains/lift table: rank the population by score, cut into
     // deciles, and report what fraction of all positives the top-k
     // deciles capture and their lift over the base rate — the
@@ -1989,6 +2017,27 @@ object PipelineOps {
          SELECT score,
                 round(CAST(cump AS DOUBLE) / (cump + cumn), 6) AS precision,
                 round(CAST(cump AS DOUBLE) / npos, 6) AS recall,
+                CAST(cump + cumn AS BIGINT) AS n_predicted
+         FROM c ORDER BY score DESC""",
+    "ml_roc_curve" ->
+      """WITH bs AS (
+           SELECT n_chars AS score,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+                  count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ng
+           FROM documents GROUP BY n_chars
+         ), c AS (
+           SELECT score, p, ng,
+                  sum(p) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump,
+                  sum(ng) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+                  sum(p) OVER () AS npos,
+                  sum(ng) OVER () AS nneg
+           FROM bs
+         )
+         SELECT score,
+                round(CAST(cumn AS DOUBLE) / nneg, 6) AS fpr,
+                round(CAST(cump AS DOUBLE) / npos, 6) AS tpr,
                 CAST(cump + cumn AS BIGINT) AS n_predicted
          FROM c ORDER BY score DESC""",
     "ml_lift_gain" ->

@@ -47,6 +47,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_frame_dedup equals a brute frame-hash replay") {
+    val got = graft.operators.MultimodalOps.queries("mm_frame_dedup")(spark, SfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("first_doc")))
+      .sortBy(_._1)
+    val fb = graft.operators.MultimodalOps.FrameBytes
+    def md5hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    val frames = Tables.documents(spark, SfDir).select("doc_id", "text").collect()
+      .flatMap { r =>
+        r.getString(1).getBytes("UTF-8").grouped(fb).map(f =>
+          md5hex(f) -> r.getLong(0))
+      }
+    val want = frames.groupBy(_._1).toSeq.map { case (h, xs) =>
+      (h, xs.map(_._2).distinct.length.toLong, xs.length.toLong, xs.map(_._2).min)
+    }.filter(_._2 > 1).sortBy(_._1)
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must share at least one frame across docs")
+  }
+
   test("mm_shard_manifest equals a sequential pack and conserves bytes") {
     val got = MultimodalOps.queries("mm_shard_manifest")(spark, SfDir)
       .collect().map(r => r.getLong(0) ->

@@ -760,6 +760,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ml_roc_curve trapezoid equals ml_auc's exact rank-sum AUC") {
+    val curve = q("ml_roc_curve").collect().sortBy(-_.getAs[Long]("score"))
+    val aucRow = q("ml_auc").collect().head
+    // curve sanity: both rates are monotone nondecreasing as the
+    // threshold loosens, ending at (1, 1)
+    val fprs = 0.0 +: curve.map(_.getAs[Double]("fpr"))
+    val tprs = 0.0 +: curve.map(_.getAs[Double]("tpr"))
+    assert(fprs.zip(fprs.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(tprs.zip(tprs.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(fprs.last - 1.0) < 1e-9 && math.abs(tprs.last - 1.0) < 1e-9)
+    // the trapezoid under the distinct-score ROC IS the tie-corrected
+    // Mann-Whitney statistic — the two keys must agree
+    val pts = fprs.zip(tprs)
+    val trap = pts.zip(pts.tail).map { case ((f0, t0), (f1, t1)) =>
+      (f1 - f0) * (t0 + t1) / 2.0
+    }.sum
+    assert(math.abs(trap - aucRow.getAs[Double]("auc")) < 1e-4,
+      s"trapezoid $trap vs rank-sum ${aucRow.getAs[Double]("auc")}")
+  }
+
   test("ml_bootstrap_ci brackets the full mean deterministically") {
     val r1 = q("ml_bootstrap_ci").collect().head
     assert(r1.getAs[Long]("n_replicas") === 64L)
