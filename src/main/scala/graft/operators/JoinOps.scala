@@ -232,6 +232,39 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of join (pandas merge_asof direction='forward', kdb
+    // aj's mirror): each click matches its NEXT purchase — the
+    // time-to-conversion primitive behind funnel latency dashboards,
+    // and the direction the backward `join_asof` cannot express. Same
+    // union-tag + one-window-sort merge (never a row-multiplying range
+    // join): the frame flips to [current, unbounded following] and the
+    // pick to first-ignoring-nulls; at an equal timestamp the click
+    // sorts before the purchase, so a same-instant conversion matches
+    // (the backward variant's tie convention, mirrored). Latency is
+    // exact integer microseconds.
+    "join_asof_forward" -> ((s, dir) => {
+      val tagged = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_type") === "click").cast("int").as("is_click"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tagged
+        .withColumn("purchase_id",
+          first(when(col("is_click") === 0, col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("purchase_ts",
+          first(when(col("is_click") === 0, col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("is_click") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id"), col("purchase_ts"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("ts")))
+            .as("latency_us"))
+        .orderBy("event_id")
+    }),
+
     // As-of join with a staleness tolerance (pandas merge_asof's
     // `tolerance=`, kdb wj): each purchase matches its most recent click
     // only if that click is within MaxStalenessUs — older attributions
@@ -480,6 +513,19 @@ object JoinOps {
          QUALIFY row_number() OVER (PARTITION BY p.event_id
                                     ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1
          ORDER BY p.event_id""",
+    // deliberately a DIFFERENT formulation than the Spark window merge:
+    // raw forward interval join + QUALIFY argmin, ties to min event_id
+    "join_asof_forward" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+                p.event_id AS purchase_id, p.ts AS purchase_ts,
+                epoch_us(p.ts) - epoch_us(c.ts) AS latency_us
+         FROM events c LEFT JOIN events p
+           ON p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts >= c.ts
+         WHERE c.event_type = 'click'
+         QUALIFY row_number() OVER (PARTITION BY c.event_id
+                                    ORDER BY p.ts ASC NULLS LAST, p.event_id ASC) = 1
+         ORDER BY c.event_id""",
     "join_asof_tolerance" ->
       """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
          FROM events p LEFT JOIN events c

@@ -311,6 +311,29 @@ class EdgeCaseSpec extends SparkSpec {
     ac.unpersist()
   }
 
+  test("join_asof_forward matches each click to its first later purchase") {
+    val fwd = JoinOps.queries("join_asof_forward")(spark, SfDir).collect()
+    val ev = Tables.events(spark, SfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(fwd.length === ev.count(_._4 == "click"), "one row per click")
+    fwd.foreach { r =>
+      val (uid, ts) = (r.getLong(1), r.getTimestamp(2))
+      val cand = purchases.filter(p => p._2 == uid && !p._3.before(ts))
+      if (cand.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("purchase_id")), "no later purchase → NULL")
+      } else {
+        val want = cand.minBy(p => (p._3.toInstant.getEpochSecond,
+          p._3.toInstant.getNano.toLong, p._1))
+        assert(r.getLong(r.fieldIndex("purchase_id")) === want._1,
+          s"click ${r.getLong(0)}: wrong conversion pick")
+        assert(r.getLong(r.fieldIndex("latency_us")) >= 0L)
+      }
+    }
+  }
+
   test("join_asof_tolerance keeps exactly the fresh attributions") {
     val base = JoinOps.queries("join_asof")(spark, SfDir)
       .select(col("event_id"), col("click_ts").as("b_click_ts"),
