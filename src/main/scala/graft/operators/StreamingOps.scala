@@ -277,6 +277,56 @@ object StreamingOps {
         .orderBy("event_id")
     }),
 
+    // Two-sided standardized CUSUM control chart per user (Page 1954,
+    // the K=0.5/H=4 textbook parameterization) — the sequential drift
+    // detector that catches a sustained small mean shift long before a
+    // per-point gate (`ts_anomaly`/`ts_mad_anomaly` score points;
+    // `ts_changepoint` locates one shift offline; this is the ONLINE
+    // accumulate-evidence form):
+    //   Sp_t = max(0, Sp_{t−1} + z_t − K),  Sn_t = max(0, Sn_{t−1} − z_t − K)
+    // over z_t = (x_t − μ)/σ with μ, σ from EXACT per-user DECIMAL
+    // sufficient sums (order-independent), K/H dyadic literals shared
+    // with the oracle. Same execution shape as the `ts_ewma` fold: one
+    // groupBy-collect per user, folds parallel across users, the
+    // recursive-CTE oracle replaying the identical double DAG step by
+    // step. Degenerate series (n < 2 or zero variance) are excluded by
+    // an explicit integer/compare filter — never a NaN-σ comparison,
+    // whose NaN ordering semantics differ in spirit across engines.
+    "ts_cusum_control" -> ((s, dir) => {
+      val acc0 = struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+        array().cast("array<struct<sp:double,sn:double>>").as("out"))
+      val varE = (col("n") * col("svv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double")) /
+        (col("n") * (col("n") - lit(1.0)))
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("seq"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,10)")).as("sv"),
+          sum((col("value") * col("value")).cast("decimal(28,10)")).as("svv"))
+        .filter(col("n") >= 2 && varE > 0)
+        .withColumn("mu", col("sv").cast("double") / col("n"))
+        .withColumn("sigma", sqrt(varE))
+        .withColumn("cu", aggregate(col("seq"), acc0,
+          (acc, x) => {
+            val z = (x("value") - col("mu")) / col("sigma")
+            val sp = greatest(lit(0.0), acc("sp") + z - lit(0.5))
+            val sn = greatest(lit(0.0), acc("sn") - z - lit(0.5))
+            struct(sp.as("sp"), sn.as("sn"),
+              concat(acc("out"),
+                array(struct(sp.as("sp"), sn.as("sn")))).as("out"))
+          },
+          acc => acc("out")))
+        .select(col("user_id"), explode(arrays_zip(col("seq"), col("cu"))).as("z"))
+        .select(col("z.seq.event_id").as("event_id"), col("user_id"),
+          col("z.seq.value").as("value"),
+          Num.pin(col("z.cu.sp"), 4).as("cusum_hi"),
+          Num.pin(col("z.cu.sn"), 4).as("cusum_lo"),
+          (col("z.cu.sp") > 4.0 || col("z.cu.sn") > 4.0).as("drift"))
+        .orderBy("event_id")
+    }),
+
     // Holt's linear-trend (double exponential) smoothing per user:
     //   l₁ = y₁, b₁ = 0;  lₙ = α·yₙ + (1−α)·(lₙ₋₁ + bₙ₋₁),
     //   bₙ = β·(lₙ − lₙ₋₁) + (1−β)·bₙ₋₁;  forecast = lₙ + bₙ
@@ -1359,6 +1409,46 @@ object StreamingOps {
          SELECT event_id, user_id, value,
                 floor(y * 1e4 + 0.5) / 1e4 AS ewma
          FROM ew ORDER BY event_id""",
+    // ts_ewma's recursion skeleton over the (Sp, Sn) pair; μ/σ replay
+    // off the same exact DECIMAL sufficient sums, the degenerate-series
+    // exclusion repeats the integer/compare form (never a NaN compare)
+    "ts_cusum_control" ->
+      """WITH RECURSIVE st AS (
+           SELECT user_id, count(*) AS n,
+                  sum(CAST(value AS DECIMAL(28,10))) AS sv,
+                  sum(CAST(value * value AS DECIMAL(28,10))) AS svv
+           FROM events GROUP BY user_id
+         ), pars AS (
+           SELECT user_id, CAST(sv AS DOUBLE) / n AS mu,
+                  sqrt((n * CAST(svv AS DOUBLE) -
+                        CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
+                       (n * (n - 1.0))) AS sigma
+           FROM st
+           WHERE n >= 2 AND (n * CAST(svv AS DOUBLE) -
+                             CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
+                            (n * (n - 1.0)) > 0
+         ), seq AS (
+           SELECT e.user_id, e.event_id, e.value, p.mu, p.sigma,
+                  row_number() OVER (PARTITION BY e.user_id
+                                     ORDER BY e.ts, e.event_id) AS rn
+           FROM events e JOIN pars p USING (user_id)
+         ), cu AS (
+           SELECT user_id, event_id, value, mu, sigma, rn,
+                  greatest(0.0, 0.0 + (value - mu) / sigma - 0.5) AS sp,
+                  greatest(0.0, 0.0 - (value - mu) / sigma - 0.5) AS sn
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.event_id, s.value, s.mu, s.sigma, s.rn,
+                  greatest(0.0, c.sp + (s.value - s.mu) / s.sigma - 0.5),
+                  greatest(0.0, c.sn - (s.value - s.mu) / s.sigma - 0.5)
+           FROM cu c JOIN seq s
+             ON s.user_id = c.user_id AND s.rn = c.rn + 1
+         )
+         SELECT event_id, user_id, value,
+                floor(sp * 1e4 + 0.5) / 1e4 AS cusum_hi,
+                floor(sn * 1e4 + 0.5) / 1e4 AS cusum_lo,
+                (sp > 4.0 OR sn > 4.0) AS drift
+         FROM cu ORDER BY event_id""",
     // ts_ewma's replay extended to the (level, trend) pair; the level
     // expression is substituted into the trend line because SQL can't
     // reference a same-SELECT alias — identical double DAG to the fold

@@ -478,6 +478,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.length.toLong === hourly - 24)
   }
 
+  test("ts_cusum_control replays one user's recursion and never goes negative") {
+    import graft.operators.StreamingOps
+    val rows = StreamingOps.queries("ts_cusum_control")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cusum_hi") >= 0.0 && r.getAs[Double]("cusum_lo") >= 0.0,
+        "CUSUM statistics are clamped at zero")
+    }
+    // brute sequential replay for the user with the most events
+    val uid = rows.groupBy(_.getLong(1)).maxBy(_._2.length)._1
+    val ev = Tables.events(spark, SfDir).filter(col("user_id") === uid)
+      .select("ts", "event_id", "value").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1.toInstant.getEpochSecond, t._1.toInstant.getNano.toLong, t._2))
+    val xs = ev.map(_._3)
+    val mu = xs.sum / xs.length
+    val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1))
+    var (sp, sn) = (0.0, 0.0)
+    val got = rows.filter(_.getLong(1) == uid).sortBy(_.getLong(0))
+    assert(got.length === ev.length)
+    ev.zip(got).foreach { case ((_, eid, v), r) =>
+      val z = (v - mu) / sigma
+      sp = math.max(0.0, sp + z - 0.5); sn = math.max(0.0, sn - z - 0.5)
+      assert(r.getLong(0) === eid, "event order must follow (ts, event_id)")
+      assert(math.abs(r.getAs[Double]("cusum_hi") - sp) < 1e-3,
+        s"event $eid: hi ${r.getAs[Double]("cusum_hi")} vs brute $sp")
+      assert(math.abs(r.getAs[Double]("cusum_lo") - sn) < 1e-3)
+      // flag compare only away from the threshold (the brute replay's
+      // plain-double mu/sigma drift by ~1e-9 vs the exact DECIMAL sums)
+      if (math.abs(sp - 4.0) > 1e-2 && math.abs(sn - 4.0) > 1e-2)
+        assert(r.getAs[Boolean]("drift") === (sp > 4.0 || sn > 4.0))
+    }
+  }
+
   test("ts_resid_anomaly flags exactly the decompose residual outliers") {
     import graft.operators.StreamingOps
     val dec = StreamingOps.queries("ts_decompose")(spark, SfDir).collect()
