@@ -899,6 +899,32 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // 5/95 trimmed mean per event type — `agg_winsorized`'s companion
+    // that DROPS the tails instead of clamping them (winsorizing keeps
+    // outlier COUNT influence at the fence value; trimming removes it —
+    // the two disagree exactly when the tails matter, which is why
+    // robust pipelines report both). Same two-pass shape: exact
+    // interpolating percentiles into a |types|-row broadcast, then ONE
+    // conditional-count/DECIMAL-fold scan; the kept-row mean divides
+    // exact sums by exact counts.
+    "agg_trimmed_mean" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val q = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      val in = col("value") >= col("p05") && col("value") <= col("p95")
+      ev.join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(in, 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(in, col("value").cast("decimal(28,10)")))
+            .cast("double") / sum(when(in, 1L).otherwise(0L)), 4)
+            .as("trimmed_mean"),
+          round(sum(col("value").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)), 4).as("mean"))
+        .orderBy("event_type")
+    }),
+
     // Benford first-digit screen over order totals — the classic
     // fraud/fabrication data-quality check: naturally-occurring amounts
     // follow P(d) = log10(1 + 1/d). The first digit comes from the
@@ -1432,6 +1458,27 @@ object AggOps {
                       / count(*), 4) AS winsorized_mean,
                 round(min(q.p05), 4) AS p05,
                 round(min(q.p95), 4) AS p95
+         FROM events e JOIN q USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    // same quantile_cont fences as agg_winsorized; the kept-row filter
+    // replays as the identical double compares against those fences
+    "agg_trimmed_mean" ->
+      """WITH q AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS p05,
+                  quantile_cont(value, 0.95) AS p95
+           FROM events GROUP BY event_type
+         )
+         SELECT e.event_type, count(*) AS n,
+                CAST(sum(CASE WHEN e.value >= q.p05 AND e.value <= q.p95
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                round(CAST(sum(CASE WHEN e.value >= q.p05 AND e.value <= q.p95
+                                    THEN CAST(e.value AS DECIMAL(28,10)) END)
+                           AS DOUBLE) /
+                      sum(CASE WHEN e.value >= q.p05 AND e.value <= q.p95
+                               THEN 1 ELSE 0 END), 4) AS trimmed_mean,
+                round(CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
+                      / count(*), 4) AS mean
          FROM events e JOIN q USING (event_type)
          GROUP BY e.event_type ORDER BY e.event_type""",
     // first digit off the DECIMAL(18,2) string form; the expected ladder

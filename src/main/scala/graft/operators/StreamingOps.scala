@@ -903,6 +903,35 @@ object StreamingOps {
         .orderBy("lag")
     }),
 
+    // Ljung-Box portmanteau test over `ts_correlogram`'s PUBLISHED lag
+    // correlations — the white-noise screen read before fitting any AR
+    // model (Q_h = n(n+2)·Σ_{k≤h} ρ̂²_k/(n−k), cumulative per lag, so
+    // the table shows WHERE serial dependence enters). Corpus work is
+    // exactly the correlogram's; the per-lag terms use the published
+    // 6dp ACF and the exact integer pair counts (n−k = n_pairs), pre-
+    // round at 12dp and fold as DECIMAL over the 12-row relation. The
+    // χ²₉₅ critical ladder is a FIXED literal table shared with the
+    // oracle (in-engine quantile functions are not bit-pinned), and the
+    // reject flag compares the PINNED statistic.
+    "ts_ljung_box" -> ((s, dir) => {
+      val w = Window.orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val crit = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592,
+        14.067, 15.507, 16.919, 18.307, 19.675, 21.026)
+      val critExpr = element_at(array(crit.map(lit(_)): _*),
+        col("lag").cast("int"))
+      queries("ts_correlogram")(s, dir)
+        .withColumn("n", (col("n_pairs") + col("lag")).cast("double"))
+        .withColumn("t", Num.pin(
+          col("acf") * col("acf") / col("n_pairs"), 12))
+        .withColumn("q", Num.pin(col("n") * (col("n") + 2.0) *
+          sum(col("t").cast("decimal(24,12)")).over(w).cast("double"), 4))
+        .select(col("lag"), col("acf"), col("q").as("q_stat"),
+          critExpr.as("crit_95"),
+          (col("q") > critExpr).as("reject_white_noise"))
+        .orderBy("lag")
+    }),
+
     // Maximum drawdown per user — the peak-to-trough regression metric
     // (finance risk, SLO burn, model-metric degradation): the largest
     // drop from a running maximum, with WHERE it bottomed. Same scale
@@ -1556,6 +1585,35 @@ object StreamingOps {
     // Durbin–Levinson over corr's published 6dp lag correlations; the
     // recursion carries φ as a LIST column (the holt_winters ring
     // pattern) and every inner sum replays the ascending-j left fold
+    // nests the shared correlogram CTE; terms pre-round at 12dp into
+    // DECIMAL, the χ² ladder is the same literal table, the flag
+    // compares the pinned statistic
+    "ts_ljung_box" ->
+      s"""WITH corr AS (
+           $CorrelogramSql
+         ), lb AS (
+           SELECT lag, acf, n_pairs,
+                  CAST(n_pairs + lag AS DOUBLE) AS n,
+                  CAST(floor(acf * acf / n_pairs * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(24,12)) AS t
+           FROM corr
+         ), qq AS (
+           SELECT lag, acf,
+                  floor(n * (n + 2.0) *
+                        CAST(sum(t) OVER (ORDER BY lag
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS DOUBLE) * 1e4 + 0.5) / 1e4 AS q_stat
+           FROM lb
+         ), crit AS (
+           SELECT * FROM (VALUES (1, 3.841), (2, 5.991), (3, 7.815),
+             (4, 9.488), (5, 11.070), (6, 12.592), (7, 14.067),
+             (8, 15.507), (9, 16.919), (10, 18.307), (11, 19.675),
+             (12, 21.026)) AS c(lag, crit_95)
+         )
+         SELECT q.lag, q.acf, q.q_stat,
+                CAST(c.crit_95 AS DOUBLE) AS crit_95,
+                (q.q_stat > CAST(c.crit_95 AS DOUBLE)) AS reject_white_noise
+         FROM qq q JOIN crit c ON q.lag = c.lag ORDER BY q.lag""",
     "ts_pacf" ->
       s"""WITH RECURSIVE corr AS (
            $CorrelogramSql

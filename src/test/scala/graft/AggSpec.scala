@@ -307,6 +307,34 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("agg_trimmed_mean replays brute-force and brackets sensibly") {
+    val rows = AggOps.queries("agg_trimmed_mean")(spark, SfDir).collect()
+    val byType = Tables.events(spark, SfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getDouble(1)) }
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val xs = byType(r.getString(0)).sorted
+      // brute interpolating percentiles (the Spark/DuckDB contract)
+      def pct(p: Double) = {
+        val h = (xs.length - 1) * p
+        val lo = h.toInt
+        if (lo == xs.length - 1) xs(lo)
+        else xs(lo) + (h - lo) * (xs(lo + 1) - xs(lo))
+      }
+      val (p05, p95) = (pct(0.05), pct(0.95))
+      val kept = xs.filter(x => x >= p05 && x <= p95)
+      assert(r.getAs[Long]("n_kept") === kept.length.toLong,
+        s"${r.getString(0)}: kept count")
+      assert(math.abs(r.getAs[Double]("trimmed_mean") -
+        kept.sum / kept.length) < 1e-3, s"${r.getString(0)}: trimmed mean")
+      // trimming drops ~10% of rows and the result stays inside the fences
+      assert(kept.length >= (xs.length * 0.85).toInt)
+      assert(r.getAs[Double]("trimmed_mean") >= p05 - 1e-9 &&
+        r.getAs[Double]("trimmed_mean") <= p95 + 1e-9)
+    }
+  }
+
   test("agg_theil satisfies the between/within decomposition identity") {
     val rows = AggOps.queries("agg_theil")(spark, SfDir).collect()
     assert(rows.length === 5, "one row per order priority")

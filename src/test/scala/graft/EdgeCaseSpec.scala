@@ -478,6 +478,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.length.toLong === hourly - 24)
   }
 
+  test("ts_ljung_box replays cumulative Q from the published correlogram") {
+    import graft.operators.StreamingOps
+    val corr = StreamingOps.queries("ts_correlogram")(spark, SfDir).collect()
+      .sortBy(_.getAs[Int]("lag"))
+    val lb = StreamingOps.queries("ts_ljung_box")(spark, SfDir).collect()
+      .sortBy(_.getAs[Int]("lag"))
+    assert(lb.length === 12)
+    var acc = 0.0
+    corr.zip(lb).foreach { case (c, r) =>
+      val n = (c.getAs[Long]("n_pairs") + c.getAs[Int]("lag")).toDouble
+      val a = c.getAs[Double]("acf")
+      acc += a * a / c.getAs[Long]("n_pairs")
+      val q = n * (n + 2.0) * acc
+      assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-2,
+        s"lag ${c.getAs[Int]("lag")}: ${r.getAs[Double]("q_stat")} vs $q")
+      assert(r.getAs[Boolean]("reject_white_noise") ===
+        (r.getAs[Double]("q_stat") > r.getAs[Double]("crit_95")))
+    }
+    // Q accumulates nonneg terms: monotone nondecreasing in the lag
+    val qs = lb.map(_.getAs[Double]("q_stat"))
+    assert(qs.zip(qs.tail).forall { case (x, y) => x <= y + 1e-9 })
+  }
+
   test("ts_cusum_control replays one user's recursion and never goes negative") {
     import graft.operators.StreamingOps
     val rows = StreamingOps.queries("ts_cusum_control")(spark, SfDir).collect()
