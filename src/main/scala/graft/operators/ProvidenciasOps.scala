@@ -683,6 +683,43 @@ object ProvidenciasOps {
         .orderBy("degree")
     }),
 
+    // Graph extension: the one-row global graph datasheet — node/edge
+    // counts, density, mean/max degree, and Freeman degree
+    // centralization C_D = Σ(d_max − d_i) / ((n−1)(n−2)) (0 = regular,
+    // 1 = star: "is this similarity graph hub-dominated?"), the summary
+    // card printed above every per-node graph table. One aggregate over
+    // the node-cardinality degree relation; isolated vectors count as
+    // nodes via the full id list (degree 0), so density and
+    // centralization are over the TRUE vertex set, not just touched
+    // nodes. All ratios divide exact integers in a pinned order.
+    "graph_summary" -> ((s, dir) => {
+      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
+        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+        .select(col("src"), col("dst"))
+      // persisted: both the totals aggregate and the centralization pass
+      // consume it — without the pin the O(n²) pairwise subtree runs twice
+      val deg = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+        .join(e.select(explode(array(col("src"), col("dst"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("d")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+        .persist()
+      deg.agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("stubs"),
+          max(col("d")).as("max_degree"))
+        .select(col("n_nodes"), expr("stubs DIV 2").as("n_edges"),
+          col("max_degree"),
+          Num.pin(col("stubs").cast("double") / col("n_nodes"), 6)
+            .as("avg_degree"),
+          Num.pin(col("stubs").cast("double") /
+            (col("n_nodes") * (col("n_nodes") - lit(1L))), 6).as("density"))
+        .crossJoin(broadcast(deg.crossJoin(broadcast(
+            deg.agg(max(col("d")).as("dm"))))
+          .agg(sum(col("dm") - col("d")).as("cd_num"),
+            count(lit(1)).as("nn"))
+          .select(Num.pin(col("cd_num").cast("double") /
+            ((col("nn") - lit(1L)) * (col("nn") - lit(2L))), 6)
+            .as("degree_centralization"))))
+    }),
+
     // Graph extension: rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1))
     // for k = 1..8 — "do the high-degree rulings preferentially connect
     // to each other?", the hub-interconnection diagnostic read next to
@@ -1002,6 +1039,40 @@ object ProvidenciasOps {
                       sqrt((m * saa - sa * sa) * (m * sbb - sb * sb)), 6)
                   AS assortativity
          FROM sums""",
+    "graph_summary" ->
+      """WITH e AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ), deg AS (
+           SELECT v.vec_id AS id, CAST(coalesce(t.d, 0) AS BIGINT) AS d
+           FROM embeddings v LEFT JOIN (
+             SELECT id, count(*) AS d FROM (
+               SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+             ) GROUP BY id
+           ) t ON v.vec_id = t.id
+         ), s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(sum(d) AS BIGINT) AS stubs,
+                  CAST(max(d) AS BIGINT) AS max_degree
+           FROM deg
+         ), dm AS (SELECT max(d) AS dm FROM deg),
+         c AS (
+           SELECT CAST(sum(dm.dm - deg.d) AS BIGINT) AS cd_num,
+                  CAST(count(*) AS BIGINT) AS nn
+           FROM deg CROSS JOIN dm
+         )
+         SELECT n_nodes, CAST(stubs // 2 AS BIGINT) AS n_edges, max_degree,
+                floor(CAST(stubs AS DOUBLE) / n_nodes * 1e6 + 0.5) / 1e6
+                  AS avg_degree,
+                floor(CAST(stubs AS DOUBLE) / (n_nodes * (n_nodes - 1))
+                      * 1e6 + 0.5) / 1e6 AS density,
+                floor(CAST(cd_num AS DOUBLE) / ((nn - 1) * (nn - 2))
+                      * 1e6 + 0.5) / 1e6 AS degree_centralization
+         FROM s CROSS JOIN c""",
     "graph_knn_degree" ->
       """WITH e AS MATERIALIZED (
            SELECT * FROM (

@@ -252,6 +252,28 @@ class GraphSpec extends SparkSpec {
       .select(col("e.s").as("s"), col("e.d").as("d"))
   }
 
+  test("graph_summary reconciles with the degree relation and its bounds") {
+    val r = q("graph_summary").collect().head
+    val degs = q("graph_degree").collect()
+      .map(_.getAs[Long]("degree"))
+    val nVec = Tables.embeddings(spark, SfDir).count()
+    assert(r.getAs[Long]("n_nodes") === nVec,
+      "isolated vectors must count as nodes")
+    assert(r.getAs[Long]("n_edges") === degs.sum / 2)
+    assert(r.getAs[Long]("max_degree") === degs.max)
+    val avg = degs.sum.toDouble / nVec
+    assert(math.abs(r.getAs[Double]("avg_degree") - avg) < 1e-5)
+    val density = degs.sum.toDouble / (nVec * (nVec - 1))
+    assert(math.abs(r.getAs[Double]("density") - density) < 1e-5)
+    // Freeman centralization: 0 on a regular graph, 1 on a star; the
+    // brute numerator counts isolated nodes at degree 0
+    val cdNum = (nVec - degs.length) * degs.max +
+      degs.map(d => degs.max - d).sum
+    val cd = cdNum.toDouble / ((nVec - 1) * (nVec - 2))
+    assert(math.abs(r.getAs[Double]("degree_centralization") - cd) < 1e-5)
+    assert(cd >= 0.0 && cd <= 1.0 + 1e-9)
+  }
+
   test("graph_rich_club replays brute-force on the induced subgraphs") {
     val rows = q("graph_rich_club").collect()
     assert(rows.map(_.getAs[Long]("k")).toSeq === (1L to 8L))
