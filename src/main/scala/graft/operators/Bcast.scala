@@ -111,4 +111,7 @@ private[operators] final class SessionMemo[K, V] {
 
   def getOrElseUpdate(s: org.apache.spark.sql.SparkSession, k: K)(v: => V): V =
     inner(s).computeIfAbsent(k, _ => v)
+
+  /** Drop every entry of one session (spec isolation). */
+  def remove(s: org.apache.spark.sql.SparkSession): Unit = outer.remove(s)
 }

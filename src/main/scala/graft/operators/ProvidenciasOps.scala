@@ -242,8 +242,7 @@ object ProvidenciasOps {
     // form re-planned the whole O(n²) SelfPairwise subtree per branch —
     // a Union does not share subtrees — doubling the dominant cost.)
     "graph_degree" -> ((s, dir) =>
-      SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      SimilarityOps.similarEdges(s, dir)
         .select(explode(array(col("src"), col("dst"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("degree"))
         .orderBy("id")),
@@ -257,8 +256,7 @@ object ProvidenciasOps {
     // plan shuffle-joins on the edge keys and degree-based orientation
     // keeps the skew bounded.
     "graph_triangles" -> ((s, dir) => {
-      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val e = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
         .persist()
       // per-role projections (aliases mint fresh exprIds, so the three
@@ -282,8 +280,7 @@ object ProvidenciasOps {
     // already-aggregated (node-cardinality) relations — never touching
     // the quadratic pair space again.
     "graph_cluster_coeff" -> ((s, dir) => {
-      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val e = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
         .persist()
       val deg = e.select(explode(array(col("src"), col("dst"))).as("node_id"))
@@ -315,8 +312,7 @@ object ProvidenciasOps {
     // tiny relative to the corpus, and singletons ride in as self-loops.
     "graph_components" -> ((s, dir) => {
       val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("gid"))
-      val edges = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val edges = SimilarityOps.similarEdges(s, dir)
         .select(explode(array(
           struct(col("src").as("a"), col("dst").as("b")),
           struct(col("dst").as("a"), col("src").as("b")))).as("e"))
@@ -349,8 +345,7 @@ object ProvidenciasOps {
     // scalar (fixed 2: synchronous LPA is oscillation-prone, so production
     // runs cap supersteps rather than loop to convergence).
     "graph_label_prop" -> ((s, dir) => {
-      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val tri = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
       // symmetrize once and persist: 2 supersteps × 1 scan each would
       // otherwise re-run the pairwise derivation per iteration
@@ -380,8 +375,7 @@ object ProvidenciasOps {
     // DECIMAL in a global aggregate — never a window over the
     // community relation, whose cardinality is node-bounded at scale.
     "graph_modularity" -> ((s, dir) => {
-      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val tri = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
       val e = tri.select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
@@ -433,8 +427,7 @@ object ProvidenciasOps {
     // degeneracy ordering depth — a handful in practice (≤ 10 on every
     // fixture SF), capped at 64 like the CC loop's round cap.
     "graph_kcore" -> ((s, dir) => {
-      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val tri = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
       val und = tri.select(explode(array(
           struct(col("src").as("s"), col("dst").as("d")),
@@ -481,8 +474,7 @@ object ProvidenciasOps {
     "graph_pagerank" -> ((s, dir) => {
       val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
       val n = nodes.count().toDouble
-      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val tri = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
       val und = tri.select(explode(array(
           struct(col("src").as("s"), col("dst").as("d")),
@@ -528,8 +520,7 @@ object ProvidenciasOps {
     // on the middle node — never an all-pairs comparison; degrees ride in
     // on two broadcast joins of the |nodes|-sized degree table.
     "graph_jaccard_neighbors" -> ((s, dir) => {
-      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val tri = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
       val und = tri.select(explode(array(
           struct(col("src").as("s"), col("dst").as("d")),
@@ -563,8 +554,7 @@ object ProvidenciasOps {
     // at 10dp so the DECIMAL fold over each pair's common neighbors is
     // order-independent — the text_entropy ln-parity discipline.
     "graph_adamic_adar" -> ((s, dir) => {
-      val tri = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val tri = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
       val und = tri.select(explode(array(
           struct(col("src").as("s"), col("dst").as("d")),
@@ -630,8 +620,7 @@ object ProvidenciasOps {
     // closed-form corr folds integer degree products as exact DECIMAL,
     // so the single-row result is bit-identical cross-engine.
     "graph_assortativity" -> ((s, dir) => {
-      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val e = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
         .persist()
       val deg = e.select(explode(array(col("src"), col("dst"))).as("id"))
@@ -663,8 +652,7 @@ object ProvidenciasOps {
     // partial-agg shuffle into the ≤|distinct degrees|-bounded curve;
     // the neighbor-degree sums fold as exact integers.
     "graph_knn_degree" -> ((s, dir) => {
-      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val e = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
         .persist()
       val deg = e.select(explode(array(col("src"), col("dst"))).as("id"))
@@ -693,8 +681,7 @@ object ProvidenciasOps {
     // centralization are over the TRUE vertex set, not just touched
     // nodes. All ratios divide exact integers in a pinned order.
     "graph_summary" -> ((s, dir) => {
-      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val e = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
       // persisted: both the totals aggregate and the centralization pass
       // consume it — without the pin the O(n²) pairwise subtree runs twice
@@ -730,8 +717,7 @@ object ProvidenciasOps {
     // histograms, so no k ever rescans edges and the suffix counts are
     // exact integer folds over degree-domain-sized relations.
     "graph_rich_club" -> ((s, dir) => {
-      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val e = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
         .persist()
       val deg = e.select(explode(array(col("src"), col("dst"))).as("id"))
@@ -832,8 +818,7 @@ object ProvidenciasOps {
     // shared by both sides; the final relation is a single row of exact
     // BIGINTs plus one exactly-rounded division.
     "graph_transitivity" -> ((s, dir) => {
-      val e = SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      val e = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
         .persist()
       val stats = e.select(col("src").as("id"))

@@ -293,8 +293,7 @@ object RelationalOps {
       // persisted: UnionLoop re-reads the edge relation on every
       // recursion step — without the cache the O(n²) pairwise derivation
       // would re-execute per hop
-      SimilarityOps.pairwiseTriangular(s, dir, SimilarityOps.EdgeThreshold)
-        .filter(col("similitud") >= SimilarityOps.EdgeThreshold)
+      SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
         .persist()
         .createOrReplaceTempView("graft_sim_edges")

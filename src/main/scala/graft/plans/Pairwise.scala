@@ -26,10 +26,15 @@ object Pairwise {
     * (Long.MaxValue), whose block count overflows Int and a bare
     * `.toInt` would wrap NEGATIVE — clamping the hugest inputs to the
     * 2-block minimum, the exact opposite of what they need. */
-  private def gridBlocks(df: DataFrame): Option[Int] = {
+  private def gridBlocks(df: DataFrame): Option[Int] =
+    gridBlocksFor(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+
+  /** Same decision from a raw byte estimate — shared with
+    * [[PairwiseRewrite]], which sees the logical subtree (and its stats)
+    * rather than a DataFrame. */
+  def gridBlocksFor(bytes: BigInt): Option[Int] = {
     val threshold =
       org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // threshold <= 0 is Spark's "never broadcast" setting → grid path
     if (threshold > 0 && bytes <= BigInt(threshold)) None
     else {

@@ -159,21 +159,53 @@ object PairwiseRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }.reduceOption[Double](math.max).map(_ - 1e-9).getOrElse(Double.MinValue)
 
-    // 5. Build the operator and re-express filter + projections over it.
-    val out: Seq[Attribute] = Seq(
-      AttributeReference("src", LongType, nullable = false)(),
-      AttributeReference("dst", LongType, nullable = false)(),
-      AttributeReference("score", DoubleType, nullable = false)())
-    val Seq(srcA, dstA, scoreA) = out
+    // 5. Size-gate the physical choice the way [[Pairwise.gridBlocksFor]]
+    //    does for the operator API: while the slimmed (id, vec) build side
+    //    fits the session's broadcast budget, rewrite to the broadcast
+    //    operator; past it, rewrite to the shuffle-distributed
+    //    [[GridPairwise]] plan instead — NEVER to an unconditional
+    //    executeCollect+broadcast of a table whose stats say it no longer
+    //    fits an executor. (The all-ordered-pairs `src != dst` shape has no
+    //    grid twin — the grid emits each unordered pair once — so beyond
+    //    the budget it is left to Spark's own join planning.)
+    val slimmed = Project(Seq(idL, vecL), left)
+    val node: LogicalPlan = Pairwise.gridBlocksFor(slimmed.stats.sizeInBytes) match {
+      case None =>
+        val out: Seq[Attribute] = Seq(
+          AttributeReference("src", LongType, nullable = false)(),
+          AttributeReference("dst", LongType, nullable = false)(),
+          AttributeReference("score", DoubleType, nullable = false)())
+        SelfPairwiseNode(slimmed, SelfPairwise.Cosine, minScore, triangular,
+          topK = 0, out)
+      case Some(blocks) if triangular =>
+        // The grid plan is authored through the DataFrame API (it is
+        // ordinary explode/join/filter relational algebra, not a custom
+        // node) and grafted in OPTIMIZED form — this rule runs after the
+        // standard batches, so the subtree must arrive with hints folded
+        // (a surviving ResolvedHint is a planner error) and its own
+        // pruning/pushdown already done. Its internal `score >= minScore`
+        // filter carries the same conservative raw bound as the
+        // operator's in-loop prefilter — the caller's exact rounded
+        // comparison is re-applied on top below, and a NULL cosine
+        // (zero-norm vector) fails `>= Double.MinValue` just as the
+        // operator skips it.
+        val spark = SparkSession.active
+        val slimDf = org.apache.spark.sql.graft.Bridge.ofRows(spark, slimmed)
+        GridPairwise(slimDf, blocks,
+          (x, y) => org.apache.spark.sql.graft.Bridge.column(
+            FloatCosine(org.apache.spark.sql.graft.Bridge.expression(x),
+              org.apache.spark.sql.graft.Bridge.expression(y))),
+          org.apache.spark.sql.functions.lit(minScore))
+          .queryExecution.optimizedPlan
+      case _ => return None
+    }
+    val Seq(srcA, dstA, scoreA) = node.output
     def subst(e: Expression): Expression = e.transformUp {
       case FloatCosine(la: Attribute, ra: Attribute)
           if la.exprId == vecL.exprId && ra.exprId == vecR.exprId => scoreA
       case a: Attribute if a.exprId == idL.exprId => srcA
       case a: Attribute if a.exprId == idR.exprId => dstA
     }
-    val node = SelfPairwiseNode(
-      Project(Seq(idL, vecL), left), SelfPairwise.Cosine, minScore, triangular,
-      topK = 0, out)
     val filterCond = rest.map(subst).reduce(And)
     val newProjs: Seq[NamedExpression] = projs.map { ne =>
       val base = ne match { case Alias(c, _) => c; case other => other }
@@ -181,7 +213,7 @@ object PairwiseRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     // Anything still referencing the join inputs (other columns, swapped
     // cosine args, ...) means the shape is richer than the operator — bail.
-    val outSet = AttributeSet(out)
+    val outSet = AttributeSet(node.output)
     if (!filterCond.references.subsetOf(outSet)) return None
     if (newProjs.exists(a => !a.references.subsetOf(outSet))) return None
 

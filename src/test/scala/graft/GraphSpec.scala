@@ -11,6 +11,34 @@ class GraphSpec extends SparkSpec {
 
   private def q(name: String) = ProvidenciasOps.queries(name)(spark, SfDir)
 
+  test("edge derivation degrades to the grid plan past the broadcast " +
+      "budget; graph_degree output is plan-invariant") {
+    import graft.operators.SimilarityOps
+    // baseline under the session default (fixture fits → broadcast path)
+    val expected = q("graph_degree").collect().toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the shared edge materialization memoizes per (session, dir) — evict
+    // so the -1-threshold run re-derives through the gated front door
+    SimilarityOps.evictSharedEdges(spark)
+    try {
+      // 1. the derivation the graph family shares must NOT plan the
+      //    executeCollect-broadcast operator when broadcasting is off
+      val derivation = SimilarityOps
+        .pairwiseTriangular(spark, SfDir, SimilarityOps.EdgeThreshold)
+      val phys = derivation.queryExecution.executedPlan.toString
+      assert(!phys.contains("SelfPairwise"), phys)
+      assert(!phys.contains("CartesianProduct"), phys)
+      // 2. end-to-end: the grid-derived graph_degree is row-identical
+      assert(q("graph_degree").collect().toSeq == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // drop the grid-derived materialization so later suites/tests
+      // re-derive under their own conf
+      SimilarityOps.evictSharedEdges(spark)
+    }
+  }
+
   test("graph_bipartite_proj weights equal the distinct shared-user counts") {
     val proj = q("graph_bipartite_proj").persist()
     assert(proj.filter(col("t1") >= col("t2")).count() === 0,

@@ -59,6 +59,43 @@ class PairwiseRewriteSpec extends SparkSpec {
       viaApi.orderBy("src", "dst").collect().toSeq)
   }
 
+  test("beyond the broadcast budget the rewrite grafts the grid plan — " +
+      "never an executeCollect broadcast") {
+    // the r12 scale-killer regression test: with broadcasting disabled the
+    // declarative shape must neither keep the broadcast operator (whose
+    // exec collects the WHOLE build side to the driver) nor fall to a
+    // CartesianProduct — it must become the shuffle-distributed grid join
+    val expected = declarative(SimilarityOps.EdgeThreshold)
+      .orderBy("src", "dst").collect().toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = declarative(SimilarityOps.EdgeThreshold)
+      assert(!hasNode(df), df.queryExecution.optimizedPlan.toString)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("SelfPairwise"), phys)
+      assert(!phys.contains("CartesianProduct"), phys)
+      assert(phys.contains("ShuffledHashJoin") || phys.contains("SortMergeJoin"), phys)
+      assert(df.orderBy("src", "dst").collect().toSeq == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("all-ordered-pairs shape past the budget -> no rewrite (grid has no " +
+      "ordered-pair twin)") {
+    PairwiseRewrite.install(spark)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
+      val df = e.alias("a").join(e.alias("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          round(ArrayExprs.cosine(col("a.embedding"), col("b.embedding")) * 100, 4)
+            .as("similitud"))
+        .filter(col("similitud") >= 40.0)
+      assert(!hasNode(df))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no score filter -> no rewrite (NULL-score rows must be kept)") {
     PairwiseRewrite.install(spark)
     val e = Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
