@@ -93,6 +93,12 @@ object MultimodalOps {
     "mm_frame_dedup" -> ((s, dir) => {
       val nf = ceil(col("meta.n_bytes").cast("double") / FrameBytes).cast("int")
       media(s, dir)
+        // an empty payload has ZERO frames: Spark's sequence(0, nf - 1)
+        // at nf = 0 is the DESCENDING [0, -1] — two phantom frames per
+        // empty blob — where the oracle's range(0, 0) is empty; the
+        // pushed-down filter makes the generator domain nf >= 1 so the
+        // two engines agree on any corpus, not just non-empty fixtures
+        .filter(col("meta.n_bytes") > 0)
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), nf - 1),
             i => md5(col("payload").substr(i * FrameBytes + 1, lit(FrameBytes)))))

@@ -27,6 +27,18 @@ object StreamingOps {
   /** ACF lags reported by `ts_correlogram`. */
   val CorrelogramLags = 12
 
+  /** χ²(k) 95th-percentile critical values for k = 1..[[CorrelogramLags]]
+    * — the Ljung-Box reject ladder, single-sourced into BOTH the Column
+    * fold and the oracle's VALUES table (in-engine quantile functions are
+    * not bit-pinned across engines, and a second literal copy could
+    * silently drift). The length is tied to [[CorrelogramLags]]: an
+    * out-of-range `element_at` would return NULL and silently blank the
+    * reject column. */
+  val Chi2Crit95: Seq[Double] = Seq(3.841, 5.991, 7.815, 9.488, 11.070,
+    12.592, 14.067, 15.507, 16.919, 18.307, 19.675, 21.026)
+  require(Chi2Crit95.length == CorrelogramLags,
+    s"Chi2Crit95 must cover exactly CorrelogramLags=$CorrelogramLags lags")
+
   /** `ts_ewma`'s smoothing pair — BOTH literal, never β = 1−α: that
     * subtraction lands exactly on a round-to-even tie and yields a
     * different double than the 0.7 the DuckDB oracle parses. */
@@ -600,8 +612,9 @@ object StreamingOps {
     // discipline: the trend is an exact 25-hour integer frame sum over
     // the calendar-bounded hourly relation divided once, the seasonal
     // means divide exact per-hod integer sums of (c, frame-sum) — no
-    // double is ever summed across rows — and the 24-value centering
-    // fold pre-rounds at 10dp into DECIMAL. Edge hours without a full
+    // double is ever summed across rows — and the hod-centering fold
+    // (mean over the hods present) pre-rounds at 10dp into DECIMAL.
+    // Edge hours without a full
     // centered frame are dropped (full-window contract).
     "ts_decompose" -> ((s, dir) => {
       val wf = Window.orderBy("h").rowsBetween(-12, 12)
@@ -623,8 +636,13 @@ object StreamingOps {
         .withColumn("seasonal_raw",
           col("s1").cast("double") / col("nh") -
             col("s2").cast("double") / (lit(25.0) * col("nh")))
+        // centered over the hods actually PRESENT (count over the same
+        // frame), not a hard-coded 24: on a short series whose full-window
+        // hours cover fewer distinct hours-of-day, dividing by 24 would
+        // leave the cycle un-centered and push the offset into residuals
         .withColumn("m", sum(Num.pin(col("seasonal_raw"), 10)
-          .cast("decimal(28,10)")).over(w24).cast("double") / lit(24.0))
+          .cast("decimal(28,10)")).over(w24).cast("double") /
+          count(lit(1)).over(w24))
         .select(col("hod"), (col("seasonal_raw") - col("m")).as("seasonal"))
       full.join(broadcast(seas), "hod")
         .select(col("h"), col("c"),
@@ -916,9 +934,7 @@ object StreamingOps {
     "ts_ljung_box" -> ((s, dir) => {
       val w = Window.orderBy("lag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val crit = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592,
-        14.067, 15.507, 16.919, 18.307, 19.675, 21.026)
-      val critExpr = element_at(array(crit.map(lit(_)): _*),
+      val critExpr = element_at(array(Chi2Crit95.map(lit(_)): _*),
         col("lag").cast("int"))
       queries("ts_correlogram")(s, dir)
         .withColumn("n", (col("n_pairs") + col("lag")).cast("double"))
@@ -1036,8 +1052,8 @@ object StreamingOps {
          ), seas AS (
            SELECT hod, seasonal_raw -
                   CAST(sum(CAST(floor(seasonal_raw * 1e10 + 0.5) / 1e10
-                                AS DECIMAL(28,10))) OVER () AS DOUBLE) / 24.0
-                    AS seasonal
+                                AS DECIMAL(28,10))) OVER () AS DOUBLE)
+                    / count(*) OVER () AS seasonal
            FROM seas1
          )"""
 
@@ -1605,10 +1621,9 @@ object StreamingOps {
                              AS DOUBLE) * 1e4 + 0.5) / 1e4 AS q_stat
            FROM lb
          ), crit AS (
-           SELECT * FROM (VALUES (1, 3.841), (2, 5.991), (3, 7.815),
-             (4, 9.488), (5, 11.070), (6, 12.592), (7, 14.067),
-             (8, 15.507), (9, 16.919), (10, 18.307), (11, 19.675),
-             (12, 21.026)) AS c(lag, crit_95)
+           SELECT * FROM (VALUES ${Chi2Crit95.zipWithIndex
+             .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")})
+             AS c(lag, crit_95)
          )
          SELECT q.lag, q.acf, q.q_stat,
                 CAST(c.crit_95 AS DOUBLE) AS crit_95,

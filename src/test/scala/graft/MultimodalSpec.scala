@@ -68,6 +68,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must share at least one frame across docs")
   }
 
+  test("frame explode emits zero frames for an empty payload (sequence " +
+      "descending-range guard)") {
+    // Spark's sequence(0, nf - 1) at nf = 0 is the DESCENDING [0, -1] —
+    // without the n_bytes > 0 guard an empty blob would emit two phantom
+    // frames where the oracle's range(0, 0) emits none. Replays the
+    // query's exact generator chain over a corpus with an empty payload.
+    import org.apache.spark.sql.functions._
+    val fb = graft.operators.MultimodalOps.FrameBytes
+    val docs = Seq((1L, ""), (2L, "x" * (fb + 1)), (3L, "y" * fb))
+    val media = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        to_binary(col("text"), lit("utf-8")).as("payload"),
+        struct(octet_length(to_binary(col("text"), lit("utf-8")))
+          .cast("long").as("n_bytes")).as("meta"))
+    val nf = ceil(col("meta.n_bytes").cast("double") / fb).cast("int")
+    val frames = media
+      .filter(col("meta.n_bytes") > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nf - 1),
+          i => md5(col("payload").substr(i * fb + 1, lit(fb)))))
+          .as("frame_md5"))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames.get(1L).isEmpty, s"empty payload produced frames: $frames")
+    assert(frames(2L) === 2L)
+    assert(frames(3L) === 1L)
+  }
+
   test("mm_shard_manifest equals a sequential pack and conserves bytes") {
     val got = MultimodalOps.queries("mm_shard_manifest")(spark, SfDir)
       .collect().map(r => r.getLong(0) ->
