@@ -57,6 +57,12 @@ object PipelineOps {
     * is impossible) and the equal-share divisor never hits zero. */
   val UniMaxEpochCap = 4L
 
+  /** BPE merge-round cap for `bpeLearn` (training stops earlier when no
+    * adjacent pair repeats). 16 is enough for multi-symbol tokens to
+    * form on the fixture corpus while the unrolled oracle CTE chain
+    * stays tractable for DuckDB. */
+  val BpeMerges = 16
+
   /** Decontamination shingle width (tokens). Real corpora use 8-13-gram
     * overlap; the fixture's synthetic text has near-zero 8-gram collision
     * mass, so 4 is the width at which the declared query pins non-trivial
@@ -895,28 +901,33 @@ object PipelineOps {
           round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"))
     }),
 
-    // BPE merge-rule learning, 3 rounds unrolled as ONE declarative plan —
-    // the tokenizer-training core (Sennrich et al. 2016): count adjacent
-    // symbol pairs across the corpus (frequency-weighted), adopt the most
-    // frequent pair as a merge rule, rewrite the vocabulary, repeat.
+    // BPE merge-rule learning, a convergence-driven loop of up to
+    // BpeMerges (16) rounds — the tokenizer-training core (Sennrich et
+    // al. 2016): count adjacent symbol pairs across the corpus
+    // (frequency-weighted), adopt the most frequent pair as a merge
+    // rule, rewrite the vocabulary, repeat; stop when no pair repeats.
     // Scale shape: the ONLY corpus-scale pass is the word-frequency
     // aggregate; every round then runs on the VOCABULARY-sized relation
     // (words as spaced symbol sequences), exactly how production BPE
     // trainers operate (word-counts in, rules out). Each round is a
     // vocab-scale pair explode + partial-agg count, a 1-row top-1
     // (TakeOrderedAndProject, (count desc, pair) tiebreak — never a
-    // global rank window), and a broadcast rewrite. The rewrite applies
-    // the ' a b '→' ab ' regex twice because left-to-right non-overlap
-    // consumes the shared delimiter (pass 2 catches the odd occurrences
-    // of an alternating run — exact for the runs this corpus contains,
-    // and IDENTICALLY partial on both engines regardless: Java regex and
-    // RE2 share l-t-r non-overlapping semantics). Words are filtered to
-    // ^[a-z]+$ so pair strings are regex-literal-safe by construction.
+    // global rank window) read back as the loop's bounded decision
+    // scalar, and a literal regex rewrite over the localCheckpoint'ed
+    // vocabulary (the graph_kcore fixpoint discipline — the plan never
+    // snowballs across rounds). The rewrite applies the ' a b '→' ab '
+    // regex twice because left-to-right non-overlap consumes the shared
+    // delimiter (pass 2 catches the odd occurrences of an alternating
+    // run — exact for the runs this corpus contains, and IDENTICALLY
+    // partial on both engines regardless: Java regex and RE2 share
+    // l-t-r non-overlapping semantics). Words are filtered to ^[a-z]+$
+    // so pair strings are regex-literal-safe by construction. The
+    // learned rule table itself is the bounded model artifact (≤ 16
+    // rows), so it ships as a local relation.
     "pipe_bpe_train" -> ((s, dir) => {
-      val (t1, t2, t3, _) = bpeLearn(s, dir)
-      t1.select(lit(1).as("round"), col("pair"), col("cnt"))
-        .union(t2.select(lit(2).as("round"), col("pair"), col("cnt")))
-        .union(t3.select(lit(3).as("round"), col("pair"), col("cnt")))
+      import s.implicits._
+      val (merges, _) = bpeLearn(s, dir)
+      merges.toDF("round", "pair", "cnt")
         .select(col("round"), col("pair"),
           regexp_replace(col("pair"), " ", "").as("merged"), col("cnt"))
         .orderBy("round")
@@ -933,8 +944,8 @@ object PipelineOps {
     // vocabulary-sized broadcast regexes. All counts are exact integers;
     // the ratio is one exactly-rounded division.
     "pipe_bpe_encode" -> ((s, dir) => {
-      val (_, _, _, v3) = bpeLearn(s, dir)
-      v3.select(col("f"),
+      val (_, vFinal) = bpeLearn(s, dir)
+      vFinal.select(col("f"),
           length(regexp_replace(trim(col("seq")), " ", "")).as("chars"),
           size(split(trim(col("seq")), " ")).as("syms"))
         .agg(count(lit(1)).as("n_words"),
@@ -948,18 +959,18 @@ object PipelineOps {
     }),
 
     // Tokenizer fertility by language (r11): average BPE tokens per word
-    // occurrence after the 3 learned merges — the standard
+    // occurrence after the learned merges — the standard
     // tokenizer-equity metric (a tokenizer trained on an English-heavy
     // blend fragments other languages into more pieces; fertility gaps
     // are how that bias is reported). Shares bpeLearn's trained rules
     // (one definition with pipe_bpe_train/encode) but re-encodes the
     // (lang, word) vocabulary so the per-language split survives:
-    // corpus-scale work is the one word-frequency aggregate, the three
-    // rule applications are broadcast regex rewrites over the
-    // dictionary-sized vocab, and the datasheet is a |langs|-row
-    // aggregate.
+    // corpus-scale work is the one word-frequency aggregate, the rule
+    // applications are literal regex rewrites over the dictionary-sized
+    // vocab (the rule list is the ≤ BpeMerges-row learned model), and
+    // the datasheet is a |langs|-row aggregate.
     "pipe_bpe_fertility" -> ((s, dir) => {
-      val (t1, t2, t3, _) = bpeLearn(s, dir)
+      val (merges, _) = bpeLearn(s, dir)
       val wl = Tables.documents(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
@@ -967,18 +978,7 @@ object PipelineOps {
         .select(col("lang"), col("f"),
           concat(lit(" "),
             regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
-      // same double-application rewrite as bpeLearn's merge (l-t-r
-      // non-overlap consumes the shared delimiter)
-      def applyRule(v: DataFrame, top: DataFrame): DataFrame = {
-        val pat = concat(lit(" "), col("pair"), lit(" "))
-        val rep = concat(lit(" "),
-          regexp_replace(col("pair"), " ", ""), lit(" "))
-        v.crossJoin(broadcast(top.select(col("pair"))))
-          .select(col("lang"), col("f"),
-            regexp_replace(regexp_replace(col("seq"), pat, rep), pat, rep)
-              .as("seq"))
-      }
-      applyRule(applyRule(applyRule(wl, t1), t2), t3)
+      merges.foldLeft(wl) { case (v, (_, pair, _)) => bpeApply(v, pair) }
         .select(col("lang"), col("f"),
           size(split(trim(col("seq")), " ")).as("syms"))
         .groupBy("lang")
@@ -1767,14 +1767,24 @@ object PipelineOps {
       "de", "la", "el", "en", "y", "que", "los", "un", "por", "con")
       .map(w => s"'$w'").mkString(", ")
 
-  /** Shared BPE machinery for `pipe_bpe_train` / `pipe_bpe_encode`:
-    * 3 Sennrich merge rounds unrolled as ONE declarative plan (see the
-    * scale note at the `pipe_bpe_train` declaration — the only
-    * corpus-scale pass is the word-frequency aggregate; every round is
-    * vocabulary-sized). Returns the three 1-row merge tables and the
-    * vocabulary with all three merges applied. */
+  /** Shared BPE machinery for `pipe_bpe_train` / `pipe_bpe_encode` /
+    * `pipe_bpe_fertility`: up to [[BpeMerges]] Sennrich merge rounds as a
+    * convergence-driven loop (see the scale note at the `pipe_bpe_train`
+    * declaration — the only corpus-scale pass is the word-frequency
+    * aggregate; every round is vocabulary-sized). r12 verdict: the fixed
+    * 3-round unroll was a demo — a real tokenizer-pipeline signal needs
+    * enough merges that multi-symbol tokens form. The loop follows the
+    * `graph_kcore` fixpoint discipline: each round's vocabulary is
+    * `localCheckpoint`'ed so the plan stays flat, and the per-round
+    * decision reads ONE bounded row (the top pair — the same
+    * loop-convergence-scalar class as the CC round counter). Training
+    * stops early when no adjacent pair repeats (cnt < 2 — merging a
+    * singleton pair can never compress), capped at [[BpeMerges]].
+    * Returns the ordered merge list (round, pair, cnt) and the final
+    * rewritten vocabulary. The learned pairs are regex-literal-safe by
+    * construction (words filtered to ^[a-z]+$). */
   private[graft] def bpeLearn(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (Seq[(Int, String, Long)], DataFrame) = {
     val vocab0 = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
@@ -1788,70 +1798,79 @@ object PipelineOps {
           "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))"))
           .as("pair"), col("f"))
         .groupBy("pair").agg(sum(col("f")).as("cnt"))
-    def top1(pc: DataFrame): DataFrame =
-      pc.orderBy(col("cnt").desc, col("pair")).limit(1)
-    def merge(v: DataFrame, top: DataFrame): DataFrame = {
-      val pat = concat(lit(" "), col("pair"), lit(" "))
-      val rep = concat(lit(" "), regexp_replace(col("pair"), " ", ""), lit(" "))
-      v.crossJoin(broadcast(top.select(col("pair"))))
-        .select(regexp_replace(regexp_replace(col("seq"), pat, rep), pat, rep)
-          .as("seq"), col("f"))
+    var v = vocab0.localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var k = 1
+    var converged = false
+    while (k <= BpeMerges && !converged) {
+      val top = pairCounts(v).filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) converged = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        merges += ((k, pair, cnt))
+        v = bpeApply(v, pair).localCheckpoint()
+        k += 1
+      }
     }
-    val v0 = vocab0.persist()
-    val t1 = top1(pairCounts(v0)).persist()
-    val v1 = merge(v0, t1).persist()
-    val t2 = top1(pairCounts(v1)).persist()
-    val v2 = merge(v1, t2).persist()
-    val t3 = top1(pairCounts(v2)).persist()
-    (t1, t2, t3, merge(v2, t3))
+    (merges.result(), v)
   }
 
-  /** The DuckDB CTE chain replaying [[bpeLearn]] (v0 → p1/t1/v1 → p2/t2/
-    * v2 → p3/t3), shared verbatim by the `pipe_bpe_train` and
-    * `pipe_bpe_encode` oracles so both keys pin ONE training definition. */
+  /** One learned merge applied to a spaced-symbol `seq` column — the
+    * ' a b ' → ' ab ' rewrite, applied twice because left-to-right
+    * non-overlap consumes the shared delimiter (identically partial on
+    * Java regex and DuckDB's RE2). */
+  private def bpeApply(v: DataFrame, pair: String): DataFrame = {
+    val pat = lit(s" $pair ")
+    val rep = lit(" " + pair.replace(" ", "") + " ")
+    v.withColumn("seq",
+      regexp_replace(regexp_replace(col("seq"), pat, rep), pat, rep))
+  }
+
+  /** One DuckDB CTE round replaying [[bpeLearn]]'s round k: pair counts
+    * over v(k-1), the cnt >= 2 top-1 (EMPTY once training has converged),
+    * and the rewritten vocabulary — with a NOT EXISTS pass-through branch
+    * so post-convergence rounds are identity and the chain is total over
+    * all [[BpeMerges]] rounds regardless of where the Spark loop stopped.
+    * v/t are MATERIALIZED: each is referenced by several later CTEs and
+    * an inlining evaluation would re-run the whole prefix per reference
+    * (exponential in the round count). */
+  private def bpeRoundCte(k: Int): String = {
+    val prev = s"v${k - 1}"
+    s"""p$k AS (
+           SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(a)),
+                      i -> a[i] || ' ' || a[i + 1])) AS pair, f
+             FROM (SELECT string_split(trim(seq), ' ') AS a, f FROM $prev)
+             WHERE len(a) >= 2
+           ) GROUP BY pair
+         ), t$k AS MATERIALIZED (SELECT pair, cnt FROM p$k WHERE cnt >= 2
+                    ORDER BY cnt DESC, pair LIMIT 1),
+         v$k AS MATERIALIZED (
+           SELECT regexp_replace(regexp_replace(seq,
+                    ' ' || t$k.pair || ' ', ' ' || replace(t$k.pair, ' ', '') || ' ', 'g'),
+                    ' ' || t$k.pair || ' ', ' ' || replace(t$k.pair, ' ', '') || ' ', 'g')
+                    AS seq, f
+           FROM $prev CROSS JOIN t$k
+           UNION ALL
+           SELECT seq, f FROM $prev WHERE NOT EXISTS (SELECT 1 FROM t$k)
+         )"""
+  }
+
+  /** The DuckDB CTE chain replaying [[bpeLearn]] (v0 → p1/t1/v1 → … →
+    * p16/t16/v16), generated from the SAME [[BpeMerges]] constant the
+    * Spark loop reads and shared verbatim by the `pipe_bpe_train`,
+    * `pipe_bpe_encode`, and `pipe_bpe_fertility` oracles so all three
+    * keys pin ONE training definition. */
   private val BpeCtes: String =
-    """v0 AS (
+    """v0 AS MATERIALIZED (
            SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq,
                   count(*) AS f
            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
            WHERE regexp_matches(word, '^[a-z]+$')
            GROUP BY word
-         ), p1 AS (
-           SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
-             SELECT unnest(list_transform(range(1, len(a)),
-                      i -> a[i] || ' ' || a[i + 1])) AS pair, f
-             FROM (SELECT string_split(trim(seq), ' ') AS a, f FROM v0)
-             WHERE len(a) >= 2
-           ) GROUP BY pair
-         ), t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-         v1 AS (
-           SELECT regexp_replace(regexp_replace(seq,
-                    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ', 'g'),
-                    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ', 'g')
-                    AS seq, f
-           FROM v0 CROSS JOIN t1
-         ), p2 AS (
-           SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
-             SELECT unnest(list_transform(range(1, len(a)),
-                      i -> a[i] || ' ' || a[i + 1])) AS pair, f
-             FROM (SELECT string_split(trim(seq), ' ') AS a, f FROM v1)
-             WHERE len(a) >= 2
-           ) GROUP BY pair
-         ), t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-         v2 AS (
-           SELECT regexp_replace(regexp_replace(seq,
-                    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ', 'g'),
-                    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ', 'g')
-                    AS seq, f
-           FROM v1 CROSS JOIN t2
-         ), p3 AS (
-           SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
-             SELECT unnest(list_transform(range(1, len(a)),
-                      i -> a[i] || ' ' || a[i + 1])) AS pair, f
-             FROM (SELECT string_split(trim(seq), ' ') AS a, f FROM v2)
-             WHERE len(a) >= 2
-           ) GROUP BY pair
-         ), t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)"""
+         )""" + (1 to BpeMerges).map(k => ", " + bpeRoundCte(k)).mkString
 
   def oracles: Map[String, String] = Map(
     "ml_auc" ->
@@ -1898,33 +1917,28 @@ object PipelineOps {
          GROUP BY source
          HAVING sum(p) > 0 AND sum(ng) > 0
          ORDER BY source""",
-    // each round: pair-count CTE → 1-row top-1 CTE → rewritten vocab CTE;
-    // the double regexp_replace mirrors the Spark side's two passes
+    // each round: pair-count CTE → guarded 1-row top-1 CTE → rewritten
+    // vocab CTE (generated from BpeMerges); empty post-convergence t_k
+    // rounds contribute no rows to the union
     "pipe_bpe_train" ->
       s"""WITH $BpeCtes
          SELECT round, pair, replace(pair, ' ', '') AS merged, cnt FROM (
-           SELECT 1 AS round, pair, cnt FROM t1
-           UNION ALL SELECT 2 AS round, pair, cnt FROM t2
-           UNION ALL SELECT 3 AS round, pair, cnt FROM t3
+           ${(1 to BpeMerges).map(k =>
+             s"SELECT $k AS round, pair, cnt FROM t$k")
+             .mkString("\n           UNION ALL ")}
          ) ORDER BY round""",
-    // t1..t3 replay training verbatim (shared CTE block), v3 applies the
-    // third merge, and the datasheet aggregates exact integer counts
+    // t1..t16 replay training verbatim (shared CTE block); the final
+    // vocabulary CTE feeds the exact-integer datasheet
     "pipe_bpe_encode" ->
       s"""WITH $BpeCtes,
-         v3 AS (
-           SELECT regexp_replace(regexp_replace(seq,
-                    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ', 'g'),
-                    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ', 'g')
-                    AS seq, f
-           FROM v2 CROSS JOIN t3
-         ), agg AS (
+         agg AS (
            SELECT count(*) AS n_words,
                   CAST(sum(f) AS BIGINT) AS n_occurrences,
                   CAST(sum(f * len(replace(trim(seq), ' ', ''))) AS BIGINT)
                     AS symbols_before,
                   CAST(sum(f * len(string_split(trim(seq), ' '))) AS BIGINT)
                     AS symbols_after
-           FROM v3
+           FROM v$BpeMerges
          )
          SELECT n_words, n_occurrences, symbols_before, symbols_after,
                 round(CAST(symbols_after AS DOUBLE) / symbols_before, 6)
@@ -1942,32 +1956,24 @@ object PipelineOps {
                  FROM documents)
            WHERE regexp_matches(word, '^[a-z]+$$')
            GROUP BY 1, 2
-         ), e1 AS (
+         ), ${(1 to BpeMerges).map { k =>
+             val prev = if (k == 1) "wl" else s"e${k - 1}"
+             s"""e$k AS MATERIALIZED (
            SELECT lang, f, regexp_replace(regexp_replace(seq,
-                    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ', 'g'),
-                    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ', 'g')
+                    ' ' || t$k.pair || ' ', ' ' || replace(t$k.pair, ' ', '') || ' ', 'g'),
+                    ' ' || t$k.pair || ' ', ' ' || replace(t$k.pair, ' ', '') || ' ', 'g')
                     AS seq
-           FROM wl CROSS JOIN t1
-         ), e2 AS (
-           SELECT lang, f, regexp_replace(regexp_replace(seq,
-                    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ', 'g'),
-                    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ', 'g')
-                    AS seq
-           FROM e1 CROSS JOIN t2
-         ), e3 AS (
-           SELECT lang, f, regexp_replace(regexp_replace(seq,
-                    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ', 'g'),
-                    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ', 'g')
-                    AS seq
-           FROM e2 CROSS JOIN t3
-         )
+           FROM $prev CROSS JOIN t$k
+           UNION ALL
+           SELECT lang, f, seq FROM $prev WHERE NOT EXISTS (SELECT 1 FROM t$k)
+         )"""}.mkString(", ")}
          SELECT lang, CAST(sum(f) AS BIGINT) AS n_words,
                 CAST(sum(f * len(string_split(trim(seq), ' '))) AS BIGINT)
                   AS n_tokens,
                 floor(CAST(CAST(sum(f * len(string_split(trim(seq), ' ')))
                            AS BIGINT) AS DOUBLE)
                       / CAST(sum(f) AS BIGINT) * 1e6 + 0.5) / 1e6 AS fertility
-         FROM e3 GROUP BY lang ORDER BY lang""",
+         FROM e$BpeMerges GROUP BY lang ORDER BY lang""",
     "pipe_repeat_factors" ->
       """WITH tok AS (
            SELECT source,

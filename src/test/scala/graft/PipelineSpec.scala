@@ -27,7 +27,15 @@ class PipelineSpec extends SparkSpec {
 
   test("pipe_bpe_train's first rule is the true argmax pair, merges spaceless") {
     val rows = q("pipe_bpe_train").collect()
-    assert(rows.length === 3, "three unrolled merge rounds")
+    assert(rows.length >= 4 && rows.length <= PipelineOps.BpeMerges,
+      s"${rows.length} merge rounds — expected a converged-or-capped run " +
+        s"past the old 3-round demo, within the ${PipelineOps.BpeMerges} cap")
+    assert(rows.map(_.getAs[Int]("round")).toSeq === (1 to rows.length),
+      "rounds must be consecutive from 1 (training stops, never skips)")
+    // the point of the K-merge loop: multi-symbol tokens must form —
+    // a rule whose merged token is >= 3 chars consumed an earlier merge
+    assert(rows.exists(_.getAs[String]("merged").length >= 3),
+      "no multi-symbol token formed — training depth regressed to a demo")
     // replay round 1 from the raw word-frequency relation
     val words = Tables.documents(spark, SfDir)
       .select(explode(split(col("text"), " ")).as("w"))
