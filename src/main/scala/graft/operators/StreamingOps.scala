@@ -263,7 +263,8 @@ object StreamingOps {
     // assumes (a user's history fits an executor; at 100 TB an unbounded
     // key would instead run the fold as a chunked prefix-scan carrying the
     // β^chunkLen decay across chunk boundaries — same recurrence, two
-    // passes). The fold order is total (event_id breaks ts ties), and
+    // passes). SkewStressSpec stresses the bound: one user at 100× the
+    // median event count must complete and replay bit-exact. The fold order is total (event_id breaks ts ties), and
     // α/β are the LITERAL pair 0.3/0.7 in both engines — deriving β as
     // 1−α lands exactly on a round-to-even tie and produces a different
     // double than the 0.7 the oracle parses.
@@ -301,7 +302,8 @@ object StreamingOps {
     // with the oracle. Same execution shape as the `ts_ewma` fold: one
     // groupBy-collect per user, folds parallel across users, the
     // recursive-CTE oracle replaying the identical double DAG step by
-    // step. Degenerate series (n < 2 or zero variance) are excluded by
+    // step (per-key state bound stressed in SkewStressSpec). Degenerate
+    // series (n < 2 or zero variance) are excluded by
     // an explicit integer/compare filter — never a NaN-σ comparison,
     // whose NaN ordering semantics differ in spirit across engines.
     "ts_cusum_control" -> ((s, dir) => {
@@ -452,8 +454,11 @@ object StreamingOps {
     // a selection, not an interpolation, so the statistic is an exact
     // input value and the compare is bit-deterministic cross-engine.
     // Shape: one groupBy-collect per user (key-bounded state, the
-    // sessionize/ewma class), medians picked in-row from the sorted
-    // arrays, flags from one explode + codegen'd filter.
+    // sessionize/ewma class — SkewStressSpec pins completion + exactness
+    // with a 100×-median power user; if a fixture ever makes that spill,
+    // the medians move to the agg_mad two-pass value-domain discipline),
+    // medians picked in-row from the sorted arrays, flags from one
+    // explode + codegen'd filter.
     "ts_mad_anomaly" -> ((s, dir) => {
       val byUser = Tables.events(s, dir)
         .groupBy("user_id")

@@ -254,6 +254,70 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("global sweep: every unpartitioned window rides the pid discipline " +
+      "or a documented bounded relation") {
+    // An unpartitioned WindowExec funnels its whole input through ONE
+    // task — the sort_skyline-class regression (r10). Individually
+    // pinned queries cover five shapes; this sweep makes the hazard
+    // un-landable anywhere: a new global window in ANY declared query
+    // must either order on `pid` (the #partitions-row offsets tables —
+    // bounded by cluster config, auto-allowed) or carry an entry here
+    // stating why its input relation is bounded at ANY corpus scale.
+    // Entries are exact: an allowlisted query that loses its global
+    // window fails too, so the list cannot rot.
+    val allow: Map[String, String] = Map(
+      // order-free totals over bounded aggregates
+      "agg_benford" -> "<= 9 leading-digit rows",
+      "agg_chi2" -> "contingency cells bounded by |segments| x |flags|",
+      "agg_lorenz" -> "order-free total over the <= 10-row decile histogram",
+      "agg_theil" -> "order-free totals over the |nations|-row aggregate",
+      "ann_hybrid_rerank" -> "LIMIT-bounded candidate set (top-k rerank)",
+      "dedup_chunk" -> "order-free total over the bounded dup-chunk histogram",
+      "graph_component_sizes" -> "distinct component-size histogram",
+      "graph_hits" -> "|event types|-row authority relation",
+      "ml_brier" -> "order-free total over the <= 10-bin reliability table",
+      "ml_parity_gap" -> "|groups|-row rate table",
+      "ml_psi" -> "<= 10-bucket score histogram",
+      "pipe_dedup_report" -> "cluster-size histogram (distinct sizes)",
+      "pipe_mix_temperature" -> "|sources|-row mixture table",
+      "pipe_near_dedup_report" -> "cluster-size histogram (distinct sizes)",
+      "pipe_repeat_factors" -> "|sources|-row epoch plan",
+      "pipe_substring_report" -> "<= 10-row dup-mass decile table",
+      "ts_decompose" -> "<= 24-row hour-of-day seasonal relation",
+      "ts_resid_anomaly" -> "1-row median/MAD stats relation",
+      // sorted windows over value-domain / calendar / constant-size inputs
+      "ml_auc" -> "distinct score (n_chars) value domain",
+      "ml_ks_test" -> "distinct score value domain (two CDFs + the sup)",
+      "ml_lift_gain" -> "distinct score value domain",
+      "ml_pr_curve" -> "distinct score value domain (threshold sweep)",
+      "ml_roc_curve" -> "distinct score value domain (threshold sweep)",
+      "ml_bootstrap_ci" -> "64 bootstrap-replica rows",
+      "ml_mrr" -> "per-probe candidate sets of a bounded probe list",
+      "ml_ndcg" -> "per-probe top-10 candidate sets",
+      "pipe_filter_report" -> "<= 5-row filter-cascade funnel",
+      "pipe_unimax" -> "|langs|-row capacity waterfill",
+      "ts_bollinger" -> "calendar-bounded hourly series",
+      "ts_correlogram" -> "calendar-bounded hourly series",
+      "ts_pacf" -> "calendar-bounded hourly series",
+      "ts_ljung_box" -> "12-lag correlogram + calendar-bounded series",
+      "win_rolling_corr" -> "calendar-bounded joint hourly series")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val keys = unpartitionedWindowKeys(fn(spark, SfDir))
+          .filterNot(_ == Set("pid"))
+        if (keys.nonEmpty && !allow.contains(name))
+          Some(s"$name: new unpartitioned window(s) on $keys — pid-partition " +
+            "the relation or document its bound in the allowlist")
+        else if (keys.isEmpty && allow.contains(name))
+          Some(s"$name: allowlist entry is stale (no unpartitioned window left)")
+        else None
+      } catch {
+        case e: Throwable => Some(s"$name: failed to plan (${e.getClass.getSimpleName})")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("window counts are conserved: tumbling windows partition the input") {
     val total = Tables.events(spark, SfDir).count()
     val windowed = StreamingOps.queries("stream_tumbling")(spark, SfDir)

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StreamingOps
+
+/** Key-skew stress for the per-user fold family (`ts_ewma`,
+  * `ts_cusum_control`, `ts_mad_anomaly`) — r12 verdict item 4.
+  *
+  * These operators deliberately carry each user's FULL history as one row
+  * of per-key state (`groupBy(user).sort_array(collect_list(...))`): the
+  * documented contract is that state is KEY-bounded — a user's series
+  * fits one task — not corpus-bounded. The oracle replays average-shaped
+  * keys only, so nothing before this spec exercised the contract's edge:
+  * one pathological power user concentrating ~100× the median event
+  * count in a single task's row. The generated corpus here has 200
+  * normal users × 40 events and one user with 4,000 (100× the median);
+  * each query must COMPLETE and match a driver-side brute replay of its
+  * fold bit-for-bit (same double ops in the same order, same 4dp
+  * floor-chain pin). If a future fixture makes this stress spill, the
+  * per-user medians should move to the `agg_mad` two-pass value-domain
+  * discipline — this spec is the tripwire that decides when. */
+class SkewStressSpec extends SparkSpec {
+
+  private val NormalUsers  = 200
+  private val NormalEvents = 40
+  private val PowerUser    = 999L
+  private val PowerEvents  = NormalEvents * 100
+
+  /** Deterministic value stream — no RNG, same corpus every run: a
+    * uniform-ish [0, 100) base (MAD ≈ 25 per user) plus rare +500 spikes
+    * (~2.4% of events) that sit far past every user's 3·MAD gate. */
+  private def valueOf(u: Long, i: Int): Double = {
+    val base =
+      (((u * 1315423911L + i * 2654435761L) % 1000L + 1000L) % 1000L).toDouble / 10.0
+    if ((u + i) % 41 == 0) base + 500.0 else base
+  }
+
+  private case class Ev(eventId: Long, userId: Long, tsMs: Long, value: Double)
+
+  private lazy val events: Seq[Ev] = {
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    val normal = for {
+      u <- 1L to NormalUsers.toLong
+      i <- 0 until NormalEvents
+    } yield (u, i)
+    (normal ++ (0 until PowerEvents).map(i => (PowerUser, i)))
+      .zipWithIndex.map { case ((u, i), eid) =>
+        Ev(eid.toLong, u, base + i * 1000L, valueOf(u, i))
+      }
+  }
+
+  /** The generated corpus written as an events.parquet fixture dir so the
+    * DECLARED queries run against it unmodified. */
+  private lazy val skewDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    import spark.implicits._
+    events.map(e => (e.eventId, e.userId, new java.sql.Timestamp(e.tsMs), e.value))
+      .toDF("event_id", "user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** Per-user series in the folds' exact order: sort_array over
+    * struct(ts, event_id, value) = (ts, event_id) ascending. */
+  private lazy val byUser: Map[Long, Seq[Ev]] =
+    events.groupBy(_.userId).view
+      .mapValues(_.sortBy(e => (e.tsMs, e.eventId))).toMap
+
+  private def pin4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  test("ts_mad_anomaly completes and is exact under 100x key skew") {
+    val got = StreamingOps.queries("ts_mad_anomaly")(spark, skewDir)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("value"), r.getAs[Double]("med"), r.getAs[Double]("mad")))
+      .toSeq
+    val want = byUser.toSeq.flatMap { case (u, es) =>
+      val vals = es.map(_.value).sorted
+      val n = vals.length
+      val med = vals((n + 1) / 2 - 1) // lower median, a SELECTED input value
+      val mad = es.map(e => math.abs(e.value - med)).sorted.apply((n + 1) / 2 - 1)
+      es.filter(e => math.abs(e.value - med) > 3.0 * mad)
+        .map(e => (e.eventId, u, e.value, pin4(med), pin4(mad)))
+    }.sortBy(_._1)
+    assert(got === want)
+    assert(want.nonEmpty, "stress corpus must actually flag anomalies")
+  }
+
+  test("ts_ewma completes and is exact under 100x key skew") {
+    val got = StreamingOps.queries("ts_ewma")(spark, skewDir)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("value"), r.getAs[Double]("ewma")))
+      .toSeq
+    val want = byUser.toSeq.flatMap { case (u, es) =>
+      var prev = 0.0
+      var has = false
+      es.map { e =>
+        val y =
+          if (has) StreamingOps.EwmaAlpha * e.value + StreamingOps.EwmaBeta * prev
+          else e.value
+        prev = y; has = true
+        (e.eventId, u, e.value, pin4(y))
+      }
+    }.sortBy(_._1)
+    assert(got === want)
+    assert(got.length === events.length, "every event keeps its smoothed row")
+  }
+
+  test("ts_cusum_control completes and is exact under 100x key skew") {
+    val got = StreamingOps.queries("ts_cusum_control")(spark, skewDir)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("value"), r.getAs[Double]("cusum_hi"),
+        r.getAs[Double]("cusum_lo"), r.getAs[Boolean]("drift")))
+      .toSeq
+    val want = byUser.toSeq.flatMap { case (u, es) =>
+      // exact-DECIMAL sufficient sums, replayed with the same
+      // double->decimal(28,10) HALF_UP cast the Spark fold uses
+      def dsum(xs: Seq[Double]): Double =
+        xs.map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+      val n = es.length.toDouble
+      val sv = dsum(es.map(_.value))
+      val svv = dsum(es.map(e => e.value * e.value))
+      val varE = (n * svv - sv * sv) / (n * (n - 1.0))
+      if (es.length < 2 || !(varE > 0)) Seq.empty
+      else {
+        val mu = sv / n
+        val sigma = math.sqrt(varE)
+        var sp = 0.0
+        var sn = 0.0
+        es.map { e =>
+          val z = (e.value - mu) / sigma
+          sp = math.max(0.0, sp + z - 0.5)
+          sn = math.max(0.0, sn - z - 0.5)
+          (e.eventId, u, e.value, pin4(sp), pin4(sn), sp > 4.0 || sn > 4.0)
+        }
+      }
+    }.sortBy(_._1)
+    assert(got === want)
+    assert(got.length === events.length,
+      "no user series is degenerate in the stress corpus")
+  }
+}
