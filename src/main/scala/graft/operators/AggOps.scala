@@ -587,6 +587,50 @@ object AggOps {
         .orderBy("status", "priority")
     }),
 
+    // Cramér's V — the normalized effect size the chi-square statistic
+    // (agg_chi2's per-cell table) is read THROUGH: V = √(χ²/(n·min(r−1,
+    // c−1))) ∈ [0,1] answers "HOW dependent is the language mix on the
+    // source?" where χ² only answers "is it dependent at all" (any
+    // large-n corpus rejects independence). Unlike agg_chi2's
+    // observed-cells form this builds the DENSE contingency grid
+    // (distinct langs × distinct sources, empty cells at obs = 0 —
+    // which DO contribute their full expected mass), so the statistic
+    // is the textbook one. Shapes: one corpus-scale groupBy into the
+    // |langs|×|sources|-bounded grid (the cross of two tiny broadcast
+    // distinct lists), bounded windows for the marginals, contributions
+    // pre-pinned at 6dp and folded as DECIMAL, one sqrt at the end.
+    "agg_cramers_v" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tot = Window.partitionBy()
+      val obs = docs.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val grid = docs.select("lang").distinct()
+        .crossJoin(broadcast(docs.select("source").distinct()))
+        .join(obs, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"),
+          coalesce(col("obs"), lit(0L)).as("obs"))
+      val cells = grid
+        .withColumn("row_tot",
+          sum(col("obs")).over(Window.partitionBy("lang")))
+        .withColumn("col_tot",
+          sum(col("obs")).over(Window.partitionBy("source")))
+        .withColumn("n", sum(col("obs")).over(tot))
+        .withColumn("expected", Num.pin(
+          col("row_tot").cast("double") * col("col_tot") / col("n"), 6))
+        .withColumn("contrib", Num.pin(
+          (col("obs") - col("expected")) * (col("obs") - col("expected")) /
+            col("expected"), 6))
+      val rc = docs.agg(countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"))
+      cells.agg(max(col("n")).as("n"),
+          sum(col("contrib").cast("decimal(28,10)")).cast("double").as("x2"))
+        .crossJoin(broadcast(rc))
+        .select(col("n"), col("r"), col("c"),
+          Num.pin(col("x2"), 6).as("chi2"),
+          Num.pin(sqrt(col("x2") /
+            (col("n") * least(col("r") - 1, col("c") - 1))), 6)
+            .as("cramers_v"))
+    }),
+
     // Median absolute deviation — the robust dispersion / outlier-scale
     // statistic data-cleaning pipelines use where stddev is skew-fragile.
     // Two aggregation passes over the fact table (exact median of
@@ -1228,6 +1272,47 @@ object AggOps {
              FROM orders GROUP BY 1, 2
            ) GROUP BY status
          ) ORDER BY status""",
+    // dense grid (empty cells contribute their expected mass), 6dp
+    // floor-chain pins on expected/contrib, DECIMAL fold, one sqrt
+    "agg_cramers_v" ->
+      """WITH obs AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+           FROM documents GROUP BY 1, 2
+         ), g AS (
+           SELECT l.lang, s.source, coalesce(o.obs, 0) AS obs
+           FROM (SELECT DISTINCT lang FROM documents) l
+           CROSS JOIN (SELECT DISTINCT source FROM documents) s
+           LEFT JOIN obs o ON o.lang = l.lang AND o.source = s.source
+         ), t AS (
+           SELECT obs,
+                  CAST(sum(obs) OVER (PARTITION BY lang) AS BIGINT) AS row_tot,
+                  CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS col_tot,
+                  CAST(sum(obs) OVER () AS BIGINT) AS n
+           FROM g
+         ), c AS (
+           SELECT n, obs,
+                  floor(CAST(row_tot AS DOUBLE) * col_tot / n * 1e6 + 0.5) / 1e6
+                    AS expected
+           FROM t
+         ), x AS (
+           SELECT n,
+                  floor((obs - expected) * (obs - expected) / expected
+                        * 1e6 + 0.5) / 1e6 AS contrib
+           FROM c
+         ), ag AS (
+           SELECT max(n) AS n,
+                  CAST(sum(CAST(contrib AS DECIMAL(28,10))) AS DOUBLE) AS x2
+           FROM x
+         ), rc AS (
+           SELECT CAST(count(DISTINCT lang) AS BIGINT) AS r,
+                  CAST(count(DISTINCT source) AS BIGINT) AS c
+           FROM documents
+         )
+         SELECT ag.n, rc.r, rc.c,
+                floor(x2 * 1e6 + 0.5) / 1e6 AS chi2,
+                floor(sqrt(x2 / (ag.n * least(rc.r - 1, rc.c - 1)))
+                      * 1e6 + 0.5) / 1e6 AS cramers_v
+         FROM ag CROSS JOIN rc""",
     "agg_chi2" ->
       """WITH cells AS (
            SELECT o_orderstatus AS status, o_orderpriority AS priority,

@@ -858,6 +858,47 @@ object PipelineOps {
           col("n_chars").as("ks_at"), round(col("diff"), 6).as("ks_d"))
     }),
 
+    // Mann-Whitney U (Wilcoxon rank-sum) with tie correction — the
+    // nonparametric "are en docs systematically longer?" two-sample
+    // test completing the trio next to ml_ttest (parametric Welch) and
+    // ml_ks_test (sup distance): U compares every (pos, neg) pair via
+    // midranks, computed here WITHOUT ranking a single row. The corpus
+    // collapses to the DISTINCT n_chars value domain (the ml_auc
+    // discipline — the one shuffle is domain-bounded), one cumulative
+    // window over that bounded relation yields tie-block prefix counts,
+    // and 2·midrank = 2·before + t + 1 keeps every intermediate an
+    // exact BIGINT (midranks are ½-rationals). U, its null mean
+    // n₁n₂/2, and the tie-corrected variance n₁n₂/12·((N+1) −
+    // Σ(t³−t)/(N(N−1))) all fold from those integer sufficient
+    // statistics, so z is a single pinned division — bit-stable
+    // cross-engine with no per-row ranks anywhere.
+    "ml_mann_whitney" -> ((s, dir) => {
+      val cum = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byScore = Tables.documents(s, dir)
+        .groupBy(col("n_chars").as("score"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p"),
+          count(lit(1)).as("t"))
+      val st = byScore
+        .withColumn("before", sum(col("t")).over(cum) - col("t"))
+        .withColumn("mr2", lit(2L) * col("before") + col("t") + lit(1L))
+        .agg(sum(col("p")).as("n1"),
+          sum(col("t") - col("p")).as("n2"),
+          sum(col("p") * col("mr2")).as("s2r"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        .withColumn("nn", col("n1") + col("n2"))
+        .withColumn("u", (col("s2r") - col("n1") * (col("n1") + lit(1L)))
+          .cast("double") / 2.0)
+        .withColumn("mu", col("n1").cast("double") * col("n2") / 2.0)
+        .withColumn("sigma", sqrt(col("n1").cast("double") * col("n2") / 12.0 *
+          ((col("nn") + lit(1L)) - col("ties").cast("double") /
+            (col("nn").cast("double") * (col("nn") - lit(1L))))))
+      st.select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+        col("u").as("u_stat"), col("mu").as("mu_u"),
+        Num.pin(col("sigma"), 6).as("sigma_u"),
+        Num.pin((col("u") - col("mu")) / col("sigma"), 6).as("z"))
+    }),
+
     // Brier score + Murphy decomposition (reliability / resolution /
     // uncertainty) of the same capped-linear scorer `ml_calibration`
     // bins — the single-number probabilistic-forecast quality summary
@@ -2423,6 +2464,43 @@ object PipelineOps {
          SELECT ntr AS n_train, nte AS n_test, n_chars AS ks_at,
                 round(diff, 6) AS ks_d
          FROM e WHERE rn = 1""",
+    // midranks via tie-block prefix counts over the distinct-score
+    // domain; every sufficient statistic an exact BIGINT, z one pinned
+    // division — the Spark fold mirrored term for term
+    "ml_mann_whitney" ->
+      """WITH bs AS (
+           SELECT n_chars AS score,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                  CAST(count(*) AS BIGINT) AS t
+           FROM documents GROUP BY n_chars
+         ), r AS (
+           SELECT p, t,
+                  CAST(sum(t) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    - t AS before
+           FROM bs
+         ), ag AS (
+           SELECT CAST(sum(p) AS BIGINT) AS n1,
+                  CAST(sum(t - p) AS BIGINT) AS n2,
+                  CAST(sum(p * (2 * before + t + 1)) AS BIGINT) AS s2r,
+                  CAST(sum(t * t * t - t) AS BIGINT) AS ties
+           FROM r
+         ), st AS (
+           SELECT n1, n2, n1 + n2 AS nn,
+                  CAST(s2r - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
+                  CAST(n1 AS DOUBLE) * n2 / 2.0 AS mu, ties
+           FROM ag
+         ), sg AS (
+           SELECT n1, n2, u, mu,
+                  sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+                       ((nn + 1) - CAST(ties AS DOUBLE) /
+                        (CAST(nn AS DOUBLE) * (nn - 1)))) AS sigma
+           FROM st
+         )
+         SELECT n1 AS n_pos, n2 AS n_neg, u AS u_stat, mu AS mu_u,
+                floor(sigma * 1e6 + 0.5) / 1e6 AS sigma_u,
+                floor((u - mu) / sigma * 1e6 + 0.5) / 1e6 AS z
+         FROM sg""",
     // same bins/split expressions as ml_calibration/pipe_split; shares
     // clip at 1e-6, terms pre-round at 10dp, DECIMAL fold over ≤10 bins
     "ml_psi" ->

@@ -513,6 +513,44 @@ object ProvidenciasOps {
         .orderBy("id")
     }),
 
+    // Graph extension: eigenvector centrality by 3 INTEGER-EXACT power-
+    // iteration steps over the SIMILAR graph — the "important because
+    // your neighbors are important" ranking read next to pagerank's
+    // random surfer (no damping, no dangling mass: pure A·r). The
+    // graph_hits exactness trick applied to the undirected adjacency:
+    // r0 = 1 ⇒ r1(v) = deg(v), r2(v) = Σ_{u~v} deg(u), r3(v) = Σ_{u~v}
+    // r2(u) — every score an exact BIGINT fold, so there is no per-step
+    // normalization drift cross-engine (the conventional unit-norm only
+    // rescales the ranking; the reported share normalizes ONCE at the
+    // end). Shapes: each superstep is one shuffle join of the shared
+    // edge list against the previous node-cardinality score vector
+    // (size-conditionally broadcast — nodes can be billions) plus a
+    // destination groupBy — the pagerank superstep; isolated nodes ride
+    // in with score 0 via the final left join against the full id list.
+    "graph_eigenvector" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+      val nNodes = nodes.count()
+      val e = SimilarityOps.similarEdges(s, dir).select(col("src"), col("dst"))
+      val und = e.select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+        .select(col("p.s").as("s"), col("p.d").as("d"))
+        .persist()
+      val r1 = und.groupBy(col("d").as("id")).agg(count(lit(1)).as("r"))
+      def step(r: DataFrame): DataFrame =
+        und.join(Bcast.ifFitsRows(
+            r.select(col("id").as("s"), col("r").as("pr")), nNodes, 24), "s")
+          .groupBy(col("d").as("id")).agg(sum(col("pr")).as("r"))
+      val r3 = step(step(r1))
+      val tot = r3.agg(sum(col("r")).as("tot"))
+      nodes.join(r3, Seq("id"), "left")
+        .select(col("id").as("node_id"), coalesce(col("r"), lit(0L)).as("score"))
+        .crossJoin(broadcast(tot))
+        .select(col("node_id"), col("score"),
+          Num.pin(col("score").cast("double") / col("tot"), 6).as("share"))
+        .orderBy("node_id")
+    }),
+
     // Graph extension: link prediction by neighbor-set Jaccard — node
     // pairs that share neighbors, scored |N(a)∩N(b)| / |N(a)∪N(b)|; the
     // classic "these two rulings cite the same cluster" signal. Common
@@ -1191,6 +1229,32 @@ object ProvidenciasOps {
          SELECT id, count(*) AS degree FROM (
            SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
          ) GROUP BY id ORDER BY id""",
+    // three integer-exact A·r supersteps replayed relationally; the
+    // share normalizes once from the final BIGINT scores
+    "graph_eigenvector" ->
+      """WITH e AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ),
+         und AS MATERIALIZED (SELECT src AS s, dst AS d FROM e
+                 UNION ALL SELECT dst AS s, src AS d FROM e),
+         r1 AS (SELECT d AS id, CAST(count(*) AS BIGINT) AS r
+                FROM und GROUP BY d),
+         r2 AS (SELECT und.d AS id, CAST(sum(r1.r) AS BIGINT) AS r
+                FROM und JOIN r1 ON r1.id = und.s GROUP BY und.d),
+         r3 AS (SELECT und.d AS id, CAST(sum(r2.r) AS BIGINT) AS r
+                FROM und JOIN r2 ON r2.id = und.s GROUP BY und.d),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS tot FROM r3)
+         SELECT n.vec_id AS node_id,
+                coalesce(r3.r, 0) AS score,
+                floor(CAST(coalesce(r3.r, 0) AS DOUBLE) / tot * 1e6 + 0.5) / 1e6
+                  AS share
+         FROM embeddings n LEFT JOIN r3 ON r3.id = n.vec_id CROSS JOIN tot
+         ORDER BY node_id""",
     // peel to the fixpoint, k = 3 (KCoreK): the recursive term carries a
     // round counter — each iteration's delta is exactly the previous
     // round's survivor set, so the induced-degree filter sees the full

@@ -27,6 +27,13 @@ object StreamingOps {
   /** ACF lags reported by `ts_correlogram`. */
   val CorrelogramLags = 12
 
+  /** `ts_kalman`'s noise pair — dyadic literals (process variance Q,
+    * observation variance R) shared with the oracle, so the predicted
+    * variance `p + Q` and the gain denominator `pp + R` are exact
+    * doubles before the one non-dyadic division per step. */
+  val KalmanQ = 0.25
+  val KalmanR = 1.0
+
   /** χ²(k) 95th-percentile critical values for k = 1..[[CorrelogramLags]]
     * — the Ljung-Box reject ladder, single-sourced into BOTH the Column
     * fold and the oracle's VALUES table (in-engine quantile functions are
@@ -382,6 +389,48 @@ object StreamingOps {
           Num.pin(col("z.hw.l"), 4).as("level"),
           Num.pin(col("z.hw.b"), 4).as("trend"),
           Num.pin(col("z.hw.l") + col("z.hw.b"), 4).as("forecast"))
+        .orderBy("event_id")
+    }),
+
+    // 1-D Kalman filter (random-walk state, noisy observations) per
+    // user — the optimal-gain upgrade of `ts_ewma`'s fixed-α smoother:
+    // the gain k = p/(p+R) ADAPTS, starting high (trust early
+    // observations) and settling to the steady-state Riccati fixpoint,
+    // which is what production metric-denoising uses when series
+    // restart often. Recurrence per step: pp = p + Q; k = pp/(pp+R);
+    // x += k·(v − x); p = (1−k)·pp — x₁ = v₁, p₁ = 1, k₁ ≡ 1. Q/R are
+    // dyadic LITERALS shared with the oracle; the single division per
+    // step is replayed in the same order by the recursive CTE
+    // (substituted where SQL cannot alias, the ts_holt discipline), so
+    // estimates are bit-identical. Same execution shape as the ewma
+    // fold: one groupBy-collect per user, key-bounded state
+    // (SkewStressSpec-class), folds parallel across users.
+    "ts_kalman" -> ((s, dir) => {
+      val acc0 = struct(lit(0.0).as("x"), lit(0.0).as("p"),
+        lit(false).as("has"),
+        array().cast("array<struct<x:double,k:double>>").as("out"))
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+        .withColumn("kf", aggregate(col("seq"), acc0,
+          (acc, e) => {
+            val pp = acc("p") + lit(KalmanQ)
+            val k = pp / (pp + lit(KalmanR))
+            val x = when(acc("has"),
+              acc("x") + k * (e("value") - acc("x"))).otherwise(e("value"))
+            val p = when(acc("has"), (lit(1.0) - k) * pp).otherwise(lit(1.0))
+            val kOut = when(acc("has"), k).otherwise(lit(1.0))
+            struct(x.as("x"), p.as("p"), lit(true).as("has"),
+              concat(acc("out"), array(struct(x.as("x"), kOut.as("k"))))
+                .as("out"))
+          },
+          acc => acc("out")))
+        .select(col("user_id"), explode(arrays_zip(col("seq"), col("kf"))).as("z"))
+        .select(col("z.seq.event_id").as("event_id"), col("user_id"),
+          col("z.seq.value").as("value"),
+          Num.pin(col("z.kf.x"), 4).as("estimate"),
+          Num.pin(col("z.kf.k"), 4).as("gain"))
         .orderBy("event_id")
     }),
 
@@ -1525,6 +1574,32 @@ object StreamingOps {
                 floor(b * 1e4 + 0.5) / 1e4 AS trend,
                 floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast
          FROM hw ORDER BY event_id""",
+    // ts_ewma's replay with the adaptive gain: p/k substituted inline
+    // where SQL cannot alias within one SELECT — the identical double
+    // DAG to the fold's once-computed pp/k locals
+    "ts_kalman" ->
+      """WITH RECURSIVE seq AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events
+         ), kf AS (
+           SELECT user_id, event_id, value, rn,
+                  value AS x, CAST(1.0 AS DOUBLE) AS p,
+                  CAST(1.0 AS DOUBLE) AS k
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.event_id, s.value, s.rn,
+                  e.x + ((e.p + 0.25) / ((e.p + 0.25) + 1.0)) * (s.value - e.x),
+                  (1.0 - ((e.p + 0.25) / ((e.p + 0.25) + 1.0))) * (e.p + 0.25),
+                  (e.p + 0.25) / ((e.p + 0.25) + 1.0)
+           FROM kf e JOIN seq s
+             ON s.user_id = e.user_id AND s.rn = e.rn + 1
+         )
+         SELECT event_id, user_id, value,
+                floor(x * 1e4 + 0.5) / 1e4 AS estimate,
+                floor(k * 1e4 + 0.5) / 1e4 AS gain
+         FROM kf ORDER BY event_id""",
     // lower medians picked from sorted lists (selection, not
     // interpolation), flags on the identical raw-double compare
     "ts_mad_anomaly" ->

@@ -214,6 +214,37 @@ class AggSpec extends SparkSpec {
       s"chi2=$chi2 vs contrib total=$total")
   }
 
+  test("agg_cramers_v replays the dense-grid chi-square and stays in [0,1]") {
+    val r = AggOps.queries("agg_cramers_v")(spark, SfDir).head()
+    val (n, nr, nc) = (r.getAs[Long]("n"), r.getAs[Long]("r"), r.getAs[Long]("c"))
+    val (chi2, v) = (r.getAs[Double]("chi2"), r.getAs[Double]("cramers_v"))
+    // brute replay over the DENSE contingency grid (empty cells carry
+    // their full expected mass — the textbook statistic, not the
+    // observed-cells shortcut)
+    val docs = Tables.documents(spark, SfDir)
+      .select("lang", "source").collect()
+      .map(row => (row.getString(0), row.getString(1)))
+    val langs = docs.map(_._1).distinct.sorted
+    val sources = docs.map(_._2).distinct.sorted
+    val obs = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def pin6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val contribs = for (l <- langs; s <- sources) yield {
+      val o = obs.getOrElse((l, s), 0L)
+      val rowTot = sources.map(ss => obs.getOrElse((l, ss), 0L)).sum
+      val colTot = langs.map(ll => obs.getOrElse((ll, s), 0L)).sum
+      val e = pin6(rowTot.toDouble * colTot / docs.length)
+      pin6((o - e) * (o - e) / e)
+    }
+    val wantChi2 = contribs.map(c => BigDecimal(c).setScale(10,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(n === docs.length.toLong)
+    assert(nr === langs.length.toLong && nc === sources.length.toLong)
+    assert(math.abs(chi2 - pin6(wantChi2)) < 1e-9, s"chi2 $chi2 vs $wantChi2")
+    assert(v >= 0.0 && v <= 1.0 + 1e-9, s"Cramér's V out of range: $v")
+    assert(math.abs(v -
+      pin6(math.sqrt(wantChi2 / (n * math.min(nr - 1, nc - 1))))) < 1e-9)
+  }
+
   test("agg_mad matches a brute-force interpolating median of deviations") {
     def q50(xs: Array[Double]): Double = {
       val s = xs.sorted

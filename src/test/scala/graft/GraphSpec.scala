@@ -39,6 +39,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graph_eigenvector equals the brute three-step power iteration") {
+    import graft.operators.SimilarityOps
+    val edges = SimilarityOps.similarEdges(spark, SfDir)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val nodes = Tables.embeddings(spark, SfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val r1 = nodes.map(v => v -> adj.getOrElse(v, Seq.empty).length.toLong).toMap
+    def step(r: Map[Long, Long]): Map[Long, Long] =
+      nodes.map(v => v -> adj.getOrElse(v, Seq.empty).map(r).sum).toMap
+    val r3 = step(step(r1))
+    val tot = r3.values.sum.toDouble
+    val got = q("graph_eigenvector").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(g => g._1 -> g._2).toMap === r3, "BIGINT scores must replay")
+    assert(got.length === nodes.length, "isolated nodes must appear with score 0")
+    got.foreach { case (_, s, share) =>
+      assert(math.abs(share - math.floor(s / tot * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+    // hubs rank at least as high as in the raw degree ordering's extremes
+    val top = got.maxBy(_._2)
+    assert(r1(top._1) >= got.map(g => r1(g._1)).max / 2,
+      "eigenvector top node should be degree-heavy on this fixture")
+  }
+
   test("graph_bipartite_proj weights equal the distinct shared-user counts") {
     val proj = q("graph_bipartite_proj").persist()
     assert(proj.filter(col("t1") >= col("t2")).count() === 0,

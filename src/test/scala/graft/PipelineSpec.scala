@@ -652,6 +652,24 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("ml_mann_whitney's U is the midrank AUC scaled by n1*n2") {
+    // the exact algebraic bridge between the two keys: the tie-corrected
+    // (midrank) Mann-Whitney U and the tie-aware AUC over the same
+    // pos/neg split satisfy AUC = U / (n1*n2) identically — a cross-key
+    // consistency check no single oracle can express
+    val mw = PipelineOps.queries("ml_mann_whitney")(spark, SfDir).head()
+    val auc = PipelineOps.queries("ml_auc")(spark, SfDir).head()
+    val (n1, n2) = (mw.getAs[Long]("n_pos"), mw.getAs[Long]("n_neg"))
+    assert(n1 === auc.getAs[Long]("n_pos"))
+    assert(n2 === auc.getAs[Long]("n_neg"))
+    val u = mw.getAs[Double]("u_stat")
+    assert(math.abs(auc.getAs[Double]("auc") - u / (n1.toDouble * n2)) < 1e-6,
+      s"AUC ${auc.getAs[Double]("auc")} vs U/(n1 n2) ${u / (n1.toDouble * n2)}")
+    // coherence: z carries the direction of U vs its null mean, sigma > 0
+    assert(mw.getAs[Double]("sigma_u") > 0.0)
+    assert((u - mw.getAs[Double]("mu_u")) * mw.getAs[Double]("z") >= 0.0)
+  }
+
   test("ml_ttest replays Welch's t from first principles and bounds the dof") {
     val r = q("ml_ttest").collect().head
     val xs = Tables.documents(spark, SfDir)

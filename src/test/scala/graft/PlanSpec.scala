@@ -286,7 +286,9 @@ class PlanSpec extends SparkSpec {
       "ts_decompose" -> "<= 24-row hour-of-day seasonal relation",
       "ts_resid_anomaly" -> "1-row median/MAD stats relation",
       // sorted windows over value-domain / calendar / constant-size inputs
+      "agg_cramers_v" -> "order-free total over the |langs| x |sources| grid",
       "ml_auc" -> "distinct score (n_chars) value domain",
+      "ml_mann_whitney" -> "distinct score (n_chars) value domain (midranks)",
       "ml_ks_test" -> "distinct score value domain (two CDFs + the sup)",
       "ml_lift_gain" -> "distinct score value domain",
       "ml_pr_curve" -> "distinct score value domain (threshold sweep)",

@@ -108,6 +108,36 @@ class SkewStressSpec extends SparkSpec {
     assert(got.length === events.length, "every event keeps its smoothed row")
   }
 
+  test("ts_kalman completes and is exact under 100x key skew; gain " +
+      "settles monotonically") {
+    val got = StreamingOps.queries("ts_kalman")(spark, skewDir)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("value"), r.getAs[Double]("estimate"),
+        r.getAs[Double]("gain")))
+      .toSeq
+    val want = byUser.toSeq.flatMap { case (u, es) =>
+      var x = 0.0; var p = 0.0; var has = false
+      es.map { e =>
+        val pp = p + StreamingOps.KalmanQ
+        val k = pp / (pp + StreamingOps.KalmanR)
+        val (nx, np, nk) =
+          if (has) (x + k * (e.value - x), (1.0 - k) * pp, k)
+          else (e.value, 1.0, 1.0)
+        x = nx; p = np; has = true
+        (e.eventId, u, e.value, pin4(nx), pin4(nk))
+      }
+    }.sortBy(_._1)
+    assert(got === want)
+    // the adaptive gain must DECREASE toward the steady-state Riccati
+    // fixpoint from step 2 on (constant Q/R, no restarts)
+    got.groupBy(_._2).values.foreach { rows =>
+      val ks = rows.sortBy(_._1).map(_._5).drop(1)
+      assert(ks.zip(ks.drop(1)).forall { case (a, b) => b <= a + 1e-12 },
+        "gain must be non-increasing after the first update")
+    }
+  }
+
   test("ts_cusum_control completes and is exact under 100x key skew") {
     val got = StreamingOps.queries("ts_cusum_control")(spark, skewDir)
       .collect()
