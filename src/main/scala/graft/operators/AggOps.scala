@@ -587,6 +587,46 @@ object AggOps {
         .orderBy("status", "priority")
     }),
 
+    // Spearman rank correlation ρ between quantity and discount — the
+    // monotone-association upgrade of agg_corr's Pearson (rank-based, so
+    // outliers and curvature don't fake or hide a relation). Ranks are
+    // ml_mann_whitney's midranks computed WITHOUT ranking a row: each
+    // variable collapses to its DISTINCT value domain (50 and 11 values
+    // here — domain-bounded at any corpus size), one cumulative window
+    // over that bounded relation yields tie-block prefix counts, and
+    // 2·midrank = 2·before + t + 1 stays an exact BIGINT. The tiny rank
+    // maps broadcast back onto the fact rows and ρ is Pearson over the
+    // integer 2·midranks — scale-invariant, so the ×2 cancels — via
+    // exact DECIMAL(19,0)-product sufficient sums (the agg_corr
+    // discipline; products cast per factor so 2N-sized ranks can never
+    // overflow a BIGINT multiply at any N). One corpus scan, one
+    // map-side-combined aggregation, zero row-level sorts.
+    "agg_spearman" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_quantity"), col("l_discount"))
+      def rankMap(c: String, out: String): DataFrame = {
+        val cum = Window.orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.groupBy(col(c)).agg(count(lit(1)).as("t"))
+          .withColumn("before", sum(col("t")).over(cum) - col("t"))
+          .select(col(c), (lit(2L) * col("before") + col("t") + lit(1L)).as(out))
+      }
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      def dbl(c: Column) = c.cast("double")
+      val st = li
+        .join(broadcast(rankMap("l_quantity", "mx")), "l_quantity")
+        .join(broadcast(rankMap("l_discount", "my")), "l_discount")
+        .agg(count(lit(1)).as("n"),
+          sum(d19(col("mx"))).as("sx"), sum(d19(col("my"))).as("sy"),
+          sum(d19(col("mx")) * d19(col("my"))).as("sxy"),
+          sum(d19(col("mx")) * d19(col("mx"))).as("sxx"),
+          sum(d19(col("my")) * d19(col("my"))).as("syy"))
+      st.select(col("n"),
+        Num.pin((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          sqrt((dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+            (dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))), 6)
+          .as("spearman_rho"))
+    }),
+
     // Cramér's V — the normalized effect size the chi-square statistic
     // (agg_chi2's per-cell table) is read THROUGH: V = √(χ²/(n·min(r−1,
     // c−1))) ∈ [0,1] answers "HOW dependent is the language mix on the
@@ -1272,6 +1312,45 @@ object AggOps {
              FROM orders GROUP BY 1, 2
            ) GROUP BY status
          ) ORDER BY status""",
+    // midrank maps over the distinct-value domains; Pearson on the
+    // integer 2-midranks via per-factor DECIMAL(19,0) product sums
+    "agg_spearman" ->
+      """WITH rx AS (
+           SELECT l_quantity,
+                  2 * (CAST(sum(t) OVER (ORDER BY l_quantity
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) - t) + t + 1 AS mx
+           FROM (SELECT l_quantity, CAST(count(*) AS BIGINT) AS t
+                 FROM lineitem GROUP BY l_quantity)
+         ), ry AS (
+           SELECT l_discount,
+                  2 * (CAST(sum(t) OVER (ORDER BY l_discount
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) - t) + t + 1 AS my
+           FROM (SELECT l_discount, CAST(count(*) AS BIGINT) AS t
+                 FROM lineitem GROUP BY l_discount)
+         ), j AS (
+           SELECT mx, my FROM lineitem l
+           JOIN rx ON rx.l_quantity = l.l_quantity
+           JOIN ry ON ry.l_discount = l.l_discount
+         ), st AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(mx AS DECIMAL(19,0))) AS sx,
+                  sum(CAST(my AS DECIMAL(19,0))) AS sy,
+                  sum(CAST(mx AS DECIMAL(19,0)) * CAST(my AS DECIMAL(19,0))) AS sxy,
+                  sum(CAST(mx AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0))) AS sxx,
+                  sum(CAST(my AS DECIMAL(19,0)) * CAST(my AS DECIMAL(19,0))) AS syy
+           FROM j
+         )
+         SELECT n,
+                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * 1e6 + 0.5) / 1e6 AS spearman_rho
+         FROM st""",
     // dense grid (empty cells contribute their expected mass), 6dp
     // floor-chain pins on expected/contrib, DECIMAL fold, one sqrt
     "agg_cramers_v" ->

@@ -434,6 +434,75 @@ object StreamingOps {
         .orderBy("event_id")
     }),
 
+    // Rescaled-range (R/S) Hurst exponent of the hourly click series —
+    // the long-range-dependence diagnostic (H ≈ 0.5 = memoryless, > 0.5
+    // = persistent trends, < 0.5 = mean-reverting) read before trusting
+    // any short-window forecaster on a traffic series. Hurst (1951) /
+    // Mandelbrot R/S: split the series into chunks of m ∈ {8,16,32,64}
+    // hours, per chunk compute the range R of cumulative deviations
+    // from the chunk mean and the population σ S, average R/S per m,
+    // then H = the OLS slope of ln(mean R/S) against ln(m). Exactness:
+    // chunk sums/squares are exact integer window folds, R and S replay
+    // the identical double chain both engines, R/S pre-rounds at 10dp
+    // into the per-m DECIMAL fold, each ln runs ONCE per m-row (8 calls
+    // total) pre-rounded at 10dp, and the 4-point slope folds pinned
+    // products as DECIMAL. Scale: everything beyond the one partial-agg
+    // collapse to the calendar-bounded hourly relation operates on that
+    // bounded series (×4 spine replication), chunk windows partition on
+    // (m, chunk).
+    "ts_hurst" -> ((s, dir) => {
+      val sizes = Seq(8, 16, 32, 64)
+      val hourly = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val base = hourly
+        .withColumn("rn", row_number().over(Window.orderBy("h")))
+        .select(col("rn"), col("c"),
+          explode(array(sizes.map(m => lit(m)): _*)).as("m"))
+        .withColumn("chunk", expr("(rn - 1) DIV m"))
+      val part = Window.partitionBy("m", "chunk")
+      val seq_ = part.orderBy("rn")
+      val rows = base
+        .withColumn("cnt", count(lit(1)).over(part))
+        .filter(col("cnt") === col("m"))
+        .withColumn("sc", sum(col("c")).over(part))
+        .withColumn("scc", sum(col("c") * col("c")).over(part))
+        .withColumn("i", row_number().over(seq_))
+        .withColumn("pre", sum(col("c")).over(
+          seq_.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("dev", col("pre").cast("double") -
+          col("i") * (col("sc").cast("double") / col("m")))
+      val perChunk = rows.groupBy("m", "chunk")
+        .agg(max(col("dev")).as("dmax"), min(col("dev")).as("dmin"),
+          max(col("sc")).as("sc"), max(col("scc")).as("scc"))
+        .withColumn("mean", col("sc").cast("double") / col("m"))
+        .withColumn("svar",
+          col("scc").cast("double") / col("m") - col("mean") * col("mean"))
+        .filter(col("svar") > 0)
+        .withColumn("rs", (col("dmax") - col("dmin")) / sqrt(col("svar")))
+      val perM = perChunk.groupBy("m")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(Num.pin(col("rs"), 10).cast("decimal(28,10)")).as("srs"))
+        .withColumn("mean_rs", col("srs").cast("double") / col("n_chunks"))
+        .withColumn("x", Num.pin(log(col("m").cast("double")), 10))
+        .withColumn("y", Num.pin(log(col("mean_rs")), 10))
+      val tot = Window.partitionBy()
+      def dfold(c: Column) =
+        sum(c.cast("decimal(28,10)")).over(tot).cast("double")
+      perM
+        .withColumn("k", count(lit(1)).over(tot).cast("double"))
+        .withColumn("sx", dfold(col("x")))
+        .withColumn("sy", dfold(col("y")))
+        .withColumn("sxy", dfold(Num.pin(col("x") * col("y"), 10)))
+        .withColumn("sxx", dfold(Num.pin(col("x") * col("x"), 10)))
+        .select(col("m"), col("n_chunks"),
+          Num.pin(col("mean_rs"), 6).as("mean_rs"),
+          Num.pin((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("hurst"))
+        .orderBy("m")
+    }),
+
     // Holt-Winters additive seasonal smoothing (triple exponential) over
     // the per-type hourly traffic series, period m = 24 — the seasonal
     // upgrade of `ts_holt` and the DYNAMIC counterpart of
@@ -1574,6 +1643,72 @@ object StreamingOps {
                 floor(b * 1e4 + 0.5) / 1e4 AS trend,
                 floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast
          FROM hw ORDER BY event_id""",
+    // chunk windows replayed verbatim; every ln pre-rounds at 10dp, the
+    // 4-point slope folds pinned products as DECIMAL
+    "ts_hurst" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE event_type = 'click' GROUP BY 1
+         ), base AS (
+           SELECT rn, c, m, (rn - 1) // m AS chunk FROM (
+             SELECT row_number() OVER (ORDER BY h) AS rn, c FROM hourly
+           ) CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS m)
+         ), rows_ AS (
+           SELECT m, chunk, c,
+                  count(*) OVER w AS cnt,
+                  CAST(sum(c) OVER w AS BIGINT) AS sc,
+                  CAST(sum(c * c) OVER w AS BIGINT) AS scc,
+                  row_number() OVER ws AS i,
+                  CAST(sum(c) OVER wc AS BIGINT) AS pre
+           FROM base
+           WINDOW w AS (PARTITION BY m, chunk),
+                  ws AS (PARTITION BY m, chunk ORDER BY rn),
+                  wc AS (PARTITION BY m, chunk ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ), dev AS (
+           SELECT m, chunk, sc, scc,
+                  CAST(pre AS DOUBLE) - i * (CAST(sc AS DOUBLE) / m) AS dev
+           FROM rows_ WHERE cnt = m
+         ), pc AS (
+           SELECT m, chunk,
+                  max(dev) AS dmax, min(dev) AS dmin,
+                  max(sc) AS sc, max(scc) AS scc
+           FROM dev GROUP BY m, chunk
+         ), rs AS (
+           SELECT m,
+                  (dmax - dmin) / sqrt(svar) AS rs
+           FROM (
+             SELECT m, chunk, dmax, dmin,
+                    CAST(scc AS DOUBLE) / m -
+                      (CAST(sc AS DOUBLE) / m) * (CAST(sc AS DOUBLE) / m) AS svar
+             FROM pc
+           ) WHERE svar > 0
+         ), pm AS (
+           SELECT m, CAST(count(*) AS BIGINT) AS n_chunks,
+                  CAST(sum(CAST(floor(rs * 1e10 + 0.5) / 1e10
+                                AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mean_rs
+           FROM rs GROUP BY m
+         ), xy AS (
+           SELECT m, n_chunks, mean_rs,
+                  floor(ln(CAST(m AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS x,
+                  floor(ln(mean_rs) * 1e10 + 0.5) / 1e10 AS y
+           FROM pm
+         ), fold AS (
+           SELECT m, n_chunks, mean_rs,
+                  CAST(count(*) OVER () AS DOUBLE) AS k,
+                  CAST(sum(CAST(x AS DECIMAL(28,10))) OVER () AS DOUBLE) AS sx,
+                  CAST(sum(CAST(y AS DECIMAL(28,10))) OVER () AS DOUBLE) AS sy,
+                  CAST(sum(CAST(floor(x * y * 1e10 + 0.5) / 1e10
+                                AS DECIMAL(28,10))) OVER () AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(floor(x * x * 1e10 + 0.5) / 1e10
+                                AS DECIMAL(28,10))) OVER () AS DOUBLE) AS sxx
+           FROM xy
+         )
+         SELECT m, n_chunks,
+                floor(mean_rs * 1e6 + 0.5) / 1e6 AS mean_rs,
+                floor((k * sxy - sx * sy) / (k * sxx - sx * sx)
+                      * 1e4 + 0.5) / 1e4 AS hurst
+         FROM fold ORDER BY m""",
     // ts_ewma's replay with the adaptive gain: p/k substituted inline
     // where SQL cannot alias within one SELECT — the identical double
     // DAG to the fold's once-computed pp/k locals

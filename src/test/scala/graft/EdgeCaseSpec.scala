@@ -898,6 +898,86 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("ts_hurst replays the brute R/S chain; the exponent is sane") {
+    import graft.operators.StreamingOps
+    def pin(x: Double, d: Int) = {
+      val p = math.pow(10, d); math.floor(x * p + 0.5) / p
+    }
+    val hourly = Tables.events(spark, SfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")).as("h"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .orderBy("h").collect().map(_.getLong(1))
+    val want = Seq(8, 16, 32, 64).map { m =>
+      val rs = hourly.grouped(m).filter(_.length == m).flatMap { ch =>
+        val sc = ch.sum
+        val scc = ch.map(v => v * v).sum
+        val mean = sc.toDouble / m
+        val svar = scc.toDouble / m - mean * mean
+        if (!(svar > 0)) None
+        else {
+          var pre = 0L
+          val devs = ch.zipWithIndex.map { case (v, i0) =>
+            pre += v; pre.toDouble - (i0 + 1) * mean
+          }
+          Some((devs.max - devs.min) / math.sqrt(svar))
+        }
+      }.toSeq
+      val meanRs = rs.map(r => BigDecimal(pin(r, 10)).setScale(10,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / rs.length
+      (m, rs.length.toLong, meanRs)
+    }
+    val xs = want.map(w => pin(math.log(w._1.toDouble), 10))
+    val ys = want.map(w => pin(math.log(w._3), 10))
+    def dsum(v: Seq[Double]) = v.map(x => BigDecimal(x).setScale(10,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val k = want.length.toDouble
+    val (sx, sy) = (dsum(xs), dsum(ys))
+    val sxy = dsum(xs.zip(ys).map { case (a, b) => pin(a * b, 10) })
+    val sxx = dsum(xs.map(a => pin(a * a, 10)))
+    val hurst = pin((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+    val got = StreamingOps.queries("ts_hurst")(spark, SfDir).collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Long]("n_chunks"),
+        r.getAs[Double]("mean_rs"), r.getAs[Double]("hurst")))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ===
+      want.map(w => (w._1, w._2, pin(w._3, 6))))
+    got.foreach(g => assert(g._4 === hurst, s"hurst ${g._4} vs replay $hurst"))
+    // an R/S slope far outside (0, 1.5) means the chain broke, not the data
+    assert(hurst > 0.0 && hurst < 1.5, s"implausible Hurst exponent $hurst")
+  }
+
+  test("agg_spearman equals the brute midrank Pearson and stays in [-1,1]") {
+    import graft.operators.AggOps
+    val rows = Tables.lineitem(spark, SfDir)
+      .select("l_quantity", "l_discount").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    def midrank2(vs: Seq[Double]): Map[Double, Long] = {
+      val counts = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sorted = counts.keys.toSeq.sorted
+      var before = 0L
+      sorted.map { v =>
+        val t = counts(v); val mr2 = 2 * before + t + 1; before += t; v -> mr2
+      }.toMap
+    }
+    val (rx, ry) = (midrank2(rows.map(_._1).toSeq), midrank2(rows.map(_._2).toSeq))
+    val pairs = rows.map { case (q, d) => (rx(q), ry(d)) }
+    val n = pairs.length.toDouble
+    def s(f: ((Long, Long)) => BigDecimal) = pairs.map(f).sum.toDouble
+    val (sx, sy) = (s(p => BigDecimal(p._1)), s(p => BigDecimal(p._2)))
+    val sxy = s(p => BigDecimal(p._1) * BigDecimal(p._2))
+    val sxx = s(p => BigDecimal(p._1) * BigDecimal(p._1))
+    val syy = s(p => BigDecimal(p._2) * BigDecimal(p._2))
+    val want = math.floor((n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6
+    val r = AggOps.queries("agg_spearman")(spark, SfDir).head()
+    assert(r.getAs[Long]("n") === rows.length.toLong)
+    val rho = r.getAs[Double]("spearman_rho")
+    assert(rho === want, s"rho $rho vs brute replay $want")
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+  }
+
   test("agg_benford shares are a distribution with the fixed expectation") {
     import graft.operators.AggOps
     val rows = AggOps.queries("agg_benford")(spark, SfDir).collect()

@@ -287,6 +287,8 @@ class PlanSpec extends SparkSpec {
       "ts_resid_anomaly" -> "1-row median/MAD stats relation",
       // sorted windows over value-domain / calendar / constant-size inputs
       "agg_cramers_v" -> "order-free total over the |langs| x |sources| grid",
+      "agg_spearman" -> "midrank maps over the two distinct-value domains",
+      "ts_hurst" -> "calendar-bounded hourly series + the 4-row chunk-size relation",
       "ml_auc" -> "distinct score (n_chars) value domain",
       "ml_mann_whitney" -> "distinct score (n_chars) value domain (midranks)",
       "ml_ks_test" -> "distinct score value domain (two CDFs + the sup)",
