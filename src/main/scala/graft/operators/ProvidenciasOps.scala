@@ -36,6 +36,14 @@ object ProvidenciasOps {
     * nodes) and converges within 10 peels. */
   val KCoreK = 3
 
+  /** k-truss order for `graph_ktruss` (every surviving edge sits in
+    * ≥ k−2 triangles of the truss) and the peel-round cap shared with
+    * the generated oracle CTE chain (post-convergence rounds are
+    * identity filters, so the unroll replays an early-stopping loop
+    * exactly — the BPE-oracle discipline). */
+  val TrussK = 3
+  val TrussMaxRounds = 16
+
   /** Accented query forms for the unaccent variant — what a Spanish search
     * box actually receives ("año", "resolución"). */
   val AccentedTerms: Seq[String] = Seq("spárk", "mérge")
@@ -549,6 +557,51 @@ object ProvidenciasOps {
         .select(col("node_id"), col("score"),
           Num.pin(col("score").cast("double") / col("tot"), 6).as("share"))
         .orderBy("node_id")
+    }),
+
+    // Graph extension: k-truss decomposition (k = 4) by iterative edge
+    // peeling to the fixpoint — the EDGE-cohesion core next to
+    // graph_kcore's vertex degrees: every surviving edge must sit in
+    // ≥ k−2 triangles OF THE TRUSS, the community-core definition that
+    // survives hub-spokes k-core keeps (a star has high degrees but
+    // zero triangles). Each peel round: per-edge triangle support via
+    // the common-neighbor equi-join (edge list joined twice against its
+    // symmetrized adjacency on the middle node — never all-pairs),
+    // filter support < k−2, repeat until the edge count stops moving
+    // (filters only remove, so an unchanged count IS the fixpoint — the
+    // graph_kcore one-Long discipline, localCheckpoint per round),
+    // capped at TrussMaxRounds to stay aligned with the generated
+    // oracle unroll. Output: surviving edges with their in-truss
+    // support. At scale each round is shuffle joins on node keys over
+    // the (shrinking) edge relation.
+    "graph_ktruss" -> ((s, dir) => {
+      def support(e: DataFrame): DataFrame = {
+        val und = e.select(explode(array(
+            struct(col("src").as("s"), col("dst").as("d")),
+            struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+          .select(col("p.s").as("s"), col("p.d").as("d"))
+        e.join(und.select(col("s").as("src"), col("d").as("m")), "src")
+          .join(und.select(col("s").as("dst"), col("d").as("m")), Seq("dst", "m"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+      }
+      var e = SimilarityOps.similarEdges(s, dir)
+        .select(col("src"), col("dst")).localCheckpoint()
+      var n = e.count()
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < TrussMaxRounds && n > 0) {
+        val next = support(e).filter(col("support") >= TrussK - 2)
+          .select(col("src"), col("dst")).localCheckpoint()
+        val m = next.count()
+        converged = m == n
+        n = m; e = next; rounds += 1
+      }
+      // at the fixpoint the final support-filter is an identity (same
+      // set ⇒ every support already ≥ k−2); it is load-bearing only on
+      // a cap exit, where it keeps output and oracle HAVING identical
+      support(e).filter(col("support") >= TrussK - 2)
+        .select(col("src"), col("dst"), col("support"))
+        .orderBy("src", "dst")
     }),
 
     // Graph extension: link prediction by neighbor-set Jaccard — node
@@ -1255,6 +1308,40 @@ object ProvidenciasOps {
                   AS share
          FROM embeddings n LEFT JOIN r3 ON r3.id = n.vec_id CROSS JOIN tot
          ORDER BY node_id""",
+    // TrussMaxRounds generated support-filter rounds (identity after
+    // convergence — filtering a fixpoint changes nothing), then the
+    // final in-truss support with the same >= k-2 HAVING
+    "graph_ktruss" ->
+      s"""WITH te0 AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ),
+         tu0 AS MATERIALIZED (SELECT src AS s, dst AS d FROM te0
+                 UNION ALL SELECT dst AS s, src AS d FROM te0)${
+        (1 to TrussMaxRounds).map { r =>
+          s""", ts$r AS (
+           SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS sup
+           FROM te${r - 1} e
+           JOIN tu${r - 1} u1 ON u1.s = e.src
+           JOIN tu${r - 1} u2 ON u2.s = e.dst AND u2.d = u1.d
+           GROUP BY e.src, e.dst
+         ), te$r AS MATERIALIZED (
+           SELECT src, dst FROM ts$r WHERE sup >= ${TrussK - 2}
+         ), tu$r AS MATERIALIZED (
+           SELECT src AS s, dst AS d FROM te$r
+           UNION ALL SELECT dst AS s, src AS d FROM te$r)"""
+        }.mkString}
+         SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS support
+         FROM te$TrussMaxRounds e
+         JOIN tu$TrussMaxRounds u1 ON u1.s = e.src
+         JOIN tu$TrussMaxRounds u2 ON u2.s = e.dst AND u2.d = u1.d
+         GROUP BY e.src, e.dst
+         HAVING count(*) >= ${TrussK - 2}
+         ORDER BY src, dst""",
     // peel to the fixpoint, k = 3 (KCoreK): the recursive term carries a
     // round counter — each iteration's delta is exactly the previous
     // round's survivor set, so the induced-degree filter sees the full

@@ -34,6 +34,12 @@ object StreamingOps {
   val KalmanQ = 0.25
   val KalmanR = 1.0
 
+  /** `ts_periodogram`'s frequency count and the 2π double literal shared
+    * verbatim with the oracle (pi() vs Math.PI agree, but pinning the
+    * PRODUCT literal removes even that coupling). */
+  val PeriodogramFreqs = 8
+  val TwoPi = 6.283185307179586
+
   /** χ²(k) 95th-percentile critical values for k = 1..[[CorrelogramLags]]
     * — the Ljung-Box reject ladder, single-sourced into BOTH the Column
     * fold and the oracle's VALUES table (in-engine quantile functions are
@@ -432,6 +438,55 @@ object StreamingOps {
           Num.pin(col("z.kf.x"), 4).as("estimate"),
           Num.pin(col("z.kf.k"), 4).as("gain"))
         .orderBy("event_id")
+    }),
+
+    // Schuster periodogram of the hourly click series at the first 8
+    // Fourier frequencies — "WHICH period dominates?", the spectral
+    // companion to ts_seasonality's fixed hour-of-day profile and
+    // ts_decompose's assumed daily cycle (a weekly or half-daily rhythm
+    // shows up here without being hypothesized first). Power at
+    // frequency k: P_k = a² + b² with a = Σ d_n·cos θ, b = Σ d_n·sin θ,
+    // θ = 2π·k·(n−1)/N, over mean-centered counts d_n. Determinism:
+    // cos/sin run ONCE per (k, n) cell over the calendar-bounded series
+    // (the one-transcendental-per-cell discipline) and pre-round at
+    // 10dp; d_n derives from exact integer sums; each product term
+    // pre-rounds at 6dp and folds as DECIMAL; θ uses the SAME 2π double
+    // literal both engines. Scale: one partial-agg collapse to the
+    // bounded hourly relation, then an 8× spine over it — never a
+    // corpus-scale trig call.
+    "ts_periodogram" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val tot = Window.partitionBy()
+      val base = hourly
+        .withColumn("rn", row_number().over(Window.orderBy("h")))
+        .withColumn("nn", count(lit(1)).over(tot))
+        .withColumn("sc", sum(col("c")).over(tot))
+        .withColumn("d",
+          col("c").cast("double") - col("sc").cast("double") / col("nn"))
+        .select(col("rn"), col("nn"), col("d"),
+          explode(array((1 to PeriodogramFreqs).map(k => lit(k.toLong)): _*)).as("k"))
+        .withColumn("theta",
+          lit(TwoPi) * col("k") * (col("rn") - 1) / col("nn"))
+      val ab = base
+        .select(col("k"), col("nn"),
+          Num.pin(col("d") * Num.pin(cos(col("theta")), 10), 6).as("tc"),
+          Num.pin(col("d") * Num.pin(sin(col("theta")), 10), 6).as("ts"))
+        .groupBy("k")
+        .agg(max(col("nn")).as("nn"),
+          sum(col("tc").cast("decimal(28,10)")).cast("double").as("a"),
+          sum(col("ts").cast("decimal(28,10)")).cast("double").as("b"))
+        .withColumn("power", col("a") * col("a") + col("b") * col("b"))
+      ab
+        .withColumn("ptot", sum(Num.pin(col("power"), 6)
+          .cast("decimal(28,10)")).over(tot).cast("double"))
+        .select(col("k"),
+          Num.pin(col("nn").cast("double") / col("k"), 4).as("period_hours"),
+          Num.pin(col("power"), 4).as("power"),
+          Num.pin(Num.pin(col("power"), 6) / col("ptot"), 6).as("share"))
+        .orderBy("k")
     }),
 
     // Rescaled-range (R/S) Hurst exponent of the hourly click series —
@@ -1643,6 +1698,46 @@ object StreamingOps {
                 floor(b * 1e4 + 0.5) / 1e4 AS trend,
                 floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast
          FROM hw ORDER BY event_id""",
+    // one cos/sin per (k, n) cell pre-rounded at 10dp, per-cell product
+    // terms pinned at 6dp into DECIMAL folds, the same 2π literal
+    "ts_periodogram" ->
+      s"""WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE event_type = 'click' GROUP BY 1
+         ), base AS (
+           SELECT rn, nn, d, k,
+                  $TwoPi * k * (rn - 1) / nn AS theta
+           FROM (
+             SELECT row_number() OVER (ORDER BY h) AS rn,
+                    CAST(count(*) OVER () AS BIGINT) AS nn,
+                    CAST(c AS DOUBLE)
+                      - CAST(sum(c) OVER () AS DOUBLE)
+                        / CAST(count(*) OVER () AS BIGINT) AS d
+             FROM hourly
+           ) CROSS JOIN (SELECT unnest(range(1, ${PeriodogramFreqs + 1})) AS k)
+         ), ab AS (
+           SELECT k, max(nn) AS nn,
+                  CAST(sum(CAST(floor(d * (floor(cos(theta) * 1e10 + 0.5) / 1e10)
+                                      * 1e6 + 0.5) / 1e6
+                                AS DECIMAL(28,10))) AS DOUBLE) AS a,
+                  CAST(sum(CAST(floor(d * (floor(sin(theta) * 1e10 + 0.5) / 1e10)
+                                      * 1e6 + 0.5) / 1e6
+                                AS DECIMAL(28,10))) AS DOUBLE) AS b
+           FROM base GROUP BY k
+         ), pw AS (
+           SELECT k, nn, a * a + b * b AS power FROM ab
+         ), sh AS (
+           SELECT k, nn, power,
+                  CAST(sum(CAST(floor(power * 1e6 + 0.5) / 1e6
+                                AS DECIMAL(28,10))) OVER () AS DOUBLE) AS ptot
+           FROM pw
+         )
+         SELECT k,
+                floor(CAST(nn AS DOUBLE) / k * 1e4 + 0.5) / 1e4 AS period_hours,
+                floor(power * 1e4 + 0.5) / 1e4 AS power,
+                floor((floor(power * 1e6 + 0.5) / 1e6) / ptot * 1e6 + 0.5) / 1e6
+                  AS share
+         FROM sh ORDER BY k""",
     // chunk windows replayed verbatim; every ln pre-rounds at 10dp, the
     // 4-point slope folds pinned products as DECIMAL
     "ts_hurst" ->

@@ -948,6 +948,47 @@ class EdgeCaseSpec extends SparkSpec {
     assert(hurst > 0.0 && hurst < 1.5, s"implausible Hurst exponent $hurst")
   }
 
+  test("ts_periodogram replays the brute DFT chain; shares distribute") {
+    import graft.operators.StreamingOps
+    def pin(x: Double, d: Int) = {
+      val p = math.pow(10, d); math.floor(x * p + 0.5) / p
+    }
+    val cs = Tables.events(spark, SfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")).as("h"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .orderBy("h").collect().map(_.getLong(1))
+    val nn = cs.length
+    val mean = cs.sum.toDouble / nn
+    def dsum(v: Seq[Double]) = v.map(x => BigDecimal(x).setScale(10,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val want = (1 to StreamingOps.PeriodogramFreqs).map { k =>
+      val terms = cs.zipWithIndex.map { case (c, i) =>
+        val d = c.toDouble - cs.sum.toDouble / nn
+        val theta = StreamingOps.TwoPi * k * i / nn
+        (pin(d * pin(math.cos(theta), 10), 6), pin(d * pin(math.sin(theta), 10), 6))
+      }
+      val a = dsum(terms.map(_._1).toSeq)
+      val b = dsum(terms.map(_._2).toSeq)
+      (k.toLong, a * a + b * b)
+    }
+    val ptot = dsum(want.map(w => pin(w._2, 6)))
+    val got = StreamingOps.queries("ts_periodogram")(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("period_hours"),
+        r.getAs[Double]("power"), r.getAs[Double]("share")))
+    assert(got.map(_._1).toSeq === want.map(_._1))
+    got.zip(want).foreach { case ((k, per, pw, sh), (_, wp)) =>
+      assert(pw === pin(wp, 4), s"k=$k power $pw vs replay ${pin(wp, 4)}")
+      assert(per === pin(nn.toDouble / k, 4))
+      assert(sh === pin(pin(wp, 6) / ptot, 6))
+    }
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4,
+      "shares must distribute over the 8 frequencies")
+    assert(mean > 0.0)
+  }
+
   test("agg_spearman equals the brute midrank Pearson and stays in [-1,1]") {
     import graft.operators.AggOps
     val rows = Tables.lineitem(spark, SfDir)

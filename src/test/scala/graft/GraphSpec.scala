@@ -65,6 +65,28 @@ class GraphSpec extends SparkSpec {
       "eigenvector top node should be degree-heavy on this fixture")
   }
 
+  test("graph_ktruss output is a genuine truss fixpoint with exact supports") {
+    import graft.operators.{ProvidenciasOps, SimilarityOps}
+    val out = q("graph_ktruss").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kept = out.map(e => (e._1, e._2)).toSet
+    val all = SimilarityOps.similarEdges(spark, SfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.subsetOf(all), "truss edges must come from the edge set")
+    assert(out.nonEmpty, "the fixture's threshold graph must have a 3-truss")
+    // recompute in-truss support by brute common-neighbor counting —
+    // the reported support must match AND satisfy the truss bound, and
+    // the output must be a FIXPOINT (peeling it again removes nothing)
+    val adj = kept.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (a, b, sup) =>
+      val common = (adj(a) & adj(b)).size.toLong
+      assert(common === sup, s"edge ($a,$b): reported $sup vs brute $common")
+      assert(sup >= ProvidenciasOps.TrussK - 2, "truss bound violated")
+    }
+  }
+
   test("graph_bipartite_proj weights equal the distinct shared-user counts") {
     val proj = q("graph_bipartite_proj").persist()
     assert(proj.filter(col("t1") >= col("t2")).count() === 0,

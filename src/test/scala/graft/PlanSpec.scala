@@ -289,6 +289,7 @@ class PlanSpec extends SparkSpec {
       "agg_cramers_v" -> "order-free total over the |langs| x |sources| grid",
       "agg_spearman" -> "midrank maps over the two distinct-value domains",
       "ts_hurst" -> "calendar-bounded hourly series + the 4-row chunk-size relation",
+      "ts_periodogram" -> "calendar-bounded hourly series + the 8-row frequency relation",
       "ml_auc" -> "distinct score (n_chars) value domain",
       "ml_mann_whitney" -> "distinct score (n_chars) value domain (midranks)",
       "ml_ks_test" -> "distinct score value domain (two CDFs + the sup)",
