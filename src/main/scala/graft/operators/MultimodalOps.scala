@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num
 
 /** Multimodal-column suite (north-star: treat image/audio/video as opaque
   * BINARY columns with typed metadata; decode / feature-extract /
@@ -109,6 +110,39 @@ object MultimodalOps {
           min("doc_id").as("first_doc"))
         .filter(col("n_docs") > 1)
         .orderBy("frame_md5")
+    }),
+
+    // Decode-free per-asset SIGNAL statistics over the opaque payload
+    // bytes — the audio/image triage pass (level histogramming, clip
+    // and silence detection) a media pipeline runs BEFORE paying for a
+    // real decode: byte min/max/mean plus the fraction of "hot" (≥ 120)
+    // and "silent" (= 32) bytes. All arithmetic runs scan-side inside
+    // one codegen'd higher-order-function chain per row — no explode,
+    // so a 100 TB blob column contributes one bounded stats row per
+    // asset to the shuffle-free projection. The ASCII fixture makes
+    // byte i = char i, so DuckDB replays the byte walk over text (the
+    // mm_frame_sample equivalence); empty payloads are excluded by the
+    // pushed-down filter (the sequence(1, 0) descending-range hazard,
+    // cf. mm_frame_dedup).
+    "mm_channel_stats" -> ((s, dir) => {
+      val arr = transform(sequence(lit(1), length(col("text"))),
+        i => ascii(col("text").substr(i, lit(1))))
+      Tables.documents(s, dir)
+        .filter(octet_length(to_binary(col("text"), lit("utf-8"))) > 0)
+        .select(col("doc_id"),
+          octet_length(to_binary(col("text"), lit("utf-8"))).cast("long")
+            .as("n_bytes"),
+          arr.as("a"))
+        .select(col("doc_id"), col("n_bytes"),
+          array_min(col("a")).as("b_min"),
+          array_max(col("a")).as("b_max"),
+          Num.pin(aggregate(col("a"), lit(0L), (acc, x) => acc + x)
+            .cast("double") / col("n_bytes"), 4).as("b_mean"),
+          Num.pin(size(filter(col("a"), x => x >= 120)).cast("double") /
+            col("n_bytes"), 6).as("hot_frac"),
+          Num.pin(size(filter(col("a"), x => x === 32)).cast("double") /
+            col("n_bytes"), 6).as("silence_frac"))
+        .orderBy("doc_id")
     }),
 
     // Resize through the per-partition codec-batch shape: binary in ->
@@ -220,6 +254,23 @@ object MultimodalOps {
                 octet_length(encode(text)) AS n_bytes,
                 md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    // per-char ascii() walk = the byte walk on the ASCII fixture; same
+    // pinned divisions
+    "mm_channel_stats" ->
+      """SELECT doc_id, nb AS n_bytes,
+                list_min(a) AS b_min, list_max(a) AS b_max,
+                floor(CAST(list_sum(a) AS DOUBLE) / nb * 1e4 + 0.5) / 1e4
+                  AS b_mean,
+                floor(CAST(len(list_filter(a, x -> x >= 120)) AS DOUBLE)
+                      / nb * 1e6 + 0.5) / 1e6 AS hot_frac,
+                floor(CAST(len(list_filter(a, x -> x = 32)) AS DOUBLE)
+                      / nb * 1e6 + 0.5) / 1e6 AS silence_frac
+         FROM (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+                  list_transform(range(1, len(text) + 1), i -> ascii(text[i]))
+                    AS a
+           FROM documents WHERE octet_length(encode(text)) > 0
+         ) ORDER BY doc_id""",
     "mm_resize" ->
       s"""SELECT doc_id, CAST(length(resized) AS BIGINT) AS n_bytes_out,
                  md5(resized) AS resized_md5

@@ -858,6 +858,45 @@ object PipelineOps {
           col("n_chars").as("ks_at"), round(col("diff"), 6).as("ks_d"))
     }),
 
+    // Split-hash fairness audit — the release gate on pipe_split's md5
+    // bucketing itself: chi-square against uniform and the KS sup
+    // distance of the 100-bucket empirical CDF, plus min/max bucket
+    // fill. A biased split hash silently skews every train/val/test
+    // metric downstream, so corpus releases audit the hash ON the
+    // corpus (adversarial or structured ids can break a hash that is
+    // fine on random ids). One corpus-scale groupBy into the dense
+    // 100-row bucket relation (empty buckets ride in at 0 via the
+    // spine), every statistic a bounded-relation fold: contributions
+    // pin at 6dp into a DECIMAL chi2 sum, the CDF deviations compare
+    // identically-computed doubles.
+    "pipe_split_audit" -> ((s, dir) => {
+      val tot = Window.partitionBy()
+      val cum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val obs = Tables.documents(s, dir)
+        .groupBy(md5Bucket(col("doc_id")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val dense = s.range(100).select(col("id").cast("int").as("bucket"))
+        .join(obs, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .withColumn("n", sum(col("cnt")).over(tot))
+        .withColumn("exp", col("n").cast("double") / 100.0)
+        .withColumn("contrib", Num.pin(
+          (col("cnt") - col("exp")) * (col("cnt") - col("exp")) / col("exp"), 6))
+        .withColumn("cumc", sum(col("cnt")).over(cum))
+        .withColumn("diff", abs(col("cumc").cast("double") / col("n") -
+          (col("bucket") + 1) / lit(100.0)))
+      dense.agg(max(col("n")).as("n"),
+          min(col("cnt")).as("min_count"), max(col("cnt")).as("max_count"),
+          sum(col("contrib").cast("decimal(28,10)")).cast("double").as("x2"),
+          max(col("diff")).as("ksd"))
+        .select(col("n"), col("min_count"), col("max_count"),
+          Num.pin(col("x2"), 6).as("chi2"),
+          Num.pin(col("ksd"), 6).as("ks_d"),
+          Num.pin(col("max_count").cast("double") /
+            (col("n").cast("double") / 100.0), 4).as("max_over_mean"))
+    }),
+
     // Mann-Whitney U (Wilcoxon rank-sum) with tie correction — the
     // nonparametric "are en docs systematically longer?" two-sample
     // test completing the trio next to ml_ttest (parametric Welch) and
@@ -2464,6 +2503,42 @@ object PipelineOps {
          SELECT ntr AS n_train, nte AS n_test, n_chars AS ks_at,
                 round(diff, 6) AS ks_d
          FROM e WHERE rn = 1""",
+    // identical md5-bucket expression; dense 100-bucket spine, 6dp
+    // chi2 contributions folded as DECIMAL, KS over the bucket CDF
+    "pipe_split_audit" ->
+      """WITH obs AS (
+           SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INT) % 100 AS bucket,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1
+         ), d AS (
+           SELECT s.bucket, coalesce(o.cnt, 0) AS cnt
+           FROM (SELECT unnest(range(0, 100)) AS bucket) s
+           LEFT JOIN obs o ON o.bucket = s.bucket
+         ), t AS (
+           SELECT bucket, cnt,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n,
+                  CAST(sum(cnt) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumc
+           FROM d
+         ), c AS (
+           SELECT n, cnt,
+                  floor((cnt - CAST(n AS DOUBLE) / 100.0)
+                        * (cnt - CAST(n AS DOUBLE) / 100.0)
+                        / (CAST(n AS DOUBLE) / 100.0) * 1e6 + 0.5) / 1e6
+                    AS contrib,
+                  abs(CAST(cumc AS DOUBLE) / n - (bucket + 1) / 100.0) AS diff
+           FROM t
+         )
+         SELECT max(n) AS n, min(cnt) AS min_count, max(cnt) AS max_count,
+                floor(CAST(sum(CAST(contrib AS DECIMAL(28,10))) AS DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS chi2,
+                floor(max(diff) * 1e6 + 0.5) / 1e6 AS ks_d,
+                floor(CAST(max(cnt) AS DOUBLE)
+                      / (CAST(max(n) AS DOUBLE) / 100.0) * 1e4 + 0.5) / 1e4
+                  AS max_over_mean
+         FROM c""",
     // midranks via tie-block prefix counts over the distinct-score
     // domain; every sufficient statistic an exact BIGINT, z one pinned
     // division — the Spark fold mirrored term for term

@@ -96,6 +96,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(3L) === 1L)
   }
 
+  test("mm_channel_stats equals a brute per-byte replay") {
+    import org.apache.spark.sql.functions.col
+    def pin(x: Double, d: Int) = {
+      val p = math.pow(10, d); math.floor(x * p + 0.5) / p
+    }
+    val got = graft.operators.MultimodalOps.queries("mm_channel_stats")(spark, SfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Int]("b_min"), r.getAs[Int]("b_max"),
+        r.getAs[Double]("b_mean"), r.getAs[Double]("hot_frac"),
+        r.getAs[Double]("silence_frac")))
+      .toSeq
+    val want = Tables.documents(spark, SfDir).select("doc_id", "text").collect()
+      .filter(_.getString(1).getBytes("UTF-8").nonEmpty)
+      .map { r =>
+        val b = r.getString(1).getBytes("UTF-8").map(_.toInt & 0xff)
+        (r.getLong(0), b.length.toLong, b.min, b.max,
+          pin(b.map(_.toLong).sum.toDouble / b.length, 4),
+          pin(b.count(_ >= 120).toDouble / b.length, 6),
+          pin(b.count(_ == 32).toDouble / b.length, 6))
+      }.sortBy(_._1).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("mm_shard_manifest equals a sequential pack and conserves bytes") {
     val got = MultimodalOps.queries("mm_shard_manifest")(spark, SfDir)
       .collect().map(r => r.getLong(0) ->

@@ -652,6 +652,37 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("pipe_split_audit replays the brute bucket census and judges fairly") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pin(x: Double, d: Int) = {
+      val p = math.pow(10, d); math.floor(x * p + 0.5) / p
+    }
+    val ids = Tables.documents(spark, SfDir).select("doc_id").collect()
+      .map(_.getLong(0))
+    val counts = Array.fill(100)(0L)
+    ids.foreach { id =>
+      counts(Integer.parseInt(md5hex(id.toString).substring(0, 4), 16) % 100) += 1
+    }
+    val n = ids.length.toDouble
+    val exp = n / 100.0
+    val chi2 = counts.map(c => BigDecimal(pin((c - exp) * (c - exp) / exp, 6))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    var cum = 0L
+    val ksd = counts.zipWithIndex.map { case (c, b) =>
+      cum += c; math.abs(cum.toDouble / n - (b + 1) / 100.0)
+    }.max
+    val r = PipelineOps.queries("pipe_split_audit")(spark, SfDir).head()
+    assert(r.getAs[Long]("n") === ids.length.toLong)
+    assert(r.getAs[Long]("min_count") === counts.min)
+    assert(r.getAs[Long]("max_count") === counts.max)
+    assert(r.getAs[Double]("chi2") === pin(chi2, 6))
+    assert(r.getAs[Double]("ks_d") === pin(ksd, 6))
+    // the md5 split must actually BE fair on the fixture: chi2 for 99
+    // dof far under the gross-failure line, KS tiny
+    assert(r.getAs[Double]("ks_d") < 0.05, "split hash visibly biased")
+  }
+
   test("ml_mann_whitney's U is the midrank AUC scaled by n1*n2") {
     // the exact algebraic bridge between the two keys: the tie-corrected
     // (midrank) Mann-Whitney U and the tie-aware AUC over the same

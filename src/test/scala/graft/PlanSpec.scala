@@ -300,6 +300,7 @@ class PlanSpec extends SparkSpec {
       "ml_mrr" -> "per-probe candidate sets of a bounded probe list",
       "ml_ndcg" -> "per-probe top-10 candidate sets",
       "pipe_filter_report" -> "<= 5-row filter-cascade funnel",
+      "pipe_split_audit" -> "dense 100-bucket hash-fairness relation",
       "pipe_unimax" -> "|langs|-row capacity waterfill",
       "ts_bollinger" -> "calendar-bounded hourly series",
       "ts_correlogram" -> "calendar-bounded hourly series",
