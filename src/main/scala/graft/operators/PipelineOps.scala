@@ -858,6 +858,40 @@ object PipelineOps {
           col("n_chars").as("ks_at"), round(col("diff"), 6).as("ks_d"))
     }),
 
+    // Quality-filter redundancy matrix — for every pair of Gopher rules
+    // (text_gopher_rules' SHARED per-doc flags: one definition, both
+    // keys), the co-failure count and the Jaccard overlap of their
+    // removed sets: the "are two of my filters the same filter?"
+    // audit every curation cascade runs before adding a gate (a pair
+    // at J ≈ 1 means one rule is dead weight; J ≈ 0 means they carve
+    // independent slices). ONE codegen'd corpus scan computes all six
+    // flags; the 6 singles + 15 pairwise co-counts fold in ONE
+    // aggregation (map-side combined), and the 15-row matrix unstacks
+    // from that single row — no join, no second scan, nothing
+    // corpus-sized past the aggregate.
+    "pipe_filter_overlap" -> ((s, dir) => {
+      val names = TextOps.GopherRuleNames
+      val pairs = for { i <- 0 until 6; j <- i + 1 until 6 } yield (i, j)
+      val fl = TextOps.gopherFlags(s, dir)
+      val aggs = (0 until 6).map(i => sum(col(s"f${i + 1}")).as(s"s${i + 1}")) ++
+        pairs.map { case (i, j) =>
+          sum(col(s"f${i + 1}") * col(s"f${j + 1}")).as(s"b${i + 1}${j + 1}")
+        }
+      val stackArms = pairs.map { case (i, j) =>
+        s"${i + 1}, ${j + 1}, '${names(i)}', '${names(j)}', " +
+          s"s${i + 1}, s${j + 1}, b${i + 1}${j + 1}"
+      }.mkString(", ")
+      fl.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${pairs.length}, $stackArms) AS " +
+          "(rule_i, rule_j, rule_a, rule_b, n_a, n_b, n_both)"))
+        .select(col("rule_i"), col("rule_j"), col("rule_a"), col("rule_b"),
+          col("n_a"), col("n_b"), col("n_both"),
+          when(col("n_a") + col("n_b") - col("n_both") > 0,
+            Num.pin(col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both")), 6)).as("jaccard"))
+        .orderBy("rule_i", "rule_j")
+    }),
+
     // Split-hash fairness audit — the release gate on pipe_split's md5
     // bucketing itself: chi-square against uniform and the KS sup
     // distance of the 100-bucket empirical CDF, plus min/max bucket
@@ -2503,6 +2537,32 @@ object PipelineOps {
          SELECT ntr AS n_train, nte AS n_test, n_chars AS ks_at,
                 round(diff, 6) AS ks_d
          FROM e WHERE rn = 1""",
+    // nests text_gopher_rules' shared flag CTEs; 6 singles + 15 pair
+    // co-counts in one aggregate, the matrix unstacked from that row
+    "pipe_filter_overlap" -> {
+      val names = TextOps.GopherRuleNames
+      val pairs = for { i <- 0 until 6; j <- i + 1 until 6 } yield (i, j)
+      s"""WITH ${TextOps.gopherFlagCtes}, a AS (
+           SELECT ${(0 until 6).map(i =>
+             s"CAST(sum(f${i + 1}) AS BIGINT) AS s${i + 1}").mkString(", ")},
+                  ${pairs.map { case (i, j) =>
+                    s"CAST(sum(f${i + 1} * f${j + 1}) AS BIGINT) AS b${i + 1}${j + 1}"
+                  }.mkString(",\n                  ")}
+           FROM fl
+         ), st AS (
+           ${pairs.map { case (i, j) =>
+             s"SELECT ${i + 1} AS rule_i, ${j + 1} AS rule_j, " +
+               s"'${names(i)}' AS rule_a, '${names(j)}' AS rule_b, " +
+               s"s${i + 1} AS n_a, s${j + 1} AS n_b, b${i + 1}${j + 1} AS n_both FROM a"
+           }.mkString("\n           UNION ALL ")}
+         )
+         SELECT rule_i, rule_j, rule_a, rule_b, n_a, n_b, n_both,
+                CASE WHEN n_a + n_b - n_both > 0
+                     THEN floor(CAST(n_both AS DOUBLE)
+                                / (n_a + n_b - n_both) * 1e6 + 0.5) / 1e6
+                END AS jaccard
+         FROM st ORDER BY rule_i, rule_j"""
+    },
     // identical md5-bucket expression; dense 100-bucket spine, 6dp
     // chi2 contributions folded as DECIMAL, KS over the bucket CDF
     "pipe_split_audit" ->

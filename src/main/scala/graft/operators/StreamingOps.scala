@@ -440,6 +440,56 @@ object StreamingOps {
         .orderBy("event_id")
     }),
 
+    // Western Electric run rules per user — the classic SPC decision
+    // layer OVER a control chart (`ts_anomaly` flags single 3σ points;
+    // `ts_cusum_control` accumulates evidence; the WE rules catch the
+    // in-between patterns): R1 = |z| > 3, R2 = 2 of the last 3 beyond
+    // 2σ on one side, R3 = 4 of the last 5 beyond 1σ on one side, R4 =
+    // 8 consecutive on one side of center. z standardizes against the
+    // per-user EXACT-DECIMAL mean/σ (the ts_cusum derivation; the
+    // |users|-cardinality stats relation joins back size-conditionally
+    // — never an unconditional broadcast), the rules are integer frame
+    // counts over ONE user-partitioned window sort, and frames must be
+    // FULL (count = width) so series heads can't half-fire a rule.
+    // Degenerate series (n < 2 or zero variance) are excluded by the
+    // same integer/compare filter as the CUSUM chart.
+    "ts_spc_rules" -> ((s, dir) => {
+      def b(c: Column) = sum(when(c, 1).otherwise(0))
+      val varE = (col("n") * col("svv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double")) /
+        (col("n") * (col("n") - lit(1.0)))
+      val stats = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,10)")).as("sv"),
+          sum((col("value") * col("value")).cast("decimal(28,10)")).as("svv"))
+        .filter(col("n") >= 2 && varE > 0)
+        .select(col("user_id"),
+          (col("sv").cast("double") / col("n")).as("mu"),
+          sqrt(varE).as("sigma"))
+      val nUsers = stats.count()
+      def frame(k: Int) = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-(k - 1), 0)
+      val z = Tables.events(s, dir)
+        .join(Bcast.ifFitsRows(stats, nUsers, 32), "user_id")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      z.withColumn("r1", abs(col("z")) > 3.0)
+        .withColumn("r2", count(lit(1)).over(frame(3)) === 3 &&
+          (b(col("z") > 2.0).over(frame(3)) >= 2 ||
+           b(col("z") < -2.0).over(frame(3)) >= 2))
+        .withColumn("r3", count(lit(1)).over(frame(5)) === 5 &&
+          (b(col("z") > 1.0).over(frame(5)) >= 4 ||
+           b(col("z") < -1.0).over(frame(5)) >= 4))
+        .withColumn("r4", count(lit(1)).over(frame(8)) === 8 &&
+          (b(col("z") > 0.0).over(frame(8)) === 8 ||
+           b(col("z") < 0.0).over(frame(8)) === 8))
+        .filter(col("r1") || col("r2") || col("r3") || col("r4"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          Num.pin(col("z"), 4).as("z"),
+          col("r1"), col("r2"), col("r3"), col("r4"))
+        .orderBy("event_id")
+    }),
+
     // Schuster periodogram of the hourly click series at the first 8
     // Fourier frequencies — "WHICH period dominates?", the spectral
     // companion to ts_seasonality's fixed hour-of-day profile and
@@ -1698,6 +1748,54 @@ object StreamingOps {
                 floor(b * 1e4 + 0.5) / 1e4 AS trend,
                 floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast
          FROM hw ORDER BY event_id""",
+    // same exact-DECIMAL μ/σ derivation as the CUSUM chart; the four
+    // rules replay as full-frame integer window counts
+    "ts_spc_rules" ->
+      """WITH st AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(value AS DECIMAL(28,10))) AS sv,
+                  sum(CAST(value * value AS DECIMAL(28,10))) AS svv
+           FROM events GROUP BY user_id
+         ), ok AS (
+           SELECT user_id,
+                  CAST(sv AS DOUBLE) / n AS mu,
+                  sqrt((n * CAST(svv AS DOUBLE)
+                        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                       / (n * (n - 1.0))) AS sigma
+           FROM st
+           WHERE n >= 2 AND (n * CAST(svv AS DOUBLE)
+                             - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                            / (n * (n - 1.0)) > 0
+         ), zz AS (
+           SELECT e.event_id, e.user_id, e.value, e.ts,
+                  (e.value - o.mu) / o.sigma AS z
+           FROM events e JOIN ok o ON o.user_id = e.user_id
+         ), w AS (
+           SELECT event_id, user_id, value, z,
+                  (abs(z) > 3.0) AS r1,
+                  (count(*) OVER w3 = 3 AND
+                   (sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) OVER w3 >= 2 OR
+                    sum(CASE WHEN z < -2.0 THEN 1 ELSE 0 END) OVER w3 >= 2))
+                    AS r2,
+                  (count(*) OVER w5 = 5 AND
+                   (sum(CASE WHEN z > 1.0 THEN 1 ELSE 0 END) OVER w5 >= 4 OR
+                    sum(CASE WHEN z < -1.0 THEN 1 ELSE 0 END) OVER w5 >= 4))
+                    AS r3,
+                  (count(*) OVER w8 = 8 AND
+                   (sum(CASE WHEN z > 0.0 THEN 1 ELSE 0 END) OVER w8 = 8 OR
+                    sum(CASE WHEN z < 0.0 THEN 1 ELSE 0 END) OVER w8 = 8))
+                    AS r4
+           FROM zz
+           WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                  w8 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+         )
+         SELECT event_id, user_id, value,
+                floor(z * 1e4 + 0.5) / 1e4 AS z, r1, r2, r3, r4
+         FROM w WHERE r1 OR r2 OR r3 OR r4 ORDER BY event_id""",
     // one cos/sin per (k, n) cell pre-rounded at 10dp, per-cell product
     // terms pinned at 6dp into DECIMAL folds, the same 2π literal
     "ts_periodogram" ->

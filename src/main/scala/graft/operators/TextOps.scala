@@ -45,6 +45,64 @@ object TextOps {
   private def stopCount(toks: Column, list: Seq[String]): Column =
     size(filter(toks, t => t.isin(list: _*)))
 
+  /** Gopher rule names in rule-index order — shared by
+    * `text_gopher_rules` and `pipe_filter_overlap`. */
+  val GopherRuleNames: Seq[String] = Seq(
+    "word_count_out_of_range", "mean_word_len_out_of_range",
+    "symbol_ratio_high", "digit_token_frac_high",
+    "dup_token_frac_high", "stop_ratio_low")
+
+  /** Per-document Gopher rule flags f1..f6 (0/1 LONGs) — ONE definition
+    * consumed by `text_gopher_rules`' per-rule accounting and
+    * `pipe_filter_overlap`'s redundancy matrix. All thresholds are
+    * exact integer cross-multiplications; one codegen'd scan, no
+    * shuffle. */
+  private[operators] def gopherFlags(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t).cast("long")
+    val charSum = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val sym = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long")
+    val digit = size(filter(t, x => x.rlike("^[0-9]+$"))).cast("long")
+    val dups = n - size(array_distinct(t)).cast("long")
+    val stops = stopCount(t, StopEn).cast("long")
+    def b(c: Column) = when(c, 1L).otherwise(0L)
+    Tables.documents(s, dir)
+      .select(b(n < 20 || n > 500).as("f1"),
+        b(charSum < n * 3 || charSum > n * 10).as("f2"),
+        b(sym * 10 > n).as("f3"),
+        b(digit * 5 > n).as("f4"),
+        b(dups * 10 > n * 3).as("f5"),
+        b(stops * 20 < n).as("f6"))
+  }
+
+  /** The flag derivation as DuckDB CTEs (`d` → `fl` with f1..f6) — the
+    * SQL twin of [[gopherFlags]], nested by both consumers' oracles. */
+  private[operators] def gopherFlagCtes: String =
+    s"""d AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                  CAST(list_sum(list_transform(string_split(text, ' '),
+                       x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS char_sum,
+                  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                       AS BIGINT) AS sym,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS digit,
+                  CAST(n - len(list_distinct(string_split(text, ' ')))
+                       AS BIGINT) AS dups,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       t -> list_contains(${duckStop(StopEn)}, t)))
+                       AS BIGINT) AS stops
+           FROM documents
+         ), fl AS (
+           SELECT CASE WHEN n < 20 OR n > 500 THEN 1 ELSE 0 END AS f1,
+                  CASE WHEN char_sum < 3 * n OR char_sum > 10 * n
+                       THEN 1 ELSE 0 END AS f2,
+                  CASE WHEN sym * 10 > n THEN 1 ELSE 0 END AS f3,
+                  CASE WHEN digit * 5 > n THEN 1 ELSE 0 END AS f4,
+                  CASE WHEN dups * 10 > 3 * n THEN 1 ELSE 0 END AS f5,
+                  CASE WHEN stops * 20 < n THEN 1 ELSE 0 END AS f6
+           FROM d
+         )"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style rule-by-rule quality accounting (Rae et al. 2021
     // §A1.1 adapted to the fixture's newline-free text): per rule, how
@@ -57,24 +115,10 @@ object TextOps {
     // scan into a one-row aggregate, stacked into the 7-row table — a
     // pure map at any corpus scale with a constant-size shuffle.
     "text_gopher_rules" -> ((s, dir) => {
-      val t = tokens(col("text"))
-      val n = size(t).cast("long")
-      val charSum = aggregate(t, lit(0L), (acc, x) => acc + length(x))
-      val sym = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long")
-      val digit = size(filter(t, x => x.rlike("^[0-9]+$"))).cast("long")
-      val dups = n - size(array_distinct(t)).cast("long")
-      val stops = stopCount(t, StopEn).cast("long")
       def b(c: Column) = when(c, 1L).otherwise(0L)
-      val f1 = b(n < 20 || n > 500)
-      val f2 = b(charSum < n * 3 || charSum > n * 10)
-      val f3 = b(sym * 10 > n)
-      val f4 = b(digit * 5 > n)
-      val f5 = b(dups * 10 > n * 3)
-      val f6 = b(stops * 20 < n)
-      Tables.documents(s, dir)
-        .select(f1.as("f1"), f2.as("f2"), f3.as("f3"), f4.as("f4"),
-          f5.as("f5"), f6.as("f6"),
-          b(f1 + f2 + f3 + f4 + f5 + f6 > 0).as("fany"))
+      gopherFlags(s, dir)
+        .withColumn("fany", b(col("f1") + col("f2") + col("f3") +
+          col("f4") + col("f5") + col("f6") > 0))
         .agg(count(lit(1)).as("n_docs"), sum(col("f1")).as("s1"),
           sum(col("f2")).as("s2"), sum(col("f3")).as("s3"),
           sum(col("f4")).as("s4"), sum(col("f5")).as("s5"),
@@ -1224,30 +1268,7 @@ object TextOps {
     // every rule compare replays in the identical cross-multiplied
     // INTEGER form; the 7-row table is a UNION ALL over the one-row agg
     "text_gopher_rules" ->
-      s"""WITH d AS (
-           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-                  CAST(list_sum(list_transform(string_split(text, ' '),
-                       x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS char_sum,
-                  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]'))
-                       AS BIGINT) AS sym,
-                  CAST(len(list_filter(string_split(text, ' '),
-                       x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS digit,
-                  CAST(n - len(list_distinct(string_split(text, ' ')))
-                       AS BIGINT) AS dups,
-                  CAST(len(list_filter(string_split(text, ' '),
-                       t -> list_contains(${duckStop(StopEn)}, t)))
-                       AS BIGINT) AS stops
-           FROM documents
-         ), fl AS (
-           SELECT CASE WHEN n < 20 OR n > 500 THEN 1 ELSE 0 END AS f1,
-                  CASE WHEN char_sum < 3 * n OR char_sum > 10 * n
-                       THEN 1 ELSE 0 END AS f2,
-                  CASE WHEN sym * 10 > n THEN 1 ELSE 0 END AS f3,
-                  CASE WHEN digit * 5 > n THEN 1 ELSE 0 END AS f4,
-                  CASE WHEN dups * 10 > 3 * n THEN 1 ELSE 0 END AS f5,
-                  CASE WHEN stops * 20 < n THEN 1 ELSE 0 END AS f6
-           FROM d
-         ), a AS (
+      s"""WITH $gopherFlagCtes, a AS (
            SELECT CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(sum(f1) AS BIGINT) AS s1, CAST(sum(f2) AS BIGINT) AS s2,
                   CAST(sum(f3) AS BIGINT) AS s3, CAST(sum(f4) AS BIGINT) AS s4,

@@ -948,6 +948,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(hurst > 0.0 && hurst < 1.5, s"implausible Hurst exponent $hurst")
   }
 
+  test("ts_spc_rules replays the brute Western Electric evaluation") {
+    import graft.operators.StreamingOps
+    def pin4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val ev = Tables.events(spark, SfDir)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getDouble(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (u, rows0) =>
+      val rows = rows0.sortBy(r => (r._3, r._2))
+      val n = rows.length.toDouble
+      def dsum(xs: Seq[Double]) = xs.map(x => BigDecimal(x)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val sv = dsum(rows.map(_._4).toSeq)
+      val svv = dsum(rows.map(r => r._4 * r._4).toSeq)
+      val varE = (n * svv - sv * sv) / (n * (n - 1.0))
+      if (rows.length < 2 || !(varE > 0)) Seq.empty
+      else {
+        val mu = sv / n
+        val sigma = math.sqrt(varE)
+        val zs = rows.map(r => (r._2, r._4, (r._4 - mu) / sigma))
+        zs.zipWithIndex.flatMap { case ((eid, v, z), idx) =>
+          def cnt(k: Int)(p: Double => Boolean) = {
+            val lo = idx - (k - 1)
+            if (lo < 0) -1 else zs.slice(lo, idx + 1).count(t => p(t._3))
+          }
+          val r1 = math.abs(z) > 3.0
+          val r2 = cnt(3)(_ > 2.0) >= 2 || cnt(3)(_ < -2.0) >= 2
+          val r3 = cnt(5)(_ > 1.0) >= 4 || cnt(5)(_ < -1.0) >= 4
+          val r4 = cnt(8)(_ > 0.0) == 8 || cnt(8)(_ < 0.0) == 8
+          if (r1 || r2 || r3 || r4)
+            Some((eid, u, v, pin4(z), r1, r2, r3, r4))
+          else None
+        }
+      }
+    }.sortBy(_._1)
+    val got = StreamingOps.queries("ts_spc_rules")(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("value"), r.getAs[Double]("z"),
+        r.getAs[Boolean]("r1"), r.getAs[Boolean]("r2"),
+        r.getAs[Boolean]("r3"), r.getAs[Boolean]("r4"))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must trip at least one run rule")
+  }
+
   test("ts_periodogram replays the brute DFT chain; shares distribute") {
     import graft.operators.StreamingOps
     def pin(x: Double, d: Int) = {

@@ -652,6 +652,27 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("pipe_filter_overlap agrees with text_gopher_rules' published counts") {
+    // one flag definition, two consumers: the matrix's marginals must
+    // BE the per-rule fail counts the gopher table publishes
+    val gopher = graft.operators.TextOps.queries("text_gopher_rules")(spark, SfDir)
+      .collect().map(r => r.getAs[Int]("rule_idx") -> r.getAs[Long]("n_fail")).toMap
+    val rows = q("pipe_filter_overlap").collect()
+    assert(rows.length === 15, "6 rules -> 15 unordered pairs")
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Int]("rule_i"), r.getAs[Int]("rule_j"))
+      assert(i < j)
+      assert(r.getAs[Long]("n_a") === gopher(i), s"pair ($i,$j) marginal a")
+      assert(r.getAs[Long]("n_b") === gopher(j), s"pair ($i,$j) marginal b")
+      val both = r.getAs[Long]("n_both")
+      assert(both <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val jac = r.getAs[java.lang.Double]("jaccard")
+      if (jac != null) assert(jac >= 0.0 && jac <= 1.0 + 1e-9)
+      else assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 0L,
+        "jaccard may only be NULL when both removed sets are empty")
+    }
+  }
+
   test("pipe_split_audit replays the brute bucket census and judges fairly") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
