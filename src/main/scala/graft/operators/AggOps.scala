@@ -587,6 +587,32 @@ object AggOps {
         .orderBy("status", "priority")
     }),
 
+    // Bowley (quartile) skewness per event type — the robust shape
+    // companion to agg_skew_kurt's moment-based skewness (a handful of
+    // outliers saturates the third moment; the quartile form has a 25%
+    // breakdown point): B = (Q3 + Q1 − 2·median)/(Q3 − Q1) ∈ [−1, 1].
+    // One aggregation pass per group with exact interpolating
+    // percentiles (the agg_mad discipline — Spark percentile() matches
+    // DuckDB quantile_cont), |types|-row output, degenerate groups
+    // (IQR = 0) excluded by the same raw-value compare on both engines.
+    "agg_bowley_skew" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.25)").as("q1r"),
+          expr("percentile(value, 0.5)").as("medr"),
+          expr("percentile(value, 0.75)").as("q3r"))
+        .filter(col("q3r") > col("q1r"))
+        .select(col("event_type"), col("n"),
+          Num.pin(col("q1r"), 4).as("q1"),
+          Num.pin(col("medr"), 4).as("median"),
+          Num.pin(col("q3r"), 4).as("q3"),
+          Num.pin(col("q3r") - col("q1r"), 4).as("iqr"),
+          Num.pin((col("q3r") + col("q1r") - lit(2.0) * col("medr")) /
+            (col("q3r") - col("q1r")), 6).as("bowley"))
+        .orderBy("event_type")
+    }),
+
     // Spearman rank correlation ρ between quantity and discount — the
     // monotone-association upgrade of agg_corr's Pearson (rank-based, so
     // outliers and curvature don't fake or hide a relation). Ranks are
@@ -1312,6 +1338,23 @@ object AggOps {
              FROM orders GROUP BY 1, 2
            ) GROUP BY status
          ) ORDER BY status""",
+    // quantile_cont matches Spark's interpolating percentile(); same
+    // pinned arithmetic, same IQR > 0 exclusion
+    "agg_bowley_skew" ->
+      """SELECT event_type, n,
+                floor(q1r * 1e4 + 0.5) / 1e4 AS q1,
+                floor(medr * 1e4 + 0.5) / 1e4 AS median,
+                floor(q3r * 1e4 + 0.5) / 1e4 AS q3,
+                floor((q3r - q1r) * 1e4 + 0.5) / 1e4 AS iqr,
+                floor((q3r + q1r - 2.0 * medr) / (q3r - q1r) * 1e6 + 0.5) / 1e6
+                  AS bowley
+         FROM (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  quantile_cont(value, 0.25) AS q1r,
+                  quantile_cont(value, 0.5) AS medr,
+                  quantile_cont(value, 0.75) AS q3r
+           FROM events GROUP BY event_type
+         ) WHERE q3r > q1r ORDER BY event_type""",
     // midrank maps over the distinct-value domains; Pearson on the
     // integer 2-midranks via per-factor DECIMAL(19,0) product sums
     "agg_spearman" ->

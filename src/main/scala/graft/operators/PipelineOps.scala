@@ -498,6 +498,41 @@ object PipelineOps {
         .orderBy(col("score").desc)
     }),
 
+    // Youden-J optimal operating point — the "WHICH threshold do I
+    // ship?" answer the ROC curve only draws: argmax of J = TPR − FPR
+    // over ml_roc_curve's threshold sweep (same score/label convention,
+    // same distinct-score collapse — the corpus never sorts row-wise).
+    // The argmax compares EXACT integers: J orders identically to
+    // cump·nneg − cumn·npos, so the picked threshold cannot flip on a
+    // float tie cross-engine; divisions happen once, on the winning
+    // row. Deterministic (J desc, score asc) tiebreak.
+    "ml_youden_j" -> ((s, dir) => {
+      val byScore = Tables.documents(s, dir)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("score")
+        .agg(sum(col("pos")).as("p"), (count(lit(1)) - sum(col("pos"))).as("ng"))
+      val cumw = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      val pick = Window.orderBy(col("jnum").desc, col("score"))
+      byScore
+        .withColumn("cump", sum(col("p")).over(cumw))
+        .withColumn("cumn", sum(col("ng")).over(cumw))
+        .withColumn("npos", sum(col("p")).over(tot))
+        .withColumn("nneg", sum(col("ng")).over(tot))
+        .withColumn("jnum",
+          col("cump") * col("nneg") - col("cumn") * col("npos"))
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("score").as("threshold"),
+          Num.pin(col("cump").cast("double") / col("npos"), 6).as("tpr"),
+          Num.pin(col("cumn").cast("double") / col("nneg"), 6).as("fpr"),
+          Num.pin(col("cump").cast("double") / col("npos") -
+            col("cumn").cast("double") / col("nneg"), 6).as("youden_j"),
+          (col("cump") + col("cumn")).as("n_predicted"))
+    }),
+
     // Cumulative gains/lift table: rank the population by score, cut into
     // deciles, and report what fraction of all positives the top-k
     // deciles capture and their lift over the base rate — the
@@ -2160,6 +2195,39 @@ object PipelineOps {
                 round(CAST(cump AS DOUBLE) / npos, 6) AS tpr,
                 CAST(cump + cumn AS BIGINT) AS n_predicted
          FROM c ORDER BY score DESC""",
+    // same sweep; the argmax compares the exact integer cump*nneg -
+    // cumn*npos so the picked threshold cannot flip on a float tie
+    "ml_youden_j" ->
+      """WITH bs AS (
+           SELECT n_chars AS score,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+                  count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ng
+           FROM documents GROUP BY n_chars
+         ), c AS (
+           SELECT score,
+                  CAST(sum(p) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cump,
+                  CAST(sum(ng) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumn,
+                  CAST(sum(p) OVER () AS BIGINT) AS npos,
+                  CAST(sum(ng) OVER () AS BIGINT) AS nneg
+           FROM bs
+         ), r AS (
+           SELECT *,
+                  row_number() OVER (ORDER BY cump * nneg - cumn * npos DESC,
+                                     score) AS rn
+           FROM c
+         )
+         SELECT score AS threshold,
+                floor(CAST(cump AS DOUBLE) / npos * 1e6 + 0.5) / 1e6 AS tpr,
+                floor(CAST(cumn AS DOUBLE) / nneg * 1e6 + 0.5) / 1e6 AS fpr,
+                floor((CAST(cump AS DOUBLE) / npos
+                       - CAST(cumn AS DOUBLE) / nneg) * 1e6 + 0.5) / 1e6
+                  AS youden_j,
+                cump + cumn AS n_predicted
+         FROM r WHERE rn = 1""",
     "ml_lift_gain" ->
       """WITH bs AS (
            SELECT n_chars AS score,

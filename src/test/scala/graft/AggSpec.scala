@@ -214,6 +214,23 @@ class AggSpec extends SparkSpec {
       s"chi2=$chi2 vs contrib total=$total")
   }
 
+  test("agg_bowley_skew is quartile-coherent and bounded") {
+    val rows = AggOps.queries("agg_bowley_skew")(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q1, med, q3) = (r.getAs[Double]("q1"),
+        r.getAs[Double]("median"), r.getAs[Double]("q3"))
+      assert(q1 <= med + 1e-9 && med <= q3 + 1e-9, "quartile ordering")
+      assert(r.getAs[Double]("iqr") > 0.0, "degenerate groups are excluded")
+      val b = r.getAs[Double]("bowley")
+      assert(b >= -1.0 - 1e-9 && b <= 1.0 + 1e-9, s"Bowley out of range: $b")
+      // recompute from the PUBLISHED 4dp quartiles: agreement within the
+      // pin propagation (4dp inputs -> ~1e-3 on the ratio)
+      val replay = (q3 + q1 - 2.0 * med) / (q3 - q1)
+      assert(math.abs(b - replay) < 1e-3, s"bowley $b vs quartile replay $replay")
+    }
+  }
+
   test("agg_cramers_v replays the dense-grid chi-square and stays in [0,1]") {
     val r = AggOps.queries("agg_cramers_v")(spark, SfDir).head()
     val (n, nr, nc) = (r.getAs[Long]("n"), r.getAs[Long]("r"), r.getAs[Long]("c"))

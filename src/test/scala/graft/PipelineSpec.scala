@@ -652,6 +652,23 @@ class PipelineSpec extends SparkSpec {
     ()
   }
 
+  test("ml_youden_j picks the true argmax row of the ROC sweep") {
+    val roc = PipelineOps.queries("ml_roc_curve")(spark, SfDir).collect()
+      .map(r => (r.getAs[Long]("score"), r.getAs[Double]("tpr"),
+        r.getAs[Double]("fpr")))
+    val j = PipelineOps.queries("ml_youden_j")(spark, SfDir).head()
+    val (th, tpr, fpr, yj) = (j.getAs[Long]("threshold"),
+      j.getAs[Double]("tpr"), j.getAs[Double]("fpr"),
+      j.getAs[Double]("youden_j"))
+    // the winner must dominate every ROC row's tpr - fpr (6dp outputs,
+    // so allow one ulp of the pin), and its own J must be consistent
+    assert(math.abs(yj - (tpr - fpr)) < 2e-6)
+    val best = roc.map(r => r._2 - r._3).max
+    assert(yj >= best - 2e-6, s"picked J $yj below sweep max $best")
+    assert(roc.exists(r => r._1 == th), "threshold must be a swept score")
+    assert(yj > 0.0, "a signal-bearing fixture must beat the chance line")
+  }
+
   test("pipe_filter_overlap agrees with text_gopher_rules' published counts") {
     // one flag definition, two consumers: the matrix's marginals must
     // BE the per-rule fail counts the gopher table publishes

@@ -296,6 +296,7 @@ class PlanSpec extends SparkSpec {
       "ml_lift_gain" -> "distinct score value domain",
       "ml_pr_curve" -> "distinct score value domain (threshold sweep)",
       "ml_roc_curve" -> "distinct score value domain (threshold sweep)",
+      "ml_youden_j" -> "distinct score value domain (threshold argmax)",
       "ml_bootstrap_ci" -> "64 bootstrap-replica rows",
       "ml_mrr" -> "per-probe candidate sets of a bounded probe list",
       "ml_ndcg" -> "per-probe top-10 candidate sets",
