@@ -114,4 +114,13 @@ private[operators] final class SessionMemo[K, V] {
 
   /** Drop every entry of one session (spec isolation). */
   def remove(s: org.apache.spark.sql.SparkSession): Unit = outer.remove(s)
+
+  /** Drop every entry of one session and return the removed values —
+    * for memos whose values name EXTERNAL resources (temp parquet
+    * dirs): the caller deletes what it owned, so evict/re-derive cycles
+    * don't orphan scratch directories (r13 advice). */
+  def removeAll(s: org.apache.spark.sql.SparkSession): Seq[V] = {
+    import scala.jdk.CollectionConverters._
+    Option(outer.remove(s)).map(_.values.asScala.toSeq).getOrElse(Seq.empty)
+  }
 }

@@ -1931,15 +1931,44 @@ object PipelineOps {
     * singleton pair can never compress), capped at [[BpeMerges]].
     * Returns the ordered merge list (round, pair, cnt) and the final
     * rewritten vocabulary. The learned pairs are regex-literal-safe by
-    * construction (words filtered to ^[a-z]+$). */
+    * construction (words filtered to ^[a-z]+$).
+    *
+    * The TRAINED rule list is memoized per (session, fixture dir) — r13
+    * verdict item 1: `pipe_bpe_train`/`encode`/`fertility` each re-ran
+    * the full loop (up to 48 driver-coordinated rounds where 16
+    * suffice). The memo value is the ≤ [[BpeMerges]]-row driver-side
+    * merge list (no session reference, so the weak-keyed [[SessionMemo]]
+    * never pins the session); the final vocabulary is REBUILT lazily by
+    * folding the learned rules over the word-frequency relation — one
+    * dictionary-scale pass of literal regex rewrites, identical on memo
+    * hit and miss, so consumers see one plan shape either way. */
   private[graft] def bpeLearn(s: SparkSession, dir: String)
       : (Seq[(Int, String, Long)], DataFrame) = {
-    val vocab0 = Tables.documents(s, dir)
+    val merges = bpeMemo.getOrElseUpdate(s, dir)(bpeTrain(s, dir))
+    val vFinal = merges.foldLeft(bpeVocab0(s, dir)) {
+      case (v, (_, pair, _)) => bpeApply(v, pair)
+    }
+    (merges, vFinal)
+  }
+
+  private val bpeMemo = new SessionMemo[String, Seq[(Int, String, Long)]]
+
+  /** Drop a session's trained BPE rules (spec isolation: job-count
+    * assertions on the TRAINING loop need the next call to retrain). */
+  private[graft] def evictBpe(s: SparkSession): Unit = bpeMemo.remove(s)
+
+  /** The word-frequency relation as spaced symbol sequences — the v0
+    * every BPE consumer starts from (the one corpus-scale pass). */
+  private def bpeVocab0(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("f"))
       .select(concat(lit(" "),
         regexp_replace(col("word"), "(.)", "$1 ")).as("seq"), col("f"))
+
+  /** The convergence-driven training loop itself (memo-miss path). */
+  private def bpeTrain(s: SparkSession, dir: String): Seq[(Int, String, Long)] = {
     def pairCounts(v: DataFrame): DataFrame =
       v.select(split(trim(col("seq")), " ").as("a"), col("f"))
         .filter(size(col("a")) >= 2)
@@ -1947,7 +1976,7 @@ object PipelineOps {
           "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))"))
           .as("pair"), col("f"))
         .groupBy("pair").agg(sum(col("f")).as("cnt"))
-    var v = vocab0.localCheckpoint()
+    var v = bpeVocab0(s, dir).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
     var k = 1
     var converged = false
@@ -1963,7 +1992,7 @@ object PipelineOps {
         k += 1
       }
     }
-    (merges.result(), v)
+    merges.result()
   }
 
   /** One learned merge applied to a spaced-symbol `seq` column — the

@@ -559,7 +559,7 @@ object ProvidenciasOps {
         .orderBy("node_id")
     }),
 
-    // Graph extension: k-truss decomposition (k = 4) by iterative edge
+    // Graph extension: k-truss decomposition (k = TrussK) by iterative edge
     // peeling to the fixpoint — the EDGE-cohesion core next to
     // graph_kcore's vertex degrees: every surviving edge must sit in
     // ≥ k−2 triangles OF THE TRUSS, the community-core definition that

@@ -89,20 +89,45 @@ object SimilarityOps {
     * exactly the right trade. */
   private val edgeMemo = new SessionMemo[String, String]
 
+  /** Scratch root for session-shared materializations. r13 verdict item
+    * 2: `Files.createTempDirectory` resolves on the DRIVER's local
+    * filesystem — fine under `local[32]`, broken on a real cluster where
+    * executors can't read the driver's /tmp. The root is therefore a
+    * conf key (`spark.graft.scratchDir`) defaulting to the session's
+    * warehouse dir — both are shared-filesystem locations on any sane
+    * cluster deployment (HDFS/S3/NFS), so the materialized edge table is
+    * readable from every executor. */
+  private[graft] val ScratchDirKey = "spark.graft.scratchDir"
+
+  private[graft] def scratchRoot(s: SparkSession): String =
+    s.conf.getOption(ScratchDirKey)
+      .getOrElse(s.conf.get("spark.sql.warehouse.dir"))
+
   def similarEdges(s: SparkSession, dir: String): DataFrame = {
     val path = edgeMemo.getOrElseUpdate(s, dir) {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_sim_edges").toString
+      val out = new org.apache.hadoop.fs.Path(scratchRoot(s),
+        "graft_sim_edges_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
       pairwiseTriangular(s, dir, EdgeThreshold)
-        .write.mode("overwrite").parquet(out)
-      out
+        .write.mode("overwrite").parquet(out.toString)
+      // orphan guard: if the session dies without an evict, the Hadoop
+      // FileSystem shutdown hook still reclaims the scratch dir
+      out.getFileSystem(s.sessionState.newHadoopConf()).deleteOnExit(out)
+      out.toString
     }
     s.read.parquet(path)
   }
 
   /** Drop a session's shared edge materializations (spec isolation: plan
-    * assertions on the DERIVATION need the next call to re-derive). */
-  def evictSharedEdges(s: SparkSession): Unit = edgeMemo.remove(s)
+    * assertions on the DERIVATION need the next call to re-derive) AND
+    * delete their scratch directories — the memo value is the path, so
+    * evict/re-derive cycles must not orphan parquet dirs (r13 advice). */
+  def evictSharedEdges(s: SparkSession): Unit =
+    edgeMemo.removeAll(s).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      ()
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Derived SIMILAR edge table: triangular (src < dst) to halve the join,

@@ -63,12 +63,35 @@ object PairwiseRewrite extends Rule[LogicalPlan] with PredicateHelper {
         spark.experimental.extraStrategies :+ new SelfPairwiseStrategy
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(projs, Join(left, right, jt, Some(cond), _))
-        if (jt == Inner || jt == Cross) &&
-          left.output.length == right.output.length && left.sameResult(right) =>
-      attempt(projs, left, right, cond).getOrElse(p)
+  /** Re-entry latch (r13 advice): the grid branch optimizes a
+    * DataFrame-authored subtree from INSIDE this rule, re-running the
+    * full optimizer — with this rule installed — over the grid plan.
+    * Non-recursion also holds structurally today (the grid subtree is
+    * explode/join on a grid key, not a self-join the detector matches),
+    * but that invariant is one detector broadening away from a silent
+    * infinite recursion, so it is enforced: while grafting, the rule is
+    * a no-op on the nested optimizer pass. Thread-local because
+    * `optimizedPlan` is computed lazily on the accessing thread and
+    * concurrent sessions must not blind each other. */
+  private val grafting = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
+
+  private[plans] def isGrafting: Boolean = grafting.get()
+
+  private[plans] def whileGrafting[T](body: => T): T = {
+    grafting.set(java.lang.Boolean.TRUE)
+    try body finally grafting.set(java.lang.Boolean.FALSE)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (isGrafting) plan
+    else plan.transformUp {
+      case p @ Project(projs, Join(left, right, jt, Some(cond), _))
+          if (jt == Inner || jt == Cross) &&
+            left.output.length == right.output.length && left.sameResult(right) =>
+        attempt(projs, left, right, cond).getOrElse(p)
+    }
 
   private object DoubleLit {
     def unapply(e: Expression): Option[Double] = e match {
@@ -191,12 +214,14 @@ object PairwiseRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // operator skips it.
         val spark = SparkSession.active
         val slimDf = org.apache.spark.sql.graft.Bridge.ofRows(spark, slimmed)
-        GridPairwise(slimDf, blocks,
-          (x, y) => org.apache.spark.sql.graft.Bridge.column(
-            FloatCosine(org.apache.spark.sql.graft.Bridge.expression(x),
-              org.apache.spark.sql.graft.Bridge.expression(y))),
-          org.apache.spark.sql.functions.lit(minScore))
-          .queryExecution.optimizedPlan
+        whileGrafting {
+          GridPairwise(slimDf, blocks,
+            (x, y) => org.apache.spark.sql.graft.Bridge.column(
+              FloatCosine(org.apache.spark.sql.graft.Bridge.expression(x),
+                org.apache.spark.sql.graft.Bridge.expression(y))),
+            org.apache.spark.sql.functions.lit(minScore))
+            .queryExecution.optimizedPlan
+        }
       case _ => return None
     }
     val Seq(srcA, dstA, scoreA) = node.output

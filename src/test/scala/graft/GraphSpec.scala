@@ -39,6 +39,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("similarEdges scratch root honors spark.graft.scratchDir and " +
+      "evict deletes the materialization") {
+    import graft.operators.SimilarityOps
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_conf")
+    def scratchDirs(): Seq[String] =
+      Option(root.toFile.listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("graft_sim_edges_"))
+    spark.conf.set(SimilarityOps.ScratchDirKey, root.toString)
+    // any edge table memoized under the DEFAULT root must not satisfy
+    // the conf'd run
+    SimilarityOps.evictSharedEdges(spark)
+    try {
+      assert(SimilarityOps.similarEdges(spark, SfDir).count() > 0)
+      assert(scratchDirs().nonEmpty,
+        s"materialization did not land under the configured root $root")
+      // r13 advice: evict must DELETE the scratch dir, not just drop the
+      // memo entry (evict/re-derive cycles were orphaning directories)
+      SimilarityOps.evictSharedEdges(spark)
+      assert(scratchDirs().isEmpty,
+        "evictSharedEdges left an orphaned scratch directory behind")
+    } finally {
+      spark.conf.unset(SimilarityOps.ScratchDirKey)
+      SimilarityOps.evictSharedEdges(spark)
+    }
+  }
+
   test("graph_eigenvector equals the brute three-step power iteration") {
     import graft.operators.SimilarityOps
     val edges = SimilarityOps.similarEdges(spark, SfDir)

@@ -25,6 +25,51 @@ class PipelineSpec extends SparkSpec {
       "lift over the whole population is 1 by definition")
   }
 
+  test("bpeLearn trains once per session — a second consumer triggers " +
+      "no new training jobs") {
+    // r13 verdict item 1: pipe_bpe_train/encode/fertility each re-ran the
+    // 16-round training loop. The trained merge list is now memoized per
+    // (session, dir); pin the elision with the BcastSpec listener-count
+    // discipline (stability-settled job counting — fixed sleeps flake on
+    // a loaded host; an unsettleable host must CANCEL, not fail).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def settle(): Boolean = {
+      var prev = -1; var stable = 0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val c = counter.get()
+        if (c == prev) stable += 1 else { stable = 0; prev = c }
+        Thread.sleep(200)
+      }
+      stable >= 3
+    }
+    def jobsDuring(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(l)
+      try {
+        assume(settle(), "listener events never settled — host too loaded to measure")
+        counter.set(0)
+        body
+        assume(settle(), "listener events never settled — host too loaded to measure")
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    PipelineOps.evictBpe(spark)
+    val first = jobsDuring { PipelineOps.bpeLearn(spark, SfDir); () }
+    // bpeLearn's return is LAZY (rules from the memo, vocabulary a
+    // deferred fold) — a memo hit must therefore launch ZERO jobs
+    val repeat = jobsDuring { PipelineOps.bpeLearn(spark, SfDir); () }
+    assert(first >= 2,
+      s"first invocation ran $first jobs — the training loop never ran")
+    assert(repeat === 0,
+      s"repeat invocation ran $repeat jobs — BPE memo miss (retraining)")
+  }
+
   test("pipe_bpe_train's first rule is the true argmax pair, merges spaceless") {
     val rows = q("pipe_bpe_train").collect()
     assert(rows.length >= 4 && rows.length <= PipelineOps.BpeMerges,
