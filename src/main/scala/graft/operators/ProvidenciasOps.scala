@@ -44,6 +44,16 @@ object ProvidenciasOps {
   val TrussK = 3
   val TrussMaxRounds = 16
 
+  /** Sampled-Brandes parameters for `graph_betweenness`: the number of
+    * deterministically hash-picked BFS pivots and the BFS depth cap.
+    * Both are part of the STATISTIC's definition (bounded-depth sampled
+    * betweenness), shared verbatim with the generated oracle unroll —
+    * at 100 TB you never run exact all-sources Brandes; you sample
+    * sources and bound the horizon, exactly as published approximation
+    * schemes (Brandes & Pich 2007) do. */
+  val BetwPivots = 4
+  val BetwDepth = 4
+
   /** Accented query forms for the unaccent variant — what a Spanish search
     * box actually receives ("año", "resolución"). */
   val AccentedTerms: Seq[String] = Seq("spárk", "mérge")
@@ -602,6 +612,117 @@ object ProvidenciasOps {
       support(e).filter(col("support") >= TrussK - 2)
         .select(col("src"), col("dst"), col("support"))
         .orderBy("src", "dst")
+    }),
+
+    // Graph extension: sampled bounded-depth betweenness (stress form,
+    // Brandes machinery) — "which rulings BRIDGE similarity clusters",
+    // the centrality degree/eigenvector/pagerank cannot see (a bridge
+    // node has low degree but carries every cross-cluster shortest
+    // path). Brandes' algorithm verbatim, with the two approximations
+    // every at-scale deployment makes (Brandes & Pich 2007): BFS from
+    // BetwPivots deterministically md5-picked source pivots only, depth
+    // capped at BetwDepth. INTEGER-EXACT throughout — the reported
+    // statistic is the STRESS form (number of shortest source→target
+    // paths THROUGH the node, σ(v)·g(v) with g(v) = Σ_succ (1 + g(w))
+    // over the shortest-path DAG) rather than the fractional δ
+    // accumulation, so every score is an exact BIGINT fold with no
+    // cross-engine double drift; the share normalizes ONCE at the end
+    // (the graph_eigenvector/hits discipline). Shapes: each BFS level is
+    // one shuffle join of the (pivots × frontier) relation against the
+    // shared edge list + an anti-join against the visited set + a
+    // destination groupBy (σ sums over predecessors); each backward
+    // level is the same join shape downward over the DAG. Frontier /
+    // dependency relations are ≤ pivots × nodes and ride
+    // size-conditional broadcasts; every level localCheckpoints (the
+    // graph_kcore discipline) so the unrolled plan never snowballs.
+    // Depth-exhausted levels are empty and every later round is a no-op
+    // on BOTH engines, so the fixed unroll replays early exhaustion
+    // exactly.
+    "graph_betweenness" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+      val nNodes = nodes.count()
+      val e = SimilarityOps.similarEdges(s, dir).select(col("src"), col("dst"))
+      val und = e.select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+        .select(col("p.s").as("s"), col("p.d").as("d"))
+        .coalesce(8).persist()
+      val pivots = nodes
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(BetwPivots)
+        .select(col("id").as("p"))
+      // forward sampled BFS: levels(k) = (p, id, sigma) first reached at
+      // depth k under pivot p, sigma = #shortest p→id paths
+      val levels = new Array[DataFrame](BetwDepth + 1)
+      levels(0) = pivots.select(col("p"), col("p").as("id"), lit(1L).as("sigma"))
+        .localCheckpoint()
+      var vis = levels(0)
+      for (k <- 1 to BetwDepth) {
+        // the (pivots × frontier) relation is the small side — the edge
+        // list shuffles, the frontier broadcasts while it fits
+        val fr = Bcast.ifFitsRows(
+          levels(k - 1).select(col("p"), col("id").as("fid"), col("sigma")),
+          nNodes * BetwPivots.toLong, 24)
+        val expand = und.join(fr, und("s") === col("fid"))
+          .select(col("p"), und("d").as("nid"), col("sigma"))
+        levels(k) = expand
+          .join(Bcast.ifFitsRows(
+              vis.select(col("p").as("xp"), col("id").as("xid")),
+              nNodes * BetwPivots.toLong, 16),
+            expand("p") === col("xp") && col("nid") === col("xid"),
+            "left_anti")
+          .groupBy(col("p"), col("nid"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("p"), col("nid").as("id"), col("sigma"))
+          .localCheckpoint()
+        vis = vis.unionByName(levels(k))
+      }
+      // backward dependency accumulation over the shortest-path DAG:
+      // g(v at depth k) = Σ over DAG successors w at depth k+1 of
+      // (1 + g(w)); pivots (depth 0) never contribute — betweenness
+      // excludes its endpoints
+      var g: DataFrame = null
+      var contrib: DataFrame = null
+      for (k <- (BetwDepth - 1) to 1 by -1) {
+        val vk = Bcast.ifFitsRows(
+          levels(k).select(col("p").as("vp"), col("id").as("vid"),
+            col("sigma")),
+          nNodes * BetwPivots.toLong, 24)
+        val wk = levels(k + 1).select(col("p").as("wp"), col("id").as("wid"))
+        val succ = und.join(vk, und("s") === col("vid"))
+          .join(Bcast.ifFitsRows(wk, nNodes * BetwPivots.toLong, 16),
+            col("vp") === col("wp") && und("d") === col("wid"))
+          .select(col("vp").as("p"), col("vid").as("id"),
+            col("sigma"), col("wid"))
+        val withG =
+          if (g == null) succ.withColumn("gw", lit(0L))
+          else succ.join(
+              Bcast.ifFitsRows(
+                g.select(col("p").as("gp"), col("id").as("gid"), col("g")),
+                nNodes * BetwPivots.toLong, 16),
+              succ("p") === col("gp") && succ("wid") === col("gid"), "left")
+            .select(succ("p"), succ("id"), succ("sigma"),
+              coalesce(col("g"), lit(0L)).as("gw"))
+        val gk = withG.groupBy(col("p"), col("id"), col("sigma"))
+          .agg(sum(col("gw") + lit(1L)).as("g"))
+          .localCheckpoint()
+        val c = gk.select(col("id"), (col("sigma") * col("g")).as("pt"))
+        contrib = if (contrib == null) c else contrib.unionByName(c)
+        g = gk.select(col("p"), col("id"), col("g"))
+      }
+      val paths = contrib.groupBy("id")
+        .agg(sum(col("pt")).as("paths_through"))
+      val tot = paths.agg(
+        coalesce(sum(col("paths_through")), lit(0L)).as("tot"))
+      nodes.join(Bcast.ifFitsRows(paths, nNodes, 24), Seq("id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("id").as("node_id"),
+          coalesce(col("paths_through"), lit(0L)).as("paths_through"),
+          when(col("tot") > 0,
+            Num.pin(coalesce(col("paths_through"), lit(0L)).cast("double") /
+              col("tot"), 6))
+            .otherwise(lit(0.0)).as("share"))
+        .orderBy("node_id")
     }),
 
     // Graph extension: link prediction by neighbor-set Jaccard — node
@@ -1342,6 +1463,66 @@ object ProvidenciasOps {
          GROUP BY e.src, e.dst
          HAVING count(*) >= ${TrussK - 2}
          ORDER BY src, dst""",
+    // sampled bounded-depth betweenness (stress form): BetwDepth forward
+    // BFS levels (σ sums over predecessor frontiers, NOT EXISTS against
+    // the visited prefix) then BetwDepth−1 backward dependency levels
+    // (g(v) = Σ_succ (1 + g(w)) over the shortest-path DAG) — all exact
+    // BIGINT folds, one end normalization; depth-exhausted levels are
+    // empty and later rounds are no-ops, mirroring the Spark unroll
+    "graph_betweenness" ->
+      s"""WITH be AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ),
+         bund AS MATERIALIZED (SELECT src AS s, dst AS d FROM be
+                 UNION ALL SELECT dst AS s, src AS d FROM be),
+         bpv AS MATERIALIZED (
+           SELECT vec_id AS p FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $BetwPivots),
+         bf0 AS MATERIALIZED (
+           SELECT p, p AS id, CAST(1 AS BIGINT) AS sigma FROM bpv),
+         bv0 AS MATERIALIZED (SELECT p, id FROM bf0)${
+        (1 to BetwDepth).map { k =>
+          s""", bf$k AS MATERIALIZED (
+           SELECT f.p, u.d AS id, CAST(sum(f.sigma) AS BIGINT) AS sigma
+           FROM bf${k - 1} f JOIN bund u ON u.s = f.id
+           WHERE NOT EXISTS (
+             SELECT 1 FROM bv${k - 1} x WHERE x.p = f.p AND x.id = u.d)
+           GROUP BY f.p, u.d
+         ), bv$k AS MATERIALIZED (
+           SELECT p, id FROM bv${k - 1} UNION ALL SELECT p, id FROM bf$k)"""
+        }.mkString}${
+        ((BetwDepth - 1) to 1 by -1).map { k =>
+          val (gJoin, gw) =
+            if (k == BetwDepth - 1) ("", "CAST(0 AS BIGINT)")
+            else (s"\n           LEFT JOIN bg${k + 1} g ON g.p = v.p AND g.id = u.d",
+              "coalesce(g.g, 0)")
+          s""", bg$k AS MATERIALIZED (
+           SELECT v.p, v.id, v.sigma, CAST(sum(1 + $gw) AS BIGINT) AS g
+           FROM bf$k v JOIN bund u ON u.s = v.id
+           JOIN bf${k + 1} w ON w.p = v.p AND w.id = u.d$gJoin
+           GROUP BY v.p, v.id, v.sigma)"""
+        }.mkString},
+         bcontrib AS MATERIALIZED (
+           SELECT id, CAST(sum(sigma * g) AS BIGINT) AS paths_through
+           FROM (${(1 to (BetwDepth - 1))
+             .map(k => s"SELECT * FROM bg$k").mkString(" UNION ALL ")})
+           GROUP BY id),
+         btot AS (SELECT CAST(coalesce(sum(paths_through), 0) AS BIGINT)
+                    AS tot FROM bcontrib)
+         SELECT n.vec_id AS node_id,
+                coalesce(c.paths_through, 0) AS paths_through,
+                CASE WHEN t.tot > 0
+                  THEN floor(CAST(coalesce(c.paths_through, 0) AS DOUBLE)
+                       / t.tot * 1e6 + 0.5) / 1e6
+                  ELSE 0.0 END AS share
+         FROM embeddings n
+         LEFT JOIN bcontrib c ON c.id = n.vec_id CROSS JOIN btot t
+         ORDER BY node_id""",
     // peel to the fixpoint, k = 3 (KCoreK): the recursive term carries a
     // round counter — each iteration's delta is exactly the previous
     // round's survivor set, so the induced-degree filter sees the full

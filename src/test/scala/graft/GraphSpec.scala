@@ -65,6 +65,56 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graph_betweenness equals the brute sampled-Brandes stress replay") {
+    import graft.operators.{ProvidenciasOps => P, SimilarityOps}
+    val edges = SimilarityOps.similarEdges(spark, SfDir)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = Tables.embeddings(spark, SfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pivots = nodes.sortBy(id => (md5hex(id.toString), id)).take(P.BetwPivots)
+    val stress = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (p <- pivots) {
+      // forward BFS with path counts, depth-capped
+      val dist = scala.collection.mutable.Map(p -> 0)
+      val sigma = scala.collection.mutable.Map(p -> 1L)
+      var frontier = Seq(p)
+      for (k <- 1 to P.BetwDepth) {
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        for (v <- frontier; w <- adj.getOrElse(v, Set.empty)
+             if !dist.contains(w))
+          next(w) = next.getOrElse(w, 0L) + sigma(v)
+        next.foreach { case (w, sg) => dist(w) = k; sigma(w) = sg }
+        frontier = next.keys.toSeq
+      }
+      // backward DAG-path counting: g(v) = sum over successors (1 + g(w))
+      val g = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (k <- (P.BetwDepth - 1) to 1 by -1;
+           v <- dist.collect { case (n, d) if d == k => n }) {
+        val succ = adj.getOrElse(v, Set.empty).filter(w => dist.get(w).contains(k + 1))
+        if (succ.nonEmpty) g(v) = succ.toSeq.map(w => 1L + g(w)).sum
+      }
+      for ((v, d) <- dist if d >= 1 && d <= P.BetwDepth - 1)
+        stress(v) += sigma(v) * g(v)
+    }
+    val tot = stress.values.sum.toDouble
+    val want = nodes.sorted.map { id =>
+      val pt = stress(id)
+      val share =
+        if (tot > 0) math.floor(pt / tot * 1e6 + 0.5) / 1e6 else 0.0
+      (id, pt, share)
+    }
+    val got = q("graph_betweenness").collect()
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("paths_through"),
+        r.getAs[Double]("share"))).toSeq
+    assert(got === want)
+    assert(want.exists(_._2 > 0), "stress must be non-trivial on the fixture")
+  }
+
   test("graph_eigenvector equals the brute three-step power iteration") {
     import graft.operators.SimilarityOps
     val edges = SimilarityOps.similarEdges(spark, SfDir)
