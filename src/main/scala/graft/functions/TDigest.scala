@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable t-digest quantile sketch (Dunning & Ertl, "Computing
+  * extremely accurate quantiles using t-digests", 2019) — the
+  * bounded-memory, MERGEABLE quantile state a 100-TB telemetry pipeline
+  * rolls up with: daily per-group partials are a few hundred centroids
+  * each, persistable, and union-merge associatively, so a backfill or a
+  * coarser rollup never rescans raw values (the `agg_hll_mergeable`
+  * re-aggregation contract, for quantiles). Spark ships HLL sketches but
+  * no mergeable-quantile surface (`percentile_approx` is a one-shot
+  * aggregate whose state is opaque); this is the scale path next to the
+  * exact `agg_percentiles`.
+  *
+  * Design:
+  *  - A centroid is (mean, weight). The buffer is a fixed-capacity
+  *    weighted-point array; at capacity it COMPACTS: sort by mean and
+  *    greedily merge neighbours while the merged weight stays within the
+  *    k1-style capacity 4·N·q·(1−q)/δ at the candidate's quantile
+  *    position q — small near the tails (q→0, 1), so extreme quantiles
+  *    stay near-exact; generous in the middle. δ = [[Compression]].
+  *  - All weights fold as exact Longs (total mass is conserved through
+  *    every compaction — AggSpec pins this), means as doubles.
+  *  - Quantile queries interpolate linearly between the cumulative
+  *    weight midpoints of consecutive centroids — the standard t-digest
+  *    estimator.
+  *
+  * Like every merge-based digest, centroid boundaries depend on arrival
+  * order, so two runs may differ by a sub-ε rank wobble — the sketch
+  * contract is the RANK-ERROR BOUND, not bit equality (no DuckDB oracle;
+  * AggSpec pins the bound and merge associativity-within-bound instead,
+  * the SURVEY §2 convention for `agg_approx_distinct`/`agg_hll_mergeable`).
+  */
+object TDigest {
+
+  /** δ — centroid budget scale. 100 gives ≲1% mid-range rank error and
+    * a few hundred centroids per digest. */
+  val Compression = 100
+
+  /** Buffer capacity. Compaction output can never exceed its input
+    * count, and at 512 buffered points the k1 capacity always merges the
+    * mid-range, so the post-compact size sits well under the cap. */
+  val Cap = 512
+
+  def empty(): TDBuf =
+    TDBuf(0, new Array[Double](Cap), new Array[Long](Cap))
+
+  /** Append one weighted point, compacting at capacity. */
+  def insert(b: TDBuf, mean: Double, w: Long): Unit = {
+    if (b.n == Cap) {
+      compact(b)
+      if (b.n == Cap) {
+        // defensive only (compaction always merges at this mass): force
+        // pairwise-adjacent merges so insert can never overflow
+        java.util.Arrays.sort(b.means, 0, b.n)
+        var i = 0
+        var o = 0
+        while (i + 1 < b.n) {
+          val wsum = b.weights(i) + b.weights(i + 1)
+          b.means(o) = (b.means(i) * b.weights(i) +
+            b.means(i + 1) * b.weights(i + 1)) / wsum
+          b.weights(o) = wsum
+          i += 2; o += 1
+        }
+        if (i < b.n) { b.means(o) = b.means(i); b.weights(o) = b.weights(i); o += 1 }
+        b.n = o
+      }
+    }
+    b.means(b.n) = mean
+    b.weights(b.n) = w
+    b.n += 1
+  }
+
+  /** Drain `src`'s points into `dst` (the Aggregator merge). */
+  def mergeInto(dst: TDBuf, src: TDBuf): Unit = {
+    var i = 0
+    while (i < src.n) { insert(dst, src.means(i), src.weights(i)); i += 1 }
+  }
+
+  /** Sort by (mean, weight) and greedily merge neighbours under the
+    * k1-style weight capacity. Deterministic given the buffered
+    * multiset; output count ≤ input count, written back in place. */
+  def compact(b: TDBuf): Unit = {
+    if (b.n <= 1) return
+    val order = Array.range(0, b.n).sortBy(i => (b.means(i), b.weights(i)))
+    val ms = order.map(b.means)
+    val ws = order.map(b.weights)
+    var total = 0L
+    ws.foreach(total += _)
+    var outN = 0
+    var curMean = ms(0)
+    var curW = ws(0)
+    var cum = 0L
+    var i = 1
+    while (i < ms.length) {
+      val m = ms(i)
+      val w = ws(i)
+      val q = (cum + (curW + w) / 2.0) / total
+      val cap = math.max(1.0, 4.0 * total * q * (1.0 - q) / Compression)
+      if ((curW + w).toDouble <= cap) {
+        curMean = (curMean * curW + m * w.toDouble) / (curW + w)
+        curW += w
+      } else {
+        b.means(outN) = curMean; b.weights(outN) = curW; outN += 1
+        cum += curW
+        curMean = m; curW = w
+      }
+      i += 1
+    }
+    b.means(outN) = curMean; b.weights(outN) = curW; outN += 1
+    b.n = outN
+  }
+
+  /** Compact + serialize: 4-byte centroid count, then (mean: 8, weight:
+    * 8) pairs — the persistable partial state. */
+  def serialize(b: TDBuf): Array[Byte] = {
+    compact(b)
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.means(i)); bb.putLong(b.weights(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Feed a serialized digest's centroids into a live buffer. */
+  def deserializeInto(b: TDBuf, bytes: Array[Byte]): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val m = bb.getDouble
+      val w = bb.getLong
+      insert(b, m, w)
+      i += 1
+    }
+  }
+
+  /** Linear interpolation between cumulative-midpoint positions of
+    * consecutive centroids; clamps to the extreme means outside them.
+    * Call on a compacted buffer (means ascending). */
+  def quantile(b: TDBuf, q: Double): Double = {
+    if (b.n == 0) return 0.0
+    var total = 0L
+    var i = 0
+    while (i < b.n) { total += b.weights(i); i += 1 }
+    val target = q * total
+    var cum = 0L
+    var prevMid = 0.0
+    var prevMean = b.means(0)
+    i = 0
+    while (i < b.n) {
+      val mid = cum + b.weights(i) / 2.0
+      if (target <= mid) {
+        return if (i == 0) b.means(0)
+        else prevMean + (target - prevMid) / (mid - prevMid) *
+          (b.means(i) - prevMean)
+      }
+      prevMid = mid
+      prevMean = b.means(i)
+      cum += b.weights(i)
+      i += 1
+    }
+    b.means(b.n - 1)
+  }
+
+  /** Total mass held by a serialized digest (AggSpec's conservation pin). */
+  def totalWeight(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    var tot = 0L
+    var i = 0
+    while (i < n) { bb.getDouble; tot += bb.getLong; i += 1 }
+    tot
+  }
+
+  /** Quantiles straight off a serialized digest (driver-side, specs). */
+  def quantileOf(bytes: Array[Byte], q: Double): Double = {
+    val b = empty()
+    deserializeInto(b, bytes)
+    compact(b)
+    quantile(b, q)
+  }
+}
+
+/** Mutable aggregation buffer: the first `n` slots of the fixed-capacity
+  * parallel arrays are live weighted points. A case class so
+  * `Encoders.product` can round-trip it through shuffles; mutated in
+  * place between serializations (the Aggregator runs as a
+  * TypedImperativeAggregate — buffers stay objects within a partition). */
+case class TDBuf(var n: Int, means: Array[Double], weights: Array[Long])
+
+/** value → serialized t-digest (the per-(group, day) partial). */
+final class TDigestSketchAgg extends Aggregator[Double, TDBuf, Array[Byte]] {
+  def zero: TDBuf = TDigest.empty()
+  def reduce(b: TDBuf, x: Double): TDBuf = { TDigest.insert(b, x, 1L); b }
+  def merge(a: TDBuf, b: TDBuf): TDBuf = { TDigest.mergeInto(a, b); a }
+  def finish(b: TDBuf): Array[Byte] = TDigest.serialize(b)
+  def bufferEncoder: Encoder[TDBuf] = Encoders.product[TDBuf]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** serialized digests → union-merged digest → (p50, p90, p99) — the
+  * re-aggregation half of the mergeable contract. */
+final class TDigestQuantilesAgg
+    extends Aggregator[Array[Byte], TDBuf, (Double, Double, Double)] {
+  def zero: TDBuf = TDigest.empty()
+  def reduce(b: TDBuf, bytes: Array[Byte]): TDBuf = {
+    if (bytes != null) TDigest.deserializeInto(b, bytes)
+    b
+  }
+  def merge(a: TDBuf, b: TDBuf): TDBuf = { TDigest.mergeInto(a, b); a }
+  def finish(b: TDBuf): (Double, Double, Double) = {
+    TDigest.compact(b)
+    (TDigest.quantile(b, 0.5), TDigest.quantile(b, 0.9),
+      TDigest.quantile(b, 0.99))
+  }
+  def bufferEncoder: Encoder[TDBuf] = Encoders.product[TDBuf]
+  def outputEncoder: Encoder[(Double, Double, Double)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
+      Encoders.scalaDouble)
+}

@@ -356,6 +356,33 @@ object AggOps {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
         .orderBy("event_type")),
 
+    // Mergeable t-digest quantiles (r14): sketch per (event_type, day)
+    // partial, union-merge per event_type, read p50/p90/p99 off the
+    // merged digest — `agg_hll_mergeable`'s re-aggregation contract for
+    // QUANTILES, the one sketch family the suite lacked (r13 verdict
+    // item 5; `agg_approx_percentile` exists but its state is opaque —
+    // the persistable-daily-partials demo is the point). Each partial is
+    // a few hundred (mean, weight) centroids regardless of row count, so
+    // a backfill or coarser rollup never rescans raw events. Centroid
+    // boundaries are arrival-order-dependent like every merge-based
+    // digest → no DuckDB oracle; AggSpec pins mass conservation, the
+    // rank-error bound vs the exact percentiles, and merge
+    // associativity-within-bound.
+    "agg_tdigest" -> ((s, dir) => {
+      val sk = udaf(new graft.functions.TDigestSketchAgg, Encoders.scalaDouble)
+      val qs = udaf(new graft.functions.TDigestQuantilesAgg, Encoders.BINARY)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sk(col("value")).as("sk"))
+        .groupBy("event_type")
+        .agg(qs(col("sk")).as("qs"))
+        .select(col("event_type"),
+          round(col("qs._1"), 4).as("p50"),
+          round(col("qs._2"), 4).as("p90"),
+          round(col("qs._3"), 4).as("p99"))
+        .orderBy("event_type")
+    }),
+
     // Argmin/argmax surface: per market segment, the customer carrying the
     // max / min account balance (struct-ordered tiebreak on the unique
     // custkey, so the answer is deterministic under balance ties). One

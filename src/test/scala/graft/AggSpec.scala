@@ -175,6 +175,70 @@ class AggSpec extends SparkSpec {
       assert(math.abs(a - e) / e <= 0.02, s"$k: approx=$a exact=$e beyond 2%")
   }
 
+  test("agg_tdigest: merged daily digests land within rank-error bounds " +
+      "of the exact quantiles") {
+    val got = AggOps.queries("agg_tdigest")(spark, SfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2),
+          0.99 -> r.getDouble(3))).toMap
+    val byType = Tables.events(spark, SfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted.toIndexedSeq).toMap
+    assert(got.keySet === byType.keySet)
+    for ((tpe, qs) <- got; (q, v) <- qs) {
+      val vals = byType(tpe)
+      val n = vals.length.toDouble
+      // true rank bracket of the reported value; the estimate must sit
+      // within 2.5% rank error of the probed quantile (δ=100 gives ≲1%
+      // mid-range in theory; 2.5% absorbs interpolation at group sizes)
+      val lo = vals.count(_ < v) / n
+      val hi = vals.count(_ <= v) / n
+      assert(q >= lo - 0.025 && q <= hi + 0.025,
+        s"$tpe q=$q: value $v has rank bracket [$lo, $hi] — beyond 2.5%")
+    }
+  }
+
+  test("t-digest conserves mass and merges associatively within the " +
+      "rank-error bound") {
+    import graft.functions.TDigest
+    // deterministic skewed corpus: heavy head, long tail
+    val vals = (0 until 5000).map { i =>
+      val u = ((i * 2654435761L) % 10000L) / 10000.0
+      math.pow(u, 3.0) * 1000.0
+    }
+    val chunks = vals.grouped(1700).toSeq
+    def sketchOf(xs: Seq[Double]): Array[Byte] = {
+      val b = TDigest.empty()
+      xs.foreach(x => TDigest.insert(b, x, 1L))
+      TDigest.serialize(b)
+    }
+    val parts = chunks.map(sketchOf)
+    def mergedQuantiles(order: Seq[Array[Byte]]): (Long, Seq[Double]) = {
+      val b = TDigest.empty()
+      order.foreach(TDigest.deserializeInto(b, _))
+      val bytes = TDigest.serialize(b)
+      (TDigest.totalWeight(bytes),
+        Seq(0.1, 0.5, 0.9, 0.99).map(TDigest.quantileOf(bytes, _)))
+    }
+    val (w1, q1) = mergedQuantiles(parts)
+    val (w2, q2) = mergedQuantiles(parts.reverse)
+    // mass conservation: every input point's weight survives every
+    // compaction and merge, in any merge order
+    assert(w1 === vals.length.toLong)
+    assert(w2 === vals.length.toLong)
+    // both merge orders satisfy the rank-error contract vs the raw data
+    val sorted = vals.sorted
+    val n = sorted.length.toDouble
+    for ((qs, tag) <- Seq(q1 -> "fwd", q2 -> "rev");
+         (q, v) <- Seq(0.1, 0.5, 0.9, 0.99).zip(qs)) {
+      val lo = sorted.count(_ < v) / n
+      val hi = sorted.count(_ <= v) / n
+      assert(q >= lo - 0.02 && q <= hi + 0.02,
+        s"$tag q=$q: value $v rank bracket [$lo, $hi] — beyond 2%")
+    }
+  }
+
   test("WeightedAvg aggregator matches sum(p*d)/sum(d) directly") {
     val rows = AggOps.queries("agg_custom_wavg")(spark, SfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
