@@ -29,24 +29,36 @@ class SkewStressSpec extends SparkSpec {
 
   /** Deterministic value stream — no RNG, same corpus every run: a
     * uniform-ish [0, 100) base (MAD ≈ 25 per user) plus rare +500 spikes
-    * (~2.4% of events) that sit far past every user's 3·MAD gate. */
+    * (~2.4% of events) that sit far past every user's 3·MAD gate, plus
+    * recurring 100-event +90 DRIFT segments (only reachable by the power
+    * user's long history) so sustained-shift detectors (the Western
+    * Electric run rules) have something real to fire on. */
   private def valueOf(u: Long, i: Int): Double = {
     val base =
       (((u * 1315423911L + i * 2654435761L) % 1000L + 1000L) % 1000L).toDouble / 10.0
-    if ((u + i) % 41 == 0) base + 500.0 else base
+    val drift = if ((i / 100) % 7 == 3) 90.0 else 0.0
+    if ((u + i) % 41 == 0) base + drift + 500.0 else base + drift
   }
 
   private case class Ev(eventId: Long, userId: Long, tsMs: Long, value: Double)
 
+  /** Event times are MONOTONE in the per-user index (so the fold tests'
+    * (ts, event_id) replay order is untouched) but jump 2 h every 13
+    * events and 26 h every 120 — real session breaks (> SessionGapSec)
+    * and multi-day gaps, so the windowed replays below exercise genuine
+    * break/island structure instead of one degenerate run per user. */
+  private def tsOf(i: Int): Long =
+    1704067200000L /* 2024-01-01T00:00:00Z */ +
+      i * 1000L + (i / 13) * 7200000L + (i / 120) * 93600000L
+
   private lazy val events: Seq[Ev] = {
-    val base = 1704067200000L // 2024-01-01T00:00:00Z
     val normal = for {
       u <- 1L to NormalUsers.toLong
       i <- 0 until NormalEvents
     } yield (u, i)
     (normal ++ (0 until PowerEvents).map(i => (PowerUser, i)))
       .zipWithIndex.map { case ((u, i), eid) =>
-        Ev(eid.toLong, u, base + i * 1000L, valueOf(u, i))
+        Ev(eid.toLong, u, tsOf(i), valueOf(u, i))
       }
   }
 
@@ -136,6 +148,103 @@ class SkewStressSpec extends SparkSpec {
       assert(ks.zip(ks.drop(1)).forall { case (a, b) => b <= a + 1e-12 },
         "gain must be non-increasing after the first update")
     }
+  }
+
+  test("win_sessionize completes and is exact under 100x key skew") {
+    import graft.operators.WindowOps
+    val got = WindowOps.queries("win_sessionize")(spark, skewDir)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_idx"), r.getAs[Int]("pos_in_session")))
+      .toSeq
+    val want = byUser.toSeq.flatMap { case (u, es) =>
+      var prevEs = Long.MinValue
+      var sessionIdx = 0L
+      var sessionStartRn = 1L
+      es.zipWithIndex.map { case (e, idx) =>
+        val rn = idx + 1L
+        val sec = e.tsMs / 1000L
+        val brk = prevEs == Long.MinValue || sec - prevEs > WindowOps.SessionGapSec
+        if (brk) { sessionIdx += 1L; sessionStartRn = rn }
+        prevEs = sec
+        (e.eventId, u, sessionIdx, (rn - sessionStartRn + 1L).toInt)
+      }
+    }.sortBy(_._1)
+    assert(got === want)
+    // the stress corpus must contain REAL break structure, and the
+    // power user's whole multi-session history must ride one partition
+    assert(want.filter(_._2 == PowerUser).map(_._3).max >= 10,
+      "power user should break into many sessions")
+  }
+
+  test("win_gap_islands completes and is exact under 100x key skew") {
+    import graft.operators.WindowOps
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    def dayOf(tsMs: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochMilli(tsMs).atZone(zone).toLocalDate
+    val got = WindowOps.queries("win_gap_islands")(spark, skewDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("start_day").toLocalDate,
+        r.getAs[java.sql.Date]("end_day").toLocalDate,
+        r.getAs[Int]("n_days")))
+      .toSeq
+    val want = byUser.toSeq.flatMap { case (u, es) =>
+      val days = es.map(e => dayOf(e.tsMs)).distinct.sortBy(_.toEpochDay)
+      // split the ascending day list into maximal consecutive runs
+      days.foldLeft(Vector.empty[Vector[java.time.LocalDate]]) { (runs, d) =>
+        if (runs.nonEmpty && runs.last.last.plusDays(1) == d)
+          runs.init :+ (runs.last :+ d)
+        else runs :+ Vector(d)
+      }.map(run => (u, run.head, run.last, run.length))
+    }.sortBy(t => (t._1, t._2.toEpochDay))
+    assert(got === want)
+    assert(want.count(_._4 >= 2) > 0,
+      "stress corpus must contain multi-day islands")
+    assert(want.groupBy(_._1).values.exists(_.size >= 2),
+      "stress corpus must contain broken streaks (gaps between islands)")
+  }
+
+  test("ts_spc_rules completes and is exact under 100x key skew") {
+    val got = StreamingOps.queries("ts_spc_rules")(spark, skewDir)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("value"), r.getAs[Double]("z"),
+        r.getAs[Boolean]("r1"), r.getAs[Boolean]("r2"),
+        r.getAs[Boolean]("r3"), r.getAs[Boolean]("r4")))
+      .toSeq
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val want = byUser.toSeq.flatMap { case (u, es) =>
+      val n = es.length.toDouble
+      val sv = dsum(es.map(_.value))
+      val svv = dsum(es.map(e => e.value * e.value))
+      val varE = (n * svv - sv * sv) / (n * (n - 1.0))
+      if (es.length < 2 || !(varE > 0)) Seq.empty
+      else {
+        val mu = sv / n
+        val sigma = math.sqrt(varE)
+        val zs = es.map(e => (e.value - mu) / sigma)
+        def sameSide(win: Seq[Double], width: Int, bound: Double, need: Int) =
+          win.length == width &&
+            (win.count(_ > bound) >= need || win.count(_ < -bound) >= need)
+        es.indices.flatMap { i =>
+          val z = zs(i)
+          def frame(k: Int) = zs.slice(math.max(0, i - k + 1), i + 1)
+          val r1 = math.abs(z) > 3.0
+          val r2 = sameSide(frame(3), 3, 2.0, 2)
+          val r3 = sameSide(frame(5), 5, 1.0, 4)
+          val r4 = sameSide(frame(8), 8, 0.0, 8)
+          if (r1 || r2 || r3 || r4)
+            Some((es(i).eventId, u, es(i).value, pin4(z), r1, r2, r3, r4))
+          else None
+        }
+      }
+    }.sortBy(_._1)
+    assert(got === want)
+    assert(want.exists(_._5) && want.exists(t => t._6 || t._7 || t._8),
+      "stress corpus must fire both the 3-sigma rule and a run rule")
   }
 
   test("ts_cusum_control completes and is exact under 100x key skew") {
