@@ -54,6 +54,67 @@ object ProvidenciasOps {
   val BetwPivots = 4
   val BetwDepth = 4
 
+  /** lcm(1..BetwDepth) — the scale that makes per-level harmonic terms
+    * (1/dist) exact integers for `graph_closeness`. */
+  val BetwHarmonicLcm: Int =
+    (1 to BetwDepth).foldLeft(1)((l, k) => l / gcd(l, k) * k)
+
+  private def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+
+  /** Forward sampled BFS shared by `graph_betweenness` and
+    * `graph_closeness`: from [[BetwPivots]] deterministically md5-picked
+    * pivots, [[BetwDepth]] levels over the shared SIMILAR edge table.
+    * Returns (symmetrized persisted edge list, node count, levels) where
+    * levels(k) = (p, id, sigma) — the nodes FIRST reached at depth k
+    * under pivot p with their shortest-path counts σ. Each level is one
+    * shuffle join of the size-conditionally-broadcast (pivots × frontier)
+    * relation against the edge list + an anti-join against the visited
+    * prefix + a destination groupBy (σ sums over predecessors), and
+    * localCheckpoints (the graph_kcore discipline) so the unrolled plan
+    * never snowballs. Depth-exhausted levels are empty and later rounds
+    * are no-ops on BOTH engines, so the fixed unroll replays early
+    * exhaustion exactly. */
+  private def pivotBfs(s: SparkSession, dir: String)
+      : (DataFrame, Long, Array[DataFrame]) = {
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+    val nNodes = nodes.count()
+    val e = SimilarityOps.similarEdges(s, dir).select(col("src"), col("dst"))
+    val und = e.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+      .select(col("p.s").as("s"), col("p.d").as("d"))
+      .coalesce(8).persist()
+    val pivots = nodes
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(BetwPivots)
+      .select(col("id").as("p"))
+    val levels = new Array[DataFrame](BetwDepth + 1)
+    levels(0) = pivots.select(col("p"), col("p").as("id"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var vis = levels(0)
+    for (k <- 1 to BetwDepth) {
+      // the (pivots × frontier) relation is the small side — the edge
+      // list shuffles, the frontier broadcasts while it fits
+      val fr = Bcast.ifFitsRows(
+        levels(k - 1).select(col("p"), col("id").as("fid"), col("sigma")),
+        nNodes * BetwPivots.toLong, 24)
+      val expand = und.join(fr, und("s") === col("fid"))
+        .select(col("p"), und("d").as("nid"), col("sigma"))
+      levels(k) = expand
+        .join(Bcast.ifFitsRows(
+            vis.select(col("p").as("xp"), col("id").as("xid")),
+            nNodes * BetwPivots.toLong, 16),
+          expand("p") === col("xp") && col("nid") === col("xid"),
+          "left_anti")
+        .groupBy(col("p"), col("nid"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("p"), col("nid").as("id"), col("sigma"))
+        .localCheckpoint()
+      vis = vis.unionByName(levels(k))
+    }
+    (und, nNodes, levels)
+  }
+
   /** Accented query forms for the unaccent variant — what a Spanish search
     * box actually receives ("año", "resolución"). */
   val AccentedTerms: Seq[String] = Seq("spárk", "mérge")
@@ -640,43 +701,7 @@ object ProvidenciasOps {
     // exactly.
     "graph_betweenness" -> ((s, dir) => {
       val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
-      val nNodes = nodes.count()
-      val e = SimilarityOps.similarEdges(s, dir).select(col("src"), col("dst"))
-      val und = e.select(explode(array(
-          struct(col("src").as("s"), col("dst").as("d")),
-          struct(col("dst").as("s"), col("src").as("d")))).as("p"))
-        .select(col("p.s").as("s"), col("p.d").as("d"))
-        .coalesce(8).persist()
-      val pivots = nodes
-        .orderBy(md5(col("id").cast("string")), col("id"))
-        .limit(BetwPivots)
-        .select(col("id").as("p"))
-      // forward sampled BFS: levels(k) = (p, id, sigma) first reached at
-      // depth k under pivot p, sigma = #shortest p→id paths
-      val levels = new Array[DataFrame](BetwDepth + 1)
-      levels(0) = pivots.select(col("p"), col("p").as("id"), lit(1L).as("sigma"))
-        .localCheckpoint()
-      var vis = levels(0)
-      for (k <- 1 to BetwDepth) {
-        // the (pivots × frontier) relation is the small side — the edge
-        // list shuffles, the frontier broadcasts while it fits
-        val fr = Bcast.ifFitsRows(
-          levels(k - 1).select(col("p"), col("id").as("fid"), col("sigma")),
-          nNodes * BetwPivots.toLong, 24)
-        val expand = und.join(fr, und("s") === col("fid"))
-          .select(col("p"), und("d").as("nid"), col("sigma"))
-        levels(k) = expand
-          .join(Bcast.ifFitsRows(
-              vis.select(col("p").as("xp"), col("id").as("xid")),
-              nNodes * BetwPivots.toLong, 16),
-            expand("p") === col("xp") && col("nid") === col("xid"),
-            "left_anti")
-          .groupBy(col("p"), col("nid"))
-          .agg(sum(col("sigma")).as("sigma"))
-          .select(col("p"), col("nid").as("id"), col("sigma"))
-          .localCheckpoint()
-        vis = vis.unionByName(levels(k))
-      }
+      val (und, nNodes, levels) = pivotBfs(s, dir)
       // backward dependency accumulation over the shortest-path DAG:
       // g(v at depth k) = Σ over DAG successors w at depth k+1 of
       // (1 + g(w)); pivots (depth 0) never contribute — betweenness
@@ -722,6 +747,45 @@ object ProvidenciasOps {
             Num.pin(coalesce(col("paths_through"), lit(0L)).cast("double") /
               col("tot"), 6))
             .otherwise(lit(0.0)).as("share"))
+        .orderBy("node_id")
+    }),
+
+    // Graph extension: sampled bounded-depth closeness + harmonic
+    // centrality off the SAME pivot BFS graph_betweenness runs — "which
+    // rulings sit CLOSE to everything", the inverse-distance companion
+    // to betweenness' bridge detection (a hub is close, a bridge is
+    // between; the two disagree exactly where the graph has structure).
+    // Per node: how many of the BetwPivots sources reach it within
+    // BetwDepth hops, the sum of those shortest distances, closeness =
+    // reached/dist_sum, and the harmonic sum Σ 1/dist — the form defined
+    // on disconnected graphs (Boldi & Vigna 2014), which matters here
+    // because pivots routinely can't reach everything. INTEGER-EXACT:
+    // reached/dist_sum fold as BIGINTs, each level's 1/dist term is the
+    // literal lcm(1..BetwDepth)/k integer (no double accumulates across
+    // rows), and the two reported ratios divide ONCE at the end from
+    // exact integers (the eigenvector discipline). Scale: the BFS is the
+    // shared machinery (see pivotBfs); the per-level relations union to
+    // ≤ pivots × nodes rows and collapse in one groupBy.
+    "graph_closeness" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+      val (_, nNodes, levels) = pivotBfs(s, dir)
+      val reachedAt = (1 to BetwDepth).map { k =>
+        levels(k).select(col("id"), lit(k).as("dist"),
+          lit(BetwHarmonicLcm / k).as("h"))
+      }.reduce(_ unionByName _)
+      val per = reachedAt.groupBy("id")
+        .agg(count(lit(1)).as("reached"),
+          sum(col("dist").cast("long")).as("dist_sum"),
+          sum(col("h").cast("long")).as("h_num"))
+      nodes.join(Bcast.ifFitsRows(per, nNodes, 32), Seq("id"), "left")
+        .select(col("id").as("node_id"),
+          coalesce(col("reached"), lit(0L)).as("reached"),
+          coalesce(col("dist_sum"), lit(0L)).as("dist_sum"),
+          when(coalesce(col("dist_sum"), lit(0L)) > 0,
+            Num.pin(col("reached").cast("double") / col("dist_sum"), 6))
+            .otherwise(lit(0.0)).as("closeness"),
+          Num.pin(coalesce(col("h_num"), lit(0L)).cast("double") /
+            lit(BetwHarmonicLcm.toDouble), 6).as("harmonic"))
         .orderBy("node_id")
     }),
 
@@ -1522,6 +1586,55 @@ object ProvidenciasOps {
                   ELSE 0.0 END AS share
          FROM embeddings n
          LEFT JOIN bcontrib c ON c.id = n.vec_id CROSS JOIN btot t
+         ORDER BY node_id""",
+    // same generated BFS unroll as graph_betweenness; the closeness
+    // aggregation folds exact integers per level (1/dist enters as the
+    // literal lcm/k), both ratios divide once at the end
+    "graph_closeness" ->
+      s"""WITH be AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+             FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+           ) WHERE similitud >= 30.0
+         ),
+         bund AS MATERIALIZED (SELECT src AS s, dst AS d FROM be
+                 UNION ALL SELECT dst AS s, src AS d FROM be),
+         bpv AS MATERIALIZED (
+           SELECT vec_id AS p FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $BetwPivots),
+         bf0 AS MATERIALIZED (
+           SELECT p, p AS id, CAST(1 AS BIGINT) AS sigma FROM bpv),
+         bv0 AS MATERIALIZED (SELECT p, id FROM bf0)${
+        (1 to BetwDepth).map { k =>
+          s""", bf$k AS MATERIALIZED (
+           SELECT f.p, u.d AS id, CAST(sum(f.sigma) AS BIGINT) AS sigma
+           FROM bf${k - 1} f JOIN bund u ON u.s = f.id
+           WHERE NOT EXISTS (
+             SELECT 1 FROM bv${k - 1} x WHERE x.p = f.p AND x.id = u.d)
+           GROUP BY f.p, u.d
+         ), bv$k AS MATERIALIZED (
+           SELECT p, id FROM bv${k - 1} UNION ALL SELECT p, id FROM bf$k)"""
+        }.mkString},
+         creach AS MATERIALIZED (
+           SELECT id, CAST(count(*) AS BIGINT) AS reached,
+                  CAST(sum(dist) AS BIGINT) AS dist_sum,
+                  CAST(sum(h) AS BIGINT) AS h_num
+           FROM (${(1 to BetwDepth).map(k =>
+             s"SELECT id, $k AS dist, ${BetwHarmonicLcm / k} AS h FROM bf$k")
+             .mkString(" UNION ALL ")})
+           GROUP BY id)
+         SELECT n.vec_id AS node_id,
+                coalesce(c.reached, 0) AS reached,
+                coalesce(c.dist_sum, 0) AS dist_sum,
+                CASE WHEN coalesce(c.dist_sum, 0) > 0
+                  THEN floor(CAST(c.reached AS DOUBLE) / c.dist_sum
+                       * 1e6 + 0.5) / 1e6
+                  ELSE 0.0 END AS closeness,
+                floor(CAST(coalesce(c.h_num, 0) AS DOUBLE)
+                  / $BetwHarmonicLcm.0 * 1e6 + 0.5) / 1e6 AS harmonic
+         FROM embeddings n LEFT JOIN creach c ON c.id = n.vec_id
          ORDER BY node_id""",
     // peel to the fixpoint, k = 3 (KCoreK): the recursive term carries a
     // round counter — each iteration's delta is exactly the previous

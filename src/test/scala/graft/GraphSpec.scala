@@ -115,6 +115,53 @@ class GraphSpec extends SparkSpec {
     assert(want.exists(_._2 > 0), "stress must be non-trivial on the fixture")
   }
 
+  test("graph_closeness equals the brute pivot-BFS distance replay") {
+    import graft.operators.{ProvidenciasOps => P, SimilarityOps}
+    val edges = SimilarityOps.similarEdges(spark, SfDir)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = Tables.embeddings(spark, SfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pivots = nodes.sortBy(id => (md5hex(id.toString), id)).take(P.BetwPivots)
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      .withDefaultValue((0L, 0L, 0L))
+    for (p <- pivots) {
+      val dist = scala.collection.mutable.Map(p -> 0)
+      var frontier = Seq(p)
+      for (k <- 1 to P.BetwDepth) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .distinct.filterNot(dist.contains)
+        next.foreach(w => dist(w) = k)
+        frontier = next
+      }
+      for ((v, d) <- dist if d >= 1) {
+        val (r, ds, h) = acc(v)
+        acc(v) = (r + 1L, ds + d, h + P.BetwHarmonicLcm / d)
+      }
+    }
+    def pin6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = nodes.sorted.map { id =>
+      val (r, ds, h) = acc(id)
+      (id, r, ds,
+        if (ds > 0) pin6(r.toDouble / ds) else 0.0,
+        pin6(h.toDouble / P.BetwHarmonicLcm))
+    }
+    val got = q("graph_closeness").collect()
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("reached"),
+        r.getAs[Long]("dist_sum"), r.getAs[Double]("closeness"),
+        r.getAs[Double]("harmonic"))).toSeq
+    assert(got === want)
+    assert(want.exists(_._2 > 0), "closeness must be non-trivial on the fixture")
+    // harmonic must dominate closeness's reach ordering coherently:
+    // every reached node has harmonic > 0 and dist_sum >= reached
+    assert(want.forall(t => (t._2 == 0) == (t._5 == 0.0)))
+    assert(want.forall(t => t._3 >= t._2), "each distance is >= 1")
+  }
+
   test("graph_eigenvector equals the brute three-step power iteration") {
     import graft.operators.SimilarityOps
     val edges = SimilarityOps.similarEdges(spark, SfDir)
