@@ -383,6 +383,45 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Simpson's-paradox (aggregation-reversal) audit (r14): the
+    // urgent-vs-rest fulfillment-rate gap per order YEAR next to the
+    // POOLED gap — the textbook amalgamation check every dashboard
+    // aggregate should ship with, because a pooled rate difference can
+    // carry the opposite sign of every stratum once group sizes
+    // confound (Simpson 1951; agg_chi2/agg_cramers_v measure
+    // association strength, this audits its DIRECTION under
+    // aggregation). One corpus groupBy into the |years|-bounded strata
+    // relation + one global aggregate; every rate is a single division
+    // of exact integer sums, the reversal flag compares the RAW double
+    // products (identical IEEE chains both engines), outputs pin at
+    // 6dp. Degenerate strata (one arm empty) are excluded by the same
+    // integer HAVING both engines.
+    "agg_simpson" -> ((s, dir) => {
+      val t = when(substring(col("o_orderpriority"), 1, 1) <= "2", 1L)
+        .otherwise(0L)
+      val y = when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+      val b = Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"), t.as("t"), y.as("y"))
+      val strata = b.groupBy("yr")
+        .agg(sum(col("t")).as("n_t"), sum(lit(1L) - col("t")).as("n_c"),
+          sum(col("t") * col("y")).as("f_t"),
+          sum((lit(1L) - col("t")) * col("y")).as("f_c"))
+        .filter(col("n_t") > 0 && col("n_c") > 0)
+      val pooled = b.agg(
+        (sum(col("t") * col("y")).cast("double") / sum(col("t")) -
+          sum((lit(1L) - col("t")) * col("y")).cast("double") /
+            sum(lit(1L) - col("t"))).as("pooled_raw"))
+      val rt = col("f_t").cast("double") / col("n_t")
+      val rc = col("f_c").cast("double") / col("n_c")
+      strata.crossJoin(broadcast(pooled))
+        .select(col("yr"), col("n_t"), col("n_c"),
+          Num.pin(rt, 6).as("rate_t"), Num.pin(rc, 6).as("rate_c"),
+          Num.pin(rt - rc, 6).as("diff"),
+          Num.pin(col("pooled_raw"), 6).as("pooled_diff"),
+          ((rt - rc) * col("pooled_raw") < 0).as("reversed"))
+        .orderBy("yr")
+    }),
+
     // Argmin/argmax surface: per market segment, the customer carrying the
     // max / min account balance (struct-ordered tiebreak on the unique
     // custkey, so the answer is deterministic under balance ties). One
@@ -1348,6 +1387,38 @@ object AggOps {
       """SELECT l_returnflag,
                 round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // strata rates + pooled gap from exact integer sums; the reversal
+    // flag compares the RAW double product on both engines
+    "agg_simpson" ->
+      """WITH b AS (
+           SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                  CASE WHEN substring(o_orderpriority, 1, 1) <= '2'
+                    THEN 1 ELSE 0 END AS t,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders
+         ), strata AS (
+           SELECT yr, CAST(sum(t) AS BIGINT) AS n_t,
+                  CAST(sum(1 - t) AS BIGINT) AS n_c,
+                  CAST(sum(t * y) AS BIGINT) AS f_t,
+                  CAST(sum((1 - t) * y) AS BIGINT) AS f_c
+           FROM b GROUP BY yr
+           HAVING sum(t) > 0 AND sum(1 - t) > 0
+         ), pooled AS (
+           SELECT CAST(sum(t * y) AS DOUBLE) / sum(t)
+                  - CAST(sum((1 - t) * y) AS DOUBLE) / sum(1 - t)
+                    AS pooled_raw
+           FROM b
+         )
+         SELECT yr, n_t, n_c,
+                floor(CAST(f_t AS DOUBLE) / n_t * 1e6 + 0.5) / 1e6 AS rate_t,
+                floor(CAST(f_c AS DOUBLE) / n_c * 1e6 + 0.5) / 1e6 AS rate_c,
+                floor((CAST(f_t AS DOUBLE) / n_t
+                  - CAST(f_c AS DOUBLE) / n_c) * 1e6 + 0.5) / 1e6 AS diff,
+                floor(pooled_raw * 1e6 + 0.5) / 1e6 AS pooled_diff,
+                (CAST(f_t AS DOUBLE) / n_t - CAST(f_c AS DOUBLE) / n_c)
+                  * pooled_raw < 0 AS reversed
+         FROM strata CROSS JOIN pooled
+         ORDER BY yr""",
     // marginals/expected/contrib replay the Spark windows over the same
     // bounded cell relation; chi2 sums the pre-rounded contribs as DECIMAL
     "agg_entropy_group" ->

@@ -696,6 +696,57 @@ object PipelineOps {
           Num.pin(col("lo"), 6).as("ci_lo"), Num.pin(col("hi"), 6).as("ci_hi"))
     }),
 
+    // Hash-deterministic permutation (randomization) test for the
+    // en-vs-rest mean n_chars difference — the NONPARAMETRIC p-value
+    // companion to ml_ttest (whose t/dof assume near-normal sampling
+    // distributions that a skewed corpus slice can break) and to
+    // ml_mann_whitney (which tests stochastic dominance, not the mean).
+    // Under the sharp null the label is exchangeable, so each of 64
+    // replicas reassigns labels by a pure md5 function of
+    // (doc_id, replica) — the ml_bootstrap_ci retry-safety discipline:
+    // no RNG state, bit-stable across retries, partitionings, and
+    // engines — and p = (1 + #{|T_r| >= |T_obs|}) / (R + 1), the
+    // standard add-one Monte-Carlo estimator. All 64 replicas ride ONE
+    // codegen'd explode scan with map-side combine (the shuffle carries
+    // 64 partial rows per task); T_obs and every T_r are fixed double
+    // chains of exact integer sums, so the |T_r| >= |T_obs| compare is
+    // bit-identical cross-engine.
+    "ml_permutation_test" -> ((s, dir) => {
+      val reps = 64
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      def isum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+      val obs = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n1"), isum(col("y") * col("n_chars")).as("s1"),
+        isum((lit(1L) - col("y")) * col("n_chars")).as("s2"))
+        .select(col("n_docs"), col("n1"),
+          (col("s1") / col("n1") -
+            col("s2") / (col("n_docs") - col("n1"))).as("t_obs"))
+      val perm = docs
+        .crossJoin(broadcast(s.range(reps).select(col("id").cast("int").as("r"))))
+        .withColumn("yp",
+          conv(substring(md5(concat_ws("_", lit("perm"), col("doc_id"),
+            col("r"))), 1, 4), 16, 10).cast("int") % 2)
+        .groupBy("r")
+        .agg(count(lit(1)).as("nr"), sum(col("yp")).as("n1r"),
+          isum(col("yp") * col("n_chars")).as("s1r"),
+          isum((lit(1) - col("yp")) * col("n_chars")).as("s2r"))
+        .select(col("r"),
+          (col("s1r") / col("n1r") -
+            col("s2r") / (col("nr") - col("n1r"))).as("t_rep"))
+      perm.crossJoin(broadcast(obs))
+        .agg(max(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_replicas"),
+          sum(when(abs(col("t_rep")) >= abs(col("t_obs")), 1L)
+            .otherwise(0L)).as("n_extreme"),
+          max(col("t_obs")).as("t_obs"))
+        .select(col("n_docs"), Num.pin(col("t_obs"), 6).as("t_obs"),
+          col("n_replicas"), col("n_extreme"),
+          Num.pin((col("n_extreme") + lit(1.0)) /
+            (col("n_replicas") + lit(1.0)), 6).as("p_value"))
+    }),
+
     // Fβ sweep over `ml_confusion`'s exact cells — the precision-weighted
     // (β=0.5) and recall-weighted (β=2) companions to F1 that a filter-
     // threshold review reads together (a corpus-quality gate usually
@@ -2372,6 +2423,43 @@ object PipelineOps {
                 floor(lo * 1e6 + 0.5) / 1e6 AS ci_lo,
                 floor(hi * 1e6 + 0.5) / 1e6 AS ci_hi
          FROM sel CROSS JOIN full_""",
+    // 64 md5-relabeled replicas; every T is a fixed double chain of
+    // exact integer sums, so |T_r| >= |T_obs| compares bit-identically
+    "ml_permutation_test" ->
+      """WITH reps AS (SELECT unnest(range(0, 64)) AS r),
+         lab AS (
+           SELECT doc_id, n_chars,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents
+         ), obs AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(y * n_chars) AS DOUBLE) / sum(y)
+                    - CAST(sum((1 - y) * n_chars) AS DOUBLE)
+                      / (count(*) - sum(y)) AS t_obs
+           FROM lab
+         ), perm AS (
+           SELECT r,
+                  CAST(sum(yp * n_chars) AS DOUBLE) / sum(yp)
+                    - CAST(sum((1 - yp) * n_chars) AS DOUBLE)
+                      / (count(*) - sum(yp)) AS t_rep
+           FROM (
+             SELECT d.n_chars, r.r,
+                    CAST(('0x' || substring(md5('perm_'
+                      || CAST(d.doc_id AS VARCHAR) || '_'
+                      || CAST(r.r AS VARCHAR)), 1, 4)) AS INT) % 2 AS yp
+             FROM lab d CROSS JOIN reps r)
+           GROUP BY r
+         )
+         SELECT o.n_docs,
+                floor(o.t_obs * 1e6 + 0.5) / 1e6 AS t_obs,
+                CAST(count(*) AS BIGINT) AS n_replicas,
+                CAST(sum(CASE WHEN abs(p.t_rep) >= abs(o.t_obs)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                floor((sum(CASE WHEN abs(p.t_rep) >= abs(o.t_obs)
+                    THEN 1 ELSE 0 END) + 1.0) / (count(*) + 1.0)
+                  * 1e6 + 0.5) / 1e6 AS p_value
+         FROM perm p CROSS JOIN obs o
+         GROUP BY o.n_docs, o.t_obs""",
     // the β spine cross-joins the one-row cell relation; CAST pins the
     // VALUES literal to DOUBLE (DuckDB would type it DECIMAL(2,1))
     "ml_fbeta" ->

@@ -239,6 +239,40 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("agg_simpson equals the brute strata replay and flags genuine " +
+      "sign reversals against the pooled gap") {
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val orders = Tables.orders(spark, SfDir)
+      .select("o_orderdate", "o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0).toInstant.atZone(zone).getYear,
+        if (r.getString(1).substring(0, 1) <= "2") 1L else 0L,
+        if (r.getString(2) == "F") 1L else 0L))
+    def pin6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val nT = orders.map(_._2).sum
+    val nC = orders.length - nT
+    val pooled = orders.collect { case (_, 1L, y) => y }.sum.toDouble / nT -
+      orders.collect { case (_, 0L, y) => y }.sum.toDouble / nC
+    val want = orders.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (yr, rs) =>
+      val nt = rs.map(_._2).sum
+      val nc = rs.length - nt
+      if (nt == 0 || nc == 0) None
+      else {
+        val rt = rs.collect { case (_, 1L, y) => y }.sum.toDouble / nt
+        val rc = rs.collect { case (_, 0L, y) => y }.sum.toDouble / nc
+        Some((yr, nt, nc, pin6(rt), pin6(rc), pin6(rt - rc), pin6(pooled),
+          (rt - rc) * pooled < 0))
+      }
+    }
+    val got = AggOps.queries("agg_simpson")(spark, SfDir).collect()
+      .map(r => (r.getAs[Int]("yr"), r.getAs[Long]("n_t"),
+        r.getAs[Long]("n_c"), r.getAs[Double]("rate_t"),
+        r.getAs[Double]("rate_c"), r.getAs[Double]("diff"),
+        r.getAs[Double]("pooled_diff"), r.getAs[Boolean]("reversed"))).toSeq
+    assert(got === want)
+    assert(want.nonEmpty && want.map(_._2).sum === nT,
+      "strata must partition the treated population")
+  }
+
   test("WeightedAvg aggregator matches sum(p*d)/sum(d) directly") {
     val rows = AggOps.queries("agg_custom_wavg")(spark, SfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -70,6 +70,21 @@ class PipelineSpec extends SparkSpec {
       s"repeat invocation ran $repeat jobs — BPE memo miss (retraining)")
   }
 
+  test("ml_permutation_test: observed statistic matches ml_ttest's mean " +
+      "difference and the p-value is the add-one replica fraction") {
+    val r = q("ml_permutation_test").collect()(0)
+    val tt = q("ml_ttest").collect()(0)
+    assert(r.getAs[Long]("n_replicas") === 64L)
+    // same statistic, same pin: the permutation test randomizes the
+    // label of exactly the contrast ml_ttest tests parametrically
+    assert(r.getAs[Double]("t_obs") === tt.getAs[Double]("mean_diff"))
+    val ne = r.getAs[Long]("n_extreme")
+    assert(ne >= 0 && ne <= 64)
+    def pin6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("p_value") === pin6((ne + 1.0) / 65.0))
+    assert(r.getAs[Double]("p_value") > 0.0 && r.getAs[Double]("p_value") <= 1.0)
+  }
+
   test("pipe_bpe_train's first rule is the true argmax pair, merges spaceless") {
     val rows = q("pipe_bpe_train").collect()
     assert(rows.length >= 4 && rows.length <= PipelineOps.BpeMerges,
