@@ -416,6 +416,41 @@ object PipelineOps {
         Num.pin(dof, 4).as("dof"))
     }),
 
+    // One-way ANOVA F across ALL language groups — the k-group
+    // generalization closing the significance family (ml_ttest compares
+    // 2 means, ml_permutation_test randomizes that contrast, this asks
+    // "does language explain n_chars variance AT ALL" across every
+    // group at once), plus eta-squared, the effect size ANOVA reports
+    // next to F. ONE codegen'd scan into exact integer sufficient
+    // statistics per language (n, Σx, Σx² as DECIMAL(38,0) — the
+    // ml_ttest discipline); the between-group sum Σ s_g²/n_g pre-rounds
+    // each group's term at 6dp and folds as exact DECIMAL over the
+    // |langs|-bounded relation (sums of raw libm-free but
+    // magnitude-large doubles would still be order-dependent), and
+    // F/η² are fixed double chains of those exact folds, pinned.
+    "ml_anova" -> ((s, dir) => {
+      def isum(c: Column) = sum(c.cast("decimal(38,0)"))
+      val x = col("n_chars")
+      val g = Tables.documents(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_g"),
+          isum(x).cast("double").as("s_g"),
+          isum(x * x).cast("double").as("q_g"))
+      val tg = Num.pin(col("s_g") * col("s_g") / col("n_g"), 6)
+      val tot = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g").cast("decimal(38,6)")).cast("double").as("s"),
+        sum(col("q_g").cast("decimal(38,6)")).cast("double").as("q"),
+        sum(tg.cast("decimal(38,6)")).cast("double").as("tsum"))
+      val ssb = col("tsum") - col("s") * col("s") / col("n")
+      val sst = col("q") - col("s") * col("s") / col("n")
+      val ssw = col("q") - col("tsum")
+      tot.select(col("k"), col("n"),
+        Num.pin(ssb, 4).as("ss_between"),
+        Num.pin(ssw, 4).as("ss_within"),
+        Num.pin((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))), 6)
+          .as("f_stat"),
+        Num.pin(ssb / sst, 6).as("eta_sq"))
+    }),
+
     // Matthews correlation coefficient over the SAME confusion cells as
     // `ml_confusion` — the single-number binary-eval summary that stays
     // honest under class imbalance (where accuracy and even F1 mislead).
@@ -2515,6 +2550,33 @@ object PipelineOps {
     // chain mirrors the Spark association (dxy / dx * dxy, not dxy²/dx)
     // n1/n2 are exact-integer casts; m/v/se/dof replay the identical
     // double chain over the exact DECIMAL(38,0) sufficient sums
+    // per-group exact integer sums; the between-group fold pre-rounds
+    // each s_g^2/n_g term at 6dp into an exact DECIMAL sum over the
+    // |langs|-bounded relation, F and eta^2 are fixed chains of it
+    "ml_anova" ->
+      """WITH g AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_g,
+                  CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s_g,
+                  CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0)))
+                       AS DOUBLE) AS q_g
+           FROM documents GROUP BY lang
+         ), t AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(n_g) AS BIGINT) AS n,
+                  CAST(sum(CAST(s_g AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                  CAST(sum(CAST(q_g AS DECIMAL(38,6))) AS DOUBLE) AS q,
+                  CAST(sum(CAST(floor(s_g * s_g / n_g * 1e6 + 0.5) / 1e6
+                        AS DECIMAL(38,6))) AS DOUBLE) AS tsum
+           FROM g
+         )
+         SELECT k, n,
+                floor((tsum - s * s / n) * 1e4 + 0.5) / 1e4 AS ss_between,
+                floor((q - tsum) * 1e4 + 0.5) / 1e4 AS ss_within,
+                floor(((tsum - s * s / n) / (k - 1))
+                  / ((q - tsum) / (n - k)) * 1e6 + 0.5) / 1e6 AS f_stat,
+                floor((tsum - s * s / n) / (q - s * s / n) * 1e6 + 0.5)
+                  / 1e6 AS eta_sq
+         FROM t""",
     "ml_ttest" ->
       """WITH st AS (
            SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)

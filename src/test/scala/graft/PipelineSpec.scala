@@ -85,6 +85,44 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Double]("p_value") > 0.0 && r.getAs[Double]("p_value") <= 1.0)
   }
 
+  test("ml_anova equals the brute k-group replay and decomposes the " +
+      "total sum of squares") {
+    val rows = Tables.documents(spark, SfDir)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def pin(x: Double, d: Int): Double = {
+      val p = math.pow(10, d); math.floor(x * p + 0.5) / p
+    }
+    val byLang = rows.groupBy(_._1)
+    val terms = byLang.values.map { g =>
+      val sg = g.map(_._2).sum.toDouble
+      pin(sg * sg / g.length, 6)
+    }
+    // mirror the decimal(38,6) fold: each pinned term rounds HALF_UP to
+    // 6dp as an exact decimal before the sum
+    val tsum = terms
+      .map(t => BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val n = rows.length.toDouble
+    val s = rows.map(_._2).sum.toDouble
+    val qq = rows.map(r => r._2 * r._2).sum.toDouble
+    val k = byLang.size.toDouble
+    val ssb = tsum - s * s / n
+    val ssw = qq - tsum
+    val r = q("ml_anova").collect()(0)
+    assert(r.getAs[Long]("k") === byLang.size.toLong)
+    assert(r.getAs[Long]("n") === rows.length.toLong)
+    assert(r.getAs[Double]("ss_between") === pin(ssb, 4))
+    assert(r.getAs[Double]("ss_within") === pin(ssw, 4))
+    assert(r.getAs[Double]("f_stat") ===
+      pin((ssb / (k - 1)) / (ssw / (n - k)), 6))
+    assert(r.getAs[Double]("eta_sq") === pin(ssb / (qq - s * s / n), 6))
+    // decomposition: SSB + SSW = SST (up to the 6dp term pre-rounding)
+    assert(math.abs(ssb + ssw - (qq - s * s / n)) < 1e-3)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0)
+  }
+
   test("pipe_bpe_train's first rule is the true argmax pair, merges spaceless") {
     val rows = q("pipe_bpe_train").collect()
     assert(rows.length >= 4 && rows.length <= PipelineOps.BpeMerges,
