@@ -422,6 +422,50 @@ object AggOps {
         .orderBy("yr")
     }),
 
+    // Kendall tau-b (r14) — the concordant/discordant-pair rank
+    // correlation completing the monotone-association pair with
+    // agg_spearman (tau has the cleaner interpretation — probability of
+    // concordance minus discordance — and the b-form corrects for the
+    // heavy ties both these domains carry). NEVER a row-pair sweep:
+    // rows collapse to the |X|x|Y|-bounded (x, y, count) grid in one
+    // corpus groupBy (50x11 here; the spearman value-domain move), and
+    // C/D come from the TRIANGULAR x-ordered grid self-join — at most
+    // |grid|^2/2 cell pairs regardless of row count, with the grid side
+    // size-conditionally broadcast. Tie terms fold from the bounded
+    // marginals; every count is an exact DECIMAL(19,0)x(19,0) product
+    // fold (no overflow at any N), and tau-b is one fixed double chain
+    // with per-factor sqrt (the ml_mcc discipline), pinned at 6dp.
+    "agg_kendall_tau" -> ((s, dir) => {
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      def dbl(c: Column) = c.cast("double")
+      val cells = Tables.lineitem(s, dir)
+        .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+        .agg(count(lit(1)).as("c")).persist()
+      val nCells = cells.count()
+      val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+        col("c").as("cb"))
+      val pairs = cells.join(Bcast.ifFitsRows(b, nCells, 32),
+          col("x") < col("xb"))
+        .agg(
+          sum(when(col("y") < col("yb"), d19(col("c")) * d19(col("cb")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("cc"),
+          sum(when(col("y") > col("yb"), d19(col("c")) * d19(col("cb")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("dd"))
+      def tieTerm(key: String, out: String): DataFrame = cells
+        .groupBy(key).agg(sum(col("c")).as("t"))
+        .agg(dbl(sum(d19(col("t")) * d19(col("t") - 1))).as(out))
+      val nn = cells.agg(sum(col("c")).as("n"))
+      pairs.crossJoin(broadcast(nn))
+        .crossJoin(broadcast(tieTerm("x", "n1d")))
+        .crossJoin(broadcast(tieTerm("y", "n2d")))
+        .select(col("n"), col("cc").cast("long").as("n_concordant"),
+          col("dd").cast("long").as("n_discordant"),
+          Num.pin(lit(2.0) * (dbl(col("cc")) - dbl(col("dd"))) /
+            (sqrt(dbl(col("n")) * (dbl(col("n")) - lit(1.0)) - col("n1d")) *
+             sqrt(dbl(col("n")) * (dbl(col("n")) - lit(1.0)) - col("n2d"))), 6)
+            .as("tau_b"))
+    }),
+
     // Argmin/argmax surface: per market segment, the customer carrying the
     // max / min account balance (struct-ordered tiebreak on the unique
     // custkey, so the answer is deterministic under balance ties). One
@@ -1387,6 +1431,37 @@ object AggOps {
       """SELECT l_returnflag,
                 round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS wavg_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // grid-collapse C/D pair counts as exact DECIMAL folds; tau-b is
+    // one fixed double chain with per-factor sqrt
+    "agg_kendall_tau" ->
+      """WITH cells AS MATERIALIZED (
+           SELECT l_quantity AS x, l_discount AS y,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2
+         ), pr AS (
+           SELECT CAST(sum(CASE WHEN a.y < b.y
+                    THEN CAST(a.c AS DECIMAL(19,0)) * b.c
+                    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS cc,
+                  CAST(sum(CASE WHEN a.y > b.y
+                    THEN CAST(a.c AS DECIMAL(19,0)) * b.c
+                    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS dd
+           FROM cells a JOIN cells b ON a.x < b.x
+         ), tx AS (
+           SELECT CAST(sum(CAST(t AS DECIMAL(19,0)) * (t - 1)) AS DOUBLE)
+                    AS n1d
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)
+         ), ty AS (
+           SELECT CAST(sum(CAST(t AS DECIMAL(19,0)) * (t - 1)) AS DOUBLE)
+                    AS n2d
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y)
+         ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+         SELECT n, CAST(cc AS BIGINT) AS n_concordant,
+                CAST(dd AS BIGINT) AS n_discordant,
+                floor(2.0 * (CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) - n1d)
+                     * sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) - n2d))
+                  * 1e6 + 0.5) / 1e6 AS tau_b
+         FROM pr CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty""",
     // strata rates + pooled gap from exact integer sums; the reversal
     // flag compares the RAW double product on both engines
     "agg_simpson" ->

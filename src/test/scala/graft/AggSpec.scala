@@ -273,6 +273,38 @@ class AggSpec extends SparkSpec {
       "strata must partition the treated population")
   }
 
+  test("agg_kendall_tau equals the brute all-pairs concordance replay") {
+    val rows = Tables.lineitem(spark, SfDir)
+      .select("l_quantity", "l_discount").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    var cc = 0L; var dd = 0L
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        val sx = java.lang.Double.compare(rows(i)._1, rows(j)._1)
+        val sy = java.lang.Double.compare(rows(i)._2, rows(j)._2)
+        if (sx != 0 && sy != 0) { if (sx == sy) cc += 1 else dd += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    val n = rows.length.toDouble
+    val n1d = rows.groupBy(_._1).values
+      .map(g => g.length.toDouble * (g.length - 1)).sum
+    val n2d = rows.groupBy(_._2).values
+      .map(g => g.length.toDouble * (g.length - 1)).sum
+    val tau = 2.0 * (cc.toDouble - dd.toDouble) /
+      (math.sqrt(n * (n - 1.0) - n1d) * math.sqrt(n * (n - 1.0) - n2d))
+    def pin6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val r = AggOps.queries("agg_kendall_tau")(spark, SfDir).collect()(0)
+    assert(r.getAs[Long]("n") === rows.length.toLong)
+    assert(r.getAs[Long]("n_concordant") === cc)
+    assert(r.getAs[Long]("n_discordant") === dd)
+    assert(r.getAs[Double]("tau_b") === pin6(tau))
+    assert(math.abs(r.getAs[Double]("tau_b")) <= 1.0)
+  }
+
   test("WeightedAvg aggregator matches sum(p*d)/sum(d) directly") {
     val rows = AggOps.queries("agg_custom_wavg")(spark, SfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
