@@ -74,6 +74,19 @@ object ProvidenciasOps {
     * never snowballs. Depth-exhausted levels are empty and later rounds
     * are no-ops on BOTH engines, so the fixed unroll replays early
     * exhaustion exactly. */
+  private val bfsMemo = new SessionMemo[String, String]
+
+  /** Drop a session's materialized BFS level tables (spec isolation +
+    * the evictSharedEdges invariant: BFS is DERIVED from the shared
+    * edge table, so an edge evict clears it too), deleting the scratch
+    * parquet each memo value names (the similarEdges discipline). */
+  private[graft] def evictPivotBfs(s: SparkSession): Unit =
+    bfsMemo.removeAll(s).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      ()
+    }
+
   private def pivotBfs(s: SparkSession, dir: String)
       : (DataFrame, Long, Array[DataFrame]) = {
     val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
@@ -84,34 +97,55 @@ object ProvidenciasOps {
         struct(col("dst").as("s"), col("src").as("d")))).as("p"))
       .select(col("p.s").as("s"), col("p.d").as("d"))
       .coalesce(8).persist()
-    val pivots = nodes
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(BetwPivots)
-      .select(col("id").as("p"))
-    val levels = new Array[DataFrame](BetwDepth + 1)
-    levels(0) = pivots.select(col("p"), col("p").as("id"), lit(1L).as("sigma"))
-      .localCheckpoint()
-    var vis = levels(0)
-    for (k <- 1 to BetwDepth) {
-      // the (pivots × frontier) relation is the small side — the edge
-      // list shuffles, the frontier broadcasts while it fits
-      val fr = Bcast.ifFitsRows(
-        levels(k - 1).select(col("p"), col("id").as("fid"), col("sigma")),
-        nNodes * BetwPivots.toLong, 24)
-      val expand = und.join(fr, und("s") === col("fid"))
-        .select(col("p"), und("d").as("nid"), col("sigma"))
-      levels(k) = expand
-        .join(Bcast.ifFitsRows(
-            vis.select(col("p").as("xp"), col("id").as("xid")),
-            nNodes * BetwPivots.toLong, 16),
-          expand("p") === col("xp") && col("nid") === col("xid"),
-          "left_anti")
-        .groupBy(col("p"), col("nid"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .select(col("p"), col("nid").as("id"), col("sigma"))
+    // the level tables are memoized per (session, dir) to a scratch
+    // parquet (p, id, dist, sigma) — graph_betweenness and
+    // graph_closeness consume the SAME forward BFS, and in-memory
+    // sharing (the per-level localCheckpoints) dies between queries
+    // under Verify/Bench's cache sweeps; the parquet memo survives both
+    // (the similarEdges materialized-view move, applied to the BFS)
+    val path = bfsMemo.getOrElseUpdate(s, dir) {
+      val pivots = nodes
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(BetwPivots)
+        .select(col("id").as("p"))
+      val levels = new Array[DataFrame](BetwDepth + 1)
+      levels(0) = pivots.select(col("p"), col("p").as("id"), lit(1L).as("sigma"))
         .localCheckpoint()
-      vis = vis.unionByName(levels(k))
+      var vis = levels(0)
+      for (k <- 1 to BetwDepth) {
+        // the (pivots × frontier) relation is the small side — the edge
+        // list shuffles, the frontier broadcasts while it fits
+        val fr = Bcast.ifFitsRows(
+          levels(k - 1).select(col("p"), col("id").as("fid"), col("sigma")),
+          nNodes * BetwPivots.toLong, 24)
+        val expand = und.join(fr, und("s") === col("fid"))
+          .select(col("p"), und("d").as("nid"), col("sigma"))
+        levels(k) = expand
+          .join(Bcast.ifFitsRows(
+              vis.select(col("p").as("xp"), col("id").as("xid")),
+              nNodes * BetwPivots.toLong, 16),
+            expand("p") === col("xp") && col("nid") === col("xid"),
+            "left_anti")
+          .groupBy(col("p"), col("nid"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("p"), col("nid").as("id"), col("sigma"))
+          .localCheckpoint()
+        vis = vis.unionByName(levels(k))
+      }
+      val out = new org.apache.hadoop.fs.Path(
+        SimilarityOps.scratchRoot(s),
+        "graft_pivot_bfs_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+      (0 to BetwDepth).map(k => levels(k).withColumn("dist", lit(k)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(out.toString)
+      out.getFileSystem(s.sessionState.newHadoopConf()).deleteOnExit(out)
+      out.toString
     }
+    val vis = s.read.parquet(path)
+    val levels = (0 to BetwDepth).map(k =>
+      vis.filter(col("dist") === k).select(col("p"), col("id"),
+        col("sigma"))).toArray
     (und, nNodes, levels)
   }
 

@@ -121,13 +121,17 @@ object SimilarityOps {
   /** Drop a session's shared edge materializations (spec isolation: plan
     * assertions on the DERIVATION need the next call to re-derive) AND
     * delete their scratch directories — the memo value is the path, so
-    * evict/re-derive cycles must not orphan parquet dirs (r13 advice). */
-  def evictSharedEdges(s: SparkSession): Unit =
+    * evict/re-derive cycles must not orphan parquet dirs (r13 advice).
+    * The pivot-BFS levels are DERIVED from this edge table, so they
+    * evict with it. */
+  def evictSharedEdges(s: SparkSession): Unit = {
     edgeMemo.removeAll(s).foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
       ()
     }
+    ProvidenciasOps.evictPivotBfs(s)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Derived SIMILAR edge table: triangular (src < dst) to halve the join,

@@ -43,22 +43,29 @@ class GraphSpec extends SparkSpec {
       "evict deletes the materialization") {
     import graft.operators.SimilarityOps
     val root = java.nio.file.Files.createTempDirectory("graft_scratch_conf")
-    def scratchDirs(): Seq[String] =
+    def scratchDirs(prefix: String): Seq[String] =
       Option(root.toFile.listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.startsWith("graft_sim_edges_"))
+        .map(_.getName).filter(_.startsWith(prefix))
     spark.conf.set(SimilarityOps.ScratchDirKey, root.toString)
     // any edge table memoized under the DEFAULT root must not satisfy
     // the conf'd run
     SimilarityOps.evictSharedEdges(spark)
     try {
       assert(SimilarityOps.similarEdges(spark, SfDir).count() > 0)
-      assert(scratchDirs().nonEmpty,
+      assert(scratchDirs("graft_sim_edges_").nonEmpty,
         s"materialization did not land under the configured root $root")
-      // r13 advice: evict must DELETE the scratch dir, not just drop the
-      // memo entry (evict/re-derive cycles were orphaning directories)
+      // the derived pivot-BFS levels memoize under the same root and
+      // evict with the edge table they are derived from
+      assert(q("graph_betweenness").count() > 0)
+      assert(scratchDirs("graft_pivot_bfs_").nonEmpty,
+        "pivot-BFS materialization did not land under the configured root")
+      // r13 advice: evict must DELETE the scratch dirs, not just drop
+      // the memo entries (evict/re-derive cycles were orphaning them)
       SimilarityOps.evictSharedEdges(spark)
-      assert(scratchDirs().isEmpty,
-        "evictSharedEdges left an orphaned scratch directory behind")
+      assert(scratchDirs("graft_sim_edges_").isEmpty,
+        "evictSharedEdges left an orphaned edge scratch directory behind")
+      assert(scratchDirs("graft_pivot_bfs_").isEmpty,
+        "evictSharedEdges left an orphaned BFS scratch directory behind")
     } finally {
       spark.conf.unset(SimilarityOps.ScratchDirKey)
       SimilarityOps.evictSharedEdges(spark)
