@@ -53,18 +53,23 @@ object TDigest {
       compact(b)
       if (b.n == Cap) {
         // defensive only (compaction always merges at this mass): force
-        // pairwise-adjacent merges so insert can never overflow
-        java.util.Arrays.sort(b.means, 0, b.n)
+        // pairwise-adjacent merges so insert can never overflow. Sort as
+        // (mean, weight) PAIRS via compact's index-ordering move — a
+        // means-only in-place sort would decouple every centroid's mean
+        // from its weight and silently corrupt the digest while still
+        // conserving mass (r14 advice).
+        val order = Array.range(0, b.n).sortBy(i => (b.means(i), b.weights(i)))
+        val ms = order.map(b.means)
+        val ws = order.map(b.weights)
         var i = 0
         var o = 0
         while (i + 1 < b.n) {
-          val wsum = b.weights(i) + b.weights(i + 1)
-          b.means(o) = (b.means(i) * b.weights(i) +
-            b.means(i + 1) * b.weights(i + 1)) / wsum
+          val wsum = ws(i) + ws(i + 1)
+          b.means(o) = (ms(i) * ws(i) + ms(i + 1) * ws(i + 1)) / wsum
           b.weights(o) = wsum
           i += 2; o += 1
         }
-        if (i < b.n) { b.means(o) = b.means(i); b.weights(o) = b.weights(i); o += 1 }
+        if (i < b.n) { b.means(o) = ms(i); b.weights(o) = ws(i); o += 1 }
         b.n = o
       }
     }
@@ -201,23 +206,30 @@ final class TDigestSketchAgg extends Aggregator[Double, TDBuf, Array[Byte]] {
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
-/** serialized digests → union-merged digest → (p50, p90, p99) — the
-  * re-aggregation half of the mergeable contract. */
-final class TDigestQuantilesAgg
-    extends Aggregator[Array[Byte], TDBuf, (Double, Double, Double)] {
+/** `TDigestQuantilesAgg`'s output row: the estimates for the constructor
+  * probe vector, in probe order (a case class so `Encoders.product` can
+  * encode the variable-length vector — the [[FreqSketch.Buf]] move). */
+case class TDQuantiles(qs: Seq[Double])
+
+/** serialized digests → union-merged digest → quantile estimates at the
+  * caller's `probes` (e.g. `Seq(0.5, 0.9, 0.99)`) — the re-aggregation
+  * half of the mergeable contract. Probes are a constructor parameter
+  * (r14 verdict watch item 1: p50/p90/p99 were baked in; a user wanting
+  * p95 had to edit the source). */
+final class TDigestQuantilesAgg(probes: Seq[Double])
+    extends Aggregator[Array[Byte], TDBuf, TDQuantiles] {
+  require(probes.nonEmpty && probes.forall(p => p >= 0.0 && p <= 1.0),
+    s"probes must be non-empty quantiles in [0, 1]: $probes")
   def zero: TDBuf = TDigest.empty()
   def reduce(b: TDBuf, bytes: Array[Byte]): TDBuf = {
     if (bytes != null) TDigest.deserializeInto(b, bytes)
     b
   }
   def merge(a: TDBuf, b: TDBuf): TDBuf = { TDigest.mergeInto(a, b); a }
-  def finish(b: TDBuf): (Double, Double, Double) = {
+  def finish(b: TDBuf): TDQuantiles = {
     TDigest.compact(b)
-    (TDigest.quantile(b, 0.5), TDigest.quantile(b, 0.9),
-      TDigest.quantile(b, 0.99))
+    TDQuantiles(probes.map(TDigest.quantile(b, _)))
   }
   def bufferEncoder: Encoder[TDBuf] = Encoders.product[TDBuf]
-  def outputEncoder: Encoder[(Double, Double, Double)] =
-    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
-      Encoders.scalaDouble)
+  def outputEncoder: Encoder[TDQuantiles] = Encoders.product[TDQuantiles]
 }

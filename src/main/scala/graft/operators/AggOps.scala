@@ -370,16 +370,17 @@ object AggOps {
     // associativity-within-bound.
     "agg_tdigest" -> ((s, dir) => {
       val sk = udaf(new graft.functions.TDigestSketchAgg, Encoders.scalaDouble)
-      val qs = udaf(new graft.functions.TDigestQuantilesAgg, Encoders.BINARY)
+      val qs = udaf(new graft.functions.TDigestQuantilesAgg(
+        Seq(0.5, 0.9, 0.99)), Encoders.BINARY)
       Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sk(col("value")).as("sk"))
         .groupBy("event_type")
-        .agg(qs(col("sk")).as("qs"))
+        .agg(qs(col("sk")).as("qv"))
         .select(col("event_type"),
-          round(col("qs._1"), 4).as("p50"),
-          round(col("qs._2"), 4).as("p90"),
-          round(col("qs._3"), 4).as("p99"))
+          round(col("qv.qs").getItem(0), 4).as("p50"),
+          round(col("qv.qs").getItem(1), 4).as("p90"),
+          round(col("qv.qs").getItem(2), 4).as("p99"))
         .orderBy("event_type")
     }),
 

@@ -431,10 +431,15 @@ object PipelineOps {
     "ml_anova" -> ((s, dir) => {
       def isum(c: Column) = sum(c.cast("decimal(38,0)"))
       val x = col("n_chars")
+      // the square multiplies in DECIMAL(19,0) BEFORE any fold — a native
+      // 64-bit x*x would wrap silently in Spark while DuckDB raises,
+      // a cross-engine divergence at large magnitudes (r14 advice);
+      // decimal(19,0)² widens to decimal(38,0) losslessly on both engines
+      val xd = x.cast("decimal(19,0)")
       val g = Tables.documents(s, dir).groupBy("lang")
         .agg(count(lit(1)).as("n_g"),
           isum(x).cast("double").as("s_g"),
-          isum(x * x).cast("double").as("q_g"))
+          sum(xd * xd).cast("double").as("q_g"))
       val tg = Num.pin(col("s_g") * col("s_g") / col("n_g"), 6)
       val tot = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
         sum(col("s_g").cast("decimal(38,6)")).cast("double").as("s"),
@@ -2557,7 +2562,8 @@ object PipelineOps {
       """WITH g AS (
            SELECT lang, CAST(count(*) AS BIGINT) AS n_g,
                   CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s_g,
-                  CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0)))
+                  CAST(sum(CAST(n_chars AS DECIMAL(19,0))
+                           * CAST(n_chars AS DECIMAL(19,0)))
                        AS DOUBLE) AS q_g
            FROM documents GROUP BY lang
          ), t AS (

@@ -80,8 +80,12 @@ object PairwiseRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private[plans] def isGrafting: Boolean = grafting.get()
 
   private[plans] def whileGrafting[T](body: => T): T = {
+    // save/restore rather than reset-to-false so a nested/re-entrant
+    // graft cannot re-enable the rule mid-graft when the inner scope
+    // exits (r14 advice)
+    val prev = grafting.get()
     grafting.set(java.lang.Boolean.TRUE)
-    try body finally grafting.set(java.lang.Boolean.FALSE)
+    try body finally grafting.set(prev)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

@@ -199,6 +199,40 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("TDigestQuantilesAgg honors an arbitrary probe vector (r14 " +
+      "verdict item 2: probes were hard-coded p50/p90/p99)") {
+    import org.apache.spark.sql.functions.udaf
+    val sk = udaf(new graft.functions.TDigestSketchAgg,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val probes = Seq(0.25, 0.75, 0.95)
+    val qs = udaf(new graft.functions.TDigestQuantilesAgg(probes),
+      org.apache.spark.sql.Encoders.BINARY)
+    val got = Tables.events(spark, SfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sk(col("value")).as("sk"))
+      .groupBy("event_type")
+      .agg(qs(col("sk")).as("qv"))
+      .select(col("event_type"), col("qv.qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val byType = Tables.events(spark, SfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted.toIndexedSeq).toMap
+    assert(got.keySet === byType.keySet)
+    for ((tpe, vec) <- got) {
+      assert(vec.length === probes.length,
+        s"$tpe: expected ${probes.length} estimates, got ${vec.length}")
+      val vals = byType(tpe)
+      val n = vals.length.toDouble
+      for ((q, v) <- probes.zip(vec)) {
+        val lo = vals.count(_ < v) / n
+        val hi = vals.count(_ <= v) / n
+        assert(q >= lo - 0.025 && q <= hi + 0.025,
+          s"$tpe q=$q: value $v has rank bracket [$lo, $hi] — beyond 2.5%")
+      }
+    }
+  }
+
   test("t-digest conserves mass and merges associatively within the " +
       "rank-error bound") {
     import graft.functions.TDigest
