@@ -124,6 +124,57 @@ object JoinOps {
         .orderBy("o_orderkey")
     }),
 
+    // Interval-overlap join (interval × interval — r14 verdict item 1):
+    // user activity SESSIONS (gap-based, the win_sessionize contract)
+    // against per-(event_type, day) activity BURST windows, matched on
+    // `s.start <= w.end AND w.start <= s.end` — the generalization of the
+    // reference's 1-D BETWEEN range primitive (streamlit_app.py:62) to
+    // the interval×interval case every real pipeline hits (sessionized
+    // activity × campaign windows). `join_range_bucket` covers
+    // point-in-interval; this is the shape where BOTH sides have extent.
+    // Naively a range-condition cartesian (|sessions|×|windows| — the one
+    // plan that cannot survive 100 TB); rewritten as the bucketed overlap
+    // join: each interval explodes to the width-W time buckets it covers
+    // (sequence + explode — sessions are gap-bounded so ≤ span/W+1 ≈ 2
+    // buckets, day windows ≤ 2), the join becomes a shuffled EQUI-join on
+    // the bucket key with the exact overlap predicate as a residual
+    // filter, and each matching pair is kept exactly once — in the bucket
+    // holding the intersection START (`b = floor(max(ss, ws)/W)`), which
+    // both sides provably cover — so no post-join dedup shuffle. Exchange
+    // volume is linear in input + output; per-bucket skew is bounded by
+    // intervals-per-day, and W widens with the interval widths, never the
+    // corpus. Overlap length folds as exact integer seconds.
+    "join_interval" -> ((s, dir) => {
+      val W = IntervalBucketSec
+      val ev = Tables.events(s, dir).withColumn("es", unix_timestamp(col("ts")))
+      val wse = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      val cum = wse.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev
+        .withColumn("brk", when(
+          col("es") - lag(col("es"), 1).over(wse) <= WindowOps.SessionGapSec, 0L)
+          .otherwise(1L))
+        .withColumn("sid", sum(col("brk")).over(cum))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("es")).as("ss"), max(col("es")).as("se"))
+      val bursts = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(min(col("es")).as("ws"), max(col("es")).as("we"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= BurstMinEvents)
+      val sb = sess.withColumn("b",
+        explode(sequence(floor(col("ss") / W), floor(col("se") / W))))
+      val wb = bursts.withColumn("b",
+        explode(sequence(floor(col("ws") / W), floor(col("we") / W))))
+      sb.join(wb, Seq("b"))
+        .filter(col("ss") <= col("we") && col("ws") <= col("se"))
+        .filter(col("b") === floor(greatest(col("ss"), col("ws")) / W))
+        .select(col("event_type"), col("day"), col("user_id"),
+          col("ss").as("session_start"),
+          (least(col("se"), col("we")) - greatest(col("ss"), col("ws")) + 1)
+            .as("overlap_sec"))
+        .orderBy("event_type", "day", "user_id", "session_start")
+    }),
+
     // Null-safe equi-join (<=>): NULL keys match each other instead of
     // vanishing — the semantics a data-vault / late-arriving-dimension
     // join needs. EqualNullSafe is a legal equi-join key, so Catalyst
@@ -431,6 +482,14 @@ object JoinOps {
   /** Attribution window for `join_asof_tolerance` (30 min, microseconds). */
   val MaxStalenessUs = 1800L * 1000000L
 
+  /** `join_interval` bucket width (1 day, seconds) — matched to the wider
+    * interval family (the day-scoped burst windows); sessions are
+    * gap-bounded far below it, so every interval explodes to ≤ 2 buckets. */
+  val IntervalBucketSec = 86400L
+
+  /** Minimum events for a (type, day) cell to count as a burst window. */
+  val BurstMinEvents = 80L
+
   def oracles: Map[String, String] = Map(
     "join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
@@ -472,6 +531,37 @@ object JoinOps {
           AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
          WHERE o.o_totalprice > 400000
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    // ground truth is the PLAIN overlap-predicate join (DuckDB plans its
+    // IEJoin) — the bucketing is Spark-side physical strategy only, so
+    // any bucket-boundary bug (missed pair, double-counted pair) breaks
+    // the hash compare
+    "join_interval" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+         ), marked AS (
+           SELECT user_id, es, event_id,
+                  CASE WHEN es - lag(es) OVER
+                         (PARTITION BY user_id ORDER BY es, event_id) <= 1800
+                       THEN 0 ELSE 1 END AS brk
+           FROM e
+         ), numbered AS (
+           SELECT user_id, es,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked
+         ), sess AS (
+           SELECT user_id, min(es) AS ss, max(es) AS se
+           FROM numbered GROUP BY user_id, sid
+         ), bursts AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  min(es) AS ws, max(es) AS we
+           FROM e GROUP BY 1, 2 HAVING count(*) >= 80
+         )
+         SELECT b.event_type, b.day, s.user_id, s.ss AS session_start,
+                least(s.se, b.we) - greatest(s.ss, b.ws) + 1 AS overlap_sec
+         FROM sess s JOIN bursts b ON s.ss <= b.we AND b.ws <= s.se
+         ORDER BY event_type, day, user_id, session_start""",
     "join_null_safe" ->
       """WITH c AS (
            SELECT CASE WHEN c_custkey % 199 = 0 THEN NULL

@@ -52,6 +52,10 @@ object StreamingOps {
   require(Chi2Crit95.length == CorrelogramLags,
     s"Chi2Crit95 must cover exactly CorrelogramLags=$CorrelogramLags lags")
 
+  /** `ts_sax` PAA segment count — each user's series collapses to this
+    * many segment means before quantization (word length). */
+  val SaxSegments = 8
+
   /** `ts_ewma`'s smoothing pair — BOTH literal, never β = 1−α: that
     * subtraction lands exactly on a round-to-even tie and yields a
     * different double than the 0.7 the DuckDB oracle parses. */
@@ -488,6 +492,64 @@ object StreamingOps {
           Num.pin(col("z"), 4).as("z"),
           col("r1"), col("r2"), col("r3"), col("r4"))
         .orderBy("event_id")
+    }),
+
+    // SAX — Symbolic Aggregate approXimation (Lin, Keogh, Lonardi &
+    // Chiu 2003; r15 verdict item 4): each user's value series collapses
+    // to SaxSegments PAA segment means, z-normalized against the user's
+    // own μ/σ and quantized by the FIXED Gaussian breakpoint table for a
+    // 4-letter alphabet into a short symbolic word — the classic
+    // time-series indexing/motif primitive (two users with the same word
+    // have the same coarse shape; motif_support counts the word's
+    // frequency across the population). Determinism is the ts_spc_rules
+    // class: breakpoints are shared double literals, PAA means are exact
+    // DECIMAL sums divided once, μ/σ come from the same exact sufficient
+    // sums via identical IEEE chains, segment assignment is pure integer
+    // division, and word assembly is string concatenation — every step
+    // replays bit-for-bit on both engines. Shapes: ONE window sort on
+    // (user; ts, event_id) carries the row index AND the full-frame
+    // sufficient sums (the exchange is reused), the PAA groupBy collapses
+    // to a ≤ users×SaxSegments relation, and everything after (word
+    // assembly, the motif-frequency window on the word key) runs on
+    // user-bounded rows. Degenerate series (n < SaxSegments or zero
+    // variance) are excluded by the same integer/compare gate both
+    // engines. Per-key state is KEY-bounded, never corpus-bounded —
+    // SkewStressSpec drives it at 100× key skew.
+    "ts_sax" -> ((s, dir) => {
+      val S = SaxSegments
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val full = Window.partitionBy("user_id")
+      val varE = (col("n") * col("svv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double")) /
+        (col("n") * (col("n") - lit(1.0)))
+      val paaZ = (col("sj").cast("double") / col("cj") - col("mu")) /
+        col("sigma")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(full))
+        .withColumn("sv", sum(col("value").cast("decimal(28,10)")).over(full))
+        .withColumn("svv",
+          sum((col("value") * col("value")).cast("decimal(28,10)")).over(full))
+        .filter(col("n") >= S && varE > 0)
+        .withColumn("mu", col("sv").cast("double") / col("n"))
+        .withColumn("sigma", sqrt(varE))
+        .withColumn("seg", expr(s"((rn - 1) * $S) div n"))
+        .groupBy(col("user_id"), col("n"), col("mu"), col("sigma"), col("seg"))
+        .agg(sum(col("value").cast("decimal(28,10)")).as("sj"),
+          count(lit(1)).as("cj"))
+        .withColumn("letter",
+          when(paaZ < -0.6745, "a").when(paaZ < 0.0, "b")
+            .when(paaZ < 0.6745, "c").otherwise("d"))
+        .groupBy(col("user_id"), col("n"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("seg"), col("letter")))),
+          x => x("letter")), "").as("sax_word"))
+        .withColumn("motif_support",
+          count(lit(1)).over(Window.partitionBy("sax_word")))
+        .select(col("user_id"), col("n").as("n_events"),
+          col("sax_word"), col("motif_support"))
+        .orderBy("user_id")
     }),
 
     // Schuster periodogram of the hourly click series at the first 8
@@ -1750,6 +1812,53 @@ object StreamingOps {
          FROM hw ORDER BY event_id""",
     // same exact-DECIMAL μ/σ derivation as the CUSUM chart; the four
     // rules replay as full-frame integer window counts
+    // replays the identical chains: exact DECIMAL(28,10) sufficient sums,
+    // μ/σ/PAA-z as the same IEEE expressions, integer segment division
+    // (// = Spark's div), the same breakpoint literals, string_agg in
+    // segment order = the sorted-struct array_join
+    "ts_sax" -> s"""
+         WITH e AS (
+           SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+                  sum(CAST(value AS DECIMAL(28,10)))
+                    OVER (PARTITION BY user_id) AS sv,
+                  sum(CAST(value * value AS DECIMAL(28,10)))
+                    OVER (PARTITION BY user_id) AS svv
+           FROM events
+         ), f AS (
+           SELECT user_id, value, rn, n,
+                  CAST(sv AS DOUBLE) / n AS mu,
+                  sqrt((n * CAST(svv AS DOUBLE)
+                        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                       / (n * (n - 1.0))) AS sigma
+           FROM e
+           WHERE n >= $SaxSegments
+             AND (n * CAST(svv AS DOUBLE)
+                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / (n * (n - 1.0)) > 0
+         ), p AS (
+           SELECT user_id, n, mu, sigma,
+                  ((rn - 1) * $SaxSegments) // n AS seg,
+                  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                    / count(*) AS paa
+           FROM f GROUP BY 1, 2, 3, 4, 5
+         ), l AS (
+           SELECT user_id, n, seg,
+                  CASE WHEN (paa - mu) / sigma < -0.6745 THEN 'a'
+                       WHEN (paa - mu) / sigma < 0.0 THEN 'b'
+                       WHEN (paa - mu) / sigma < 0.6745 THEN 'c'
+                       ELSE 'd' END AS letter
+           FROM p
+         ), wrd AS (
+           SELECT user_id, n AS n_events,
+                  string_agg(letter, '' ORDER BY seg) AS sax_word
+           FROM l GROUP BY 1, 2
+         )
+         SELECT user_id, n_events, sax_word,
+                count(*) OVER (PARTITION BY sax_word) AS motif_support
+         FROM wrd ORDER BY user_id""",
     "ts_spc_rules" ->
       """WITH st AS (
            SELECT user_id, CAST(count(*) AS BIGINT) AS n,

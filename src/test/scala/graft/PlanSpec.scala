@@ -135,6 +135,16 @@ class PlanSpec extends SparkSpec {
       s"expected an equi join on the bucket key:\n$plan")
   }
 
+  test("join_interval plans an equi-join on the bucket key, never a " +
+      "nested loop (r15: interval × interval overlap)") {
+    val plan = JoinOps.queries("join_interval")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval-overlap join degraded to a quadratic plan:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi join on the bucket key:\n$plan")
+  }
+
   test("ts_anomaly broadcasts the per-user model onto the stream") {
     val plan = StreamingOps.queries("ts_anomaly")(spark, SfDir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))

@@ -247,6 +247,49 @@ class SkewStressSpec extends SparkSpec {
       "stress corpus must fire both the 3-sigma rule and a run rule")
   }
 
+  test("ts_sax completes and is exact under 100x key skew") {
+    val got = StreamingOps.queries("ts_sax")(spark, skewDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[String]("sax_word"), r.getAs[Long]("motif_support")))
+      .toSeq
+    val S = StreamingOps.SaxSegments
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val words = byUser.toSeq.flatMap { case (u, es) =>
+      val n = es.length
+      val nd = n.toDouble
+      val sv = dsum(es.map(_.value))
+      val svv = dsum(es.map(e => e.value * e.value))
+      val varE = (nd * svv - sv * sv) / (nd * (nd - 1.0))
+      if (n < S || !(varE > 0)) None
+      else {
+        val mu = sv / nd
+        val sigma = math.sqrt(varE)
+        // seg(i) = ((rn−1)·S) div n over the (ts, event_id) order; PAA
+        // mean and z replay the identical double chains
+        val bySeg = es.zipWithIndex.groupBy { case (_, i) => i * S / n }
+        val word = (0 until S).map { j =>
+          val seg = bySeg(j)
+          val paa = dsum(seg.map(_._1.value)) / seg.length
+          val z = (paa - mu) / sigma
+          if (z < -0.6745) 'a' else if (z < 0.0) 'b'
+          else if (z < 0.6745) 'c' else 'd'
+        }.mkString
+        Some((u, n.toLong, word))
+      }
+    }
+    val support = words.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val want = words.map(w => (w._1, w._2, w._3, support(w._3))).sortBy(_._1)
+    assert(got === want)
+    assert(want.nonEmpty, "stress corpus must produce SAX words")
+    assert(want.exists(_._4 > 1),
+      "the 200 same-shaped normal users must share at least one motif")
+    // the power user's 100×-long series must produce a word, in one task
+    assert(want.exists(_._1 == PowerUser))
+  }
+
   test("ts_cusum_control completes and is exact under 100x key skew") {
     val got = StreamingOps.queries("ts_cusum_control")(spark, skewDir)
       .collect()
