@@ -146,17 +146,13 @@ object JoinOps {
     // corpus. Overlap length folds as exact integer seconds.
     "join_interval" -> ((s, dir) => {
       val W = IntervalBucketSec
-      val ev = Tables.events(s, dir).withColumn("es", unix_timestamp(col("ts")))
-      val wse = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
-      val cum = wse.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = ev
-        .withColumn("brk", when(
-          col("es") - lag(col("es"), 1).over(wse) <= WindowOps.SessionGapSec, 0L)
-          .otherwise(1L))
-        .withColumn("sid", sum(col("brk")).over(cum))
+      // session intervals off the SHARED gap-based derivation (one
+      // definition with win_sessionize — see WindowOps.withSessionIds)
+      val sess = WindowOps.withSessionIds(Tables.events(s, dir))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("es")).as("ss"), max(col("es")).as("se"))
-      val bursts = ev
+      val bursts = Tables.events(s, dir)
+        .withColumn("es", unix_timestamp(col("ts")))
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(min(col("es")).as("ws"), max(col("es")).as("we"),
           count(lit(1)).as("n"))
@@ -535,14 +531,15 @@ object JoinOps {
     // IEJoin) — the bucketing is Spark-side physical strategy only, so
     // any bucket-boundary bug (missed pair, double-counted pair) breaks
     // the hash compare
-    "join_interval" ->
-      """WITH e AS (
+    "join_interval" -> s"""
+         WITH e AS (
            SELECT user_id, event_id, event_type, ts,
                   CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
          ), marked AS (
            SELECT user_id, es, event_id,
                   CASE WHEN es - lag(es) OVER
-                         (PARTITION BY user_id ORDER BY es, event_id) <= 1800
+                         (PARTITION BY user_id ORDER BY es, event_id)
+                         <= ${WindowOps.SessionGapSec}
                        THEN 0 ELSE 1 END AS brk
            FROM e
          ), numbered AS (
@@ -556,7 +553,7 @@ object JoinOps {
          ), bursts AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
                   min(es) AS ws, max(es) AS we
-           FROM e GROUP BY 1, 2 HAVING count(*) >= 80
+           FROM e GROUP BY 1, 2 HAVING count(*) >= $BurstMinEvents
          )
          SELECT b.event_type, b.day, s.user_id, s.ss AS session_start,
                 least(s.se, b.we) - greatest(s.ss, b.ws) + 1 AS overlap_sec

@@ -97,7 +97,12 @@ object ProvidenciasOps {
   private[graft] val EdgePartitionsKey = "spark.graft.edgePartitions"
 
   private def edgePartitions(s: SparkSession): Int =
-    s.conf.getOption(EdgePartitionsKey).map(_.toInt).getOrElse(8)
+    s.conf.getOption(EdgePartitionsKey).map { v =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$EdgePartitionsKey must be a positive integer, got '$v'"))
+      require(n > 0, s"$EdgePartitionsKey must be positive, got $n")
+      n
+    }.getOrElse(8)
 
   /** Node count per (session, dir) — the embeddings fixture is immutable,
     * so the count is too; memoizing it keeps a pivot-BFS memo hit at ZERO
@@ -143,6 +148,10 @@ object ProvidenciasOps {
         SimilarityOps.scratchRoot(s),
         "graft_pivot_bfs_" +
           java.util.UUID.randomUUID().toString.replace("-", ""))
+      // orphan guard BEFORE the first write: a BFS job or the levels
+      // write failing mid-build leaves no memo entry to evict, so the
+      // shutdown hook is the only thing reclaiming a half-built dir
+      out.getFileSystem(s.sessionState.newHadoopConf()).deleteOnExit(out)
       val edgesPath = new org.apache.hadoop.fs.Path(out, "edges").toString
       val e = SimilarityOps.similarEdges(s, dir).select(col("src"), col("dst"))
       e.select(explode(array(
@@ -184,7 +193,6 @@ object ProvidenciasOps {
         .reduce(_ unionByName _)
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(out, "levels").toString)
-      out.getFileSystem(s.sessionState.newHadoopConf()).deleteOnExit(out)
       out.toString
     }
     // memo hit or miss, every consumer reads the SAME parquet tables —

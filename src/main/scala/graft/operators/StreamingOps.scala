@@ -534,7 +534,10 @@ object StreamingOps {
         .filter(col("n") >= S && varE > 0)
         .withColumn("mu", col("sv").cast("double") / col("n"))
         .withColumn("sigma", sqrt(varE))
-        .withColumn("seg", expr(s"((rn - 1) * $S) div n"))
+        // rn is row_number's 32-bit INT — widen BEFORE the multiply so a
+        // >268M-event key can't wrap the int product while the oracle's
+        // BIGINT row_number stays correct (the ml_anova wrap class)
+        .withColumn("seg", expr(s"((CAST(rn AS BIGINT) - 1) * $S) div n"))
         .groupBy(col("user_id"), col("n"), col("mu"), col("sigma"), col("seg"))
         .agg(sum(col("value").cast("decimal(28,10)")).as("sj"),
           count(lit(1)).as("cj"))
@@ -1810,8 +1813,6 @@ object StreamingOps {
                 floor(b * 1e4 + 0.5) / 1e4 AS trend,
                 floor((l + b) * 1e4 + 0.5) / 1e4 AS forecast
          FROM hw ORDER BY event_id""",
-    // same exact-DECIMAL μ/σ derivation as the CUSUM chart; the four
-    // rules replay as full-frame integer window counts
     // replays the identical chains: exact DECIMAL(28,10) sufficient sums,
     // μ/σ/PAA-z as the same IEEE expressions, integer segment division
     // (// = Spark's div), the same breakpoint literals, string_agg in
@@ -1859,6 +1860,8 @@ object StreamingOps {
          SELECT user_id, n_events, sax_word,
                 count(*) OVER (PARTITION BY sax_word) AS motif_support
          FROM wrd ORDER BY user_id""",
+    // same exact-DECIMAL μ/σ derivation as the CUSUM chart; the four
+    // rules replay as full-frame integer window counts
     "ts_spc_rules" ->
       """WITH st AS (
            SELECT user_id, CAST(count(*) AS BIGINT) AS n,

@@ -161,16 +161,12 @@ object WindowOps {
     "win_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .withColumn("es", unix_timestamp(col("ts")))
-        .withColumn("brk", when(
-          col("es") - lag(col("es"), 1).over(w) <= SessionGapSec, 0L)
-          .otherwise(1L))
+      withSessionIds(Tables.events(s, dir))
         .withColumn("rn", row_number().over(w))
-        .withColumn("session_idx", sum(col("brk")).over(cum))
         .withColumn("pos_in_session",
           col("rn") - max(when(col("brk") === 1, col("rn"))).over(cum) + 1)
-        .select(col("event_id"), col("user_id"), col("session_idx"),
+        .select(col("event_id"), col("user_id"),
+          col("sid").as("session_idx"),
           col("pos_in_session").cast("int").as("pos_in_session"))
         .orderBy("event_id")
     }),
@@ -285,6 +281,23 @@ object WindowOps {
 
   /** Inactivity gap that closes a session (shared with the oracle SQL). */
   val SessionGapSec = 1800L
+
+  /** The ONE gap-based session derivation (r15 review item): adds `es`
+    * (integer epoch seconds), `brk` (1 at each gap > [[SessionGapSec]]
+    * over the (es, event_id) per-user order) and `sid` (the running
+    * per-user session index) in a single window sort. `win_sessionize`
+    * labels events with it; `join_interval` aggregates it to session
+    * intervals — one definition, two consumers, so the session contract
+    * cannot silently fork between them. */
+  private[operators] def withSessionIds(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("brk", when(
+        col("es") - lag(col("es"), 1).over(w) <= SessionGapSec, 0L)
+        .otherwise(1L))
+      .withColumn("sid", sum(col("brk")).over(cum))
+  }
 
   def oracles: Map[String, String] = Map(
     // same DECIMAL frame sums (exactness is what lets Spark's sliding
