@@ -356,6 +356,28 @@ object AggOps {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
         .orderBy("event_type")),
 
+    // Mergeable KMV (k-minimum-values) set-overlap sketch (r15): the
+    // INTERSECTION contract the mergeable family lacked — HLL unions but
+    // cannot intersect, so "how much do the click and purchase audiences
+    // overlap?" at 100 TB needs a sketch whose union AND intersection
+    // both derive from the same bounded state (Beyer et al., SIGMOD'07;
+    // the Theta-sketch idea). State per (event_type, day) partial is the
+    // K smallest md5 hashes of the (user, day) activity cells; partials
+    // union-merge by re-ranking (min-K of min-Ks IS the min-K of the
+    // union — the re-aggregation demo agg_hll_mergeable/agg_tdigest run,
+    // replayed here structurally as daily sketch -> global merge). For a
+    // type pair, the K smallest of the two sketches' union is a KMV of
+    // A∪B, and Jaccard ≈ |{those present in BOTH sketches}| / K — EXACT
+    // whenever |A∪B| <= K (KmvJaccardSpec forces the true-sketch path at
+    // a small K and pins the 3/√K error bound). Unlike the HLL/t-digest
+    // keys this sketch is fully ORACLE-CHECKABLE: the hash is md5 (both
+    // engines, identical lowercase hex, lexicographic = 128-bit order),
+    // ranking/marking/counting are integer window/agg logic, and the one
+    // division pins at 6dp. Shapes: the corpus collapses to DISTINCT
+    // (type, cell-hash) in one map-side-combined shuffle; every window
+    // after runs on the K×days- or K×pairs-bounded sketch relations.
+    "agg_kmv_jaccard" -> ((s, dir) => kmvJaccard(s, dir, KmvK)),
+
     // Mergeable t-digest quantiles (r14): sketch per (event_type, day)
     // partial, union-merge per event_type, read p50/p90/p99 off the
     // merged digest — `agg_hll_mergeable`'s re-aggregation contract for
@@ -1176,6 +1198,62 @@ object AggOps {
     })
   )
 
+  /** `agg_kmv_jaccard` sketch size — 256 min-hashes per (type, day)
+    * partial bounds the standard error of the Jaccard estimate at
+    * ~1/√K ≈ 6%; the fixture's cell universe sits under K so the
+    * declared key is exact and the oracle pins it bit-for-bit, while
+    * KmvJaccardSpec forces the genuine estimation path at a small K. */
+  val KmvK = 256
+
+  /** The `agg_kmv_jaccard` plan, parameterized on the sketch size so the
+    * spec can force true sketching (universe > K) and pin the error
+    * bound. See the query-map entry for the full design note. */
+  private[graft] def kmvJaccard(s: SparkSession, dir: String, k: Int)
+      : DataFrame = {
+    // activity cell = (user, day); the sketch hashes the CELL so overlap
+    // reads "shared active user-days", and md5 is the cross-engine hash
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        md5(concat_ws("|", col("user_id"), to_date(col("ts")))).as("h"))
+      .distinct()
+    // daily partial: the K smallest hashes per (type, day) — bounded
+    // state a backfill persists and re-merges without rescanning events
+    val wd = Window.partitionBy("event_type", "day").orderBy("h")
+    val daily = cells.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("h"))
+    // union-merge: min-K of the daily min-Ks = the type's global KMV
+    // (cells embed the day, so no hash repeats across a type's days)
+    val wt = Window.partitionBy("event_type").orderBy("h")
+    val kmv = daily.withColumn("rn", row_number().over(wt))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("h"))
+    val types = kmv.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("ta"))
+      .join(types.select(col("event_type").as("tb")), col("ta") < col("tb"))
+    // per pair: mark each sketch hash with its side, union, re-rank to
+    // the K smallest of A∪B (a KMV of the union), and count the members
+    // both sketches contain — every relation here is ≤ K × pairs rows
+    val ua = pairs.join(kmv.withColumnRenamed("event_type", "ta"), Seq("ta"))
+      .select(col("ta"), col("tb"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val ub = pairs.join(kmv.withColumnRenamed("event_type", "tb"), Seq("tb"))
+      .select(col("ta"), col("tb"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val wu = Window.partitionBy("ta", "tb").orderBy("h")
+    ua.unionByName(ub)
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rn", row_number().over(wu))
+      .filter(col("rn") <= k)
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("n_shared"))
+      .select(col("ta"), col("tb"), col("k_used"), col("n_shared"),
+        Num.pin(col("n_shared") / col("k_used"), 6).as("jaccard_est"))
+      .orderBy("ta", "tb")
+  }
+
   /** Benford expected first-digit shares, log10(1+1/d) fixed to 6dp so
     * both engines consume the SAME double constants. */
   private[graft] val BenfordP: Seq[(Int, Double)] =
@@ -1194,6 +1272,54 @@ object AggOps {
                 round(count(*) / CAST(sum(CAST(1.0 / l_extendedprice
                                AS DECIMAL(28,10))) AS DOUBLE), 4) AS harm_mean
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the KMV sketch replays EXACTLY: md5 is the same lowercase hex on
+    // both engines (lexicographic order = 128-bit hash order), ranking /
+    // side-marking / counting are integer window logic, and the one
+    // division mirrors the Num.pin chain
+    "agg_kmv_jaccard" -> s"""
+         WITH cells AS (
+           SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+                  md5(CAST(user_id AS VARCHAR) || '|' ||
+                      CAST(CAST(ts AS DATE) AS VARCHAR)) AS h
+           FROM events
+         ), daily AS (
+           SELECT event_type, h FROM (
+             SELECT event_type, h,
+                    row_number() OVER (PARTITION BY event_type, day
+                                       ORDER BY h) AS rn
+             FROM cells) WHERE rn <= $KmvK
+         ), kmv AS (
+           SELECT event_type, h FROM (
+             SELECT event_type, h,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY h) AS rn
+             FROM daily) WHERE rn <= $KmvK
+         ), pairs AS (
+           SELECT a.event_type AS ta, b.event_type AS tb
+           FROM (SELECT DISTINCT event_type FROM kmv) a
+           JOIN (SELECT DISTINCT event_type FROM kmv) b
+             ON a.event_type < b.event_type
+         ), u AS (
+           SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+             SELECT p.ta, p.tb, s.h, 1 AS in_a, 0 AS in_b
+             FROM pairs p JOIN kmv s ON s.event_type = p.ta
+             UNION ALL
+             SELECT p.ta, p.tb, s.h, 0 AS in_a, 1 AS in_b
+             FROM pairs p JOIN kmv s ON s.event_type = p.tb
+           ) GROUP BY 1, 2, 3
+         ), topk AS (
+           SELECT ta, tb, in_a, in_b FROM (
+             SELECT ta, tb, in_a, in_b,
+                    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+             FROM u) WHERE rn <= $KmvK
+         ), agg AS (
+           SELECT ta, tb, CAST(count(*) AS BIGINT) AS k_used,
+                  CAST(sum(in_a * in_b) AS BIGINT) AS n_shared
+           FROM topk GROUP BY ta, tb
+         )
+         SELECT ta, tb, k_used, n_shared,
+                floor((n_shared / k_used) * 1e6 + 0.5) / 1e6 AS jaccard_est
+         FROM agg ORDER BY ta, tb""",
     "agg_weighted_median" ->
       """WITH byval AS (
            SELECT l_returnflag, l_extendedprice AS v,

@@ -199,6 +199,46 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("agg_kmv_jaccard: a small-K sketch estimates the exact cell " +
+      "Jaccard within the KMV error bound; K past the universe is exact") {
+    val cells = Tables.events(spark, SfDir)
+      .select(col("event_type"),
+        concat_ws("|", col("user_id"), to_date(col("ts"))).as("cell"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val byType = cells.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def exactJ(a: String, b: String): Double = {
+      val (sa, sb) = (byType(a), byType(b))
+      (sa & sb).size.toDouble / (sa | sb).size
+    }
+    // the declared key runs at KmvK=256 over a fixture universe below it
+    // (the oracle pins that path bit-for-bit); K=32 here forces the
+    // GENUINE estimation path — sketches truncate, jaccard_est is a
+    // sample statistic — and the deterministic md5 draw must land within
+    // a generous 3σ-style bound of the exact cell Jaccard
+    val small = AggOps.kmvJaccard(spark, SfDir, 32).collect()
+    assert(small.length >= 3, "fixture must produce type pairs")
+    small.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("k_used") === 32L,
+        s"$a×$b: union sketch smaller than K — universe did not exceed " +
+          "K, the estimation path was not exercised")
+      val est = r.getAs[Double]("jaccard_est")
+      val ex = exactJ(a, b)
+      assert(math.abs(est - ex) <= 0.3,
+        s"$a×$b: est=$est exact=$ex — beyond the K=32 error bound")
+    }
+    // K beyond every pair's union: k_used = |A∪B| and the estimate IS
+    // the exact Jaccard (the sketch degrades to the true set)
+    val big = AggOps.kmvJaccard(spark, SfDir, 1000000).collect()
+    big.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val ex = exactJ(a, b)
+      assert(r.getAs[Long]("k_used") === (byType(a) | byType(b)).size.toLong)
+      assert(math.abs(r.getAs[Double]("jaccard_est") -
+        math.floor(ex * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+  }
+
   test("TDigestQuantilesAgg honors an arbitrary probe vector (r14 " +
       "verdict item 2: probes were hard-coded p50/p90/p99)") {
     import org.apache.spark.sql.functions.udaf
