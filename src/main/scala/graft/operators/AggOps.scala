@@ -368,8 +368,10 @@ object AggOps {
     // replayed here structurally as daily sketch -> global merge). For a
     // type pair, the K smallest of the two sketches' union is a KMV of
     // A∪B, and Jaccard ≈ |{those present in BOTH sketches}| / K — EXACT
-    // whenever |A∪B| <= K (KmvJaccardSpec forces the true-sketch path at
-    // a small K and pins the 3/√K error bound). Unlike the HLL/t-digest
+    // whenever |A∪B| <= K (AggSpec pins the estimate against the exact
+    // cell Jaccard at K=32 and the exactness property past the universe;
+    // the declared K=256 genuinely estimates on the fixture, whose
+    // ~1,600 cells per type exceed it). Unlike the HLL/t-digest
     // keys this sketch is fully ORACLE-CHECKABLE: the hash is md5 (both
     // engines, identical lowercase hex, lexicographic = 128-bit order),
     // ranking/marking/counting are integer window/agg logic, and the one
@@ -1200,9 +1202,13 @@ object AggOps {
 
   /** `agg_kmv_jaccard` sketch size — 256 min-hashes per (type, day)
     * partial bounds the standard error of the Jaccard estimate at
-    * ~1/√K ≈ 6%; the fixture's cell universe sits under K so the
-    * declared key is exact and the oracle pins it bit-for-bit, while
-    * KmvJaccardSpec forces the genuine estimation path at a small K. */
+    * ~1/√K ≈ 6%. The fixture's cell universe (~1,600 cells per type at
+    * sf0.01) EXCEEDS K, so the declared key runs the genuine estimation
+    * path — and the oracle still pins it bit-for-bit, because the
+    * sketch is a deterministic function of the md5 draw (measured at
+    * sf0.01: est 0.2148 vs ≈0.216 exact for click×error). AggSpec
+    * additionally pins the estimate against the exact cell Jaccard at
+    * K=32 and exactness once K exceeds the pair's union. */
   val KmvK = 256
 
   /** The `agg_kmv_jaccard` plan, parameterized on the sketch size so the
