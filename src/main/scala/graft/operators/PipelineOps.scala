@@ -36,6 +36,9 @@ object PipelineOps {
   val StratRates: Map[String, Int] = Map("en" -> 8, "es" -> 4, "fr" -> 2)
   val DefaultRate = 1
 
+  /** `pipe_weighted_sample` draw size per source. */
+  val WeightedSampleK = 20
+
   private def admitted(rate: Int): Seq[String] =
     HexDigits.take(rate).map(_.toString)
 
@@ -1369,6 +1372,40 @@ object PipelineOps {
         .filter(keep)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // Weighted reservoir sample (r15): k docs per source drawn with
+    // probability PROPORTIONAL TO LENGTH (w = n_chars) — the curation
+    // primitive `pipe_sample_stratified`'s fixed hash RATES cannot
+    // express ("give me k docs per source, long docs more likely", the
+    // DoReMi/DSIR-style weighted-selection step). Efraimidis & Spirakis
+    // 2006 A-ES: each row draws the key ln(u)/w for a uniform u and the
+    // k LARGEST keys per group are a weight-proportional sample; top-k
+    // is mergeable, so this is one-pass, deterministic, and retry-safe.
+    // u is a pure md5 function of doc_id (48 bits, (v+1)/(2⁴⁸+1) — the
+    // pipe_split no-RNG discipline), the one ln per row pre-rounds at
+    // 10dp (the established libm pin; ties then break on doc_id both
+    // engines), and the per-source top-k rides the map-side
+    // [[graft.functions.TopK]] Aggregator — NEVER a corpus-scale window
+    // on the low-cardinality source key: the shuffle carries at most k
+    // entries per (partition, source) at any corpus size. Oracle = the
+    // same key expression + QUALIFY row_number; brute driver replay +
+    // the length-skew property pinned in PipelineSpec.
+    "pipe_weighted_sample" -> ((s, dir) => {
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+        16, 10).cast("long")
+      val u = (v + lit(1.0)) / lit(281474976710657.0) // 2^48 + 1
+      val key = Num.pin(log(u) / col("n_chars"), 10)
+      Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .groupBy(col("source"))
+        .agg(graft.functions.TopK.topK(WeightedSampleK)(col("doc_id"), key)
+          .as("t"))
+        .select(col("source"),
+          posexplode(arrays_zip(col("t.ids"), col("t.scores"))))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.ids").as("doc_id"), col("col.scores").as("aes_key"))
+        .orderBy("source", "rank")
     }),
 
     // Survivor selection: one kept doc per exact-content cluster
@@ -3136,6 +3173,23 @@ object PipelineOps {
            FROM gated
            WHERE n_tokens BETWEEN 20 AND 400 AND dup_frac < 0.8
          ) GROUP BY lang, split ORDER BY lang, split""",
+    // the same deterministic A-ES key (md5-uniform, one 10dp-pinned ln)
+    // ranked by QUALIFY — DuckDB's '0x'||hex cast is the conv() twin
+    "pipe_weighted_sample" -> s"""
+         WITH keyed AS (
+           SELECT source, doc_id,
+                  floor((ln((CAST(('0x' ||
+                           substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                           AS BIGINT) + 1.0) / 281474976710657.0)
+                         / n_chars) * 1e10 + 0.5) / 1e10 AS aes_key
+           FROM documents WHERE n_chars > 0
+         )
+         SELECT source, CAST(rn AS INT) AS rank, doc_id, aes_key FROM (
+           SELECT source, doc_id, aes_key,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY aes_key DESC, doc_id ASC) AS rn
+           FROM keyed) WHERE rn <= $WeightedSampleK
+         ORDER BY source, rank""",
     "pipe_split" ->
       """SELECT doc_id, source,
                 CASE WHEN bucket < 80 THEN 'train'

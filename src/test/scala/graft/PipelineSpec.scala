@@ -253,6 +253,42 @@ class PipelineSpec extends SparkSpec {
       assert(n.toDouble / all(l) < 0.5, s"default-rate lang $l kept $n/${all(l)}")
   }
 
+  test("pipe_weighted_sample is the exact per-source A-ES top-k and " +
+      "skews toward long documents") {
+    val got = q("pipe_weighted_sample").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val docs = Tables.documents(spark, SfDir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    // brute replay of the identical chain: md5-uniform, one 10dp-pinned
+    // ln, rank by (key desc, doc_id asc)
+    def key(docId: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 281474976710657.0
+      math.floor(math.log(u) / w * 1e10 + 0.5) / 1e10
+    }
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (src, d._2, key(d._2, d._3)))
+        .sortBy { case (_, id, k) => (-k, id) }
+        .take(PipelineOps.WeightedSampleK).zipWithIndex
+        .map { case ((s2, id, k), i) => (s2, i + 1, id, k) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // w = n_chars makes the draw length-proportional: the pooled sample
+    // mean length must exceed the pooled corpus mean (deterministic
+    // fixture, no flake)
+    val lenOf = docs.map(d => d._2 -> d._3).toMap
+    val sampleMean = got.map(g => lenOf(g._3)).sum.toDouble / got.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean length $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("ml_confusion cells partition the corpus and metrics stay coherent") {
     val r = q("ml_confusion").collect().head
     val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
