@@ -135,8 +135,10 @@ object JoinOps {
     // Naively a range-condition cartesian (|sessions|×|windows| — the one
     // plan that cannot survive 100 TB); rewritten as the bucketed overlap
     // join: each interval explodes to the width-W time buckets it covers
-    // (sequence + explode — sessions are gap-bounded so ≤ span/W+1 ≈ 2
-    // buckets, day windows ≤ 2), the join becomes a shuffled EQUI-join on
+    // (sequence + explode — linear in interval span; at the fixture's
+    // gap distribution sessions cover ~2 buckets and day windows ≤ 2,
+    // though a chain of sub-gap events can in principle stretch a
+    // session across many buckets), the join becomes a shuffled EQUI-join on
     // the bucket key with the exact overlap predicate as a residual
     // filter, and each matching pair is kept exactly once — in the bucket
     // holding the intersection START (`b = floor(max(ss, ws)/W)`), which

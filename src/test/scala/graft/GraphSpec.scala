@@ -84,9 +84,15 @@ class GraphSpec extends SparkSpec {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import graft.operators.{ProvidenciasOps => P, SimilarityOps}
     val counter = new java.util.concurrent.atomic.AtomicInteger
+    // r16 (advisor): count ONLY jobs carrying the probe's job group, so
+    // a stray async job from another suite can never fail repeat === 0
+    val probeGroup = "graft-memo-probe"
     val l = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        counter.incrementAndGet(); ()
+        if (js.properties != null &&
+            probeGroup == js.properties.getProperty("spark.jobGroup.id"))
+          counter.incrementAndGet()
+        ()
       }
     }
     def settle(): Boolean = {
@@ -104,7 +110,8 @@ class GraphSpec extends SparkSpec {
       try {
         assume(settle(), "listener events never settled — host too loaded to measure")
         counter.set(0)
-        body
+        spark.sparkContext.setJobGroup(probeGroup, "memo-hit job probe")
+        try body finally spark.sparkContext.clearJobGroup()
         assume(settle(), "listener events never settled — host too loaded to measure")
         counter.get()
       } finally spark.sparkContext.removeSparkListener(l)
