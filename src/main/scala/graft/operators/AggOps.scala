@@ -375,10 +375,39 @@ object AggOps {
     // keys this sketch is fully ORACLE-CHECKABLE: the hash is md5 (both
     // engines, identical lowercase hex, lexicographic = 128-bit order),
     // ranking/marking/counting are integer window/agg logic, and the one
-    // division pins at 6dp. Shapes: the corpus collapses to DISTINCT
-    // (type, cell-hash) in one map-side-combined shuffle; every window
-    // after runs on the K×days- or K×pairs-bounded sketch relations.
+    // division pins at 6dp. Shapes (r16, r15 verdict item 1): the corpus
+    // collapses through a map-side MinK Aggregator fold (ObjectHashAgg
+    // partial mode — <= K entries per (partition, type, day) cross the
+    // exchange, and the distinct pass is subsumed by the bounded buffer);
+    // the only windows left run on the K×pairs-bounded union relation.
     "agg_kmv_jaccard" -> ((s, dir) => kmvJaccard(s, dir, KmvK)),
+
+    // Mergeable Bloom MEMBERSHIP sketch (r16, r15 verdict item 2) — the
+    // contract completing the sketch family: HLL counts, KMV
+    // intersects, t-digest quantiles, CountMin frequencies, SpaceSaving
+    // top-k — and nothing before this answered "was this id in
+    // yesterday's ingest?" without shipping the full key set. The
+    // filter is 66 BIGINT words (63 usable bits each — masks never
+    // touch the sign bit, so two's-complement `1 << 63` semantics never
+    // enters the compare); the 4 bit positions per id come from
+    // disjoint 3-hex-char slices of md5(id) — the agg_kmv_jaccard
+    // discipline (md5 replays engine-identically), parsed by the SAME
+    // instr/substring SQL text on both engines, so unlike stock
+    // BloomFilterAggregate (impl-specific XXH64 bytes) every bit is
+    // fully ORACLE-CHECKABLE. Build: member ids explode to (word, mask)
+    // and bit_or-fold per word — the agg_bitmap_distinct shape; the
+    // map-side-combined shuffle carries <= 66 rows per partition at ANY
+    // corpus size, and daily word-tables union-merge by the same
+    // bit_or (the mergeable-family re-aggregation contract). Probe: a
+    // fixed 32-id panel (20 in-domain + 12 guaranteed non-members)
+    // joins the broadcast 66-row filter; hit = all 4 bits set. The
+    // datasheet reports the bloom verdict NEXT TO ground truth
+    // (false_positive column — zero false negatives is structural, and
+    // AggSpec pins it plus guaranteed FPs on a saturated 2-word
+    // geometry) and the closed-form fill-ratio FPR estimate
+    // (bits_set/4096)^g — three double multiplies, no transcendentals,
+    // bit-identical cross-engine.
+    "agg_bloom_members" -> ((s, dir) => bloomMembers(s, dir, BloomWords)),
 
     // Mergeable t-digest quantiles (r14): sketch per (event_type, day)
     // partial, union-merge per event_type, read p50/p90/p99 off the
@@ -1211,6 +1240,85 @@ object AggOps {
     * K=32 and exactness once K exceeds the pair's union. */
   val KmvK = 256
 
+  /** `agg_bloom_members` geometry (r16, r15 verdict item 2). 66 words ×
+    * 63 usable bits = 4,158 bit positions; each of the 4 hash functions
+    * derives its position from a disjoint 3-hex-char slice of
+    * `md5(user_id)` — 16³ = 4,096 reachable slots, uniform by
+    * construction (no modulo bias), and `< 4158` so `slot = pos % 4158`
+    * is the identity at the declared geometry (the spec shrinks `words`
+    * to force saturation/false positives through the SAME formula).
+    * Bits live at 0..62 of each BIGINT word so masks never touch the
+    * sign bit — `1 << 63` two's-complement semantics never enters the
+    * cross-engine compare. */
+  val BloomWords = 66
+  val BloomBitsPerWord = 63
+  val BloomHashes = 4
+  val BloomSlots = 4096
+
+  /** Fixed probe panel: 20 ids inside every fixture's user domain plus
+    * 12 far outside it (guaranteed non-members at any SF — the
+    * false-positive surface AggSpec pins). */
+  val BloomPanel: Seq[Long] = (0L until 20L) ++ (1000000L until 1000012L)
+
+  /** One hash function's bit position: parse 3 hex chars of `hcol` at
+    * 1-based `off` as an integer in [0, 4096). The SAME SQL text runs on
+    * both engines (`instr`/`substring` are identical in Spark SQL and
+    * DuckDB), so the parsed values — and therefore every downstream
+    * bit — replay exactly. */
+  private[graft] def hex3Sql(hcol: String, off: Int): String = {
+    def d(o: Int) = s"(instr('0123456789abcdef', substring($hcol, $o, 1)) - 1)"
+    s"(CAST(${d(off)} AS BIGINT) * 256 + ${d(off + 1)} * 16 + ${d(off + 2)})"
+  }
+
+  /** The `agg_bloom_members` plan, parameterized on the word count so
+    * AggSpec can force a saturated small filter (guaranteed false
+    * positives) through the identical formula. See the query-map entry
+    * for the full design note. */
+  private[graft] def bloomMembers(s: SparkSession, dir: String, words: Int)
+      : DataFrame = {
+    val span = words * BloomBitsPerWord
+    val slots = math.min(BloomSlots, span)
+    val ev = Tables.events(s, dir)
+    val mday = ev.agg(max(to_date(col("ts"))).as("mday"))
+    // "yesterday's ingest": the distinct ids active on the newest day
+    val members = ev.join(broadcast(mday), to_date(col("ts")) === col("mday"))
+      .select(col("user_id")).distinct()
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .select(col("user_id"), explode(array(
+        (0 until BloomHashes).map(g => expr(hex3Sql("h", 1 + 8 * g))): _*))
+        .as("pos"))
+      .selectExpr("user_id", s"(pos % $span) div $BloomBitsPerWord AS word_idx",
+        s"CAST(power(2, (pos % $span) % $BloomBitsPerWord) AS BIGINT) AS mask")
+    // build: OR the member masks per word — the map-side-combined
+    // shuffle carries <= `words` rows per partition at any corpus size
+    val filterWords = positions(members)
+      .groupBy("word_idx").agg(expr("bit_or(mask)").as("word"))
+    val stats = members.agg(count(lit(1)).as("n_members"))
+    val bits = filterWords
+      .agg(sum(expr("bit_count(word)")).cast("long").as("bits_set"))
+    val panel = s.range(1)
+      .select(explode(array(BloomPanel.map(lit(_)): _*)).as("user_id"))
+    positions(panel)
+      .join(broadcast(filterWords), Seq("word_idx"), "left")
+      .withColumn("hit",
+        coalesce(col("word"), lit(0L)).bitwiseAND(col("mask")) === col("mask"))
+      .groupBy("user_id")
+      .agg((sum(when(col("hit"), 1).otherwise(0)) === BloomHashes)
+        .as("bloom_hit"))
+      .join(members.withColumn("m", lit(1)), Seq("user_id"), "left")
+      .withColumn("actual", coalesce(col("m"), lit(0)) === 1)
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(bits))
+      .withColumn("fill", col("bits_set").cast("double") / slots)
+      .select(col("user_id"), col("bloom_hit"), col("actual"),
+        (col("bloom_hit") && !col("actual")).as("false_positive"),
+        col("n_members"), col("bits_set"),
+        Num.pin(col("fill") * col("fill") * col("fill") * col("fill"), 8)
+          .as("fpr_est"))
+      .orderBy("user_id")
+  }
+
   /** The `agg_kmv_jaccard` plan, parameterized on the sketch size so the
     * spec can force true sketching (universe > K) and pin the error
     * bound. See the query-map entry for the full design note. */
@@ -1218,22 +1326,29 @@ object AggOps {
       : DataFrame = {
     // activity cell = (user, day); the sketch hashes the CELL so overlap
     // reads "shared active user-days", and md5 is the cross-engine hash
+    val minK = graft.functions.MinK.minK(k) _
     val cells = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"),
         md5(concat_ws("|", col("user_id"), to_date(col("ts")))).as("h"))
-      .distinct()
-    // daily partial: the K smallest hashes per (type, day) — bounded
-    // state a backfill persists and re-merges without rescanning events
-    val wd = Window.partitionBy("event_type", "day").orderBy("h")
-    val daily = cells.withColumn("rn", row_number().over(wd))
-      .filter(col("rn") <= k)
-      .select(col("event_type"), col("h"))
+    // daily partial: the K smallest DISTINCT hashes per (type, day) —
+    // bounded state a backfill persists and re-merges without rescanning
+    // events. r16 (r15 verdict item 1): a map-side MinK Aggregator fold
+    // replaces the distinct() + per-(type, day) row_number window, so
+    // the exchange carries <= K entries per (partition, type, day) at
+    // any corpus size and the separate distinct pass collapses into the
+    // bounded buffer (duplicate cells — same user, day, type — dedupe
+    // inside it; min-K of a multiset == min-K of its distinct support,
+    // so the oracle's DISTINCT + rank replay is unchanged).
+    val daily = cells.groupBy("event_type", "day")
+      .agg(minK(col("h")).as("sk"))
+      .select(col("event_type"), explode(col("sk").getField("hs")).as("h"))
     // union-merge: min-K of the daily min-Ks = the type's global KMV
-    // (cells embed the day, so no hash repeats across a type's days)
-    val wt = Window.partitionBy("event_type").orderBy("h")
-    val kmv = daily.withColumn("rn", row_number().over(wt))
-      .filter(col("rn") <= k)
-      .select(col("event_type"), col("h"))
+    // (cells embed the day, so no hash repeats across a type's days);
+    // input is already <= K x days rows per type, the same fold keeps
+    // the merge exchange <= K per (partition, type) too
+    val kmv = daily.groupBy("event_type")
+      .agg(minK(col("h")).as("sk"))
+      .select(col("event_type"), explode(col("sk").getField("hs")).as("h"))
     val types = kmv.select(col("event_type")).distinct()
     val pairs = types.select(col("event_type").as("ta"))
       .join(types.select(col("event_type").as("tb")), col("ta") < col("tb"))
@@ -1326,6 +1441,59 @@ object AggOps {
          SELECT ta, tb, k_used, n_shared,
                 floor((n_shared / k_used) * 1e6 + 0.5) / 1e6 AS jaccard_est
          FROM agg ORDER BY ta, tb""",
+    // every bit replays: md5 is identical hex on both engines, the
+    // position parse is the SAME instr/substring text, masks are exact
+    // powers of two below the sign bit, and bit_or/bit_count/& are
+    // engine-portable integer ops; the one double chain (fill^4) is
+    // three multiplies + the floor pin
+    "agg_bloom_members" -> {
+      val span = BloomWords * BloomBitsPerWord
+      val posList = (0 until BloomHashes)
+        .map(g => hex3Sql("h", 1 + 8 * g)).mkString(", ")
+      val panelList = BloomPanel.mkString(", ")
+      val fill = s"(CAST(bs.bits_set AS DOUBLE) / $BloomSlots)"
+      s"""
+         WITH mday AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+         members AS (
+           SELECT DISTINCT user_id FROM events, mday
+           WHERE CAST(ts AS DATE) = mday.d
+         ), mpos AS (
+           SELECT unnest([$posList]) AS pos
+           FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM members)
+         ), fw AS (
+           SELECT (pos % $span) // $BloomBitsPerWord AS word_idx,
+                  bit_or(CAST(power(2, (pos % $span) % $BloomBitsPerWord)
+                              AS BIGINT)) AS word
+           FROM mpos GROUP BY 1
+         ), st AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM members),
+         bs AS (SELECT CAST(sum(bit_count(word)) AS BIGINT) AS bits_set FROM fw),
+         panel AS (SELECT CAST(unnest([$panelList]) AS BIGINT) AS user_id),
+         ppos AS (
+           SELECT user_id, unnest([$posList]) AS pos
+           FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM panel)
+         ), hits AS (
+           SELECT p.user_id,
+                  (sum(CASE WHEN (COALESCE(f.word, 0) & p.mask) = p.mask
+                            THEN 1 ELSE 0 END) = $BloomHashes) AS bloom_hit
+           FROM (SELECT user_id,
+                        (pos % $span) // $BloomBitsPerWord AS word_idx,
+                        CAST(power(2, (pos % $span) % $BloomBitsPerWord)
+                             AS BIGINT) AS mask
+                 FROM ppos) p
+           LEFT JOIN fw f ON f.word_idx = p.word_idx
+           GROUP BY p.user_id
+         ), ac AS (
+           SELECT h.user_id, h.bloom_hit,
+                  (m.user_id IS NOT NULL) AS actual
+           FROM hits h LEFT JOIN members m ON m.user_id = h.user_id
+         )
+         SELECT a.user_id, a.bloom_hit, a.actual,
+                (a.bloom_hit AND NOT a.actual) AS false_positive,
+                st.n_members, bs.bits_set,
+                floor(($fill * $fill * $fill * $fill) * 1e8 + 0.5) / 1e8
+                  AS fpr_est
+         FROM ac a, st, bs ORDER BY a.user_id"""
+    },
     "agg_weighted_median" ->
       """WITH byval AS (
            SELECT l_returnflag, l_extendedprice AS v,

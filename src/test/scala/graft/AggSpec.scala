@@ -210,9 +210,11 @@ class AggSpec extends SparkSpec {
       val (sa, sb) = (byType(a), byType(b))
       (sa & sb).size.toDouble / (sa | sb).size
     }
-    // the declared key runs at KmvK=256 over a fixture universe below it
-    // (the oracle pins that path bit-for-bit); K=32 here forces the
-    // GENUINE estimation path — sketches truncate, jaccard_est is a
+    // the declared key runs at KmvK=256 over a fixture universe that
+    // EXCEEDS it (~1,600 cells per type at sf0.01 — see the KmvK
+    // scaladoc in AggOps), so the declared key already estimates and
+    // the oracle pins that path bit-for-bit; K=32 here forces a much
+    // SMALLER sketch — sketches truncate, jaccard_est is a
     // sample statistic — and the deterministic md5 draw must land within
     // a generous 3σ-style bound of the exact cell Jaccard
     val small = AggOps.kmvJaccard(spark, SfDir, 32).collect()
@@ -621,5 +623,46 @@ class AggSpec extends SparkSpec {
     pop.zip(v).foreach { case (p, vv) =>
       assert(vv <= p + 1e-9, s"Lorenz point above the diagonal: $vv > $p")
     }
+  }
+
+  test("agg_bloom_members: zero false negatives at the declared geometry; " +
+      "a saturated 2-word filter keeps zero FNs and MUST false-positive") {
+    def noFalseNegatives(rows: Array[org.apache.spark.sql.Row]): Unit =
+      rows.foreach { r =>
+        if (r.getAs[Boolean]("actual"))
+          assert(r.getAs[Boolean]("bloom_hit"),
+            s"FALSE NEGATIVE at user ${r.getAs[Long]("user_id")} — " +
+              "structurally impossible unless build/probe hash chains fork")
+      }
+    // sf0.01, not SfDir: the saturation argument below needs the
+    // 133-member last day (sf0.001's 14 members can't fill even 2 words)
+    val dir = "/root/testdata/sf0.01"
+    val full = AggOps.queries("agg_bloom_members")(spark, dir).collect()
+    assert(full.length === AggOps.BloomPanel.size, "one row per panel probe")
+    noFalseNegatives(full)
+    // panel covers both surfaces: some members, and the 12 big ids that
+    // can never be members at any SF
+    assert(full.count(_.getAs[Boolean]("actual")) >= 1, "no member probes")
+    assert(full.count(r => !r.getAs[Boolean]("actual")) >= 12,
+      "the guaranteed-non-member probes are missing")
+    // declared geometry at sf0.01 (~133 members x 4 bits in 4096 slots):
+    // the closed-form FPR must sit in the sparse-filter band
+    val fpr = full.head.getAs[Double]("fpr_est")
+    assert(fpr > 0.0 && fpr < 0.05, s"fpr_est=$fpr outside the sparse band")
+
+    // forced saturation (words=2 -> 126 slots): 133 members x 4 hashes
+    // set 125/126 bits, so (deterministically, on this fixture) all 12
+    // guaranteed-non-member probes come back as false positives
+    val small = AggOps.bloomMembers(spark, dir, 2).collect()
+    noFalseNegatives(small)
+    assert(small.exists(_.getAs[Boolean]("false_positive")),
+      "saturated 2-word filter produced no false positive")
+    // fpr_est IS fill^4 of the 126-slot geometry, bit-recomputable
+    val bits = small.head.getAs[Long]("bits_set")
+    val f = bits.toDouble / 126
+    val sfpr = small.head.getAs[Double]("fpr_est")
+    assert(math.abs(sfpr - f * f * f * f) < 1e-7,
+      s"fpr_est=$sfpr != fill^4=${f * f * f * f}")
+    assert(sfpr > 0.5, s"2-word filter should be near-saturated, got $sfpr")
   }
 }

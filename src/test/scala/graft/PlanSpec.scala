@@ -145,6 +145,27 @@ class PlanSpec extends SparkSpec {
       s"expected an equi join on the bucket key:\n$plan")
   }
 
+  test("agg_kmv_jaccard: min-K partial is a map-side Aggregator fold; no " +
+      "window consumes the corpus-scale cell relation (r16)") {
+    val df = AggOps.queries("agg_kmv_jaccard")(spark, SfDir)
+    // every remaining WindowExec must partition on the pair key — i.e.
+    // run over the K×pairs-bounded union relation, never the raw cells
+    val winParts = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name).toSeq).toSet
+    }
+    assert(winParts.nonEmpty && winParts.forall(_ == Set("ta", "tb")),
+      s"a window consumes a non-pair-bounded relation: $winParts")
+    // and the partial itself is the MinK Aggregator (ObjectHashAggregate
+    // partial mode), so the exchange carries <= K entries per
+    // (partition, group) — not a distinct + sort of the full cell set
+    val objAgg = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(objAgg.nonEmpty,
+      "MinK Aggregator partial (ObjectHashAggregateExec) missing from the plan")
+  }
+
   test("ts_anomaly broadcasts the per-user model onto the stream") {
     val plan = StreamingOps.queries("ts_anomaly")(spark, SfDir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
