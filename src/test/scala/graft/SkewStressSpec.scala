@@ -290,6 +290,55 @@ class SkewStressSpec extends SparkSpec {
     assert(want.exists(_._1 == PowerUser))
   }
 
+  test("ts_dtw completes and is exact under 100x key skew (r16)") {
+    val got = StreamingOps.queries("ts_dtw")(spark, skewDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("dtw_dist")))
+      .toSeq
+    val S = StreamingOps.SaxSegments
+    val probe = StreamingOps.DtwProbe
+    val band = StreamingOps.DtwBand
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def pin6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // brute banded-DTW over the same PAA z chain the ts_sax replay uses
+    val dists = byUser.toSeq.flatMap { case (u, es) =>
+      val n = es.length
+      val nd = n.toDouble
+      val sv = dsum(es.map(_.value))
+      val svv = dsum(es.map(e => e.value * e.value))
+      val varE = (nd * svv - sv * sv) / (nd * (nd - 1.0))
+      if (n < S || !(varE > 0)) None
+      else {
+        val mu = sv / nd
+        val sigma = math.sqrt(varE)
+        val bySeg = es.zipWithIndex.groupBy { case (_, i) => i * S / n }
+        val zs = (0 until S).map { j =>
+          val seg = bySeg(j)
+          (dsum(seg.map(_._1.value)) / seg.length - mu) / sigma
+        }
+        val d = Array.fill(S, S)(Double.NaN)
+        for (i <- 0 until S; j <- 0 until S if math.abs(i - j) <= band) {
+          val cost = math.abs(zs(i) - probe(j))
+          val prev = Seq((i - 1, j), (i, j - 1), (i - 1, j - 1))
+            .filter { case (pi, pj) =>
+              pi >= 0 && pj >= 0 && math.abs(pi - pj) <= band }
+            .map { case (pi, pj) => d(pi)(pj) }
+          d(i)(j) = if (prev.isEmpty) cost else cost + prev.min
+        }
+        Some((u, n.toLong, pin6(d(S - 1)(S - 1))))
+      }
+    }
+    val want = dists.sortBy(t => (t._3, t._1)).take(StreamingOps.DtwTopK)
+    assert(got === want)
+    assert(want.size === StreamingOps.DtwTopK,
+      "stress corpus must fill the full top-k")
+    // the elastic distance is finite and nonnegative for every winner
+    assert(want.forall(_._3 >= 0.0))
+  }
+
   test("ts_cusum_control completes and is exact under 100x key skew") {
     val got = StreamingOps.queries("ts_cusum_control")(spark, skewDir)
       .collect()
