@@ -188,6 +188,89 @@ class PlanSpec extends SparkSpec {
         w.orderSpec.flatMap(_.references.map(_.name).toSeq).toSet
     }
 
+  /** r16 (r15 verdict item 5): the pid-offset sweep generalized to the
+    * FULL declared surface. Every key whose physical plan contains a
+    * WindowExec with an empty partition spec over anything other than
+    * the #partitions-row `pid` offsets relation must be documented here
+    * with WHY its input is bounded at any corpus size — so a future key
+    * cannot reintroduce a corpus-scale global sort unnoticed. The
+    * tightness check below also fails when an entry goes stale. */
+  private val boundedGlobalWindows: Map[String, String] = Map(
+    // calendar-bounded series: windows run over the date_trunc-hourly
+    // (or daily) AGGREGATE of the fixture's fixed time span — rows are
+    // bounded by calendar hours, never by event count
+    "ts_bollinger" -> "24h rolling bands over the calendar-bounded hourly series",
+    "ts_correlogram" -> "lag windows over the calendar-bounded hourly series",
+    "ts_pacf" -> "nests ts_correlogram's hourly series",
+    "ts_decompose" -> "trend/seasonal windows over the calendar-bounded hourly series",
+    "ts_resid_anomaly" -> "nests ts_decompose's hourly series; median over its residuals",
+    "ts_hurst" -> "R/S chunks over the calendar-bounded hourly series + <=4-row m-table",
+    "ts_ljung_box" -> "hourly series + the <=12-row cumulative lag table",
+    "ts_periodogram" -> "row index over the calendar-bounded hourly series + 8-row spectrum",
+    "win_rolling_corr" -> "paired rolling stats over the calendar-bounded hourly series",
+    // pinned-granularity value domains: cumulative windows run over the
+    // DISTINCT-value relation of a rounded/low-cardinality domain (the
+    // ml_auc exact-rank discipline), not over raw rows
+    "ml_auc" -> "cumulative ranks over the distinct rounded-score domain",
+    "ml_mann_whitney" -> "midranks over the distinct rounded-score domain",
+    "ml_lift_gain" -> "cumulative gains over the distinct-score relation + <=10 deciles",
+    "ml_pr_curve" -> "PR points = one row per distinct threshold score",
+    "ml_roc_curve" -> "ROC points = one row per distinct threshold score",
+    "ml_youden_j" -> "J argmax over the distinct-threshold ROC relation",
+    "ml_ks_test" -> "CDF gap over the distinct n_chars value domain",
+    "agg_spearman" -> "midranks over the 50-value l_quantity / 11-value l_discount domains",
+    // fixed-size statistic tables: the window input is a <=constant-row
+    // aggregate (bins, digits, deciles, replicates, probes, groups)
+    "agg_benford" -> "9-row first-digit table",
+    "agg_chi2" -> "status x priority contingency cells",
+    "agg_cramers_v" -> "lang x source contingency cells",
+    "agg_theil" -> "per-group share terms over the bounded group set",
+    "agg_lorenz" -> "10-row decile table over the distinct-price collapse",
+    "ml_bootstrap_ci" -> "200 replicate means (B is a compile-time constant)",
+    "ml_brier" -> "decile calibration bins",
+    "ml_mrr" -> "rank windows over the 10-probe x k retrieval panel",
+    "ml_ndcg" -> "rank windows over the 10-probe x k retrieval panel",
+    "ml_parity_gap" -> "|groups|-row rate table",
+    "ml_psi" -> "10 fixed score bins",
+    // datasheet totals: one total-share window over a report bounded by
+    // |sources|/|langs|/|stages|/|buckets| — cluster-config-and-schema
+    // bounded, never row-count bounded
+    "pipe_dedup_report" -> "per-source dedup datasheet (|sources| rows)",
+    "pipe_near_dedup_report" -> "per-source near-dup datasheet (|sources| rows)",
+    "pipe_substring_report" -> "<=11-row duplicated-fraction decile histogram",
+    "pipe_filter_report" -> "ordered |stages|-row funnel",
+    "pipe_mix_temperature" -> "|langs|-row mixture weights",
+    "pipe_unimax" -> "|langs|-row UniMax budget table",
+    "pipe_repeat_factors" -> "|sources|-row repeat-factor table",
+    "pipe_split_audit" -> "|buckets|-row split audit",
+    // misc bounded relations
+    "dedup_chunk" -> "per-doc FastCDC chunk spine: window over <=chunks-per-doc offsets",
+    "ann_hybrid_rerank" -> "rerank window over the k-bounded ANN candidate set",
+    "graph_component_sizes" -> "component-size histogram (<=|components| rows)",
+    "graph_hits" -> "per-iteration normalization over the |nodes|-bounded score table")
+
+  test("meta: every key's unpartitioned windows sort only pid or a " +
+      "documented bounded relation (r16)") {
+    val offenders = scala.collection.mutable.Map[String, Seq[Set[String]]]()
+    val seen = scala.collection.mutable.Set[String]()
+    for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val globals = unpartitionedWindowKeys(fn(spark, SfDir))
+        .filterNot(_ == Set("pid"))
+      if (globals.nonEmpty) {
+        seen += k
+        if (!boundedGlobalWindows.contains(k)) offenders(k) = globals
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"UNDOCUMENTED unpartitioned windows (single-task collapse risk at " +
+        s"scale — document boundedness or re-plan): ${offenders.toMap}")
+    // tightness: every whitelist entry must still be load-bearing
+    val stale = boundedGlobalWindows.keySet -- seen
+    assert(stale.isEmpty,
+      s"stale whitelist entries (key no longer plans a global window): $stale")
+  }
+
   test("sort_skyline: staircase window is pid-partitioned; only the offsets window is global") {
     val df = RelationalOps.queries("sort_skyline")(spark, SfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
