@@ -1299,6 +1299,13 @@ object AggOps {
       .agg(sum(expr("bit_count(word)")).cast("long").as("bits_set"))
     val panel = s.range(1)
       .select(explode(array(BloomPanel.map(lit(_)): _*)).as("user_id"))
+    // ground truth for the datasheet: membership restricted to the panel
+    // FIRST (members streamed once against the broadcast 32-row panel —
+    // map-side at any corpus size), so the later left join broadcasts a
+    // <=|panel|-row relation instead of shuffling the full member set
+    // to serve 32 probes
+    val actuals = members.join(broadcast(panel), Seq("user_id"))
+      .withColumn("m", lit(1)) // members and panel are both key-unique
     positions(panel)
       .join(broadcast(filterWords), Seq("word_idx"), "left")
       .withColumn("hit",
@@ -1306,7 +1313,7 @@ object AggOps {
       .groupBy("user_id")
       .agg((sum(when(col("hit"), 1).otherwise(0)) === BloomHashes)
         .as("bloom_hit"))
-      .join(members.withColumn("m", lit(1)), Seq("user_id"), "left")
+      .join(broadcast(actuals), Seq("user_id"), "left")
       .withColumn("actual", coalesce(col("m"), lit(0)) === 1)
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(bits))

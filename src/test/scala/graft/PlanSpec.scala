@@ -166,6 +166,15 @@ class PlanSpec extends SparkSpec {
       "MinK Aggregator partial (ObjectHashAggregateExec) missing from the plan")
   }
 
+  test("agg_bloom_members: every join broadcasts a bounded side — no " +
+      "corpus-scale shuffle join anywhere in build or probe (r16)") {
+    val plan = planOf(AggOps.queries("agg_bloom_members")(spark, SfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a bounded relation (panel/filter/actuals/scalars) rode a shuffle " +
+        s"join — at 100 TB that shuffles the corpus to serve 32 probes:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("ts_anomaly broadcasts the per-user model onto the stream") {
     val plan = StreamingOps.queries("ts_anomaly")(spark, SfDir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
