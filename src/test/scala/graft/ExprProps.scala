@@ -86,4 +86,36 @@ object ExprProps extends Properties("graft.expressions") {
       val s2 = SimHash(longArr(a), bits).eval(null).asInstanceOf[Long]
       (s == s2) && (bits == 64 || (s >>> bits) == 0L)
     }
+
+  // ---- MinK laws (r16 — the agg_kmv_jaccard map-side partial) --------
+  // Exercised at the Aggregator level directly: reduce over arbitrary
+  // chunkings, merge in BOTH association orders, against the spec
+  // "sorted distinct take K". This is exactly the freedom Spark has at
+  // runtime (partitioning and partial-merge order are not deterministic),
+  // so the law IS the cross-run determinism of the KMV sketch.
+
+  private val hexStr: Gen[String] =
+    Gen.choose(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString))
+
+  property("MinK = sorted distinct take K under any chunking and either " +
+      "merge association order") =
+    forAll(Gen.nonEmptyListOf(hexStr), Gen.chooseNum(1, 12),
+      Gen.chooseNum(1, 5)) { (xs, k, chunk) =>
+      val agg = new graft.functions.MinK.MinKAgg(k)
+      val bufs = xs.grouped(chunk).toList
+        .map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val l = bufs.foldLeft(agg.zero)(agg.merge).hs.toSeq
+      val r = bufs.foldRight(agg.zero)((b, acc) => agg.merge(acc, b)).hs.toSeq
+      val want = xs.distinct.sorted.take(k)
+      l == want && r == want
+    }
+
+  property("MinK buffer is always sorted, duplicate-free, and <= K") =
+    forAll(Gen.nonEmptyListOf(hexStr), Gen.chooseNum(1, 12)) { (xs, k) =>
+      val agg = new graft.functions.MinK.MinKAgg(k)
+      val states = xs.scanLeft(agg.zero)(agg.reduce).map(_.hs.toSeq)
+      states.forall(s =>
+        s.length <= k && s == s.sorted && s.distinct == s)
+    }
 }
