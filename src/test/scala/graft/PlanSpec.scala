@@ -166,6 +166,18 @@ class PlanSpec extends SparkSpec {
       "MinK Aggregator partial (ObjectHashAggregateExec) missing from the plan")
   }
 
+  test("ts_dtw: one exchange total — the row-index/sufficient-sum windows, " +
+      "the PAA aggregate, and the segment pivot all reuse the user_id " +
+      "partitioning; top-k is TakeOrderedAndProject (r16)") {
+    val plan = StreamingOps.queries("ts_dtw")(spark, SfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex === 1,
+      s"ts_dtw should shuffle once on user_id, found $ex exchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k degraded to a global sort:\n$plan")
+  }
+
   test("agg_bloom_members: every join broadcasts a bounded side — no " +
       "corpus-scale shuffle join anywhere in build or probe (r16)") {
     val plan = planOf(AggOps.queries("agg_bloom_members")(spark, SfDir))
