@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -383,7 +383,22 @@ object JoinOps {
         .filter(col("dist") <= 2)
         .select(col("a"), col("b"), col("dist"), col("cnt_a"), col("cnt_b"))
         .orderBy("a", "b")
-    })
+    }),
+
+    // Runtime bloom-filter semi-join pruning (r17) — THE classic 100-TB
+    // shuffle reducer: when a selective predicate on the build side
+    // (urgent orders) means most fact rows (lineitem) will not survive
+    // the join, summarize the build side's KEY SET into a fixed-size
+    // bloom filter, broadcast it, and drop non-matching fact rows
+    // MAP-SIDE, before the fact's join exchange ever materializes. The
+    // exact equi-join then runs as the residual over the survivors —
+    // blooms have no false negatives, so the output is identical to the
+    // plain join (which is exactly what the oracle runs), and the rare
+    // false positives are removed by the residual join itself. See
+    // [[bloomPruneJoin]] for the plan and the contrast with Spark's own
+    // InjectRuntimeFilter (RuntimeFilterSpec pins both the plan shape
+    // and the no-false-negative invariant).
+    "join_bloom_prune" -> ((s, dir) => bloomPruneJoin(s, dir, BloomPruneWords))
   )
 
   /** The `join_nearest` plan, parameterized on the range-partition count
@@ -487,6 +502,130 @@ object JoinOps {
 
   /** Minimum events for a (type, day) cell to count as a burst window. */
   val BurstMinEvents = 80L
+
+  /** `join_bloom_prune` geometry. 8,192 words × 63 usable bits =
+    * 516,096 bit positions (bits live at 0..62 so masks never touch the
+    * BIGINT sign bit — the `agg_bloom_members` discipline). Sized for
+    * the build side's key COUNT, not the fact's row count: at ~30k
+    * urgent orders (sf0.1) the fill is ≈ 21% and the per-probe
+    * false-positive rate fill⁴ ≈ 0.2%, so the fact exchange carries the
+    * true ~20% match share plus 0.2% noise instead of 100% of the
+    * table. At 100 TB the words constant scales with the BUILD side
+    * (dimension keys), which is precisely why this prune exists: the
+    * filter stays a few-hundred-KB broadcast even when the dimension
+    * itself is far past the broadcast-join threshold. */
+  val BloomPruneWords = 8192
+
+  /** Usable bits per word (sign bit excluded). */
+  val BloomPruneBitsPerWord = 63
+
+  /** Hash count — fpr = fill^4. */
+  val BloomPruneHashes = 4
+
+  /** The `join_bloom_prune` plan, parameterized on the word count so
+    * RuntimeFilterSpec can force a SATURATED filter (words=2 → fill→1,
+    * prune ratio→0) and pin that the output is STILL exactly the plain
+    * equi-join — the no-false-negative invariant is what makes the
+    * prune safe at any geometry.
+    *
+    * Stage 1 (build): the selective dimension predicate
+    * (o_orderpriority = '1-URGENT') filters orders; each surviving
+    * o_orderkey sets [[BloomPruneHashes]] bits, derived from
+    * independently-seeded codegen'd `xxhash64` draws. (The
+    * `agg_bloom_members` md5-slice discipline exists so DuckDB can
+    * replay bit positions; here the bloom is PLAN-INTERNAL — the oracle
+    * is the plain join — so the cheaper integer hash is the right
+    * choice.) `bit_or` folds the masks per word with map-side partial
+    * aggregation: at any corpus size the build exchange carries
+    * ≤ [[BloomPruneWords]] rows per partition. The word table then
+    * collapses to ONE dense-array row (missing words zero-filled) so
+    * the probe is an O(1) `element_at` per hash, not a map scan.
+    *
+    * Stage 2 (probe, map-side): the single-row array broadcasts
+    * (BroadcastNestedLoopJoin against a 1-row side — bounded by
+    * construction) and a codegen'd conjunction of 4 bit tests filters
+    * lineitem BEFORE its join exchange. PlanSpec pins the filter below
+    * the fact-side shuffle.
+    *
+    * Stage 3 (residual): the exact equi-join over the survivors. The
+    * merge hint models the 100-TB reality this key exists for — a
+    * dimension too large to broadcast (if it fit in a broadcast, the
+    * broadcast hash join would already prune the fact map-side and the
+    * bloom would be redundant).
+    *
+    * Contrast with Spark's own runtime filtering
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`,
+    * InjectRuntimeFilter): Spark injects `BloomFilterAggregate` +
+    * `BloomFilterMightContain` into the probe side automatically when
+    * its creation-side size estimate clears the threshold — same
+    * algebra, planner-discretionary. This key makes the rewrite a
+    * DECLARED, always-on part of the plan: the filter build is an
+    * ordinary aggregation the optimizer can see through, the geometry
+    * is explicit, and the spec pins the shape instead of hoping the
+    * planner's thresholds fire. RuntimeFilterSpec documents the
+    * comparison. */
+  /** The selective build side: urgent orders' keys. */
+  private def bloomPruneDim(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+
+  /** Stages 1+2 of [[bloomPruneJoin]] — the bloom-pruned fact relation,
+    * exposed so RuntimeFilterSpec can measure the prune ratio and pin
+    * the no-false-negative invariant directly on the survivor set. */
+  private[graft] def bloomPrunedFact(s: SparkSession, dir: String,
+      words: Int): DataFrame = {
+    val span = words.toLong * BloomPruneBitsPerWord
+    def hashPos(key: Column, g: Int): Column =
+      pmod(xxhash64(lit(g), key), lit(span))
+    // build: ≤ `words` rows cross the (map-side-combined) exchange
+    val filterWords = bloomPruneDim(s, dir)
+      .select(col("o_orderkey"), explode(array(
+        (0 until BloomPruneHashes).map(g => hashPos(col("o_orderkey"), g)): _*))
+        .as("pos"))
+      .select(floor(col("pos") / BloomPruneBitsPerWord).cast("int").as("word_idx"),
+        // 2^k is a double-exact power of two for k ≤ 62 (the
+        // agg_bloom_members mask idiom; shiftleft() only takes a
+        // literal shift)
+        pow(lit(2.0), pmod(col("pos"), lit(BloomPruneBitsPerWord)))
+          .cast("long").as("mask"))
+      .groupBy("word_idx").agg(expr("bit_or(mask)").as("word"))
+    // one dense-array row: element_at probes are O(1) array indexing
+    // (the collect_list fold is over the ≤`words`-row word table —
+    // bounded by config, never by data)
+    val bloom = filterWords
+      .agg(map_from_entries(collect_list(
+        struct(col("word_idx"), col("word")))).as("m"))
+      .select(transform(sequence(lit(0), lit(words - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom"))
+    val probeHit = (0 until BloomPruneHashes).map { g =>
+      val pos = hashPos(col("l_orderkey"), g)
+      val wi = floor(pos / BloomPruneBitsPerWord).cast("int")
+      val mask = pow(lit(2.0), pmod(pos, lit(BloomPruneBitsPerWord)))
+        .cast("long")
+      element_at(col("bloom"), wi + 1).bitwiseAND(mask) === mask
+    }.reduce(_ && _)
+    // probe: map-side filter BELOW the fact's join exchange
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .crossJoin(broadcast(bloom))
+      .filter(probeHit)
+      .drop("bloom")
+  }
+
+  private[graft] def bloomPruneJoin(s: SparkSession, dir: String,
+      words: Int): DataFrame = {
+    bloomPrunedFact(s, dir, words)
+      .join(bloomPruneDim(s, dir).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(28,10)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(28,10)")).cast("double")
+          .as("sum_price"))
+      .orderBy("l_returnflag")
+  }
 
   def oracles: Map[String, String] = Map(
     "join_inner_hash" ->
@@ -656,6 +795,19 @@ object JoinOps {
            ON ((a.len > b.len AND a.len - b.len <= 2)
                OR (a.len = b.len AND a.name < b.name))
           AND levenshtein(a.name, b.name) <= 2
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+
+    // the bloom is plan-internal sideband pruning: no false negatives +
+    // exact residual join ⇒ the result IS the plain selective equi-join
+    "join_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+                  AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag"""
   )
 }

@@ -370,23 +370,164 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
-  test("no declared query plans a CartesianProduct") {
-    // The one quadratic shape Catalyst can silently fall back to. A
-    // 1-row broadcast crossJoin plans BroadcastNestedLoopJoin (fine —
-    // build side is a scalar); CartesianProduct means a shuffled
-    // all-pairs product that cannot survive a 100x scale-up, so no
-    // declared query may contain one. Planning only — nothing executes
-    // beyond what builders materialize themselves.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+  /** r17 (r16 verdict item 3): the window meta-test pattern applied to
+    * JOINS. A BroadcastNestedLoopJoin is only safe when its BROADCAST
+    * side is bounded at any corpus size (a 1-row scalar, a |types|²
+    * pair frame, a compile-time panel) — broadcast of a data-sized side
+    * OOMs the driver at 100 TB, and a nested-loop probe over a
+    * data-sized broadcast is quadratic. Every key that plans one must
+    * carry an entry here stating WHY the broadcast side is bounded; the
+    * tightness check fails when an entry goes stale, so the whitelist
+    * can only shrink or be consciously grown. */
+  private val boundedNestedLoopJoins: Map[String, String] = Map(
+    // 1-row (or few-row) corpus-scalar relations crossJoined onto a
+    // stream: grand totals, counts, fitted parameters, percentile cut
+    // arrays — a grouping-free aggregate is one row by construction
+    "agg_assoc_rules" -> "1-row transaction-count scalar",
+    "agg_bloom_members" -> "1-row n_members + 1-row bits_set scalars",
+    "agg_cramers_v" -> "1-row grand-total + 1-row min-dim scalars",
+    "agg_equidepth" -> "1-row percentile-cut-array scalar",
+    "agg_kendall_tau" -> "1-row concordance/tie-term scalars (4 folds of the pair stats)",
+    "agg_lorenz" -> "1-row corpus-total scalar onto the decile table",
+    "agg_simpson" -> "1-row grand-total scalar",
+    "join_bloom_prune" -> "1-row dense bloom word-array (words x 8B, config constant)",
+    "ml_ece" -> "1-row doc-count scalar onto the 10 calibration bins",
+    "pipe_dsir_weights" -> "1-row per-side token-total scalars",
+    "pipe_expectations" -> "1-row scan-check x 1-row orphan-count datasheet",
+    "pipe_ppl_buckets" -> "1-row tercile-cut scalars per language fold",
+    "text_bm25" -> "1-row corpus avgdl/N scalar",
+    "text_burstiness" -> "1-row corpus token-total scalar",
+    "text_collocations" -> "1-row bigram-total scalar",
+    "text_kl_drift" -> "1-row per-side mass-total scalars",
+    "text_kn_bigram" -> "1-row continuation/type-count scalars",
+    "text_lang_kappa" -> "1-row agreement-total scalar",
+    "text_tfidf" -> "1-row document-count scalar",
+    "text_unigram_ppl" -> "1-row vocab/token-total scalar",
+    "text_vocab_coverage" -> "1-row token-mass-total scalar",
+    "ts_resid_anomaly" -> "1-row residual median/MAD scalars",
+    "zorder_layout" -> "1-row domain-max normalization scalar",
+    // bounded replicate/permutation frames: s.range(B) with a
+    // compile-time replicate count, plus the 1-row observed statistic
+    "ml_bootstrap_ci" -> "200-row replicate frame + 1-row observed mean",
+    "ml_permutation_test" -> "64-row permutation frame + 1-row observed stat",
+    // fixed probe panels / k-bounded model relations broadcast onto the
+    // corpus: the panel or codebook is a config constant, never
+    // data-sized
+    "ann_brute" -> "1-row probe-vector scalar",
+    "ann_range" -> "1-row probe-vector scalar",
+    "ann_hybrid_rerank" -> "1-row probe vector + k-bounded rerank candidates",
+    "ann_ivf" -> "k-centroid table + 1-row probe (k = config constant)",
+    "ann_lsh" -> "hyperplane panel + 1-row probe (L x planes = config)",
+    "ann_pq" -> "<=4096-row trained codebook + 1-row probe",
+    "ml_kmeans" -> "k-centroid relation per Lloyd round (k = config constant)",
+    "ml_knn" -> "1-row probe-vector scalar",
+    "ml_mrr" -> "10-probe retrieval panel",
+    "ml_ndcg" -> "10-probe retrieval panel",
+    "ml_recall_at_k" -> "10-probe retrieval panel",
+    "dedup_semantic" -> "k-centroid relation (SemDeDup cluster count = config)",
+    "similar_range" -> "1-row probe-vector scalar",
+    "api_similares" -> "1-row probe-vector scalar (nests similar_range)",
+    // size-gated: the broadcast side is MEASURED against Bcast.budget
+    // before the crossJoin; past the budget the plan falls back to the
+    // fingerprint equi-join path
+    "pipe_decontaminate_near" -> "eval panel, size-gated via Bcast.measuredBytes <= budget",
+    // |types|- / |nodes|- / iteration-bounded graph and pair frames:
+    // non-equi joins of aggregates whose cardinality is a schema or
+    // fixture-graph constant, never event-count-sized
+    "agg_kmv_jaccard" -> "|types|^2 pair frame over the <=K-per-type sketch",
+    "graph_2hop" -> "1-row probe-node scalar",
+    "graph_betweenness" -> "1-row path-count normalization scalar",
+    "graph_eigenvector" -> "1-row L2-norm scalar per power iteration",
+    "graph_modularity" -> "1-row edge-total scalar",
+    "graph_pagerank" -> "1-row dangling-mass scalar per iteration (7 rounds)",
+    "graph_rich_club" -> "8-row k-threshold frame x degree histogram",
+    "graph_summary" -> "1-row global datasheet scalars",
+    "graph_transitivity" -> "1-row triangle/wedge-count scalars")
+
+  test("meta: no CartesianProduct anywhere; every BroadcastNestedLoopJoin " +
+      "broadcasts a documented bounded side (r17)") {
+    // CartesianProduct — a SHUFFLED all-pairs product — is banned
+    // outright: it cannot survive a 100x scale-up and has no legitimate
+    // use on this surface. BNLJ is conditionally allowed per the
+    // whitelist above. Planning only — nothing executes beyond what
+    // builders materialize themselves.
+    val cart = scala.collection.mutable.ArrayBuffer[String]()
+    val bnljUndoc = scala.collection.mutable.Map[String, Int]()
+    val seen = scala.collection.mutable.Set[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
-        val plan = fn(spark, SfDir).queryExecution
-          .explainString(ExplainMode.fromString("simple"))
-        if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+        val phys = fn(spark, SfDir).queryExecution.sparkPlan
+        if (phys.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.nonEmpty) cart += name
+        val bnlj = phys.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }
+        if (bnlj.nonEmpty) {
+          seen += name
+          if (!boundedNestedLoopJoins.contains(name))
+            bnljUndoc(name) = bnlj.length
+        }
       } catch {
-        case e: Throwable => Some(s"$name: failed to plan (${e.getClass.getSimpleName})")
+        case e: Throwable => cart += s"$name: failed to plan (${e.getClass.getSimpleName})"
       }
+      spark.sharedState.cacheManager.clearCache()
     }
-    assert(offenders.isEmpty, offenders.mkString("\n"))
+    assert(cart.isEmpty, s"CartesianProduct (or planning failure): $cart")
+    assert(bnljUndoc.isEmpty,
+      s"UNDOCUMENTED BroadcastNestedLoopJoin (document why the broadcast " +
+        s"side is bounded at any corpus size, or re-plan): ${bnljUndoc.toMap}")
+    val stale = boundedNestedLoopJoins.keySet -- seen
+    assert(stale.isEmpty,
+      s"stale whitelist entries (key no longer plans a BNLJ): $stale")
+  }
+
+  test("join_bloom_prune: probe sits BELOW the fact-side join exchange; " +
+      "residual join is SMJ; bloom side broadcasts (r17)") {
+    val df = JoinOps.queries("join_bloom_prune")(spark, SfDir)
+    // sparkPlan predates EnsureRequirements (no exchanges yet) — census
+    // the adaptive node's initial plan, the pipe_e2e discipline
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    // the residual exact join models the non-broadcastable dimension
+    assert(phys.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.nonEmpty, s"residual join lost the merge shape:\n$phys")
+    // the whole point: the 4-bit-test conjunction (Catalyst folds the
+    // probe filter into the 1-row BNLJ's join condition) prunes the
+    // fact BELOW its join exchange, so dropped rows never shuffle
+    val prunedBelowExchange = phys.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.collect {
+            case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+                if j.condition.exists(_.toString.contains("element_at")) => j
+          }.nonEmpty => e
+    }
+    assert(prunedBelowExchange.nonEmpty,
+      s"bloom probe is not below the fact-side exchange:\n$phys")
+  }
+
+  test("ts_mad_anomaly: no collect_list / object-hash buffer anywhere — " +
+      "the two-pass value-domain discipline; all windows partition on " +
+      "user_id (r17)") {
+    val df = StreamingOps.queries("ts_mad_anomaly")(spark, SfDir)
+    val phys = df.queryExecution.sparkPlan
+    // an ObjectHashAggregate here would mean a collect-style buffer
+    // whose memory bound is a data distribution (the r16 shape); the
+    // value-domain rewrite uses only codegen'd HashAggregates and
+    // spillable window frames
+    assert(phys.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.isEmpty, s"data-shaped aggregation buffer reappeared:\n$phys")
+    val winParts = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name).toSeq).toSet
+    }
+    assert(winParts.nonEmpty && winParts.forall(_ == Set("user_id")),
+      s"a window lost its user_id partitioning: $winParts")
   }
 
   test("global sweep: every unpartitioned window rides the pid discipline " +
