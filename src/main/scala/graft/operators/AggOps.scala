@@ -1277,12 +1277,28 @@ object AggOps {
   private[graft] def bloomMembers(s: SparkSession, dir: String, words: Int)
       : DataFrame = {
     val span = words * BloomBitsPerWord
+    // `slots` is the FILL denominator: the md5 slices draw from 4,096
+    // values, so a filter wider than 4,096 still only ever sets 4,096
+    // distinct positions. The oracle SQL hardcodes the 4,096 declared-
+    // geometry value — they agree only because the declared words=66
+    // gives span 4,158 > 4,096; a shrunk/grown `words` is SPEC-ONLY and
+    // must not be promoted to an oracled key without parameterizing the
+    // oracle's denominator the same way. Note also that at span < 4,096
+    // the `pos % span` fold below is modulo-BIASED (4,096 values onto
+    // span slots leaves a 4096-mod-span remainder hitting low slots once
+    // more) — harmless for the words=2 saturation forcing AggSpec runs,
+    // wrong for any uniformity claim.
     val slots = math.min(BloomSlots, span)
     val ev = Tables.events(s, dir)
     val mday = ev.agg(max(to_date(col("ts"))).as("mday"))
-    // "yesterday's ingest": the distinct ids active on the newest day
+    // "yesterday's ingest": the distinct ids active on the newest day.
+    // Persisted: three consumers below (the word build, the n_members
+    // datasheet stat, and the panel ground truth) would otherwise each
+    // re-plan the events scan + mday join + distinct — one pass over
+    // events serves all three, and the persisted relation is bounded by
+    // the newest day's distinct-id cardinality.
     val members = ev.join(broadcast(mday), to_date(col("ts")) === col("mday"))
-      .select(col("user_id")).distinct()
+      .select(col("user_id")).distinct().persist()
     def positions(df: DataFrame): DataFrame = df
       .withColumn("h", md5(col("user_id").cast("string")))
       .select(col("user_id"), explode(array(
@@ -1300,10 +1316,14 @@ object AggOps {
     val panel = s.range(1)
       .select(explode(array(BloomPanel.map(lit(_)): _*)).as("user_id"))
     // ground truth for the datasheet: membership restricted to the panel
-    // FIRST (members streamed once against the broadcast 32-row panel —
-    // map-side at any corpus size), so the later left join broadcasts a
-    // <=|panel|-row relation instead of shuffling the full member set
-    // to serve 32 probes
+    // FIRST (the persisted member relation joined against the broadcast
+    // 32-row panel — the exchange feeding `members` is bounded by the
+    // newest day's distinct-id cardinality via its map-side-combined
+    // partial distinct, and the panel join itself adds no shuffle), so
+    // the later left join broadcasts a <=|panel|-row relation instead
+    // of shuffling the member set to serve 32 probes. Panel ids 0..19
+    // are chosen to land inside the fixtures' user domain; the code
+    // tolerates absentees (they simply report actual=false).
     val actuals = members.join(broadcast(panel), Seq("user_id"))
       .withColumn("m", lit(1)) // members and panel are both key-unique
     positions(panel)

@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.DedupOps
 
-/** Dedup-family semantics on sf0.001 (SURVEY §5.2 tier 2/3). The LSH and
-  * SimHash variants have no DuckDB oracle, so their guarantees are pinned
-  * here instead. */
+/** Dedup-family semantics on sf0.001 (SURVEY §5.2 tier 2/3). The LSH
+  * variant (`dedup_near`) has no DuckDB oracle, so its guarantees are
+  * pinned here instead; `dedup_simhash` became fully oracled in r17 (md5
+  * slice hashes replay engine-identically) and keeps its property pins as
+  * belt-and-braces. */
 class DedupSpec extends SparkSpec {
 
   private def q(name: String) = DedupOps.queries(name)(spark, SfDir)
