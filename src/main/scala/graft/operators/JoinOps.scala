@@ -389,8 +389,9 @@ object JoinOps {
     // shuffle reducer: when a selective predicate on the build side
     // (urgent orders) means most fact rows (lineitem) will not survive
     // the join, summarize the build side's KEY SET into a fixed-size
-    // bloom filter, broadcast it, and drop non-matching fact rows
-    // MAP-SIDE, before the fact's join exchange ever materializes. The
+    // bloom filter, re-enter it as a literal predicate, and drop
+    // non-matching fact rows MAP-SIDE, before the fact's join exchange
+    // ever materializes. The
     // exact equi-join then runs as the residual over the survivors —
     // blooms have no false negatives, so the output is identical to the
     // plain join (which is exactly what the oracle runs), and the rare
@@ -537,15 +538,16 @@ object JoinOps {
     * is the plain join — so the cheaper integer hash is the right
     * choice.) `bit_or` folds the masks per word with map-side partial
     * aggregation: at any corpus size the build exchange carries
-    * ≤ [[BloomPruneWords]] rows per partition. The word table then
-    * collapses to ONE dense-array row (missing words zero-filled) so
-    * the probe is an O(1) `element_at` per hash, not a map scan.
+    * ≤ [[BloomPruneWords]] rows per partition. The aggregated word
+    * table — bounded by CONFIG at ≤ `words` rows — then collects to the
+    * driver and re-enters the plan as ONE dense array LITERAL (missing
+    * words zero-filled), the same build-subquery-to-literal shape
+    * Spark's own InjectRuntimeFilter materializes, so the probe is an
+    * O(1) codegen'd `element_at` per hash.
     *
-    * Stage 2 (probe, map-side): the single-row array broadcasts
-    * (BroadcastNestedLoopJoin against a 1-row side — bounded by
-    * construction) and a codegen'd conjunction of 4 bit tests filters
-    * lineitem BEFORE its join exchange. PlanSpec pins the filter below
-    * the fact-side shuffle.
+    * Stage 2 (probe, map-side): a codegen'd conjunction of 4 bit tests
+    * against the literal filters lineitem BEFORE its join exchange.
+    * PlanSpec pins the filter below the fact-side shuffle.
     *
     * Stage 3 (residual): the exact equi-join over the survivors. The
     * merge hint models the 100-TB reality this key exists for — a
@@ -590,27 +592,30 @@ object JoinOps {
         pow(lit(2.0), pmod(col("pos"), lit(BloomPruneBitsPerWord)))
           .cast("long").as("mask"))
       .groupBy("word_idx").agg(expr("bit_or(mask)").as("word"))
-    // one dense-array row: element_at probes are O(1) array indexing
-    // (the collect_list fold is over the ≤`words`-row word table —
-    // bounded by config, never by data)
-    val bloom = filterWords
-      .agg(map_from_entries(collect_list(
-        struct(col("word_idx"), col("word")))).as("m"))
-      .select(transform(sequence(lit(0), lit(words - 1)),
-        i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom"))
+    // runtime materialization: the aggregated word table is ≤ `words`
+    // rows — bounded by CONFIG, never by data — so it collects to the
+    // driver and re-enters the plan as ONE dense array literal. This is
+    // exactly InjectRuntimeFilter's shape (build subquery → collected
+    // scalar → literal predicate on the probe side), and the literal
+    // makes each probe an O(1) codegen'd array index. (A first cut kept
+    // the build distributed as a 1-row crossJoin whose dense array came
+    // from per-index map lookups — Catalyst maps are linear scans, so
+    // that build was O(words²) interpreted work per execution, measured
+    // ~3 s at words=8192.)
+    val wordArr = new Array[Long](words)
+    filterWords.collect().foreach(r => wordArr(r.getInt(0)) = r.getLong(1))
+    val bloom = typedlit(wordArr.toSeq)
     val probeHit = (0 until BloomPruneHashes).map { g =>
       val pos = hashPos(col("l_orderkey"), g)
       val wi = floor(pos / BloomPruneBitsPerWord).cast("int")
       val mask = pow(lit(2.0), pmod(pos, lit(BloomPruneBitsPerWord)))
         .cast("long")
-      element_at(col("bloom"), wi + 1).bitwiseAND(mask) === mask
+      element_at(bloom, wi + 1).bitwiseAND(mask) === mask
     }.reduce(_ && _)
     // probe: map-side filter BELOW the fact's join exchange
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
-      .crossJoin(broadcast(bloom))
       .filter(probeHit)
-      .drop("bloom")
   }
 
   private[graft] def bloomPruneJoin(s: SparkSession, dir: String,

@@ -390,7 +390,6 @@ class PlanSpec extends SparkSpec {
     "agg_kendall_tau" -> "1-row concordance/tie-term scalars (4 folds of the pair stats)",
     "agg_lorenz" -> "1-row corpus-total scalar onto the decile table",
     "agg_simpson" -> "1-row grand-total scalar",
-    "join_bloom_prune" -> "1-row dense bloom word-array (words x 8B, config constant)",
     "ml_ece" -> "1-row doc-count scalar onto the 10 calibration bins",
     "pipe_dsir_weights" -> "1-row per-side token-total scalars",
     "pipe_expectations" -> "1-row scan-check x 1-row orphan-count datasheet",
@@ -483,7 +482,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("join_bloom_prune: probe sits BELOW the fact-side join exchange; " +
-      "residual join is SMJ; bloom side broadcasts (r17)") {
+      "residual join is SMJ (r17)") {
     val df = JoinOps.queries("join_bloom_prune")(spark, SfDir)
     // sparkPlan predates EnsureRequirements (no exchanges yet) — census
     // the adaptive node's initial plan, the pipe_e2e discipline
@@ -496,14 +495,14 @@ class PlanSpec extends SparkSpec {
     assert(phys.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }.nonEmpty, s"residual join lost the merge shape:\n$phys")
-    // the whole point: the 4-bit-test conjunction (Catalyst folds the
-    // probe filter into the 1-row BNLJ's join condition) prunes the
-    // fact BELOW its join exchange, so dropped rows never shuffle
+    // the whole point: the 4-bit-test conjunction against the literal
+    // word array prunes the fact BELOW its join exchange, so dropped
+    // rows never shuffle
     val prunedBelowExchange = phys.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if e.child.collect {
-            case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-                if j.condition.exists(_.toString.contains("element_at")) => j
+            case f: org.apache.spark.sql.execution.FilterExec
+                if f.condition.toString.contains("element_at") => f
           }.nonEmpty => e
     }
     assert(prunedBelowExchange.nonEmpty,

@@ -92,10 +92,11 @@ class RuntimeFilterSpec extends SparkSpec {
           a.initialPlan
         case p => p
       }
-      // the probe BNLJ is still in the plan — OUR rewrite, not Spark's
+      // the probe filter (4 bit tests against the literal word array)
+      // is still in the plan — OUR rewrite, not Spark's
       assert(phys.collect {
-        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-            if j.condition.exists(_.toString.contains("element_at")) => j
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("element_at") => f
       }.nonEmpty, s"declared bloom probe missing with the injector off:\n$phys")
       // and the output is still the plain selective join
       val got = df.collect().toSeq
