@@ -1292,11 +1292,16 @@ object AggOps {
     val ev = Tables.events(s, dir)
     val mday = ev.agg(max(to_date(col("ts"))).as("mday"))
     // "yesterday's ingest": the distinct ids active on the newest day.
-    // Persisted: three consumers below (the word build, the n_members
-    // datasheet stat, and the panel ground truth) would otherwise each
-    // re-plan the events scan + mday join + distinct — one pass over
-    // events serves all three, and the persisted relation is bounded by
-    // the newest day's distinct-id cardinality.
+    // Persisted (r17 advice): three consumers below (the word build, the
+    // n_members datasheet stat, and the panel ground truth) would
+    // otherwise each re-plan the events scan + mday join + distinct —
+    // one pass over events serves all three, and the persisted relation
+    // is bounded by the newest day's distinct-id cardinality. Measured
+    // local trade-off: ~0.6 → ~1.0 s warm at sf0.1, because the three
+    // re-plans used to run inside CONCURRENT broadcast-exchange threads
+    // whose scans overlap on a 2 MB fixture; at corpus scale that
+    // "free" overlap is 3× the events I/O, so the single-scan build is
+    // the shape that survives 100 TB.
     val members = ev.join(broadcast(mday), to_date(col("ts")) === col("mday"))
       .select(col("user_id")).distinct().persist()
     def positions(df: DataFrame): DataFrame = df
