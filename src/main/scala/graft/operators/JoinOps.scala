@@ -624,10 +624,17 @@ object JoinOps {
       .join(bloomPruneDim(s, dir).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_returnflag")
+      // the DECIMAL folds are exact; the 4dp pin is on the decimal →
+      // DOUBLE conversion, which the two engines round differently in
+      // the last ulp at sf0.1 magnitudes (caught by verify_scale:
+      // 2133720783.32 vs ...3200002) — §7.4's explicit floor chain runs
+      // identically on both
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(28,10)")).cast("double")
+        graft.functions.Num.pin(
+          sum(col("l_quantity").cast("decimal(28,10)")).cast("double"), 4)
           .as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(28,10)")).cast("double")
+        graft.functions.Num.pin(
+          sum(col("l_extendedprice").cast("decimal(28,10)")).cast("double"), 4)
           .as("sum_price"))
       .orderBy("l_returnflag")
   }
@@ -806,10 +813,10 @@ object JoinOps {
     // exact residual join ⇒ the result IS the plain selective equi-join
     "join_bloom_prune" ->
       """SELECT l_returnflag, count(*) AS n_items,
-                CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
-                  AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
-                  AS sum_price
+                floor(CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                           AS DOUBLE) * 1e4 + 0.5) / 1e4 AS sum_qty,
+                floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+                           AS DOUBLE) * 1e4 + 0.5) / 1e4 AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY l_returnflag

@@ -107,9 +107,11 @@ class RuntimeFilterSpec extends SparkSpec {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(28,10)")).cast("double")
+          graft.functions.Num.pin(
+            sum(col("l_quantity").cast("decimal(28,10)")).cast("double"), 4)
             .as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(28,10)")).cast("double")
+          graft.functions.Num.pin(
+            sum(col("l_extendedprice").cast("decimal(28,10)")).cast("double"), 4)
             .as("sum_price"))
         .orderBy("l_returnflag")
         .collect().toSeq
