@@ -98,71 +98,3 @@ object FreqSketch {
   def freqItems(capacity: Int)(item: Column): Column =
     udaf(new SpaceSaving(capacity), Encoders.STRING).apply(item)
 }
-
-/** Count-Min sketch (Cormode & Muthukrishnan '05) — mergeable
-  * point-frequency estimates in O(depth × width) memory regardless of
-  * item cardinality. Every partial holds the same depth×width counter
-  * grid; `merge` is an element-wise sum (exactly associative and
-  * commutative, so partials combine in any shuffle order), and the
-  * estimate for an item is the MIN of its `depth` counters.
-  * Overestimates only: est ∈ [true, true + ε·N] with ε = e/width at
-  * probability 1 − e^(−depth); pinned in AggSpec against exact counts.
-  *
-  * The scale complement to [[FreqSketch.SpaceSaving]]: SpaceSaving
-  * answers "which items are frequent", Count-Min answers "how frequent
-  * is THIS item" for arbitrary probes without ever storing keys — the
-  * grid is 4×256 longs here (8 KiB) whether the stream has 64 distinct
-  * tokens or 10^9.
-  */
-object CountMin {
-  val Depth = 4
-  val Width = 256
-
-  /** Mutable aggregation state — one flat depth×width counter grid. */
-  final class CMBuf {
-    val t = new Array[Long](Depth * Width)
-  }
-
-  class Sketch(probes: Seq[String]) extends Aggregator[String, CMBuf, FreqSketch.Buf] {
-
-    override def zero: CMBuf = new CMBuf
-
-    override def reduce(b: CMBuf, item: String): CMBuf = {
-      var r = 0
-      while (r < Depth) { b.t(r * Width + idx(item, r)) += 1L; r += 1 }
-      b
-    }
-
-    override def merge(b1: CMBuf, b2: CMBuf): CMBuf = {
-      var i = 0
-      while (i < b1.t.length) { b1.t(i) += b2.t(i); i += 1 }
-      b1
-    }
-
-    /** Point estimates for the probe items, ordered by item asc. */
-    override def finish(r: CMBuf): FreqSketch.Buf = {
-      val ps = probes.distinct.sorted
-      FreqSketch.Buf(ps, ps.map { p =>
-        var m = Long.MaxValue
-        var row = 0
-        while (row < Depth) {
-          val v = r.t(row * Width + idx(p, row))
-          if (v < m) m = v
-          row += 1
-        }
-        m
-      })
-    }
-
-    override def bufferEncoder: Encoder[CMBuf] = Encoders.kryo[CMBuf]
-    override def outputEncoder: Encoder[FreqSketch.Buf] = Encoders.product[FreqSketch.Buf]
-  }
-
-  /** Pairwise-independent-enough row hashes: murmur3 under per-row seeds. */
-  private def idx(item: String, row: Int): Int =
-    (scala.util.hashing.MurmurHash3.stringHash(item, 0x9747b28c + row) & 0x7fffffff) % Width
-
-  /** Column aggregate: (items, counts) estimates for `probes`, item asc. */
-  def estimates(probes: Seq[String])(item: Column): Column =
-    udaf(new Sketch(probes), Encoders.STRING).apply(item)
-}

@@ -1265,10 +1265,8 @@ object AggOps {
     * both engines (`instr`/`substring` are identical in Spark SQL and
     * DuckDB), so the parsed values — and therefore every downstream
     * bit — replay exactly. */
-  private[graft] def hex3Sql(hcol: String, off: Int): String = {
-    def d(o: Int) = s"(instr('0123456789abcdef', substring($hcol, $o, 1)) - 1)"
-    s"(CAST(${d(off)} AS BIGINT) * 256 + ${d(off + 1)} * 16 + ${d(off + 2)})"
-  }
+  private[graft] def hex3Sql(hcol: String, off: Int): String =
+    graft.functions.HexSql.intAt(hcol, off, 3)
 
   /** The `agg_bloom_members` plan, parameterized on the word count so
     * AggSpec can force a saturated small filter (guaranteed false

@@ -82,11 +82,8 @@ object DedupOps {
     * so every downstream vote, bit, and Hamming distance replays exactly
     * (the agg_bloom_members hex-slice discipline, widened to 8 chars for
     * a 32-bit draw). */
-  private[graft] def hex8Sql(hcol: String): String = {
-    def d(o: Int) = s"(instr('0123456789abcdef', substring($hcol, $o, 1)) - 1)"
-    (1 to 8).map(i => s"CAST(${d(i)} AS BIGINT) * ${1L << (4 * (8 - i))}")
-      .mkString("(", " + ", ")")
-  }
+  private[graft] def hex8Sql(hcol: String): String =
+    graft.functions.HexSql.intAt(hcol, 1, 8)
 
   /** Bit `j`'s SimHash majority vote over a group's token hashes: +1 when
     * the bit is set, −1 when clear. `FLOOR(hv / 2^j)` is exact (hv < 2³²,

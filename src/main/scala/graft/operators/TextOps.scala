@@ -27,6 +27,12 @@ object TextOps {
   val CountMinProbes: Seq[String] =
     Seq("spark", "merge", "join", "table", "query", "value", "nonexistent_token")
 
+  /** `text_countmin` geometry: 4 independent rows × 256 slots. Width is
+    * exactly 16² so a 2-hex-char md5 slice addresses a row's slots
+    * uniformly with no modulo bias; ε = e/width ≈ 1.06%. */
+  val CountMinDepth = 4
+  val CountMinWidth = 256
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small and deterministic — the point is the
     * plan shape (argmax over per-list overlap counts in one scan). */
@@ -556,18 +562,42 @@ object TextOps {
         .select(col("e.items").as("token"), col("e.counts").as("cnt"))
         .orderBy(col("cnt").desc, col("token"))),
 
-    // Count-Min point-frequency estimates for a fixed probe set: one
-    // 8 KiB counter grid per partial, element-wise-sum merge, min-of-rows
-    // estimate — "how often does THIS token appear corpus-wide" without a
-    // per-token groupBy or storing keys. No oracle (sketch-impl-specific);
-    // AggSpec pins the one-sided ε·N overestimate bound vs exact counts.
-    "text_countmin" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(tokens(col("text"))).as("token"))
-        .agg(graft.functions.CountMin.estimates(CountMinProbes)(col("token")).as("sk"))
-        .select(explode(arrays_zip(col("sk.items"), col("sk.counts"))).as("e"))
-        .select(col("e.items").as("token"), col("e.counts").as("est"))
-        .orderBy("token")),
+    // Count-Min point-frequency estimates for a fixed probe set (Cormode
+    // & Muthukrishnan '05): "how often does THIS token appear
+    // corpus-wide" without a per-token groupBy or storing keys. r17
+    // (spec-only until now): the sketch is DECLARATIVE and fully
+    // ORACLED — each token touches one cell per depth row, the cell
+    // position a disjoint 2-hex-char slice of md5(token) (16² = 256 =
+    // width, uniform, no modulo bias; the agg_bloom_members hex-slice
+    // discipline via the shared HexSql builder, so DuckDB replays every
+    // cell), the build is ONE map-side-combined groupBy whose partials
+    // are bounded at depth×width = 1,024 cells per partition regardless
+    // of corpus size, grids MERGE by per-cell count addition (the same
+    // exchange does it), and the estimate is the min of a probe's depth
+    // cells with empty cells reading 0 — a broadcast join of the 28
+    // probe positions against the config-bounded grid. AggSpec keeps
+    // the one-sided ε·N overestimate bound vs exact counts as
+    // belt-and-braces.
+    "text_countmin" -> ((s, dir) => {
+      def positions(df: DataFrame): DataFrame = df
+        .withColumn("h", md5(col("token")))
+        .select(col("token"), explode(array((0 until CountMinDepth).map(r =>
+          struct(lit(r).as("row"),
+            expr(graft.functions.HexSql.intAt("h", 1 + 8 * r, 2)).as("pos"))): _*))
+          .as("c"))
+        .select(col("token"), col("c.row").as("row"), col("c.pos").as("pos"))
+      val cells = positions(
+        Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("token")))
+        .groupBy("row", "pos").agg(count(lit(1)).as("cnt"))
+      val probes = s.range(1)
+        .select(explode(array(CountMinProbes.map(lit(_)): _*)).as("token"))
+      positions(probes)
+        .join(broadcast(cells), Seq("row", "pos"), "left")
+        .groupBy("token")
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+        .orderBy("token")
+    }),
 
     // Canonical document fingerprint: md5 over the sorted distinct token
     // set (OpenRefine-style fingerprint) — the shuffle-key form of
@@ -1136,6 +1166,30 @@ object TextOps {
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY cnt DESC, token""",
+    // the sketch replays cell-for-cell: same tokenization, same md5
+    // 2-hex-char slices (the shared HexSql text), same grid group-count,
+    // same min-of-depth-cells with empty cells reading 0
+    "text_countmin" -> {
+      def cellSelect(r: Int) =
+        s"SELECT $r AS row, ${graft.functions.HexSql.intAt("h", 1 + 8 * r, 2)} AS pos FROM h"
+      s"""WITH h AS (
+           SELECT md5(token) AS h
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)),
+         cells AS (
+           SELECT row, pos, count(*) AS cnt FROM (
+             ${(0 until CountMinDepth).map(cellSelect).mkString("\n             UNION ALL ")})
+           GROUP BY 1, 2),
+         ph AS (
+           SELECT token, md5(token) AS h
+           FROM (SELECT unnest([${CountMinProbes.map(p => s"'$p'").mkString(", ")}]) AS token)),
+         ppos AS (
+           ${(0 until CountMinDepth).map(r =>
+             s"SELECT token, $r AS row, ${graft.functions.HexSql.intAt("h", 1 + 8 * r, 2)} AS pos FROM ph")
+             .mkString("\n           UNION ALL ")})
+         SELECT token, min(coalesce(cnt, 0)) AS est
+         FROM ppos LEFT JOIN cells USING (row, pos)
+         GROUP BY token ORDER BY token"""
+    },
     "text_entropy" ->
       """WITH tf AS (
            SELECT doc_id, token, count(*) AS tf

@@ -123,7 +123,7 @@ class AggSpec extends SparkSpec {
     val exact = graft.operators.TextOps.queries("text_tokens")(spark, SfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = exact.values.sum
-    val eps = math.E / graft.functions.CountMin.Width
+    val eps = math.E / graft.operators.TextOps.CountMinWidth
     assert(est.keySet === graft.operators.TextOps.CountMinProbes.toSet)
     graft.operators.TextOps.CountMinProbes.foreach { p =>
       val truth = exact.getOrElse(p, 0L)
