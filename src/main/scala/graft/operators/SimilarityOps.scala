@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,66 @@ object SimilarityOps {
   /** Random-hyperplane LSH: signature bits / fixture embedding dim. */
   val LshPlanes = 8
   val EmbedDim  = 64
+
+  /** Fixed Rademacher hyperplane signs for `ann_lsh` (r17): ±1 per
+    * (plane, dim), drawn ONCE from the top bit of md5("p|i") — a
+    * deterministic, engine-independent table (the BenfordP
+    * fixed-literal discipline: the Spark plan and the oracle SQL are
+    * both generated from THIS value, so the planes cannot drift).
+    * Sign-random projections with Rademacher entries are a standard
+    * cosine-LSH family (Charikar 2002's rounding argument needs only a
+    * symmetric zero-mean entry distribution). Replaces the
+    * JVM-seeded `Random.nextGaussian` planes, whose implementation-
+    * specific stream was the only reason this key lacked an oracle. */
+  private[graft] val LshSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(LshPlanes, EmbedDim) { (p, i) =>
+      val d = md.digest(s"$p|$i".getBytes("UTF-8"))
+      if ((d(0) & 0x80) != 0) 1 else -1
+    }
+  }
+
+  /** One hyperplane's dot product, ORACLE side, as SQL text:
+    * Σ_i s_i · ⌊v_i·10⁶⌋. The float coordinate is quantized by an
+    * explicit FLOOR (a bare CAST double → BIGINT truncates on Spark but
+    * ROUNDS on DuckDB; FLOOR floors on both) so the fold is EXACT
+    * BIGINT arithmetic — order-independent, engine-identical — and the
+    * SIGN, the only thing LSH consumes, replays bit-for-bit. The
+    * µ-quantization perturbs each hyperplane by < 64·10⁻⁶ in coordinate
+    * mass — noise against unit-scale embeddings, and deterministic
+    * noise at that. The Spark side computes the SAME sum via
+    * [[lshBucketCol]] (zip_with + aggregate over the literal sign
+    * array): a 64-term unrolled chain here would be textually
+    * shareable, but its ~5k-node expression tree cost ~1 s of Catalyst
+    * analysis per execution (measured), and exact integer addition
+    * needs no textual identity to agree. */
+  private[graft] def lshDotSql(p: Int): String =
+    (0 until EmbedDim).map { i =>
+      val t = s"CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)"
+      if (LshSigns(p)(i) > 0) t else s"(0 - $t)"
+    }.mkString("(", " + ", ")")
+
+  /** The packed 8-bit bucket signature, oracle side: bit p set iff
+    * hyperplane p's dot is strictly positive (zero → 0 on both
+    * engines). */
+  private[graft] def lshBucketSql: String =
+    (0 until LshPlanes).map(p =>
+      s"(CASE WHEN ${lshDotSql(p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** The packed bucket signature, Spark side: the identical integer
+    * arithmetic as [[lshBucketSql]] — s_i · ⌊v_i·10⁶⌋ folded as
+    * BIGINT — in a ~150-node tree (one literal sign array + one
+    * zip_with/aggregate per plane) instead of a 5k-node unrolled
+    * chain. */
+  private[graft] def lshBucketCol(emb: Column): Column =
+    (0 until LshPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(emb, lit(LshSigns(p).toArray), (v, sg) =>
+          sg.cast("long") * floor(v.cast("double") * lit(1000000.0)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** Product quantization: M subspaces × K centroids, sub-dim = dim/M.
     * Codebooks train on a bounded deterministic sample of at most
@@ -279,24 +339,20 @@ object SimilarityOps {
     // random-hyperplane sign bits pack each vector into a 1-byte bucket
     // signature (SimHash over the continuous space). The probe inspects
     // only buckets within Hamming distance 1 of its own (multi-probe), so
-    // the exact-cosine work is |few buckets|, not |table|; hyperplanes are
-    // a fixed-seed broadcast and the whole query is one linear scan + one
-    // tiny shuffle. No oracle (hyperplane-set-specific); recall vs
-    // `ann_brute` is pinned in SimilaritySpec.
+    // the exact-cosine work is |few buckets|, not |table|. r17
+    // (spec-only until now): the hyperplanes are the FIXED md5-derived
+    // Rademacher sign table [[LshSigns]], each plane's dot an exact
+    // BIGINT fold over the 10⁶-quantized coordinates generated by ONE
+    // SQL builder both engines consume ([[lshDotSql]]) — so the buckets,
+    // the Hamming-1 candidate set, and the final exact-cosine ranks all
+    // replay in DuckDB and the key is fully ORACLED. The signature is
+    // one codegen'd in-row expression over the scan (no plane relation,
+    // no join, no extra pass — cheaper than the broadcast-plane form it
+    // replaces); the whole query is one linear scan + a 1-row probe
+    // broadcast. Recall vs `ann_brute` stays pinned in SimilaritySpec.
     "ann_lsh" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val rng = new scala.util.Random(42)
-      val planes = Seq.tabulate(LshPlanes)(_ =>
-        Seq.fill(EmbedDim)(rng.nextGaussian().toFloat))
-      import s.implicits._
-      val pdf = planes.zipWithIndex.map { case (v, i) => (i, v) }.toDF("pid", "pvec")
-      val bits = e.crossJoin(broadcast(pdf))
-        .select(col("vec_id"),
-          when(graft.functions.ArrayExprs.cosine(
-            col("embedding"), col("pvec")) > 0,
-            expr("shiftleft(1, pid)")).otherwise(0).as("bit"))
-      val buckets = bits.groupBy("vec_id").agg(sum(col("bit")).as("bucket"))
-      val withB = e.join(buckets, "vec_id")
+      val withB = Tables.embeddings(s, dir)
+        .withColumn("bucket", lshBucketCol(col("embedding")))
       val probeB = withB.filter(col("vec_id") === 42)
         .select(col("bucket").as("qb"), col("embedding").as("qv"))
       withB.filter(col("vec_id") =!= 42).crossJoin(broadcast(probeB))
@@ -714,6 +770,25 @@ object SimilarityOps {
     s"list_sum(list_transform(range($PqSub), i -> ($a[i + 1] - $b[i + 1]) * ($a[i + 1] - $b[i + 1])))"
 
   def oracles: Map[String, String] = Map(
+    // buckets replay from the same generated BIGINT dot chains (the
+    // shared lshBucketSql text modulo 1-based indexing syntax), the
+    // candidate set is the same Hamming-1 integer compare, and the
+    // final ranks are the established list_cosine_similarity 4dp form
+    "ann_lsh" -> {
+      s"""WITH b AS (
+           SELECT vec_id, embedding,
+                  $lshBucketSql AS bucket
+           FROM embeddings),
+         q AS (SELECT bucket AS qb, CAST(embedding AS DOUBLE[]) AS qv
+               FROM b WHERE vec_id = 42)
+         SELECT vec_id,
+                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                  (SELECT qv FROM q)) * 100, 4) AS sim
+         FROM b
+         WHERE vec_id <> 42
+           AND bit_count(xor(bucket, (SELECT qb FROM q))) <= 1
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
     // replays ann_ivf end to end: exact-DECIMAL 6dp centroid means per
     // (label, pos), nearest-centroid assignment and the nprobe=3 probe
     // both ranked on the identical left-fold cosine with a list_id

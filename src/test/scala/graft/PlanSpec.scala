@@ -416,7 +416,7 @@ class PlanSpec extends SparkSpec {
     "ann_range" -> "1-row probe-vector scalar",
     "ann_hybrid_rerank" -> "1-row probe vector + k-bounded rerank candidates",
     "ann_ivf" -> "k-centroid table + 1-row probe (k = config constant)",
-    "ann_lsh" -> "hyperplane panel + 1-row probe (L x planes = config)",
+    "ann_lsh" -> "1-row probe bucket+vector scalar (planes are in-row literals since r17)",
     "ann_pq" -> "<=4096-row trained codebook + 1-row probe",
     "ml_kmeans" -> "k-centroid relation per Lloyd round (k = config constant)",
     "ml_knn" -> "1-row probe-vector scalar",
