@@ -98,8 +98,33 @@ object Bench {
       if (x == 42L) System.err.println("calib sentinel")
       (System.nanoTime() - t0) / 1e9
     }
+    // Multi-core calibration channel (r17 verdict item 1): the
+    // single-thread probe above cannot see multi-core contention — r17's
+    // three same-code runs spread 113.8–133.7 s warm while calib stayed
+    // flat at 0.614–0.628, so attribution rested on bracket-run narrative.
+    // This channel runs the SAME fixed probe on cpus/4 threads (8 at the
+    // driver's 32) CONCURRENTLY and reads each thread's own elapsed time:
+    // when the host is stealing cores, concurrent threads slow down even
+    // though one pinned thread doesn't. Per invocation we record the
+    // MEDIAN of the per-thread times (robust to one descheduled thread);
+    // the per-pass medians go in the JSON as "calib_mc" with their min as
+    // "calib_mc_min". How to read the pair: warm-total drift with BOTH
+    // channels flat = plan regression; calib flat but calib_mc up = the
+    // r17-run-B signature (multi-core steal) = host noise.
+    val mcThreads = math.max(2, cpus.toInt / 4)
+    def calibMc(): Double = {
+      val perThread = new Array[Double](mcThreads)
+      val ts = (0 until mcThreads).map { j =>
+        new Thread(() => perThread(j) = calib())
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val sorted = perThread.sorted
+      sorted(mcThreads / 2)
+    }
     val calibs = Vector.newBuilder[Double]
+    val calibsMc = Vector.newBuilder[Double]
     calibs += calib()
+    calibsMc += calibMc()
     for (_ <- 1 to repeat) {
       for ((((name, fn), i)) <- names.zipWithIndex) {
       val t0 = System.nanoTime()
@@ -130,8 +155,10 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       }
       calibs += calib()
+      calibsMc += calibMc()
     }
     val calibTimes = calibs.result()
+    val calibMcTimes = calibsMc.result()
     val results = names.zipWithIndex.map { case ((name, _), i) =>
       val ts = times(i).result()
       // warm statistics over the post-cold passes only (falling back to
@@ -172,7 +199,11 @@ object Bench {
       // after each pass) — the host-contention channel; calib_min ≈ the
       // uncontended floor of this host class
       val cal = calibTimes.map(c => "%.3f".format(c)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"warm":${"%.3f".format(warmTotal)},"warm_med":${"%.3f".format(warmMedTotal)},"runs":$repeat,"unit":"sec","calib":$cal,"calib_min":${"%.3f".format(calibTimes.min)},"queries":$qs$om$fl,"sf":"$sfDir"}"""
+      // calib_mc: per-pass medians of the concurrent cpus/4-thread probe —
+      // the multi-core contention channel the single-thread calib is blind
+      // to (see calibMc above)
+      val calMc = calibMcTimes.map(c => "%.3f".format(c)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"warm":${"%.3f".format(warmTotal)},"warm_med":${"%.3f".format(warmMedTotal)},"runs":$repeat,"unit":"sec","calib":$cal,"calib_min":${"%.3f".format(calibTimes.min)},"calib_mc":$calMc,"calib_mc_min":${"%.3f".format(calibMcTimes.min)},"queries":$qs$om$fl,"sf":"$sfDir"}"""
     }
     val MaxLen = 1800
     val out = Iterator((3, results.length), (2, results.length), (2, 60), (2, 40))

@@ -1299,7 +1299,11 @@ object AggOps {
     // re-plans used to run inside CONCURRENT broadcast-exchange threads
     // whose scans overlap on a 2 MB fixture; at corpus scale that
     // "free" overlap is 3× the events I/O, so the single-scan build is
-    // the shape that survives 100 TB.
+    // the shape that survives 100 TB. Cache lifecycle (r17 advice): the
+    // harness's per-query clearCache drops the entry, and within a
+    // session CacheManager dedups semantically-equal plans (a repeat
+    // persist() of this same build is a no-op, not a second pinned
+    // copy), so repeated builder invocations reuse one cached relation.
     val members = ev.join(broadcast(mday), to_date(col("ts")) === col("mday"))
       .select(col("user_id")).distinct().persist()
     def positions(df: DataFrame): DataFrame = df

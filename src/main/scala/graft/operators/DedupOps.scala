@@ -163,7 +163,7 @@ object DedupOps {
     def docMapHinted: DataFrame = Bcast.ifFitsRows(docMap, nDocs, 24)
   }
 
-  private def collapse(s: SparkSession, dir: String): Collapse = {
+  private[graft] def collapse(s: SparkSession, dir: String): Collapse = {
     val df = docHashes(s, dir).withColumn("fp", xxhash64(col("th")))
     // the collapse groupBy sees the arrays anyway, so the per-set token
     // count rides the SAME shuffle — the verify-stage broadcast budget
@@ -595,47 +595,9 @@ object DedupOps {
     // function; ExprProps/ArrayExprsSpec pin it).
     "dedup_simhash" -> ((s, dir) => {
       val c = collapse(s, dir)
-      // every gid IS its set's min doc_id, so the representative doc's
-      // text reproduces the set — signatures are computed once per
-      // UNIQUE set, off one size-conditional semi-join against the scan
-      val reps = Tables.documents(s, dir)
-        .join(Bcast.ifFitsRows(c.gidMap.select(col("gid")), c.nGids, 12),
-          col("doc_id") === col("gid"))
-      // spread the representative docs across the cluster BEFORE the
-      // heavy per-token work: the fixture's documents parquet is one
-      // split, and without this the explode + md5 + hex parse + 32 vote
-      // partials all run inside that single scan task (measured ~1.9 s
-      // serial vs ~0.1 s wide at sf0.1); the exchange itself is |sets|
-      // slim text rows
-      val votes = reps
-        .repartition(s.sessionState.conf.numShufflePartitions)
-        .select(col("gid"), explode(toks(col("text"))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-        .selectExpr("gid", s"${hex8Sql("h")} AS hv")
-        .groupBy("gid")
-        .agg(expr(s"${simhashVoteSql(0)} AS v0"),
-          (1 until 32).map(j => expr(s"${simhashVoteSql(j)} AS v$j")): _*)
-      // one-word signature, but shipped as ARRAY<BIGINT> so the pair scan
-      // is the fused SelfPairwise Hamming loop (the declarative
-      // `a < b` BNLJ materializes a joined row for every one of the n²/2
-      // candidate pairs BEFORE the popcount filter runs). The
-      // repartition + persist matter: the probe side's parallelism IS
-      // the fused loop's parallelism, and AQE coalesces the few-KB
-      // post-aggregation sig relation to ONE partition — which then runs
-      // the n² popcount scan single-threaded (measured: a ~1.7 s 1-task
-      // stage at sf0.1 vs ~0.2 s over the 32 cached partitions). The
-      // round-robin form is deliberate: a hash repartition on gid is
-      // partitioning-identical to the groupBy's exchange, so the
-      // optimizer elides it and AQE's coalesce wins anyway; an explicit
-      // fixed-width round-robin survives both. The persisted relation
-      // pins that width AND serves both of the fused operator's child
-      // executions (build collect + probe stream) from one evaluation —
-      // it is |sets| slim (long, 1-word array) rows, the collapse-family
-      // cache shape.
-      val sig = votes.selectExpr("gid", s"$simhashPackSql AS sh")
-        .select(col("gid"), array(col("sh")).as("sh"))
-        .repartition(s.sessionState.conf.numShufflePartitions)
-        .persist()
+      // signature stage extracted to [[simhashSig]] (r18) — the
+      // repartition/persist/parallelism design notes live there
+      val sig = simhashSig(s, dir, c)
       val inter = graft.plans.SelfPairwise(sig,
         graft.plans.SelfPairwise.Hamming, -HammingMax.toDouble, triangular = true)
         .select(col("src").as("gid_a"), col("dst").as("gid_b"),
@@ -995,6 +957,63 @@ object DedupOps {
        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.sh, b.sh)) <= $HammingMax
        ORDER BY doc_a, doc_b"""
+
+  /** `dedup_simhash`'s signature stage — one 32-bit signature per UNIQUE
+    * token set, as a persisted (gid, ARRAY<BIGINT>) relation ready for
+    * the fused SelfPairwise Hamming scan. Extracted (r18, r17 verdict
+    * item 4) so the signature build and the pair scan can be TIMED
+    * separately when attributing the key's steady-state cost. */
+  private[graft] def simhashSig(s: SparkSession, dir: String,
+      c: Collapse): DataFrame = {
+      // every gid IS its set's min doc_id, so the representative doc's
+      // text reproduces the set — signatures are computed once per
+      // UNIQUE set, off one size-conditional semi-join against the scan
+      val reps = Tables.documents(s, dir)
+        .join(Bcast.ifFitsRows(c.gidMap.select(col("gid")), c.nGids, 12),
+          col("doc_id") === col("gid"))
+      // spread the representative docs across the cluster BEFORE the
+      // heavy per-token work: the fixture's documents parquet is one
+      // split, and without this the explode + md5 + hex parse + 32 vote
+      // partials all run inside that single scan task (measured ~1.9 s
+      // serial vs ~0.1 s wide at sf0.1); the exchange itself is |sets|
+      // slim text rows
+      val votes = reps
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .select(col("gid"), explode(toks(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+        .selectExpr("gid", s"${hex8Sql("h")} AS hv")
+        .groupBy("gid")
+        .agg(expr(s"${simhashVoteSql(0)} AS v0"),
+          (1 until 32).map(j => expr(s"${simhashVoteSql(j)} AS v$j")): _*)
+      // one-word signature, but shipped as ARRAY<BIGINT> so the pair scan
+      // is the fused SelfPairwise Hamming loop (the declarative
+      // `a < b` BNLJ materializes a joined row for every one of the n²/2
+      // candidate pairs BEFORE the popcount filter runs). The
+      // repartition + persist matter: the probe side's parallelism IS
+      // the fused loop's parallelism, and AQE coalesces the few-KB
+      // post-aggregation sig relation to ONE partition — which then runs
+      // the n² popcount scan single-threaded (measured: a ~1.7 s 1-task
+      // stage at sf0.1 vs ~0.2 s over the 32 cached partitions). The
+      // round-robin form is deliberate: a hash repartition on gid is
+      // partitioning-identical to the groupBy's exchange, so the
+      // optimizer elides it and AQE's coalesce wins anyway; an explicit
+      // fixed-width round-robin survives both. The persisted relation
+      // pins that width AND serves both of the fused operator's child
+      // executions (build collect + probe stream) from one evaluation —
+      // it is |sets| slim (long, 1-word array) rows, the collapse-family
+      // cache shape. Cache lifecycle (r17 advice): like collapse()'s
+      // persists, this entry is dropped by the harness's per-query
+      // clearCache (Bench/Verify); within a long-lived session repeated
+      // builder invocations do NOT pin fresh copies — CacheManager
+      // dedups by semantic plan equality (cacheQuery is a no-op when
+      // lookupCachedData hits), so one entry per (dir, conf) serves
+      // every rebuild, the same reuse the SessionMemo stats pattern
+      // gives the collapse maps.
+      votes.selectExpr("gid", s"$simhashPackSql AS sh")
+        .select(col("gid"), array(col("sh")).as("sh"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .persist()
+  }
 
   def oracles: Map[String, String] = Map(
     "dedup_simhash" -> SimhashOracleSql,

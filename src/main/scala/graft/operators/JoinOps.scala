@@ -566,6 +566,13 @@ object JoinOps {
     * is explicit, and the spec pins the shape instead of hoping the
     * planner's thresholds fire. RuntimeFilterSpec documents the
     * comparison. */
+  /** [[bloomPrunedFact]]'s collected word tables, memoized per
+    * (session, data dir, geometry) — each value is a config-bounded
+    * `words`-long Seq of bit words (64 KiB at the declared 8,192), and
+    * the weak-keyed [[SessionMemo]] drops it with the session. See the
+    * snapshot-semantics note at the collect site. */
+  private val bloomWordsMemo = new SessionMemo[(String, Int), Seq[Long]]
+
   /** The selective build side: urgent orders' keys. */
   private def bloomPruneDim(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -602,9 +609,25 @@ object JoinOps {
     // from per-index map lookups — Catalyst maps are linear scans, so
     // that build was O(words²) interpreted work per execution, measured
     // ~3 s at words=8192.)
-    val wordArr = new Array[Long](words)
-    filterWords.collect().foreach(r => wordArr(r.getInt(0)) = r.getLong(1))
-    val bloom = typedlit(wordArr.toSeq)
+    // SNAPSHOT SEMANTICS (r17 advice): the collect() below runs at
+    // DataFrame-CONSTRUCTION time, so building this plan executes a real
+    // (bounded: ≤ `words` rows) Spark job and freezes the build side's
+    // key set into the literal — if the orders data changed between
+    // construction and execution the bloom could yield false negatives.
+    // Safe here because the fixture dirs are immutable within a session
+    // (the collapse()/Bcast.measuredBytes contract); a mutable-source
+    // deployment would rebuild per execution, which is exactly
+    // InjectRuntimeFilter's per-execution cost model. The word table is
+    // memoized per (session, dir, words) so repeated CONSTRUCTIONS —
+    // bench warm passes, Verify reruns, and the PlanSpec meta-test that
+    // plans every declared key — pay the build job once per session
+    // instead of once per plan.
+    val wordArr = bloomWordsMemo.getOrElseUpdate(s, (dir, words)) {
+      val arr = new Array[Long](words)
+      filterWords.collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr.toSeq
+    }
+    val bloom = typedlit(wordArr)
     val probeHit = (0 until BloomPruneHashes).map { g =>
       val pos = hashPos(col("l_orderkey"), g)
       val wi = floor(pos / BloomPruneBitsPerWord).cast("int")

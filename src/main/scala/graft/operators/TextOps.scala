@@ -27,9 +27,14 @@ object TextOps {
   val CountMinProbes: Seq[String] =
     Seq("spark", "merge", "join", "table", "query", "value", "nonexistent_token")
 
-  /** `text_countmin` geometry: 4 independent rows × 256 slots. Width is
-    * exactly 16² so a 2-hex-char md5 slice addresses a row's slots
-    * uniformly with no modulo bias; ε = e/width ≈ 1.06%. */
+  /** `text_countmin` geometry: 4 rows × 256 slots. Width is exactly 16²
+    * so a 2-hex-char md5 slice addresses a row's slots uniformly with no
+    * modulo bias. Caveat (the agg_bloom_members style): the 4 rows are
+    * DISJOINT slices of ONE md5 digest, not 4 independent hash draws —
+    * the textbook (ε = e/width, δ = e^−depth) bound assumes pairwise-
+    * independent rows, so here it is a heuristic (md5 slices behave
+    * independently empirically; AggSpec pins the one-sided ε·N
+    * overestimate against exact counts as the operative contract). */
   val CountMinDepth = 4
   val CountMinWidth = 256
 

@@ -385,9 +385,13 @@ class PlanSpec extends SparkSpec {
     // arrays — a grouping-free aggregate is one row by construction
     "agg_assoc_rules" -> "1-row transaction-count scalar",
     "agg_bloom_members" -> "1-row n_members + 1-row bits_set scalars",
-    "agg_cramers_v" -> "1-row grand-total + 1-row min-dim scalars",
+    "agg_cramers_v" -> ("|langs| x |sources| contingency spine (distinct " +
+      "value domains of two low-cardinality columns) + 1-row grand-total " +
+      "and min-dim scalars"),
     "agg_equidepth" -> "1-row percentile-cut-array scalar",
-    "agg_kendall_tau" -> "1-row concordance/tie-term scalars (4 folds of the pair stats)",
+    "agg_kendall_tau" -> ("value-domain pair self-join over the distinct " +
+      "(quantity, discount) cells (bounded by the columns' value domains) " +
+      "+ 1-row concordance/tie-term scalars"),
     "agg_lorenz" -> "1-row corpus-total scalar onto the decile table",
     "agg_simpson" -> "1-row grand-total scalar",
     "ml_ece" -> "1-row doc-count scalar onto the 10 calibration bins",
@@ -407,7 +411,7 @@ class PlanSpec extends SparkSpec {
     "zorder_layout" -> "1-row domain-max normalization scalar",
     // bounded replicate/permutation frames: s.range(B) with a
     // compile-time replicate count, plus the 1-row observed statistic
-    "ml_bootstrap_ci" -> "200-row replicate frame + 1-row observed mean",
+    "ml_bootstrap_ci" -> "64-row replicate frame + 1-row observed mean",
     "ml_permutation_test" -> "64-row permutation frame + 1-row observed stat",
     // fixed probe panels / k-bounded model relations broadcast onto the
     // corpus: the panel or codebook is a config constant, never
@@ -420,9 +424,9 @@ class PlanSpec extends SparkSpec {
     "ann_pq" -> "<=4096-row trained codebook + 1-row probe",
     "ml_kmeans" -> "k-centroid relation per Lloyd round (k = config constant)",
     "ml_knn" -> "1-row probe-vector scalar",
-    "ml_mrr" -> "10-probe retrieval panel",
-    "ml_ndcg" -> "10-probe retrieval panel",
-    "ml_recall_at_k" -> "10-probe retrieval panel",
+    "ml_mrr" -> "1-row probe-vector scalar (vec_id = 42)",
+    "ml_ndcg" -> "1-row probe-vector scalar (vec_id = 42)",
+    "ml_recall_at_k" -> "10-probe retrieval panel (vec_id < 10)",
     "dedup_semantic" -> "k-centroid relation (SemDeDup cluster count = config)",
     "similar_range" -> "1-row probe-vector scalar",
     "api_similares" -> "1-row probe-vector scalar (nests similar_range)",
@@ -438,10 +442,59 @@ class PlanSpec extends SparkSpec {
     "graph_betweenness" -> "1-row path-count normalization scalar",
     "graph_eigenvector" -> "1-row L2-norm scalar per power iteration",
     "graph_modularity" -> "1-row edge-total scalar",
-    "graph_pagerank" -> "1-row dangling-mass scalar per iteration (7 rounds)",
+    "graph_pagerank" -> "1-row dangling-mass scalar per iteration (3 rounds)",
     "graph_rich_club" -> "8-row k-threshold frame x degree histogram",
     "graph_summary" -> "1-row global datasheet scalars",
     "graph_transitivity" -> "1-row triangle/wedge-count scalars")
+
+  /** r18 (r17 advice): the whitelist VALUES are free-text rationales the
+    * meta test cannot validate, so for the scalar class — entries whose
+    * broadcast side is produced by bounded-by-construction plan nodes —
+    * assert the bounded property ITSELF: every BNLJ build side must be a
+    * grouping-free aggregate (1 row by construction), a ≤4,096-element
+    * range/local relation (compile-time panels, replicate frames), or a
+    * limit, composed through unary nodes and joins of such. A key here
+    * whose broadcast side later becomes data-sized fails the meta test
+    * structurally instead of passing on a stale prose claim. Keys NOT in
+    * this set are bounded by data properties the PLAN cannot show — a
+    * key-unique filter (the vec_id=42 probes), a size-gated measured
+    * broadcast (pipe_decontaminate_near), a |types|-bounded groupBy
+    * (agg_kmv_jaccard's sketch frame, ann_ivf's centroids, the
+    * agg_cramers_v contingency spine, agg_kendall_tau's value-domain
+    * pair cells) — where the prose rationale plus the owning spec
+    * remain the contract. */
+  private val structurallyBoundedBnlj: Set[String] = Set(
+    "agg_assoc_rules", "agg_bloom_members",
+    "agg_equidepth", "agg_lorenz", "agg_simpson",
+    "ml_ece", "ml_bootstrap_ci", "ml_permutation_test",
+    "pipe_dsir_weights", "pipe_expectations", "pipe_ppl_buckets",
+    "text_bm25", "text_burstiness", "text_collocations", "text_kl_drift",
+    "text_kn_bigram", "text_lang_kappa", "text_tfidf", "text_unigram_ppl",
+    "text_vocab_coverage", "ts_resid_anomaly", "zorder_layout",
+    "graph_betweenness", "graph_eigenvector", "graph_modularity",
+    "graph_pagerank", "graph_summary", "graph_transitivity")
+
+  /** True when `p` cannot produce more than a bounded number of rows at
+    * ANY input size, by plan structure alone. */
+  private def structurallyBounded(p: org.apache.spark.sql.execution.SparkPlan)
+      : Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.isEmpty => true
+    case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if a.groupingExpressions.isEmpty => true
+    case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.groupingExpressions.isEmpty => true
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      r.numElements <= BigInt(4096)
+    case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+      l.rows.lengthCompare(4096) <= 0
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case j if j.children.length > 1 => j.children.forall(structurallyBounded)
+    case u if u.children.length == 1 => structurallyBounded(u.children.head)
+    case _ => false
+  }
 
   test("meta: no CartesianProduct anywhere; every BroadcastNestedLoopJoin " +
       "broadcasts a documented bounded side (r17)") {
@@ -452,6 +505,7 @@ class PlanSpec extends SparkSpec {
     // builders materialize themselves.
     val cart = scala.collection.mutable.ArrayBuffer[String]()
     val bnljUndoc = scala.collection.mutable.Map[String, Int]()
+    val bnljLoose = scala.collection.mutable.Map[String, String]()
     val seen = scala.collection.mutable.Set[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
@@ -466,9 +520,20 @@ class PlanSpec extends SparkSpec {
           seen += name
           if (!boundedNestedLoopJoins.contains(name))
             bnljUndoc(name) = bnlj.length
+          // scalar-class entries: verify the bounded property on the
+          // plan itself, not just the prose (r18)
+          if (structurallyBoundedBnlj(name)) {
+            val loose = bnlj.filterNot { j =>
+              val build =
+                if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft)
+                  j.left else j.right
+              structurallyBounded(build)
+            }
+            if (loose.nonEmpty) bnljLoose(name) = loose.head.toString.take(2000)
+          }
         }
       } catch {
-        case e: Throwable => cart += s"$name: failed to plan (${e.getClass.getSimpleName})"
+        case e: Throwable => cart += s"$name: failed to plan (${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)})"
       }
       spark.sharedState.cacheManager.clearCache()
     }
@@ -479,6 +544,13 @@ class PlanSpec extends SparkSpec {
     val stale = boundedNestedLoopJoins.keySet -- seen
     assert(stale.isEmpty,
       s"stale whitelist entries (key no longer plans a BNLJ): $stale")
+    val orphans = structurallyBoundedBnlj -- boundedNestedLoopJoins.keySet
+    assert(orphans.isEmpty,
+      s"structurally-bounded set names keys outside the whitelist: $orphans")
+    assert(bnljLoose.isEmpty,
+      s"declared structurally bounded, but a BNLJ build side is not a " +
+        s"grouping-free aggregate / bounded range / limit:\n" +
+        bnljLoose.map { case (k, p) => s"== $k ==\n$p" }.mkString("\n"))
   }
 
   test("join_bloom_prune: probe sits BELOW the fact-side join exchange; " +

@@ -118,4 +118,37 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(got === plain)
     }
   }
+
+  // r17-advice smoke test: the r17 rewrite of this suite dropped all
+  // coverage of Spark's OWN InjectRuntimeFilter; keep one test pinning
+  // that the planner-side rule still fires under forced thresholds and
+  // stays suppressed for broadcast joins, so a Spark-upgrade regression
+  // in runtime filtering is caught here rather than in production plans.
+  test("Spark's own InjectRuntimeFilter: might_contain injected under " +
+      "forced thresholds, suppressed for broadcast joins") {
+    import spark.implicits._
+    val lineitem = Tables.lineitem(spark, SfDir)
+    val part = Tables.part(spark, SfDir).filter($"p_partkey" % 10 === 0)
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // fixture scans are KB-scale; drop the 10 GB application-side floor
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.creationSideThreshold" -> "100MB",
+      // keep the join shuffled: a broadcast join needs no runtime filter
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val shuffled = lineitem.join(part, $"l_partkey" === $"p_partkey")
+        .queryExecution.optimizedPlan.toString
+      assert(shuffled.contains("might_contain"),
+        s"no bloom filter injected on the fact side:\n$shuffled")
+    }
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val bcast = lineitem.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .queryExecution.optimizedPlan.toString
+      assert(!bcast.contains("might_contain"),
+        s"bloom filter injected on a broadcast join:\n$bcast")
+    }
+  }
 }
