@@ -35,7 +35,8 @@ object SparkEntry {
       MultimodalOps.queries ++
       SkewOps.queries ++
       PipelineOps.queries ++
-      MergeOps.queries
+      MergeOps.queries ++
+      graft.sources.SourceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys absent here (hash-/sketch-specific ops)
@@ -55,5 +56,6 @@ object SparkEntry {
       MultimodalOps.oracles ++
       SkewOps.oracles ++
       PipelineOps.oracles ++
-      MergeOps.oracles
+      MergeOps.oracles ++
+      graft.sources.SourceOps.oracles
 }

@@ -423,4 +423,38 @@ class SourceSpec extends SparkSpec {
       s"strided span walk produced ${slice.length} ids, " +
         s"head=${slice.headOption}, last=${slice.lastOption}")
   }
+
+  test("src_docs_pushdown (the DECLARED key): every predicate absorbed by " +
+      "the scan, columns pruned to the 3 consumed (r18)") {
+    // the declared key is the one the daily oracle gate replays — pin
+    // that its plan keeps the full pushdown story: if a Spark upgrade or
+    // a source edit stops the scan from accepting a predicate, the
+    // residual Filter shows up here before the oracle diff could even
+    // notice (the oracle is pushdown-agnostic by design)
+    val df = graft.sources.SourceOps.queries("src_docs_pushdown")(
+      spark, SfDir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty,
+      s"a predicate was NOT accepted by the source (residual Filter):\n$opt")
+    val scans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scans.length === 1, s"expected one DSv2 scan:\n$opt")
+    val scan = scans.head
+    // planning-time range narrowing + reader-side lang filter are both
+    // visible in the scan's self-description (DocsScan.description)
+    assert(scan.scan.description.contains("range=[128,1664)") &&
+      scan.scan.description.contains("lang=en"),
+      s"pushdown not reflected in scan: ${scan.scan.description}")
+    // column pruning: text never crosses the scan boundary (n_chars is
+    // derived reader-side)
+    assert(scan.output.map(_.name).toSet === Set("doc_id", "source", "n_chars"),
+      s"scan output not pruned: ${scan.output.map(_.name)}")
+    // the narrowed span is what input partitions are planned FROM
+    // (planInputPartitions covers [128,1664), not [0,2000) — the
+    // span-pruning contract itself is pinned by the earlier pushdown
+    // tests; here the description proves this query engaged it)
+  }
 }
