@@ -45,6 +45,35 @@ object SourceOps {
     GROUP BY source
     ORDER BY source"""
 
+  /** `src_docs_spj` geometry: two bucket-layout tables over nested id
+    * spans, both reporting `KeyGroupedPartitioning(bucket(8, doc_id))`
+    * through the catalog — the smaller table's 1,500-id span still
+    * populates all 8 residue classes, so the partition VALUES match and
+    * SPJ planning elides both exchanges. */
+  val SpjRowsA = 2000L
+  val SpjRowsB = 1500L
+  val SpjParts = 8
+
+  /** The SPJ query text, shared with the oracle modulo table refs and
+    * the Spark-only MERGE hint. The hint (not a conf flip) keeps the
+    * join out of broadcast: declared keys run in SHARED Verify/Bench
+    * sessions, where setting autoBroadcastJoinThreshold=-1 would leak
+    * into every later query's plan, while a join hint is plan-local —
+    * and with zero exchanges below the join there is no shuffle stage
+    * for AQE to re-plan it through. a.lang = 'en' is absorbed
+    * reader-side WITHOUT costing the co-location (every bucket
+    * partition is still emitted, possibly empty — the dim-filtered
+    * fact-fact join shape SourceSpec pins). */
+  private def spjSql(hint: String, tableA: String, tableB: String): String = s"""
+    SELECT $hint a.source AS source, count(*) AS n_pairs,
+           CAST(sum(a.n_chars + b.n_chars) AS BIGINT) AS sum_chars,
+           min(a.doc_id) AS min_id, max(a.doc_id) AS max_id
+    FROM $tableA a
+    JOIN $tableB b ON a.doc_id = b.doc_id
+    WHERE a.lang = 'en'
+    GROUP BY a.source
+    ORDER BY source"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The fixture dir is unused: the table is GENERATED (deterministic,
     // dir-independent), which is the point — the oracle replays the
@@ -55,9 +84,35 @@ object SourceOps {
       if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
         s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.sql(selectSql(s"graft.docs.docs_${DocsRows}_$DocsParts"))
+    }),
+
+    // Storage-partitioned join under the hash gate (r18, item-6 pair
+    // with src_docs_pushdown): two bucket-layout catalog tables joined
+    // on their bucket key plan with ZERO exchanges below the join —
+    // Spark honors the scans' KeyGroupedPartitioning instead of
+    // shuffling 2 corpus-sized sides (the Iceberg-style shuffle-free
+    // fact-fact join; at 100 TB this elides the two largest exchanges a
+    // warehouse pays). The v2.bucketing conf is required for Spark to
+    // trust reported partitioning; setting it is harmless session-wide
+    // (it only affects scans that REPORT a KeyGroupedPartitioning —
+    // here, only graft-docs bucket tables). SourceSpec pins the
+    // zero-exchange subtree; the oracle replays both sides from ONE
+    // generated relation (the b side is the same generator over the
+    // nested [0, 1500) span).
+    "src_docs_spj" -> ((s, _) => {
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(spjSql("/*+ MERGE(b) */",
+        s"graft.docs.docs_${SpjRowsA}_${SpjParts}_bucket",
+        s"graft.docs.docs_${SpjRowsB}_${SpjParts}_bucket"))
     }))
 
   def oracles: Map[String, String] = Map(
     "src_docs_pushdown" ->
-      s"WITH ${DocsOracleSql.docsGenCte(DocsRows)} ${selectSql("docs_gen")}")
+      s"WITH ${DocsOracleSql.docsGenCte(DocsRows)} ${selectSql("docs_gen")}",
+    "src_docs_spj" ->
+      s"""WITH ${DocsOracleSql.docsGenCte(SpjRowsA)}
+          ${spjSql("", "docs_gen",
+            s"(SELECT * FROM docs_gen WHERE doc_id < $SpjRowsB)")}""")
 }

@@ -457,4 +457,36 @@ class SourceSpec extends SparkSpec {
     // span-pruning contract itself is pinned by the earlier pushdown
     // tests; here the description proves this query engaged it)
   }
+
+  test("src_docs_spj (the DECLARED key): the join subtree plans ZERO " +
+      "exchanges — co-location comes from KeyGroupedPartitioning (r18)") {
+    // the declared key's whole point is the shuffle-free fact-fact join;
+    // pin it on the FINAL adaptive plan after execution (the SPJ elision
+    // must survive AQE, which is on in this session)
+    val df = graft.sources.SourceOps.queries("src_docs_spj")(spark, SfDir)
+    assert(df.count() > 0)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val smj = finalPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.length === 1, s"expected the hinted SMJ:\n$finalPlan")
+    val shufflesBelowJoin = smj.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shufflesBelowJoin.isEmpty,
+      s"SPJ lost: the join subtree shuffles a side:\n${smj.head}")
+    // both sides are pruned scans of the two bucket tables (a carries
+    // the reader-side lang filter; b the nested 1,500-id span)
+    val scans = smj.head.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => r
+    }
+    assert(scans.length === 2 &&
+      scans.exists(_.scan.description.contains("rows=2000")) &&
+      scans.exists(_.scan.description.contains("rows=1500")),
+      s"join sides are not the two bucket scans:\n${smj.head}")
+  }
 }
