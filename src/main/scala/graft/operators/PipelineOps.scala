@@ -228,6 +228,77 @@ object PipelineOps {
       .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
   }
 
+  /** The fixed first-match-wins quality-gate cascade as a struct(i, s)
+    * column — ONE definition shared by `pipe_filter_report` (the
+    * dedicated-scan datasheet) and `pipe_observe_metrics` (the same
+    * numbers ridden as a sideband of the curation write pass), so the
+    * two keys can never disagree about what the gates are. */
+  private[graft] def gateStage: Column = {
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val dupFrac = lit(1.0) -
+      size(array_distinct(t)).cast("double") / nTok
+    when(nTok < 20, struct(lit(1).as("i"), lit("too_short").as("s")))
+      .when(nTok > 500, struct(lit(2).as("i"), lit("too_long").as("s")))
+      .when(dupFrac > 0.3,
+        struct(lit(3).as("i"), lit("repetitive").as("s")))
+      .when(!col("lang").isin("en", "es"),
+        struct(lit(4).as("i"), lit("non_target_lang").as("s")))
+      .otherwise(struct(lit(5).as("i"), lit("kept").as("s")))
+  }
+
+  /** `pipe_observe_metrics`'s observed curation pass: the survivor
+    * output of the [[gateStage]] cascade with the datasheet aggregates
+    * attached BELOW the filter via `Dataset.observe` — a
+    * `CollectMetrics` node whose accumulators see every input row
+    * (admitted or dropped) while only survivors flow on to the sink.
+    * Returned un-executed so the spec can pin the plan shape; the
+    * memoized runner below executes it. */
+  private[graft] def observedGate(s: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        gateStage.as("st"))
+    val kept = col("st.i") === 5
+    val observed = staged.observe(obs,
+      count(lit(1)).as("rows_in"),
+      sum(when(kept, 1L).otherwise(0L)).as("rows_kept"),
+      sum(when(col("st.i") === 1, 1L).otherwise(0L)).as("drop_too_short"),
+      sum(when(col("st.i") === 2, 1L).otherwise(0L)).as("drop_too_long"),
+      sum(when(col("st.i") === 3, 1L).otherwise(0L)).as("drop_repetitive"),
+      sum(when(col("st.i") === 4, 1L).otherwise(0L))
+        .as("drop_non_target_lang"),
+      sum(when(kept, col("n_tok")).otherwise(0L)).as("toks_kept"))
+    (observed.filter(kept).select("doc_id", "lang", "n_tok"), obs)
+  }
+
+  /** The collected sideband metrics of ONE observed curation pass,
+    * memoized per (session, dir) via the weak-keyed [[SessionMemo]]:
+    * like `join_bloom_prune`'s word table, the pass runs once per
+    * session and every later construction re-enters the plan as a
+    * literal row. The 7 longs are schema-bounded driver state — the
+    * whole point of the observe channel is that the datasheet needs NO
+    * second corpus scan and NO corpus-sized driver collect. */
+  private val observeMemo =
+    new SessionMemo[String, (Long, Long, Long, Long, Long, Long, Long)]
+
+  private[graft] def observeGateMetrics(s: SparkSession, dir: String)
+      : (Long, Long, Long, Long, Long, Long, Long) =
+    observeMemo.getOrElseUpdate(s, dir) {
+      val (out, obs) = observedGate(s, dir)
+      // the curation pass itself: survivors stream to the output sink.
+      // The `noop` v2 sink stands in for the curated-parquet write a
+      // real 100 TB build runs — the metrics below ride THAT pass.
+      out.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      def l(k: String) = m(k).asInstanceOf[Long]
+      (l("rows_in"), l("rows_kept"), l("drop_too_short"),
+        l("drop_too_long"), l("drop_repetitive"),
+        l("drop_non_target_lang"), l("toks_kept"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Model-eval at corpus scale: ROC AUC via the tie-corrected
     // Mann-Whitney rank statistic ("does n_chars separate English from
@@ -887,19 +958,11 @@ object PipelineOps {
     // row. ONE codegen'd scan into a ≤5-row aggregate; n_in per stage
     // derives from the cumulative drop window over that bounded
     // relation, so the funnel arithmetic never touches the corpus.
+    // Shares [[gateStage]] — ONE cascade definition — with
+    // `pipe_observe_metrics`, which reports the same numbers as a
+    // sideband of the curation write pass instead of a dedicated scan.
     "pipe_filter_report" -> ((s, dir) => {
-      val t = split(col("text"), " ")
-      val nTok = size(t)
-      val dupFrac = lit(1.0) -
-        size(array_distinct(t)).cast("double") / nTok
-      val stage = when(nTok < 20,
-          struct(lit(1).as("i"), lit("too_short").as("s")))
-        .when(nTok > 500, struct(lit(2).as("i"), lit("too_long").as("s")))
-        .when(dupFrac > 0.3,
-          struct(lit(3).as("i"), lit("repetitive").as("s")))
-        .when(!col("lang").isin("en", "es"),
-          struct(lit(4).as("i"), lit("non_target_lang").as("s")))
-        .otherwise(struct(lit(5).as("i"), lit("kept").as("s")))
+      val stage = gateStage
       val tot = Window.partitionBy()
       val before = Window.orderBy("stage_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -913,6 +976,33 @@ object PipelineOps {
           round(col("n_docs").cast("double") / col("n_in"), 6))
         .select("stage_idx", "stage", "n_docs", "n_in", "rate")
         .orderBy("stage_idx")
+    }),
+
+    // Observed curation metrics — the same gate-cascade datasheet as
+    // `pipe_filter_report`, but computed the way a 100 TB build MUST
+    // compute it: as a `Dataset.observe` sideband (CollectMetrics — a
+    // plan node nothing else on the surface exercises) riding the ONE
+    // pass that writes the curated output, instead of a second
+    // dedicated corpus scan. The metrics accumulators sit BELOW the
+    // survivor filter, so they see dropped rows the output never
+    // carries; state is 7 longs per task (schema-bounded, merged on
+    // the driver by the listener), and the write itself is the v2
+    // `noop` sink standing in for the curated-parquet write. Executed
+    // once per (session, dir) via [[observeGateMetrics]]'s memo (the
+    // `join_bloom_prune` word-table pattern) and re-entered as one
+    // literal row; ObserveSpec pins the CollectMetricsExec plan shape,
+    // the sideband-vs-recompute equality, the single-job pass, and the
+    // memo. Oracle: the identical aggregates as plain SQL — the
+    // sideband channel must change WHERE the numbers are computed,
+    // never the numbers.
+    "pipe_observe_metrics" -> ((s, dir) => {
+      val (ri, rk, d1, d2, d3, d4, tk) = observeGateMetrics(s, dir)
+      s.range(1).select(
+        lit(ri).as("rows_in"), lit(rk).as("rows_kept"),
+        lit(d1).as("drop_too_short"), lit(d2).as("drop_too_long"),
+        lit(d3).as("drop_repetitive"), lit(d4).as("drop_non_target_lang"),
+        lit(tk).as("toks_kept"),
+        round(lit(rk).cast("double") / lit(ri), 6).as("kept_rate"))
     }),
 
     // Population Stability Index between the train and test splits — the
@@ -2792,6 +2882,29 @@ object PipelineOps {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)),
                       6) AS rate
          FROM c ORDER BY stage_idx""",
+    // the identical cascade + aggregates as pipe_filter_report's CTE —
+    // the observe sideband must reproduce the plain-SQL numbers exactly
+    "pipe_observe_metrics" ->
+      """WITH staged AS (
+           SELECT len(string_split(text, ' ')) AS n_tok,
+                  CASE
+                    WHEN len(string_split(text, ' ')) < 20 THEN 1
+                    WHEN len(string_split(text, ' ')) > 500 THEN 2
+                    WHEN 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                               / len(string_split(text, ' ')) > 0.3 THEN 3
+                    WHEN lang NOT IN ('en', 'es') THEN 4
+                    ELSE 5 END AS stage_idx
+           FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS rows_in,
+                CAST(sum(CASE WHEN stage_idx = 5 THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+                CAST(sum(CASE WHEN stage_idx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS drop_too_short,
+                CAST(sum(CASE WHEN stage_idx = 2 THEN 1 ELSE 0 END) AS BIGINT) AS drop_too_long,
+                CAST(sum(CASE WHEN stage_idx = 3 THEN 1 ELSE 0 END) AS BIGINT) AS drop_repetitive,
+                CAST(sum(CASE WHEN stage_idx = 4 THEN 1 ELSE 0 END) AS BIGINT) AS drop_non_target_lang,
+                CAST(sum(CASE WHEN stage_idx = 5 THEN n_tok ELSE 0 END) AS BIGINT) AS toks_kept,
+                round(CAST(sum(CASE WHEN stage_idx = 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS kept_rate
+         FROM staged""",
     // identical split expression; ECDFs replay as plain windows over the
     // distinct-value relation
     "ml_ks_test" ->

@@ -247,10 +247,10 @@ class PlanSpec extends SparkSpec {
     "agg_cramers_v" -> "lang x source contingency cells",
     "agg_theil" -> "per-group share terms over the bounded group set",
     "agg_lorenz" -> "10-row decile table over the distinct-price collapse",
-    "ml_bootstrap_ci" -> "200 replicate means (B is a compile-time constant)",
+    "ml_bootstrap_ci" -> "64 replicate means (B is a compile-time constant)",
     "ml_brier" -> "decile calibration bins",
-    "ml_mrr" -> "rank windows over the 10-probe x k retrieval panel",
-    "ml_ndcg" -> "rank windows over the 10-probe x k retrieval panel",
+    "ml_mrr" -> "rank windows over the one-probe LIMIT-10 candidate relation",
+    "ml_ndcg" -> "rank windows over the one-probe LIMIT-10 candidate relation",
     "ml_parity_gap" -> "|groups|-row rate table",
     "ml_psi" -> "10 fixed score bins",
     // datasheet totals: one total-share window over a report bounded by
