@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Count, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Count, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal}
@@ -123,17 +123,22 @@ object DocsSource {
   private[sources] def satAdd(a: Long, b: Long): Long =
     if (a > Long.MaxValue - b) Long.MaxValue else a + b
 
-  /** Single-field doc_id reference test shared by aggregate pushdown,
+  /** Single-field column reference test shared by aggregate pushdown,
     * top-N pushdown, and runtime filtering. Case-insensitive: the two
     * previous copies disagreed (exact vs ignore-case), and Spark's
     * default resolution is case-insensitive. */
-  private[sources] def isDocIdRef(
-      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+  private[sources] def isColRef(
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      name: String): Boolean =
     e match {
       case n: NamedReference => n.fieldNames.length == 1 &&
-        n.fieldNames()(0).equalsIgnoreCase("doc_id")
+        n.fieldNames()(0).equalsIgnoreCase(name)
       case _ => false
     }
+
+  private[sources] def isDocIdRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    isColRef(e, "doc_id")
 
   def langOf(id: Long): String =
     Langs(math.floorMod(mix(id + 7), Langs.length.toLong).toInt)
@@ -238,6 +243,32 @@ class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L,
         case _ => false
       }
 
+  // GROUPED aggregates take the PARTIAL-pushdown contract instead
+  // (supportCompletePushDown stays false): group values depend on actual
+  // row generation, so the scan cannot answer at plan time — but it CAN
+  // iterate its id slice executor-side and ship one partial row per
+  // (partition, lang), which Spark's final HashAggregate merges
+  // (count -> sum of partials, min -> min, ...). The contract is kept
+  // deliberately narrow and honest: group-by must be exactly `lang`, no
+  // pushed lang equality (a reader-side filter composing with group
+  // partials is a second contract this source doesn't claim), and every
+  // aggregate must be decomposable (count/min/max over doc_id,
+  // sum over n_chars) — anything else declines to the ordinary scan,
+  // which is what keeps `src_docs_pushdown`'s declined-under-filter
+  // plan (its group key is `source`, with lang pushed) intact.
+  private def answerableGrouped(agg: Aggregation): Boolean =
+    langEq.isEmpty && agg.groupByExpressions.length == 1 &&
+      DocsSource.isColRef(agg.groupByExpressions()(0), "lang") &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && isDocId(c.column)
+        case m: Min => isDocId(m.column)
+        case m: Max => isDocId(m.column)
+        case s: Sum => !s.isDistinct && DocsSource.isColRef(s.column, "n_chars")
+        case _ => false
+      }
+
   // Limit pushdown: ids are generated in span order, so LIMIT n is
   // exactly the first n ids of the pruned span — clamp hi at planning
   // time (out-of-span partitions are never created) and report FULLY
@@ -275,12 +306,17 @@ class DocsScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 1000L,
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = answerable(agg)
 
+  private var groupedAgg = false
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (!answerable(agg)) false
-    else { aggFuncs = Some(agg.aggregateExpressions); true }
+    if (answerable(agg)) { aggFuncs = Some(agg.aggregateExpressions); true }
+    else if (answerableGrouped(agg)) {
+      aggFuncs = Some(agg.aggregateExpressions); groupedAgg = true; true
+    } else false
   }
 
   override def build(): Scan = aggFuncs match {
+    case Some(funcs) if groupedAgg =>
+      new DocsGroupAggScan(parts, math.max(lo, 0L), math.min(hi, rows), funcs)
     case Some(funcs) => new DocsAggScan(math.max(lo, 0L), math.min(hi, rows), funcs)
     case None        => new DocsScan(rows, parts, required, lo, hi, langEq,
       rowsPerBatch, layout)
@@ -325,6 +361,106 @@ class DocsAggScan(lo: Long, hi: Long, funcs: Array[AggregateFunc])
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
           override def close(): Unit = ()
         }
+    }
+  }
+}
+
+/** The grouped PARTIAL-pushdown scan (`supportCompletePushDown` = false
+  * for any grouped aggregation): each input partition iterates its id
+  * slice executor-side and emits ONE row per lang present in the slice,
+  * carrying that slice's partial (count / min / max / sum) values — the
+  * scan ships group PARTIALS, never rows, and Spark plans its own final
+  * aggregation above, rewriting count -> sum-of-partials, min -> min,
+  * max -> max, sum -> sum (the V2ScanRelationPushDown partial contract,
+  * the one JDBC sources use). At 100 TB this is the difference between
+  * an exchange carrying |corpus| rows and one carrying
+  * |partitions| x |langs| rows: the full scan work still happens, but
+  * it happens inside the source where the data lives, and only the
+  * bounded partial relation crosses the wire. Accumulator state per
+  * partition is |langs| x 4 longs — bounded by the column's domain,
+  * never by the span. */
+class DocsGroupAggScan(parts: Int, lo: Long, hi: Long,
+    funcs: Array[AggregateFunc]) extends Scan with Batch {
+
+  import DocsSource.satAdd
+
+  // positional contract: group-by columns first, then one column per
+  // aggregate expression in Aggregation order (Spark splits
+  // readSchema's attributes at groupBy.length and asserts total width)
+  override def readSchema(): StructType = StructType(
+    StructField("lang", StringType, nullable = false) +:
+      funcs.zipWithIndex.map { case (f, i) =>
+        StructField(s"agg_$i", LongType,
+          nullable = !f.isInstanceOf[CountStar] && !f.isInstanceOf[Count])
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docs pushed-group-agg range=[$lo,$hi) groupBy=lang " +
+      funcs.mkString(", ")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // same contiguous-span split + pruning as the ordinary range scan:
+    // out-of-span partitions are never created
+    val span = math.max(0L, hi - lo)
+    val per = math.max(1L, span / parts + (if (span % parts == 0) 0 else 1))
+    (lo until hi by per)
+      .map(s => DocsRange(s, math.min(hi, satAdd(s, per))))
+      .filter(r => r.start < r.end)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // resolve each aggregate to an accumulator slot ONCE, driver-side —
+    // an unanswerable function (the builder vets, but belt-and-braces)
+    // fails at planning, not per row on an executor
+    val slots: Array[Int] = funcs.map {
+      case _: CountStar => 0
+      case c: Count if !c.isDistinct && DocsSource.isDocIdRef(c.column) => 0
+      case m: Min if DocsSource.isDocIdRef(m.column) => 1
+      case m: Max if DocsSource.isDocIdRef(m.column) => 2
+      case s: Sum if !s.isDistinct && DocsSource.isColRef(s.column, "n_chars") => 3
+      case f => throw new IllegalArgumentException(s"unanswerable grouped aggregate $f")
+    }
+    val needSum = slots.contains(3)
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val DocsRange(start, end) = partition: @unchecked
+        new PartitionReader[InternalRow] {
+          // the whole slice folds into |langs|-bounded state on first
+          // advance; iteration order is first-appearance (deterministic:
+          // a pure function of the slice), and Spark's final aggregate
+          // owns cross-partition ordering anyway
+          private var out: Iterator[InternalRow] = null
+          private var cur: InternalRow = null
+          override def next(): Boolean = {
+            if (out == null) {
+              val acc = scala.collection.mutable.LinkedHashMap[String, Array[Long]]()
+              var id = start
+              while (id < end) {
+                val a = acc.getOrElseUpdate(DocsSource.langOf(id),
+                  Array(0L, Long.MaxValue, Long.MinValue, 0L))
+                a(0) += 1
+                if (id < a(1)) a(1) = id
+                if (id > a(2)) a(2) = id
+                // text synthesizes ONLY when a sum(n_chars) was pushed —
+                // count/min/max partials never pay the generator
+                if (needSum) a(3) += DocsSource.textOf(id).length.toLong
+                id += 1
+              }
+              out = acc.iterator.map { case (lang, a) =>
+                val vals = new Array[Any](slots.length + 1)
+                vals(0) = UTF8String.fromString(lang)
+                var i = 0
+                while (i < slots.length) { vals(i + 1) = a(slots(i)); i += 1 }
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+              }
+            }
+            if (out.hasNext) { cur = out.next(); true } else false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
     }
   }
 }

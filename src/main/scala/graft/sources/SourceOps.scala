@@ -45,6 +45,28 @@ object SourceOps {
     GROUP BY source
     ORDER BY source"""
 
+  /** `src_docs_group_agg`'s query text, shared verbatim by the oracle.
+    * The grouped counterpart of [[selectSql]] exercising the THIRD
+    * DSv2 aggregate-pushdown mode: no lang filter and group-by = lang,
+    * so the scan accepts the aggregation under the PARTIAL contract
+    * (supportCompletePushDown = false) — each input partition ships one
+    * (lang, count, sum, min, max) partial row per lang in its slice and
+    * Spark's final HashAggregate merges them. Together the three keys
+    * pin the full contract boundary: ungrouped + unfiltered = COMPLETE
+    * (one plan-time row, src_docs_pushdown's sibling assertions in
+    * SourceSpec), grouped-by-lang + unfiltered = PARTIAL (this key),
+    * grouped + lang-filtered = DECLINED (src_docs_pushdown's ordinary
+    * scan). Same 2,000-id/8-partition geometry and [128, 1664) span, so
+    * a missed span prune is equally visible here. */
+  private def groupSql(table: String): String = s"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM $table
+    WHERE doc_id >= 128 AND doc_id < 1664
+    GROUP BY lang
+    ORDER BY lang"""
+
   /** `src_docs_spj` geometry: two bucket-layout tables over nested id
     * spans, both reporting `KeyGroupedPartitioning(bucket(8, doc_id))`
     * through the catalog — the smaller table's 1,500-id span still
@@ -86,6 +108,17 @@ object SourceOps {
       s.sql(selectSql(s"graft.docs.docs_${DocsRows}_$DocsParts"))
     }),
 
+    // The grouped PARTIAL aggregate pushdown under the hash gate (r18
+    // cont.) — see groupSql's scaladoc for the three-mode contract
+    // boundary this completes. SourceSpec pins the DocsGroupAggScan plan
+    // (pushed span in the scan description, final merge aggregate above,
+    // scan output bounded by partitions x langs, never the span).
+    "src_docs_group_agg" -> ((s, _) => {
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.sql(groupSql(s"graft.docs.docs_${DocsRows}_$DocsParts"))
+    }),
+
     // Storage-partitioned join under the hash gate (r18, item-6 pair
     // with src_docs_pushdown): two bucket-layout catalog tables joined
     // on their bucket key plan with ZERO exchanges below the join —
@@ -111,6 +144,8 @@ object SourceOps {
   def oracles: Map[String, String] = Map(
     "src_docs_pushdown" ->
       s"WITH ${DocsOracleSql.docsGenCte(DocsRows)} ${selectSql("docs_gen")}",
+    "src_docs_group_agg" ->
+      s"WITH ${DocsOracleSql.docsGenCte(DocsRows)} ${groupSql("docs_gen")}",
     "src_docs_spj" ->
       s"""WITH ${DocsOracleSql.docsGenCte(SpjRowsA)}
           ${spjSql("", "docs_gen",

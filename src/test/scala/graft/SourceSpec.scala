@@ -120,7 +120,8 @@ class SourceSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4900L, 100L, 4999L)))
   }
 
-  test("aggregate pushdown declines under a lang filter or grouping (results stay exact)") {
+  test("aggregate pushdown declines under a lang filter or out-of-contract " +
+      "grouping (results stay exact)") {
     // lang filter: count depends on row generation — the source must
     // decline and Spark aggregates the ordinary (lang-pushed) scan
     val flt = read(1000, 4).filter(col("lang") === "es")
@@ -128,10 +129,37 @@ class SourceSpec extends SparkSpec {
     assert(!flt.queryExecution.executedPlan.toString.contains("pushed-agg"))
     val exact = read(1000, 4).collect().count(_.getAs[String]("lang") == "es").toLong
     assert(flt.collect().head.getLong(0) === exact)
-    // grouping: likewise declined
-    val grp = read(1000, 4).groupBy("lang").agg(count(expr("*")).as("n"))
+    // grouping by a column OUTSIDE the partial contract (only `lang` is
+    // claimed): declined to the ordinary scan
+    val grp = read(1000, 4).groupBy("source").agg(count(expr("*")).as("n"))
     assert(!grp.queryExecution.executedPlan.toString.contains("pushed-agg"))
     assert(grp.collect().map(_.getLong(1)).sum === 1000L)
+    // grouping by lang UNDER a lang filter: the partial contract also
+    // declines (reader-side filter composing with group partials is a
+    // contract the source doesn't claim)
+    val fg = read(1000, 4).filter(col("lang") === "es")
+      .groupBy("lang").agg(count(expr("*")).as("n"))
+    assert(!fg.queryExecution.executedPlan.toString.contains("pushed-agg"))
+    assert(fg.collect().head.getLong(1) === exact)
+  }
+
+  test("grouped aggregate pushes down PARTIALLY: the scan ships per-" +
+      "partition lang partials and Spark's final aggregate merges them") {
+    val df = read(1000, 4).groupBy("lang").agg(count(expr("*")).as("n"),
+      sum("n_chars").as("sc"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed-group-agg"), s"partial pushdown absent:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"partial pushdown must KEEP Spark's final merge aggregate:\n$plan")
+    // exactness vs the ordinary full-row scan, group by group
+    val rows = read(1000, 4).collect()
+    val exp = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> ((rs.length.toLong, rs.map(_.getAs[Long]("n_chars")).sum,
+        rs.map(_.getAs[Long]("doc_id")).min, rs.map(_.getAs[Long]("doc_id")).max))
+    }
+    val got = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === exp)
   }
 
   test("aggregate pushdown over an empty pruned span: count 0, null min/max") {
@@ -456,6 +484,46 @@ class SourceSpec extends SparkSpec {
     // (planInputPartitions covers [128,1664), not [0,2000) — the
     // span-pruning contract itself is pinned by the earlier pushdown
     // tests; here the description proves this query engaged it)
+  }
+
+  test("src_docs_group_agg (the DECLARED key): partial pushdown engaged — " +
+      "pruned span in the group-agg scan, final merge above, scan output " +
+      "bounded by partitions x langs (r18 cont.)") {
+    val df = graft.sources.SourceOps.queries("src_docs_group_agg")(
+      spark, SfDir)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scans.length === 1, s"expected one DSv2 scan:\n${df.queryExecution.optimizedPlan}")
+    assert(scans.head.scan.isInstanceOf[graft.sources.DocsGroupAggScan],
+      s"grouped aggregation not pushed: ${scans.head.scan.description}")
+    assert(scans.head.scan.description.contains("pushed-group-agg range=[128,1664)"),
+      s"span not pruned into the pushed scan: ${scans.head.scan.description}")
+    // Spark must keep its own final aggregation — partial, not complete
+    assert(df.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "partial contract requires a Spark-side merge aggregate")
+    // execute, then read the scan's row metric off the FINAL plan: the
+    // wire carries group partials (<= partitions x |langs| rows), never
+    // the 1,536-id span — this is the 100-TB point of the contract
+    assert(df.collect().length === 4) // en/es/fr/de within the span
+    // the scan sits under two exchanges (partial merge + sort), so after
+    // execution AQE buries it inside materialized query stages — descend
+    // through stage wrappers, which plain collect() treats as leaves
+    def deep(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(deep)) ++ (p match {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deep(s.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          deep(a.executedPlan)
+        case _ => Nil
+      })
+    val scanExecs = deep(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    assert(scanExecs.length === 1)
+    val outRows = scanExecs.head.metrics("numOutputRows").value
+    assert(outRows > 0 && outRows <= 8L * 4,
+      s"scan must emit bounded group partials, saw $outRows rows")
   }
 
   test("src_docs_spj (the DECLARED key): the join subtree plans ZERO " +
