@@ -270,16 +270,48 @@ class PlanSpec extends SparkSpec {
     "graph_component_sizes" -> "component-size histogram (<=|components| rows)",
     "graph_hits" -> "per-iteration normalization over the |nodes|-bounded score table")
 
+  /** r18 cont. (the BNLJ structural discipline applied to windows): the
+    * subset of [[boundedGlobalWindows]] whose window INPUT is bounded by
+    * plan structure alone — the child chain bottoms out at a LIMIT
+    * (TakeOrdered top-k candidate sets), so [[structurallyBounded]] can
+    * verify the prose. Most window whitelist entries are bounded by
+    * DOMAIN properties the plan cannot show (calendar-bounded hourly
+    * aggregates, distinct-value collapses of rounded score domains,
+    * |sources|-row datasheets — all grouped aggregates whose grouping
+    * key cardinality is a data/domain fact), so prose + the owning spec
+    * remain their contract; this set covers the class where structure
+    * suffices. ann_hybrid_rerank is deliberately NOT here: its rerank
+    * window rides the top-20 BM25 set through an inner equi-join back to
+    * the embeddings table, and that join's output bound (20 x doc_id
+    * multiplicity = 20, doc_id being unique) is a data fact the plan
+    * cannot show — the prose entry plus SimilaritySpec stay its
+    * contract. */
+  private val structurallyBoundedWindows: Set[String] =
+    Set("ml_mrr", "ml_ndcg")
+
   test("meta: every key's unpartitioned windows sort only pid or a " +
       "documented bounded relation (r16)") {
     val offenders = scala.collection.mutable.Map[String, Seq[Set[String]]]()
+    val loose = scala.collection.mutable.Map[String, String]()
     val seen = scala.collection.mutable.Set[String]()
     for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, SfDir).queryExecution.sparkPlan
       val globals = unpartitionedWindowKeys(fn(spark, SfDir))
         .filterNot(_ == Set("pid"))
       if (globals.nonEmpty) {
         seen += k
         if (!boundedGlobalWindows.contains(k)) offenders(k) = globals
+        // limit-class entries: verify the bounded property on the plan
+        // itself — every unpartitioned window's input chain must bottom
+        // out at a limit/bounded leaf (r18 cont.)
+        if (structurallyBoundedWindows(k)) {
+          val bad = plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty &&
+                  !structurallyBounded(w.child) => w
+          }
+          if (bad.nonEmpty) loose(k) = bad.head.toString.take(2000)
+        }
       }
       spark.sharedState.cacheManager.clearCache()
     }
@@ -290,6 +322,13 @@ class PlanSpec extends SparkSpec {
     val stale = boundedGlobalWindows.keySet -- seen
     assert(stale.isEmpty,
       s"stale whitelist entries (key no longer plans a global window): $stale")
+    val orphans = structurallyBoundedWindows -- boundedGlobalWindows.keySet
+    assert(orphans.isEmpty,
+      s"structurally-bounded window set names keys outside the whitelist: $orphans")
+    assert(loose.isEmpty,
+      s"declared limit-bounded, but an unpartitioned window's input is " +
+        s"not structurally bounded:\n" +
+        loose.map { case (k, p) => s"== $k ==\n$p" }.mkString("\n"))
   }
 
   test("sort_skyline: staircase window is pid-partitioned; only the offsets window is global") {
