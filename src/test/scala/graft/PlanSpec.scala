@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.ExplainMode
 
-import graft.operators.{AggOps, JoinOps, RelationalOps, StreamingOps}
+import graft.operators.{AggOps, JoinOps, RelationalOps, StreamingOps, WindowOps}
 
 /** Physical-plan assertions (SURVEY §4.2 / the scale contract): pushdown
   * reaches the Parquet scan, dims broadcast, top-k never global-sorts.
@@ -618,6 +618,39 @@ class PlanSpec extends SparkSpec {
     }
     assert(prunedBelowExchange.nonEmpty,
       s"bloom probe is not below the fact-side exchange:\n$phys")
+  }
+
+  test("win_rank_topk: WindowGroupLimit prunes to top-3 per group " +
+      "MAP-SIDE, below the window's exchange (r18 cont.)") {
+    // the rn <= 3 filter above the ranking window triggers Spark's
+    // InferWindowGroupLimit: a Partial WindowGroupLimit keeps only each
+    // group's top-3 candidate rows BEFORE the shuffle (so at corpus
+    // scale the window exchange carries 3 rows per customer, not every
+    // order) and a Final one re-prunes after. Pin both modes and the
+    // partial's below-the-exchange position — a refactor that breaks
+    // the rank filter shape (e.g. filtering a derived column) would
+    // silently lose the prune and re-shuffle the whole table.
+    val df = WindowOps.queries("win_rank_topk")(spark, SfDir)
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val modes = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        w.mode.toString
+    }
+    assert(modes.sorted == Seq("Final", "Partial"),
+      s"expected Partial+Final WindowGroupLimit, saw $modes:\n$phys")
+    val partialBelowExchange = phys.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.collect {
+            case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+                if w.mode.toString == "Partial" => w
+          }.nonEmpty => e
+    }
+    assert(partialBelowExchange.nonEmpty,
+      s"partial WindowGroupLimit is not below the window exchange:\n$phys")
   }
 
   test("ts_mad_anomaly: no collect_list / object-hash buffer anywhere — " +

@@ -459,4 +459,37 @@ class StreamingSpec extends SparkSpec {
       assert(out === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
     } finally query.stop()
   }
+
+  test("streaming observe: per-micro-batch sideband metrics count rows " +
+      "the sink never sees (pipe_observe_metrics' channel, incremental)") {
+    // the streaming half of the observe contract: the same
+    // CollectMetrics sideband that rides the batch curation pass
+    // (pipe_observe_metrics) surfaces PER MICRO-BATCH through
+    // StreamingQueryProgress.observedMetrics — the accumulators sit
+    // below the gate filter, so a streaming ingest reports its drop
+    // counters batch by batch with zero extra passes, and the per-batch
+    // rows sum to exactly the ingested total
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val df = input.toDF().toDF("id", "value")
+      .observe("gate_metrics", count(lit(1)).as("rows_in"),
+        sum(when(col("value") >= 0, 1L).otherwise(0L)).as("rows_kept"))
+      .filter(col("value") >= 0)
+    val query = df.writeStream.format("memory").queryName("observe_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1.0), (2L, -1.0), (3L, 2.0))
+      query.processAllAvailable()
+      input.addData((4L, -5.0), (5L, 3.0))
+      query.processAllAvailable()
+      val metrics = query.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("gate_metrics")))
+      assert(metrics.nonEmpty, "no observed metrics in any progress event")
+      assert(metrics.map(_.getAs[Long]("rows_in")).sum === 5L)
+      assert(metrics.map(_.getAs[Long]("rows_kept")).sum === 3L)
+      // and the sink holds ONLY the survivors the metrics counted past
+      assert(spark.table("observe_stream").count() === 3L)
+    } finally query.stop()
+  }
 }
