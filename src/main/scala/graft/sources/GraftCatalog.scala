@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNa
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Read-only `TableCatalog` plugin exposing the synthetic documents
   * generator to pure SQL — the catalog API surface of the engine:
@@ -86,13 +87,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   // must be able to hand Spark an evaluable definition of `bucket`.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Ns))
-      Array(Identifier.of(namespace, "bucket"))
+      Array(Identifier.of(namespace, "bucket"),
+        Identifier.of(namespace, "lang_of"))
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name == "bucket" &&
-        (ident.namespace.isEmpty || ident.namespace.sameElements(Ns)))
-      GraftCatalog.BucketFunction
+    if (ident.namespace.isEmpty || ident.namespace.sameElements(Ns))
+      ident.name match {
+        case "bucket"  => GraftCatalog.BucketFunction
+        case "lang_of" => GraftCatalog.LangOfFunction
+        case _         => throw new NoSuchFunctionException(ident)
+      }
     else throw new NoSuchFunctionException(ident)
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -147,6 +152,44 @@ object GraftCatalog {
           s"bucket: numBuckets must be positive, got $n")
         Math.floorMod(input.getLong(1), n.toLong).toInt
       }
+    }
+  }
+
+  /** `lang_of(doc_id)` — the generator's deterministic language draw
+    * ([[DocsSource.langOf]]) exposed as a SQL-invocable catalog SCALAR
+    * function: the other half of the FunctionCatalog contract (bucket
+    * above serves SPJ transform RESOLUTION; this one is a user-facing
+    * function users call in queries, the way Iceberg ships
+    * `system.bucket`). ONE definition — the scan's reader, the DuckDB
+    * oracle twin ([[DocsOracleSql]]), and this function all derive the
+    * column from the same splitmix mix, so
+    * `lang <> graft.docs.lang_of(doc_id)` is empty by construction
+    * (SourceSpec pins it). */
+  object LangOfFunction extends UnboundFunction {
+    override def name(): String = "lang_of"
+    override def description(): String =
+      "lang_of(doc_id bigint): the generated documents table's language for an id"
+    override def bind(inputType: StructType): BoundFunction = {
+      val ok = inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == LongType
+      if (!ok) throw new UnsupportedOperationException(
+        s"lang_of expects (doc_id bigint), got $inputType")
+      LangBound
+    }
+    object LangBound extends ScalarFunction[UTF8String] {
+      override def inputTypes(): Array[DataType] = Array(LongType)
+      override def resultType(): DataType = StringType
+      override def name(): String = "lang_of"
+      override def canonicalName(): String = "graft.lang_of"
+      override def isResultNullable: Boolean = false
+      /** The MAGIC method: V2 function resolution finds `invoke` with
+        * exactly the bound input types and plans a direct codegen'd
+        * Invoke call — the row-boxing [[produceResult]] below is the
+        * interpreted fallback the contract still requires. */
+      def invoke(id: Long): UTF8String =
+        UTF8String.fromString(DocsSource.langOf(id))
+      override def produceResult(input: InternalRow): UTF8String =
+        invoke(input.getLong(0))
     }
   }
 }

@@ -262,6 +262,34 @@ class SourceSpec extends SparkSpec {
     }
   }
 
+  test("catalog scalar function lang_of: SQL-invocable via the magic " +
+      "method, agrees with the generator and the table column") {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // literal call matches the generator directly
+    assert(spark.sql("SELECT graft.docs.lang_of(42L) AS l")
+      .collect().head.getString(0) === graft.sources.DocsSource.langOf(42L))
+    // ONE definition: the scan's lang column, derived by the reader, and
+    // the catalog function, derived per-call, can never disagree
+    val bad = spark.sql(
+      """SELECT count(*) AS n FROM graft.docs.docs_500
+         WHERE lang <> graft.docs.lang_of(doc_id)""").collect().head.getLong(0)
+    assert(bad === 0L)
+    // magic-method resolution: the analyzed expression is a direct
+    // Invoke of LangBound.invoke(Long), not the row-boxing
+    // ApplyFunctionExpression interpreted fallback
+    val df = spark.sql(
+      "SELECT graft.docs.lang_of(doc_id) AS l FROM graft.docs.docs_10")
+    assert(!df.queryExecution.optimizedPlan.toString
+        .contains("ApplyFunctionExpression"),
+      s"magic method not taken:\n${df.queryExecution.optimizedPlan}")
+    // bind() rejects wrong arity with the contract's analysis error, not
+    // a raw internal exception
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft.docs.lang_of(1L, 2L)").collect()
+    }
+  }
+
   test("micro-batch streaming read: rows arrive once each across rowsPerBatch epochs") {
     // the same generator as a stream: offsets are high-water doc_ids,
     // 5000 ids admitted 1500 per micro-batch -> 4 epochs; determinism
