@@ -157,7 +157,27 @@ object DocsSource {
 }
 
 class DocsTable(rows: Long, parts: Int, layout: String = "range")
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** The DSv2 METADATA-COLUMN contract (the Iceberg `_file`/`_pos`
+    * shape): `_gen_bucket` = floorMod(doc_id, parts), the partition
+    * provenance of each generated row. Hidden from `SELECT *` (Spark
+    * only materializes metadata columns when NAMED), synthesized by the
+    * reader like any projected column when requested, and equal by
+    * definition to the catalog's `bucket(parts, doc_id)` function —
+    * SourceSpec pins the hide/show contract and that three-way
+    * agreement (reader, MetadataColumn, FunctionCatalog all derive from
+    * one floorMod). */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_gen_bucket"
+      override def dataType(): DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        s"generation bucket: floorMod(doc_id, $parts)"
+    })
   // the layout changes plan shape (SPJ vs shuffle), so it must be
   // visible wherever the table prints — two joins of same-sized tables
   // are otherwise indistinguishable in explain output
@@ -380,9 +400,24 @@ class DocsAggScan(lo: Long, hi: Long, funcs: Array[AggregateFunc])
   * partition is |langs| x 4 longs — bounded by the column's domain,
   * never by the span. */
 class DocsGroupAggScan(parts: Int, lo: Long, hi: Long,
-    funcs: Array[AggregateFunc]) extends Scan with Batch {
+    funcs: Array[AggregateFunc]) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   import DocsSource.satAdd
+
+  // a well-behaved source reports what it knows: the partial relation is
+  // at most one row per (planned partition, distinct lang) — and never
+  // more rows than the span itself (a 2-id span cannot emit 32 partials)
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val span = math.max(0L, hi - lo)
+    val n = math.min(span,
+      planInputPartitions().length.toLong * DocsSource.Langs.distinct.length)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(math.max(1L, n * (16L + 8L * funcs.length)))
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+    }
+  }
 
   // positional contract: group-by columns first, then one column per
   // aggregate expression in Aggregation order (Spark splits
@@ -613,7 +648,7 @@ class DocsScan(rows: Long, parts: Int, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DocsScan.readerFactory(required.fieldNames, langEq)
+    DocsScan.readerFactory(required.fieldNames, langEq, parts)
 }
 
 case class DocsRange(start: Long, end: Long) extends InputPartition
@@ -643,7 +678,7 @@ object DocsScan {
   /** Shared by the batch scan and the micro-batch stream — the factory
     * ships to executors and must capture only serializable locals. */
   private[graft] def readerFactory(fields: Array[String],
-      langEq: Option[String]): PartitionReaderFactory =
+      langEq: Option[String], parts: Int = 8): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         // range partitions walk contiguous ids; bucket partitions stride
@@ -696,6 +731,7 @@ object DocsScan {
             case "lang" => 2
             case "source" => 3
             case "n_chars" => 4
+            case "_gen_bucket" => 5 // metadata column, only when NAMED
             case other => throw new IllegalArgumentException(s"unknown column $other")
           }
           override def get(): InternalRow = {
@@ -717,6 +753,7 @@ object DocsScan {
                 case 3 => UTF8String.fromString(
                   DocsSource.Sources(math.floorMod(DocsSource.mix(id + 13),
                     DocsSource.Sources.length.toLong).toInt))
+                case 5 => math.floorMod(id, parts.toLong).toInt
                 case _ => textOnce.length.toLong
               }
               i += 1
@@ -784,7 +821,7 @@ class DocsMicroBatchStream(parts: Int, lo: Long, hi: Long, rowsPerBatch: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DocsScan.readerFactory(fields, langEq)
+    DocsScan.readerFactory(fields, langEq, parts)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -262,6 +262,27 @@ class SourceSpec extends SparkSpec {
     }
   }
 
+  test("metadata column _gen_bucket: hidden from SELECT *, synthesized " +
+      "when named, equal to the catalog bucket function") {
+    // the DSv2 SupportsMetadataColumns contract (the Iceberg _file/_pos
+    // shape): provenance columns exist only when asked for
+    val star = read(100, 4)
+    assert(!star.columns.contains("_gen_bucket"),
+      s"metadata column leaked into SELECT *: ${star.columns.toSeq}")
+    val named = read(100, 4).select(col("doc_id"), col("_gen_bucket"))
+    assert(named.collect().forall(r => r.getInt(1) == (r.getLong(0) % 4).toInt))
+    // three-way agreement: reader synthesis, MetadataColumn, and the
+    // FunctionCatalog's bucket() all derive from ONE floorMod — through
+    // pure catalog SQL
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val bad = spark.sql(
+      """SELECT count(*) AS n FROM graft.docs.docs_100_4
+         WHERE _gen_bucket <> graft.docs.bucket(4, doc_id)""")
+      .collect().head.getLong(0)
+    assert(bad === 0L)
+  }
+
   test("catalog scalar function lang_of: SQL-invocable via the magic " +
       "method, agrees with the generator and the table column") {
     if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
