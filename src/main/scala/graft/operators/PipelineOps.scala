@@ -262,15 +262,22 @@ object PipelineOps {
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         gateStage.as("st"))
     val kept = col("st.i") === 5
+    // each sum coalesces: over an EMPTY input relation sum() is null,
+    // and the collected metric is consumed as a bare Long — a curation
+    // run over zero rows must report zeros, not NPE on the driver
     val observed = staged.observe(obs,
       count(lit(1)).as("rows_in"),
-      sum(when(kept, 1L).otherwise(0L)).as("rows_kept"),
-      sum(when(col("st.i") === 1, 1L).otherwise(0L)).as("drop_too_short"),
-      sum(when(col("st.i") === 2, 1L).otherwise(0L)).as("drop_too_long"),
-      sum(when(col("st.i") === 3, 1L).otherwise(0L)).as("drop_repetitive"),
-      sum(when(col("st.i") === 4, 1L).otherwise(0L))
+      coalesce(sum(when(kept, 1L).otherwise(0L)), lit(0L)).as("rows_kept"),
+      coalesce(sum(when(col("st.i") === 1, 1L).otherwise(0L)), lit(0L))
+        .as("drop_too_short"),
+      coalesce(sum(when(col("st.i") === 2, 1L).otherwise(0L)), lit(0L))
+        .as("drop_too_long"),
+      coalesce(sum(when(col("st.i") === 3, 1L).otherwise(0L)), lit(0L))
+        .as("drop_repetitive"),
+      coalesce(sum(when(col("st.i") === 4, 1L).otherwise(0L)), lit(0L))
         .as("drop_non_target_lang"),
-      sum(when(kept, col("n_tok")).otherwise(0L)).as("toks_kept"))
+      coalesce(sum(when(kept, col("n_tok")).otherwise(0L)), lit(0L))
+        .as("toks_kept"))
     (observed.filter(kept).select("doc_id", "lang", "n_tok"), obs)
   }
 
