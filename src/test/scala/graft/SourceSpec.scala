@@ -170,6 +170,47 @@ class SourceSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("grouped partial pushdown over an empty pruned span: zero groups, " +
+      "not a zero row") {
+    // the grouped contract's empty-span shape differs from the complete
+    // path's: with GROUP BY there is no group to report, so the result
+    // is EMPTY (the complete path's ungrouped count-0 row would be wrong
+    // here) — the scan plans no partitions and the final aggregate sees
+    // no partials
+    val df = read(100, 2).filter(col("doc_id") > 1000)
+      .groupBy("lang").agg(count(expr("*")).as("n"))
+    assert(df.queryExecution.executedPlan.toString.contains("pushed-group-agg"))
+    assert(df.collect().isEmpty)
+  }
+
+  test("grouped partial pushdown agrees with the ordinary scan across " +
+      "span/partition geometries (boundary sweep)") {
+    // deterministic geometry sweep standing in for a property test: odd
+    // spans vs partition counts (per-partition remainders), a span
+    // smaller than the partition count, single partition, and pruned
+    // sub-spans — each must produce IDENTICAL (lang, n, lo, hi) groups
+    // to the unpushed full-row scan
+    val geoms = Seq((97, 4, 0L, 97L), (13, 8, 0L, 13L), (50, 1, 0L, 50L),
+      (200, 8, 17L, 131L), (64, 8, 63L, 64L))
+    for ((rows, parts, lo, hi) <- geoms) {
+      val base = read(rows, parts)
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val pushed = base.groupBy("lang").agg(count(expr("*")).as("n"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"))
+      assert(pushed.queryExecution.executedPlan.toString
+        .contains("pushed-group-agg"), s"not pushed at geometry $rows/$parts")
+      val got = pushed.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val exp = base.select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._2).map { case (l, rs) =>
+          (l, rs.length.toLong, rs.map(_._1).min, rs.map(_._1).max)
+        }.toSet
+      assert(got === exp, s"geometry $rows/$parts span [$lo,$hi) disagrees")
+    }
+  }
+
   test("limit pushdown clamps the generated span at planning time") {
     val df = read(1000000, 8).limit(7)
     val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
