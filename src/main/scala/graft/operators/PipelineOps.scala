@@ -2890,7 +2890,11 @@ object PipelineOps {
                       6) AS rate
          FROM c ORDER BY stage_idx""",
     // the identical cascade + aggregates as pipe_filter_report's CTE —
-    // the observe sideband must reproduce the plain-SQL numbers exactly
+    // the observe sideband must reproduce the plain-SQL numbers exactly.
+    // The coalesces mirror the Spark side's empty-input guard: over zero
+    // documents both engines must report zeros (and a NULL kept_rate —
+    // the CASE guard keeps DuckDB off its integer-division-by-zero
+    // error, matching Spark's null-on-zero-divisor Divide)
     "pipe_observe_metrics" ->
       """WITH staged AS (
            SELECT len(string_split(text, ' ')) AS n_tok,
@@ -2903,14 +2907,15 @@ object PipelineOps {
                     ELSE 5 END AS stage_idx
            FROM documents)
          SELECT CAST(count(*) AS BIGINT) AS rows_in,
-                CAST(sum(CASE WHEN stage_idx = 5 THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
-                CAST(sum(CASE WHEN stage_idx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS drop_too_short,
-                CAST(sum(CASE WHEN stage_idx = 2 THEN 1 ELSE 0 END) AS BIGINT) AS drop_too_long,
-                CAST(sum(CASE WHEN stage_idx = 3 THEN 1 ELSE 0 END) AS BIGINT) AS drop_repetitive,
-                CAST(sum(CASE WHEN stage_idx = 4 THEN 1 ELSE 0 END) AS BIGINT) AS drop_non_target_lang,
-                CAST(sum(CASE WHEN stage_idx = 5 THEN n_tok ELSE 0 END) AS BIGINT) AS toks_kept,
-                round(CAST(sum(CASE WHEN stage_idx = 5 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / count(*), 6) AS kept_rate
+                CAST(coalesce(sum(CASE WHEN stage_idx = 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS rows_kept,
+                CAST(coalesce(sum(CASE WHEN stage_idx = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS drop_too_short,
+                CAST(coalesce(sum(CASE WHEN stage_idx = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS drop_too_long,
+                CAST(coalesce(sum(CASE WHEN stage_idx = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS drop_repetitive,
+                CAST(coalesce(sum(CASE WHEN stage_idx = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS drop_non_target_lang,
+                CAST(coalesce(sum(CASE WHEN stage_idx = 5 THEN n_tok ELSE 0 END), 0) AS BIGINT) AS toks_kept,
+                CASE WHEN count(*) > 0 THEN
+                  round(CAST(sum(CASE WHEN stage_idx = 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / count(*), 6) END AS kept_rate
          FROM staged""",
     // identical split expression; ECDFs replay as plain windows over the
     // distinct-value relation

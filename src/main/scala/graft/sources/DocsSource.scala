@@ -677,8 +677,11 @@ object DocsScan {
 
   /** Shared by the batch scan and the micro-batch stream — the factory
     * ships to executors and must capture only serializable locals. */
+  // parts is REQUIRED (no default): it feeds the _gen_bucket metadata
+  // column, and a defaulted value would silently emit wrong buckets for
+  // any table whose partition count differs
   private[graft] def readerFactory(fields: Array[String],
-      langEq: Option[String], parts: Int = 8): PartitionReaderFactory =
+      langEq: Option[String], parts: Int): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         // range partitions walk contiguous ids; bucket partitions stride

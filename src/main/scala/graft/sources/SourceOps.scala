@@ -96,6 +96,14 @@ object SourceOps {
     GROUP BY a.source
     ORDER BY source"""
 
+  /** Idempotent catalog registration shared by every declared key here
+    * (Verify/Bench sessions don't pre-configure it; a user session may
+    * have — never overwrite). ONE copy: the class name must not drift
+    * across call sites. */
+  private def ensureCatalog(s: SparkSession): Unit =
+    if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The fixture dir is unused: the table is GENERATED (deterministic,
     // dir-independent), which is the point — the oracle replays the
@@ -103,8 +111,7 @@ object SourceOps {
     // (the GraftSession.install contract); Verify/Bench sessions don't
     // pre-configure it.
     "src_docs_pushdown" -> ((s, _) => {
-      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
-        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      ensureCatalog(s)
       s.sql(selectSql(s"graft.docs.docs_${DocsRows}_$DocsParts"))
     }),
 
@@ -114,8 +121,7 @@ object SourceOps {
     // (pushed span in the scan description, final merge aggregate above,
     // scan output bounded by partitions x langs, never the span).
     "src_docs_group_agg" -> ((s, _) => {
-      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
-        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      ensureCatalog(s)
       s.sql(groupSql(s"graft.docs.docs_${DocsRows}_$DocsParts"))
     }),
 
@@ -133,8 +139,7 @@ object SourceOps {
     // generated relation (the b side is the same generator over the
     // nested [0, 1500) span).
     "src_docs_spj" -> ((s, _) => {
-      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
-        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      ensureCatalog(s)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.sql(spjSql("/*+ MERGE(b) */",
         s"graft.docs.docs_${SpjRowsA}_${SpjParts}_bucket",

@@ -64,8 +64,7 @@ class ObserveSpec extends SparkSpec {
     // subtree (the accumulators must see rows the filter drops)
     val filterAbove = plan.collect {
       case f: org.apache.spark.sql.execution.FilterExec
-          if f.collectLeaves().nonEmpty &&
-            f.exists(_.isInstanceOf[CollectMetricsExec]) => f
+          if f.exists(_.isInstanceOf[CollectMetricsExec]) => f
     }
     assert(filterAbove.nonEmpty,
       s"survivor filter must sit ABOVE the metrics node, plan:\n$plan")

@@ -295,8 +295,9 @@ class PlanSpec extends SparkSpec {
     val loose = scala.collection.mutable.Map[String, String]()
     val seen = scala.collection.mutable.Set[String]()
     for ((k, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val plan = fn(spark, SfDir).queryExecution.sparkPlan
-      val globals = unpartitionedWindowKeys(fn(spark, SfDir))
+      val df = fn(spark, SfDir)
+      val plan = df.queryExecution.sparkPlan
+      val globals = unpartitionedWindowKeys(df)
         .filterNot(_ == Set("pid"))
       if (globals.nonEmpty) {
         seen += k

@@ -532,7 +532,7 @@ class SourceSpec extends SparkSpec {
     // filter excluded, in a ~2^61-iteration loop
     import graft.sources.{DocsBucketRange, DocsRange, DocsScan}
     def ids(p: org.apache.spark.sql.connector.read.InputPartition): Seq[Long] = {
-      val r = DocsScan.readerFactory(Array("doc_id"), None).createReader(p)
+      val r = DocsScan.readerFactory(Array("doc_id"), None, 4).createReader(p)
       val out = Seq.newBuilder[Long]
       while (r.next()) out += r.get().getLong(0)
       r.close()
