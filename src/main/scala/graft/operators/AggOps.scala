@@ -662,12 +662,16 @@ object AggOps {
       // persisted: pid feeds both the offsets table and the cum join, and
       // range boundaries come from sampling — recomputation across jobs
       // could shift pids between the two (the pipe_shuffle determinism
-      // note); dictionary-sized relative to the raw table
+      // note); dictionary-sized relative to the raw table. NOT sorted
+      // within partitions: pid depends only on the range partitioner,
+      // offs is an order-free sum, and the cum window inserts its own
+      // (pid, group, v) sort over the unique (group, v) rows — the
+      // explicit pre-persist sort was a redundant extra pass (r18 opt,
+      // guide §2.4: AggProbe 2.34 → 1.91 s med isolated at sf0.1)
       val byVal = Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(sum(col("l_quantity").cast("decimal(28,10)")).as("w"))
         .repartitionByRange(nParts, col("l_returnflag"), col("v"))
-        .sortWithinPartitions(col("l_returnflag"), col("v"))
         .withColumn("pid", spark_partition_id())
         .persist()
       val offs = byVal.groupBy("pid", "l_returnflag")
@@ -902,7 +906,8 @@ object AggOps {
         .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
         .agg(count(lit(1)).as("c"))
         .repartitionByRange(nParts, col("g"), col("v"))
-        .sortWithinPartitions(col("g"), col("v"))
+        // no pre-persist sort — same redundant-pass trim as
+        // agg_weighted_median (the cum window sorts, offs is order-free)
         .withColumn("pid", spark_partition_id())
         .persist()
       val offs = byVal.groupBy("pid", "g")
@@ -998,7 +1003,8 @@ object AggOps {
         .withColumn("sv", col("v").cast("decimal(18,2)") *
           col("c").cast("decimal(18,0)"))
         .repartitionByRange(nParts, col("v"))
-        .sortWithinPartitions(col("v"))
+        // no pre-persist sort — same redundant-pass trim as
+        // agg_weighted_median (the cum window sorts, offs is order-free)
         .withColumn("pid", spark_partition_id())
         .persist()
       val offs = byVal.groupBy("pid")

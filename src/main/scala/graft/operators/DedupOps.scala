@@ -452,20 +452,33 @@ object DedupOps {
     * duplicated-token count. */
   private[graft] def substringSpans(s: SparkSession, dir: String): DataFrame = {
     val k = SubstringK
-    val t = split(col("text"), " ")
+    // Gram key = xxhash64 over the k-slice of PER-TOKEN xxhash64s, not
+    // over the k-token string re-concat: each token's bytes are hashed
+    // once per doc instead of k times through concat_ws allocations, and
+    // the per-position hash input is a fixed 8·k bytes (r18 opt round,
+    // guide §1.2 per-task work; SubstringProbe: gram stage 0.47 → 0.31 s
+    // med isolated at sf0.1). Distinct grams collide only at the same
+    // ~n²/2⁶⁴ odds the previous concat key accepted (the oracle groups
+    // the gram TEXT, so the key is free to be any sound fingerprint).
+    val th = transform(split(col("text"), " "), t => xxhash64(t))
     val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), t.as("ts"))
-      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), th.as("hs"))
+      .filter(size(col("hs")) >= k)
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(1), size(col("ts")) - (k - 1)),
-          i => xxhash64(concat_ws(" ", slice(col("ts"), i, lit(k))))))
+          sequence(lit(1), size(col("hs")) - (k - 1)),
+          i => xxhash64(slice(col("hs"), i, lit(k)))))
           .as(Seq("p0", "gh")))
       .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
         col("gh"))
+    // "appears in >1 distinct doc" ⟺ min(doc_id) < max(doc_id): one
+    // map-side-combined exchange on gh instead of countDistinct's
+    // two-exchange (gh, doc_id) dedup expansion (r18 opt round, guide
+    // §2.4; SubstringProbe: dup build 0.85 → 0.53 s med isolated with
+    // both changes — the hashpartitioning(gh, doc_id) exchange is gone)
     val dupGrams = grams.groupBy("gh")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > 1)
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select("gh")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     grams.join(dupGrams, "gh")

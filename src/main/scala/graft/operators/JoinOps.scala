@@ -445,7 +445,10 @@ object JoinOps {
         lit(null).cast("long").as("ref_key"), col("c_custkey"),
         lit(1).as("is_probe")))
       .repartitionByRange(nParts, ord: _*)
-      .sortWithinPartitions(ord: _*)
+      // no pre-persist sort: the segment windows insert their own
+      // (pid, nk)-exchange + sort above the cache and `bounds` is an
+      // order-free aggregate, so sorting the cached rows was a redundant
+      // extra pass (r18 opt, guide §2.4 — the agg_weighted_median trim)
       .withColumn("pid", spark_partition_id())
       .persist()
     val ref = when(col("is_probe") === 0, struct(col("v"), col("ref_key")))

@@ -192,7 +192,8 @@ object MultimodalOps {
         .select(col("doc_id"), col("meta.n_bytes").as("nb"),
           md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("skey"))
         .repartitionByRange(nParts, col("skey"), col("doc_id"))
-        .sortWithinPartitions("skey", "doc_id")
+        // no pre-persist sort — the cum window re-sorts above the cache,
+        // offs is order-free (r18 opt: the agg_weighted_median trim)
         .withColumn("pid", spark_partition_id())
         .persist()
       val offs = keyed.groupBy("pid").agg(sum(col("nb")).as("pb"))

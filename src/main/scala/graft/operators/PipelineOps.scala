@@ -142,7 +142,8 @@ object PipelineOps {
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .repartitionByRange(nParts, col("cnt").desc, col("token"))
-      .sortWithinPartitions(col("cnt").desc, col("token"))
+      // no pre-persist sort — the rank window re-sorts above the cache,
+      // stats/offs are order-free (r18 opt: the agg_weighted_median trim)
       .withColumn("pid", spark_partition_id())
       .persist()
     // one job: vocab cardinality + measured token bytes (64 bytes/row of
@@ -2084,7 +2085,8 @@ object PipelineOps {
         .select(col("doc_id"),
           md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("skey"))
         .repartitionByRange(nParts, col("skey"))
-        .sortWithinPartitions("skey")
+        // no pre-persist sort — the row_number window re-sorts above the
+        // cache, offs is order-free (r18 opt: the agg_weighted_median trim)
         .withColumn("pid", spark_partition_id())
         .persist()
       val offs = keyed.groupBy("pid").count()

@@ -147,7 +147,8 @@ object RelationalOps {
       // across jobs could shift pids between the two
       val reps = o.groupBy("o_totalprice").agg(min("o_orderdate").as("mn_d"))
         .repartitionByRange(nParts, col("o_totalprice").desc)
-        .sortWithinPartitions(col("o_totalprice").desc)
+        // no pre-persist sort — the local window re-sorts above the
+        // cache, offs is order-free (r18 opt: the agg_weighted_median trim)
         .withColumn("pid", spark_partition_id())
         .persist()
       val wPart = org.apache.spark.sql.expressions.Window

@@ -236,7 +236,8 @@ object TextOps {
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .repartitionByRange(nParts, col("cnt").desc, col("token"))
-        .sortWithinPartitions(col("cnt").desc, col("token"))
+        // no pre-persist sort — the rank window re-sorts above the cache,
+        // offs is order-free (r18 opt: the agg_weighted_median trim)
         .withColumn("pid", spark_partition_id())
         .persist()
       val pidw = Window.orderBy("pid")
@@ -277,7 +278,8 @@ object TextOps {
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).cast("double").as("cnt"))
         .repartitionByRange(nParts, col("cnt").desc, col("token"))
-        .sortWithinPartitions(col("cnt").desc, col("token"))
+        // no pre-persist sort — the rank window re-sorts above the cache,
+        // offs is order-free (r18 opt: the agg_weighted_median trim)
         .withColumn("pid", spark_partition_id())
         .persist()
       val offs = freq.groupBy("pid").agg(count(lit(1)).as("n"))

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manual decomposition probe for the range-partitioned cumulative agg
+  * family (`agg_weighted_median` / `agg_lorenz` / `agg_gini`) — r18
+  * optimization round, guide §1. Times the collapse aggregate, the range
+  * materialization, and the full keys, so the repartitionByRange sampling
+  * recompute hypothesis is measured before any rewrite. Run:
+  * `sbt "Test/runMain graft.AggProbe /root/testdata/sf0.1 5"`. */
+object AggProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nParts = 32
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def clear(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    def byVal0: DataFrame = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity").cast("decimal(28,10)")).as("w"))
+
+    def byValRange(src: DataFrame): DataFrame = src
+      .repartitionByRange(nParts, col("l_returnflag"), col("v"))
+      .sortWithinPartitions(col("l_returnflag"), col("v"))
+      .withColumn("pid", spark_partition_id())
+
+    // the declared query minus the sortWithinPartitions before persist
+    // (the cum window re-sorts; offs is order-free) — candidate trim
+    def wmNoSort(): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val byVal = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("decimal(28,10)")).as("w"))
+        .repartitionByRange(nParts, col("l_returnflag"), col("v"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offs = byVal.groupBy("pid", "l_returnflag")
+        .agg(sum(col("w")).as("pw"))
+        .withColumn("offset", coalesce(
+          sum(col("pw")).over(Window.partitionBy("l_returnflag")
+            .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast("decimal(38,10)")))
+        .withColumn("tot",
+          sum(col("pw")).over(Window.partitionBy("l_returnflag")))
+        .select("pid", "l_returnflag", "offset", "tot")
+      val cw = Window.partitionBy("pid", "l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal.join(broadcast(offs), Seq("pid", "l_returnflag"))
+        .withColumn("cum", sum(col("w")).over(cw) + col("offset"))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("v")).as("weighted_median"),
+          max(col("tot")).cast("double").as("total_weight"))
+        .orderBy("l_returnflag")
+        .count()
+    }
+
+    val q = graft.operators.AggOps.queries
+    // warm
+    noop(byVal0); noop(byValRange(byVal0))
+    q("agg_weighted_median")(spark, dir).count()
+    q("agg_lorenz")(spark, dir).count()
+    q("agg_gini")(spark, dir).count()
+
+    val chans = Seq(
+      "wm-collapse-agg      " -> (() => { clear(); noop(byVal0) }),
+      "wm-range-mat         " -> (() => { clear(); noop(byValRange(byVal0)) }),
+      "wm-range-mat-precache" -> (() => { clear()
+        val c = byVal0.persist(); c.count(); noop(byValRange(c)) }),
+      "full-weighted-median " -> (() => { clear()
+        q("agg_weighted_median")(spark, dir).count(); () }),
+      "full-wm-nosort       " -> (() => { clear(); wmNoSort(); () }),
+      "full-lorenz          " -> (() => { clear()
+        q("agg_lorenz")(spark, dir).count(); () }),
+      "full-gini            " -> (() => { clear()
+        q("agg_gini")(spark, dir).count(); () })
+    )
+    val acc = chans.map(_ => Vector.newBuilder[Double])
+    for (_ <- 1 to passes; ((_, f), i) <- chans.zipWithIndex)
+      acc(i) += time(f())
+    for (((name, _), i) <- chans.zipWithIndex) {
+      val v = acc(i).result()
+      println(f"$name min=${v.min}%.2f med=${v.sorted.apply(v.length / 2)}%.2f " +
+        s"all=${v.map(x => f"$x%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
