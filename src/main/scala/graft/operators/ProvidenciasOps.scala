@@ -107,7 +107,11 @@ object ProvidenciasOps {
   /** Node count per (session, dir) — the embeddings fixture is immutable,
     * so the count is too; memoizing it keeps a pivot-BFS memo hit at ZERO
     * jobs (GraphSpec pins that), and it survives evictPivotBfs on purpose
-    * (an edge evict invalidates derived edges/levels, never the corpus). */
+    * (an edge evict invalidates derived edges/levels, never the corpus).
+    * r18 opt: ALL node-count sites in this module route through it now
+    * (modularity, kcore, pagerank, eigenvector, jaccard_neighbors,
+    * adamic_adar previously each re-counted the table per construction —
+    * one scan job per bench pass apiece for a value that cannot change). */
   private val nodeCountMemo = new SessionMemo[String, java.lang.Long]
 
   /** Fixed on-disk schemas of the two memoized scratch tables — passed to
@@ -556,7 +560,7 @@ object ProvidenciasOps {
         .select(col("p.s").as("s"), col("p.d").as("d"))
         .persist()
       val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
-      val nNodes = Tables.embeddings(s, dir).count()
+      val nNodes = nodeCountMemo.getOrElseUpdate(s, dir)(nodes.count())
       val labels = labelPropagate(e, nodes, iters = 2).persist()
       val el = e
         .join(Bcast.ifFitsRows(
@@ -611,7 +615,8 @@ object ProvidenciasOps {
         ed.groupBy("s").agg(count(lit(1)).as("deg"))
       // survivor sets are node-cardinality: size-conditional hint (the
       // node universe count bounds every peel round's keep set)
-      val nNodes = Tables.embeddings(s, dir).count()
+      val nNodes: Long = nodeCountMemo.getOrElseUpdate(s, dir)(
+        Tables.embeddings(s, dir).count())
       def induce(keep: DataFrame): DataFrame =
         und.join(Bcast.ifFitsRows(keep, nNodes, 16), und("s") === keep("id"), "left_semi")
           .join(Bcast.ifFitsRows(keep, nNodes, 16), und("d") === keep("id"), "left_semi")
@@ -646,7 +651,7 @@ object ProvidenciasOps {
     // plan-construction scalars, not per-row driver work.
     "graph_pagerank" -> ((s, dir) => {
       val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
-      val n = nodes.count().toDouble
+      val n = nodeCountMemo.getOrElseUpdate(s, dir)(nodes.count()).toDouble
       val tri = SimilarityOps.similarEdges(s, dir)
         .select(col("src"), col("dst"))
       val und = tri.select(explode(array(
@@ -702,7 +707,7 @@ object ProvidenciasOps {
     // in with score 0 via the final left join against the full id list.
     "graph_eigenvector" -> ((s, dir) => {
       val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
-      val nNodes = nodes.count()
+      val nNodes: Long = nodeCountMemo.getOrElseUpdate(s, dir)(nodes.count())
       val e = SimilarityOps.similarEdges(s, dir).select(col("src"), col("dst"))
       val und = e.select(explode(array(
           struct(col("src").as("s"), col("dst").as("d")),
@@ -897,7 +902,8 @@ object ProvidenciasOps {
           struct(col("dst").as("s"), col("src").as("d")))).as("e"))
         .select(col("e.s").as("s"), col("e.d").as("d"))
         .persist()
-      val nNodes = Tables.embeddings(s, dir).count()
+      val nNodes: Long = nodeCountMemo.getOrElseUpdate(s, dir)(
+        Tables.embeddings(s, dir).count())
       val deg = und.groupBy(col("s").as("n")).agg(count(lit(1)).as("deg"))
       val common = und.select(col("s").as("a"), col("d").as("m"))
         .join(und.select(col("s").as("m"), col("d").as("b")), "m")
@@ -938,7 +944,9 @@ object ProvidenciasOps {
       und.select(col("s").as("a"), col("d").as("m"))
         .join(und.select(col("s").as("m"), col("d").as("b")), "m")
         .filter(col("a") < col("b"))
-        .join(Bcast.ifFitsRows(w, Tables.embeddings(s, dir).count(), 24), "m")
+        .join(Bcast.ifFitsRows(w,
+          nodeCountMemo.getOrElseUpdate(s, dir)(
+            Tables.embeddings(s, dir).count()), 24), "m")
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_common"),
           sum(col("w").cast("decimal(28,10)")).cast("double").as("aa_raw"))

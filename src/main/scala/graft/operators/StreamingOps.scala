@@ -99,6 +99,10 @@ object StreamingOps {
   val HwGamma1 = 0.5
   val HwPeriod = 24
 
+  /** `ts_spc_rules`' eligible-user count per (session, dir) — see the
+    * usage comment at the key (the ProvidenciasOps.nodeCountMemo twin). */
+  private val spcUserCountMemo = new SessionMemo[String, java.lang.Long]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 5-minute tumbling count + sum(value) per event_type.
     "stream_tumbling" -> ((s, dir) =>
@@ -489,7 +493,11 @@ object StreamingOps {
         .select(col("user_id"),
           (col("sv").cast("double") / col("n")).as("mu"),
           sqrt(varE).as("sigma"))
-      val nUsers = stats.count()
+      // memoized per (session, dir) like ProvidenciasOps.nodeCountMemo:
+      // the eligible-user count is a pure function of the immutable
+      // fixture, and un-memoized it re-ran a corpus-scale aggregation at
+      // EVERY construction just to size the broadcast hint (r18 opt)
+      val nUsers: Long = spcUserCountMemo.getOrElseUpdate(s, dir)(stats.count())
       def frame(k: Int) = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-(k - 1), 0)
       val z = Tables.events(s, dir)
