@@ -149,6 +149,13 @@ object SimilarityOps {
     * exactly the right trade. */
   private val edgeMemo = new SessionMemo[String, String]
 
+  /** `ann_pq`'s trained codebook per (session, dir) — 16 centroids × 4
+    * subspaces × 16 doubles, a pure function of the immutable fixture
+    * (deterministic md5-ordered sample + fixed 2-iteration Lloyd); see
+    * the usage comment at the key. */
+  private val pqCodebookMemo =
+    new SessionMemo[String, Seq[(Int, Seq[(Int, Seq[Double])])]]
+
   /** Scratch root for session-shared materializations. r13 verdict item
     * 2: `Files.createTempDirectory` resolves on the DRIVER's local
     * filesystem — fine under `local[32]`, broken on a real cluster where
@@ -438,8 +445,13 @@ object SimilarityOps {
       import s.implicits._
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       // bounded training sample: md5 ordering = deterministic, unbiased,
-      // reproducible across engines/retries; a TakeOrdered job
-      val sample = e
+      // reproducible across engines/retries; a TakeOrdered job. The
+      // sample + the driver Lloyd below are a pure function of the
+      // immutable fixture, so the trained codebook is memoized per
+      // (session, dir) — r18 opt, the nodeCountMemo / BPE-training-run
+      // class: un-memoized, every construction re-ran the collect AND
+      // the BigDecimal training loop just to rebuild 16×16×4 doubles.
+      lazy val sample = e
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(PqTrainSample).collect()
         .map(_.getSeq[Float](1).toArray)
@@ -492,9 +504,11 @@ object SimilarityOps {
       // array-of-structs so the encode argmin is in-row; components stay
       // double (a float truncation here would be one more cast the
       // oracle had to replicate for zero benefit at 16×16×4 values)
-      val cbdf = (0 until PqM).map { m =>
-        (m, lloyd(m).zipWithIndex.toSeq.map { case (cv, cid) =>
-          (cid, cv.toSeq) })
+      val cbdf = pqCodebookMemo.getOrElseUpdate(s, dir) {
+        (0 until PqM).map { m =>
+          (m, lloyd(m).zipWithIndex.toSeq.map { case (cv, cid) =>
+            (cid, cv.toSeq) })
+        }
       }.toDF("m", "carr")
         .select(col("m"), transform(col("carr"), c =>
           struct(c.getField("_1").as("cid"), c.getField("_2").as("cvec"))).as("carr"))
