@@ -163,38 +163,96 @@ object DedupOps {
     def docMapHinted: DataFrame = Bcast.ifFitsRows(docMap, nDocs, 24)
   }
 
+  /** Fixed on-disk schemas of the two memoized collapse maps — passed to
+    * the reads so a memo hit never runs a schema-inference job (the
+    * ProvidenciasOps.EdgesSchema discipline). */
+  private val GidMapSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fp",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("gid",
+      org.apache.spark.sql.types.LongType)))
+  private val DocMapSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("gid",
+      org.apache.spark.sql.types.LongType)))
+
   private[graft] def collapse(s: SparkSession, dir: String): Collapse = {
     val df = docHashes(s, dir).withColumn("fp", xxhash64(col("th")))
-    // the collapse groupBy sees the arrays anyway, so the per-set token
-    // count rides the SAME shuffle — the verify-stage broadcast budget
-    // (thBytes) costs no extra scan
-    val gidFull = df.groupBy("fp")
-      .agg(min("doc_id").as("gid"), max(size(col("th"))).as("len"))
-      .persist()
-    val cached = collapseStats.get(s, dir).orNull
-    val (nGids, thBytes) = if (cached != null) (cached._1, cached._2) else {
+    // The two all-long maps are session-shared scratch parquet (r18 opt):
+    // FIVE declared keys consume the identical collapse per sweep
+    // (near/simhash/ngram/prefix/contain — plus the label derivation),
+    // and each was re-running the fingerprint groupBy + map join because
+    // Bench/Verify clear the SQL cache between queries (SimhashProbe:
+    // 0.29–0.34 s per consumer at sf0.1). Same materialized-view
+    // lifecycle as similarEdges/clusterLabels; the maps are
+    // doc-/set-cardinality × 2 longs. The token ARRAYS stay re-derived
+    // on demand in uniq() — materializing them was measured at ~10× the
+    // compute in the columnar cache (scaladoc above), and the parquet
+    // trade is the same: the arrays are the corpus, the maps are not.
+    val root = collapseMemo.getOrElseUpdate(s, dir) {
+      val out = new org.apache.hadoop.fs.Path(SimilarityOps.scratchRoot(s),
+        "graft_collapse_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+      // the collapse groupBy sees the arrays anyway, so the per-set token
+      // count rides the SAME shuffle — the verify-stage broadcast budget
+      // (thBytes) costs no extra scan
+      val gidFull = df.groupBy("fp")
+        .agg(min("doc_id").as("gid"), max(size(col("th"))).as("len"))
+        .persist()
       val st = gidFull.agg(count(lit(1)).as("n"),
         coalesce(sum(col("len").cast("long")), lit(0L)).as("toks")).first()
-      (st.getLong(0), 8L * st.getLong(1) + 32L * st.getLong(0))
+      val nGids = st.getLong(0)
+      val thBytes = 8L * st.getLong(1) + 32L * nGids
+      gidFull.select("fp", "gid").write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(out, "gid").toString)
+      val gidW = s.read.schema(GidMapSchema)
+        .parquet(new org.apache.hadoop.fs.Path(out, "gid").toString)
+      df.join(Bcast.ifFitsRows(gidW, nGids, 24), "fp")
+        .select("doc_id", "gid").write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(out, "doc").toString)
+      val nDocs = s.read.schema(DocMapSchema)
+        .parquet(new org.apache.hadoop.fs.Path(out, "doc").toString).count()
+      collapseStats.put(s, dir, (nGids, thBytes, nDocs))
+      gidFull.unpersist()
+      // orphan guard, as in similarEdges: reclaim on session death
+      out.getFileSystem(s.sessionState.newHadoopConf()).deleteOnExit(out)
+      out.toString
     }
-    val gidMap = gidFull.select("fp", "gid")
+    val (nGids, thBytes, nDocs) = collapseStats.get(s, dir).get
+    val gidMap = s.read.schema(GidMapSchema)
+      .parquet(new org.apache.hadoop.fs.Path(root, "gid").toString)
+    val docMap = s.read.schema(DocMapSchema)
+      .parquet(new org.apache.hadoop.fs.Path(root, "doc").toString)
     def gidHinted = Bcast.ifFitsRows(gidMap, nGids, 24)
-    val docMap = df.join(gidHinted, "fp").select("doc_id", "gid").persist()
-    val nDocs = if (cached != null) cached._3 else {
-      val n = docMap.count()
-      collapseStats.put(s, dir, (nGids, thBytes, n))
-      n
-    }
     val uniq = () => df.join(gidHinted, "fp")
       .filter(col("doc_id") === col("gid")).select(col("gid"), col("th"))
     Collapse(docMap, gidMap, uniq, nDocs, nGids, thBytes)
   }
 
+  /** Scratch roots of the memoized collapse maps per (session, dir) —
+    * see the derivation comment inside [[collapse]]. */
+  private val collapseMemo = new SessionMemo[String, String]
+
+  /** Drop a session's shared collapse-map materializations (spec
+    * isolation — mirrors [[evictSharedLabels]]); the stats memo is
+    * dropped with it so a re-derivation re-measures. */
+  private[graft] def evictSharedCollapse(s: SparkSession): Unit = {
+    collapseMemo.removeAll(s).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      ()
+    }
+    collapseStats.removeAll(s)
+    ()
+  }
+
   /** collapse()'s measured stats (nGids, thBytes, nDocs) memoized per
     * (session, data dir), mirroring Bcast.measured: the fixture dirs
     * are immutable within a session, so every dedup query after the
-    * first skips both collapse stats jobs and lets the consuming query
-    * materialize the persisted maps as part of its own first action.
+    * first skips both collapse stats jobs. Populated inside the
+    * [[collapseMemo]] derivation block (r18) so the stats and the
+    * materialized maps always come from the same derivation run.
     * Session-scoped via the weak-keyed [[SessionMemo]] (r11) so a
     * recycled identity hash can never surface a stale measurement. */
   private val collapseStats = new SessionMemo[String, (Long, Long, Long)]

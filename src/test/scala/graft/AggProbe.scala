@@ -72,6 +72,54 @@ object AggProbe {
         .count()
     }
 
+    // candidate rewrite: exact two-phase bucketed weighted median — no
+    // corpus-wide shuffle at all (partial-agg to |groups|×B cells, then
+    // an exact pass over the ONE bucket the half-mass falls in)
+    def wmBucketed(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val B = 4096
+      val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+        col("l_extendedprice").as("v"),
+        col("l_quantity").cast("decimal(28,10)").as("w"))
+      val rng = li.groupBy("l_returnflag")
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val bucketed = li.join(broadcast(rng), "l_returnflag")
+        .withColumn("bkt",
+          least(lit(B - 1), greatest(lit(0), floor(
+            (col("v") - col("mn")) / ((col("mx") - col("mn")) / B + lit(1e-12))
+          ).cast("int"))))
+      val cells = bucketed.groupBy("l_returnflag", "bkt")
+        .agg(sum(col("w")).as("bw"))
+      val wc = Window.partitionBy("l_returnflag").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells
+        .withColumn("cumw", sum(col("bw")).over(wc))
+        .withColumn("tot", sum(col("bw")).over(Window.partitionBy("l_returnflag")))
+      val target = cum
+        .filter(col("cumw") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("bkt")).as("bstar"), max(col("tot")).as("tot"))
+        .join(
+          cum.select(col("l_returnflag"), col("bkt").as("pb"), col("cumw").as("below")),
+          Seq("l_returnflag"), "left")
+        .filter(col("pb") === col("bstar") - 1 || col("bstar") === 0)
+        .groupBy("l_returnflag", "bstar", "tot")
+        .agg(coalesce(max(when(col("pb") === col("bstar") - 1, col("below"))),
+          lit(0).cast("decimal(38,10)")).as("offset"))
+      val inB = bucketed.join(broadcast(target), "l_returnflag")
+        .filter(col("bkt") === col("bstar"))
+        .groupBy(col("l_returnflag"), col("tot"), col("offset"), col("v"))
+        .agg(sum(col("w")).as("vw"))
+      val vc = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      inB.withColumn("cum", sum(col("vw")).over(vc) + col("offset"))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("v")).as("weighted_median"),
+          max(col("tot")).cast("double").as("total_weight"))
+        .orderBy("l_returnflag")
+    }
+
     val q = graft.operators.AggOps.queries
     // warm
     noop(byVal0); noop(byValRange(byVal0))
@@ -87,6 +135,7 @@ object AggProbe {
       "full-weighted-median " -> (() => { clear()
         q("agg_weighted_median")(spark, dir).count(); () }),
       "full-wm-nosort       " -> (() => { clear(); wmNoSort(); () }),
+      "full-wm-bucketed     " -> (() => { clear(); wmBucketed().count(); () }),
       "full-lorenz          " -> (() => { clear()
         q("agg_lorenz")(spark, dir).count(); () }),
       "full-gini            " -> (() => { clear()
@@ -100,6 +149,13 @@ object AggProbe {
       println(f"$name min=${v.min}%.2f med=${v.sorted.apply(v.length / 2)}%.2f " +
         s"all=${v.map(x => f"$x%.2f").mkString(",")}")
     }
+    clear()
+    val cur = q("agg_weighted_median")(spark, dir).collect().toSeq
+    clear()
+    val bkt = wmBucketed().collect().toSeq
+    println(s"equality current==bucketed: ${cur == bkt}")
+    println(s"  current : ${cur.mkString(" | ")}")
+    println(s"  bucketed: ${bkt.mkString(" | ")}")
     spark.stop()
   }
 }
