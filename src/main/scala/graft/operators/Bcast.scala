@@ -94,6 +94,40 @@ object Bcast {
   * collected session's entire entry set becomes unreachable with it.
   * Values must not reference the session (all current uses store Longs/
   * tuples), or they would pin the weak key. */
+/** Session-scoped scratch-parquet materialization of a derived table
+  * shared by several declared keys — the similarEdges/clusterLabels
+  * materialized-view lifecycle packaged once (r18 opt): derive ONCE per
+  * (session, fixture dir), write to the cluster-safe scratch root, read
+  * back with a FIXED schema (no inference job on a memo hit), orphan
+  * guard via deleteOnExit, evict hook for spec isolation. Use only for
+  * bounded derived relations (maps, labels, per-doc frames) — never for
+  * corpus-scale payloads. */
+private[operators] final class SessionTableMemo(prefix: String,
+    schema: org.apache.spark.sql.types.StructType) {
+  private val memo = new SessionMemo[String, String]
+
+  def get(s: org.apache.spark.sql.SparkSession, dir: String)(
+      derive: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val path = memo.getOrElseUpdate(s, dir) {
+      val out = new org.apache.hadoop.fs.Path(SimilarityOps.scratchRoot(s),
+        prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
+      derive.write.mode("overwrite").parquet(out.toString)
+      out.getFileSystem(s.sessionState.newHadoopConf()).deleteOnExit(out)
+      out.toString
+    }
+    s.read.schema(schema).parquet(path)
+  }
+
+  /** Drop this memo's materializations for one session and delete their
+    * scratch dirs (the removeAll external-resource contract). */
+  def evict(s: org.apache.spark.sql.SparkSession): Unit =
+    memo.removeAll(s).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      ()
+    }
+}
+
 private[operators] final class SessionMemo[K, V] {
   private val outer = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,

@@ -507,8 +507,25 @@ object DedupOps {
     * spans the dedup key reports (one definition, two consumers, the
     * langIdSql/lloydAssign sharing pattern). Spans are pairwise disjoint
     * by the coverage-merge rule, so Σ span_len per doc is its exact
-    * duplicated-token count. */
-  private[graft] def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    * duplicated-token count.
+    *
+    * Session-shared scratch materialization (r18 opt): both consumers
+    * re-ran the full gram join per query; the frame is doc-cardinality
+    * × 3 longs, so the similarEdges write-once trade applies. */
+  private val substringSpansMemo = new SessionTableMemo(
+    "graft_substring_spans_",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("span_start",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("span_len",
+        org.apache.spark.sql.types.LongType))))
+
+  private[graft] def substringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpansMemo.get(s, dir)(deriveSubstringSpans(s, dir))
+
+  private def deriveSubstringSpans(s: SparkSession, dir: String): DataFrame = {
     val k = SubstringK
     // Gram key = xxhash64 over the k-slice of PER-TOKEN xxhash64s, not
     // over the k-token string re-concat: each token's bytes are hashed

@@ -196,7 +196,23 @@ object PipelineOps {
     * construction (a benchmark suite, not the corpus), so Catalyst
     * broadcasts it and the training side streams through map-side — no
     * all-pairs comparison anywhere. */
-  private[graft] def decontamHits(s: SparkSession, dir: String): DataFrame = {
+  private val decontamHitsMemo = new SessionTableMemo(
+    "graft_decontam_hits_",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_hits",
+        org.apache.spark.sql.types.LongType))))
+
+  /** Session-shared (r18 opt): THREE declared keys consume the identical
+    * hit relation (`pipe_decontaminate`, `pipe_contam_report`,
+    * `pipe_e2e`'s anti-join side), and each re-ran the double shingle
+    * pass; the relation is flagged-doc-cardinality × 2 longs, so the
+    * similarEdges write-once trade applies. */
+  private[graft] def decontamHits(s: SparkSession, dir: String): DataFrame =
+    decontamHitsMemo.get(s, dir)(deriveDecontamHits(s, dir))
+
+  private def deriveDecontamHits(s: SparkSession, dir: String): DataFrame = {
     // th materializes as a real column BEFORE the per-shingle lambda:
     // expression trees referenced inside lambda bodies are re-inlined
     // per element (no CSE), so slicing the tokenize-and-hash expression

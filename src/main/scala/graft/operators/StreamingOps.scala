@@ -1363,7 +1363,27 @@ object StreamingOps {
     * Degenerate series (n < S or zero variance) are excluded by the
     * integer/compare gate both engines replay. Output: (user_id, n,
     * seg, z). */
-  private[graft] def paaSegments(s: SparkSession, dir: String): DataFrame = {
+  private val paaSegmentsMemo = new SessionTableMemo(
+    "graft_paa_segments_",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("z",
+        org.apache.spark.sql.types.DoubleType))))
+
+  /** Session-shared (r18 opt): `ts_sax` and `ts_dtw` consume the
+    * identical ≤ users×S segment relation, and each re-ran the full
+    * window pass; the similarEdges write-once trade applies (doubles
+    * round-trip parquet bit-exactly, so the shared z values cannot
+    * fork between the two consumers). */
+  private[graft] def paaSegments(s: SparkSession, dir: String): DataFrame =
+    paaSegmentsMemo.get(s, dir)(derivePaaSegments(s, dir))
+
+  private def derivePaaSegments(s: SparkSession, dir: String): DataFrame = {
     val S = SaxSegments
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val full = Window.partitionBy("user_id")
