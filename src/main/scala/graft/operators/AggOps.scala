@@ -55,6 +55,14 @@ object AggOps {
     * comment at the key. */
   private val kendallCellCountMemo = new SessionMemo[String, java.lang.Long]
 
+  /** `agg_weighted_median`'s value-range bucket count: bounds the cell
+    * relation at |groups|×WmBuckets and the exact second pass at ~1/B of
+    * the value domain. 4,096 is comfortably past the point where the
+    * cell windows are trivial yet keeps the per-group cell table under
+    * a broadcast page; the choice only moves WORK between the two
+    * passes, never output (any monotonic bucketing is correct). */
+  val WmBuckets = 4096
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: per-(returnflag, linestatus) sums/avgs/count with
     // derived expressions — the canonical partial-aggregation benchmark.
@@ -653,50 +661,82 @@ object AggOps {
     // Exact weighted median: smallest price v whose cumulative quantity
     // weight (ordered by price) reaches half the group's total — the
     // lower weighted median, the order statistic behind cost-weighted
-    // SLAs and weighted-percentile dashboards. Scale shape: the raw
-    // table first collapses to the (group, value) DISTINCT-VALUE
-    // relation with partial-aggregated weights — the only corpus-scale
-    // shuffle. The cumulative weight is then assigned the way
-    // `pipe_shuffle` assigns global positions: a range partition on
-    // (group, value) — a PARALLEL total sort — plus per-(partition,
-    // group) weight offsets from a #partitions×|groups|-bounded counts
-    // table; a `Window.partitionBy(group)` cumsum would serialize the
-    // whole relation through |groups| tasks, which for a low-cardinality
-    // group column (3 flags here) is the single-task collapse in
-    // disguise. Weights fold as exact DECIMAL so offsets, running sums,
-    // and the ≥ total/2 comparison are order-independent and bit-equal
-    // cross-engine — identical output to the naive one-window form the
-    // oracle replays.
+    // SLAs and weighted-percentile dashboards.
+    //
+    // r18 opt round: bucketed TWO-PHASE exact selection replacing the
+    // r16 range-partition + per-partition-offset form. That form's
+    // premise — "the (group, value) distinct-value relation is
+    // dictionary-sized" — fails exactly on value domains like prices
+    // (this fixture: 594,330 distinct (flag, price) pairs from 600,000
+    // rows), where it shuffled a corpus-sized relation THREE times
+    // (groupBy, range exchange incl. its sampling job, the windows' own
+    // (pid, group) exchange) and pinned it in cache. The two-phase form
+    // shuffles only BOUNDED relations at any cardinality:
+    //   1. one pass partial-aggregates weights into |groups| × WmBuckets
+    //      value-range cells (map-side combine does the heavy lifting;
+    //      the only corpus-wide work is the scan) plus a 3-row min/max
+    //      probe rider; the half-mass bucket b* and the cumulative
+    //      weight below it come from windows over the bounded cell
+    //      relation;
+    //   2. a second scan filtered to b* (a broadcast-joined range test)
+    //      collapses to per-value weights — at most the values of ONE
+    //      bucket — and the global rule "min v with cum ≥ tot/2" is
+    //      recovered exactly from offset + within-bucket cumsum, because
+    //      the bucket map floor((v−mn)/width) is monotonic in v.
+    // Identical output to the naive one-window form the oracle replays:
+    // weights fold as exact DECIMAL everywhere, so offsets, cell sums,
+    // and the ≥ total/2 comparisons are order-independent and bit-equal
+    // cross-engine (AggProbe pins collect-equality against the r16 form
+    // at sf0.1). Windows never see more than |groups|×WmBuckets cells or
+    // one bucket's values — the single-task collapse the r16 form
+    // guarded against stays impossible unless one bucket degenerately
+    // holds the whole domain (a near-constant column — in which case the
+    // relation is dictionary-sized and trivially small anyway).
     "agg_weighted_median" -> ((s, dir) => {
-      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // persisted: pid feeds both the offsets table and the cum join, and
-      // range boundaries come from sampling — recomputation across jobs
-      // could shift pids between the two (the pipe_shuffle determinism
-      // note); dictionary-sized relative to the raw table. NOT sorted
-      // within partitions: pid depends only on the range partitioner,
-      // offs is an order-free sum, and the cum window inserts its own
-      // (pid, group, v) sort over the unique (group, v) rows — the
-      // explicit pre-persist sort was a redundant extra pass (r18 opt,
-      // guide §2.4: AggProbe 2.34 → 1.91 s med isolated at sf0.1)
-      val byVal = Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .agg(sum(col("l_quantity").cast("decimal(28,10)")).as("w"))
-        .repartitionByRange(nParts, col("l_returnflag"), col("v"))
-        .withColumn("pid", spark_partition_id())
-        .persist()
-      val offs = byVal.groupBy("pid", "l_returnflag")
-        .agg(sum(col("w")).as("pw"))
-        .withColumn("offset", coalesce(
-          sum(col("pw")).over(Window.partitionBy("l_returnflag")
-            .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0).cast("decimal(38,10)")))
-        .withColumn("tot",
-          sum(col("pw")).over(Window.partitionBy("l_returnflag")))
-        .select("pid", "l_returnflag", "offset", "tot")
-      val cw = Window.partitionBy("pid", "l_returnflag").orderBy("v")
+      val B = WmBuckets
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_extendedprice").as("v"),
+        col("l_quantity").cast("decimal(28,10)").as("w"))
+      val rng = li.groupBy("l_returnflag")
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      // epsilon keeps the width positive for a constant column (every
+      // value then lands in bucket 0); any monotonic bucketing is
+      // correct, so the perturbation cannot change output
+      val bucketed = li.join(broadcast(rng), "l_returnflag")
+        .withColumn("bkt",
+          least(lit(B - 1), greatest(lit(0), floor(
+            (col("v") - col("mn")) / ((col("mx") - col("mn")) / B + lit(1e-12))
+          ).cast("int"))))
+      val cells = bucketed.groupBy("l_returnflag", "bkt")
+        .agg(sum(col("w")).as("bw"))
+      val wc = Window.partitionBy("l_returnflag").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      byVal.join(broadcast(offs), Seq("pid", "l_returnflag"))
-        .withColumn("cum", sum(col("w")).over(cw) + col("offset"))
+      val cum = cells
+        .withColumn("cumw", sum(col("bw")).over(wc))
+        .withColumn("tot",
+          sum(col("bw")).over(Window.partitionBy("l_returnflag")))
+      // b* = first bucket whose cumulative weight crosses half; offset =
+      // cumulative weight of the last NON-EMPTY bucket strictly below it
+      // (cells exist only for non-empty buckets, so a "b* − 1" lookup
+      // would drop any group whose preceding bucket is empty — caught by
+      // the sf0.001 oracle gate; cumw is monotone in bkt, so the max
+      // over pb < b* IS the cumulative below b*, and 0 when none exists)
+      val target = cum
+        .filter(col("cumw") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("bkt")).as("bstar"), max(col("tot")).as("tot"))
+        .join(cum.select(col("l_returnflag"), col("bkt").as("pb"),
+          col("cumw").as("below")), Seq("l_returnflag"), "left")
+        .groupBy("l_returnflag", "bstar", "tot")
+        .agg(coalesce(max(when(col("pb") < col("bstar"), col("below"))),
+          lit(0).cast("decimal(38,10)")).as("offset"))
+      val inB = bucketed.join(broadcast(target), "l_returnflag")
+        .filter(col("bkt") === col("bstar"))
+        .groupBy(col("l_returnflag"), col("tot"), col("offset"), col("v"))
+        .agg(sum(col("w")).as("vw"))
+      val vc = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      inB.withColumn("cum", sum(col("vw")).over(vc) + col("offset"))
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy("l_returnflag")
         .agg(min(col("v")).as("weighted_median"),

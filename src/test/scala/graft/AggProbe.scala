@@ -102,9 +102,8 @@ object AggProbe {
         .join(
           cum.select(col("l_returnflag"), col("bkt").as("pb"), col("cumw").as("below")),
           Seq("l_returnflag"), "left")
-        .filter(col("pb") === col("bstar") - 1 || col("bstar") === 0)
         .groupBy("l_returnflag", "bstar", "tot")
-        .agg(coalesce(max(when(col("pb") === col("bstar") - 1, col("below"))),
+        .agg(coalesce(max(when(col("pb") < col("bstar"), col("below"))),
           lit(0).cast("decimal(38,10)")).as("offset"))
       val inB = bucketed.join(broadcast(target), "l_returnflag")
         .filter(col("bkt") === col("bstar"))
