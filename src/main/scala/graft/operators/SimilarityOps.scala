@@ -746,7 +746,22 @@ object SimilarityOps {
     * component means, (distance, cid) argmin tiebreak) — extracted so
     * `dedup_semantic` partitions by the SAME clusters `ml_kmeans`
     * reports; both oracles replay the identical unrolled loop. */
-  private[graft] def lloydAssign(s: SparkSession, dir: String): DataFrame = {
+  private val lloydAssignMemo = new SessionTableMemo(
+    "graft_lloyd_assign_",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType))))
+
+  /** Session-shared (r18 opt): `ml_kmeans` and `dedup_semantic` consume
+    * the identical assignment, and each re-ran both Lloyd passes; the
+    * relation is vector-cardinality × 2 longs, so the similarEdges
+    * write-once trade applies. */
+  private[graft] def lloydAssign(s: SparkSession, dir: String): DataFrame =
+    lloydAssignMemo.get(s, dir)(deriveLloydAssign(s, dir))
+
+  private def deriveLloydAssign(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val pts = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val c0 = pts.filter(col("vec_id") < k)

@@ -462,12 +462,15 @@ class PlanSpec extends SparkSpec {
     "ann_ivf" -> "k-centroid table + 1-row probe (k = config constant)",
     "ann_lsh" -> "1-row probe bucket+vector scalar (planes are in-row literals since r17)",
     "ann_pq" -> "<=4096-row trained codebook + 1-row probe",
-    "ml_kmeans" -> "k-centroid relation per Lloyd round (k = config constant)",
+    // ml_kmeans / dedup_semantic: delisted r18 — their k-centroid
+    // crossJoin now lives in the once-per-session lloydAssign derivation
+    // (SessionTableMemo), so the per-key plan is a label-parquet scan
+    // and no longer plans a BNLJ; the staleness assertion demanded the
+    // removal
     "ml_knn" -> "1-row probe-vector scalar",
     "ml_mrr" -> "1-row probe-vector scalar (vec_id = 42)",
     "ml_ndcg" -> "1-row probe-vector scalar (vec_id = 42)",
     "ml_recall_at_k" -> "10-probe retrieval panel (vec_id < 10)",
-    "dedup_semantic" -> "k-centroid relation (SemDeDup cluster count = config)",
     "similar_range" -> "1-row probe-vector scalar",
     "api_similares" -> "1-row probe-vector scalar (nests similar_range)",
     // size-gated: the broadcast side is MEASURED against Bcast.budget
