@@ -941,36 +941,54 @@ object AggOps {
     // concentration/inequality statistic (revenue concentration, token
     // budget skew) via the rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
     // The rank would naively be a per-group global sort window — the
-    // low-cardinality single-task trap — so instead: collapse to the
-    // (group, value) DISTINCT-value relation with counts (the only
-    // corpus-scale shuffle, map-side combined), then assign each value
-    // block its rank range via the range-partition + per-partition-offset
-    // discipline (`pipe_shuffle`), folding a whole tie block's rank sum
-    // in closed form (c·(cb+1) + c·(c−1)/2 — tie order provably cannot
-    // change the total). Value sums ride DECIMAL(18,2)×DECIMAL(18,0)
-    // products (exact, no precision overflow), so both engines divide
-    // identical integers/decimals at the end.
+    // low-cardinality single-task trap. r18 opt: the rank offsets now
+    // derive from the agg_weighted_median bucket discipline instead of
+    // the r16 range-partition + pid-offset form, because the (group,
+    // value) DISTINCT-value relation is corpus-sized on price-like
+    // domains (594,330 distinct pairs from 600,000 rows at sf0.1) and
+    // the range form shuffled it TWICE more (range exchange incl. its
+    // sampling job, then the windows' own (pid, group) exchange) and
+    // pinned it in cache. Now: ONE corpus-scale map-side-combined
+    // shuffle collapses to (g, v, c); per-(g, bkt) counts aggregate to
+    // the ≤|groups|×WmBuckets cell relation whose strictly-below
+    // cumulative counts broadcast back, and each value's global rank
+    // offset cb = cells-below-bucket + within-bucket cumsum (a window
+    // partitioned on (g, bkt) — ≤ |groups|×WmBuckets well-spread
+    // partitions, spillable, never one task). The tie-block rank sum
+    // folds in the SAME closed form (c·(cb+1) + c·(c−1)/2), cb is the
+    // identical integer by bucket-map monotonicity, and value sums ride
+    // the same DECIMAL(18,2)×DECIMAL(18,0) exact products — so both
+    // engines divide identical integers/decimals at the end (AggProbe
+    // pins collect-equality against the r16 form at sf0.1).
     "agg_gini" -> ((s, dir) => {
-      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val B = WmBuckets
       val byVal = Tables.orders(s, dir)
         .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
         .agg(count(lit(1)).as("c"))
-        .repartitionByRange(nParts, col("g"), col("v"))
-        // no pre-persist sort — same redundant-pass trim as
-        // agg_weighted_median (the cum window sorts, offs is order-free)
-        .withColumn("pid", spark_partition_id())
-        .persist()
-      val offs = byVal.groupBy("pid", "g")
-        .agg(sum(col("c")).as("pc"))
-        .withColumn("offset", coalesce(
-          sum(col("pc")).over(Window.partitionBy("g").orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("pid", "g", "offset")
-      val cw = Window.partitionBy("pid", "g").orderBy("v")
+      val rng = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("g"))
+        .agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+      // epsilon keeps the width positive for a constant column; any
+      // monotonic bucketing is correct (cb is recovered exactly), so the
+      // perturbation cannot change output
+      val bucketed = byVal.join(broadcast(rng), "g")
+        .withColumn("bkt",
+          least(lit(B - 1), greatest(lit(0), floor(
+            (col("v") - col("mn")) / ((col("mx") - col("mn")) / B + lit(1e-12))
+          ).cast("int"))))
+        .select("g", "v", "c", "bkt")
+      val cells = bucketed.groupBy("g", "bkt").agg(sum(col("c")).as("bc"))
+      val wc = Window.partitionBy("g").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
-      byVal.join(broadcast(offs), Seq("pid", "g"))
+      val cellMap = cells
+        .withColumn("cbelow", coalesce(sum(col("bc")).over(wc), lit(0L)))
+        .select(col("g"), col("bkt"), col("cbelow"))
+      val vw = Window.partitionBy("g", "bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(cellMap), Seq("g", "bkt"))
         .withColumn("cb",
-          coalesce(sum(col("c")).over(cw), lit(0L)) + col("offset"))
+          coalesce(sum(col("c")).over(vw), lit(0L)) + col("cbelow"))
         .withColumn("w", expr("c * (cb + 1) + (c * (c - 1)) DIV 2"))
         .groupBy("g")
         .agg(sum(col("c")).as("n"),
@@ -1037,54 +1055,76 @@ object AggOps {
     // Lorenz curve deciles over the order-value distribution — the
     // inequality DIAGRAM behind `agg_gini`'s single number ("the poorest
     // 50% of orders carry 31% of the value"): cumulative population share
-    // vs cumulative value share at each population decile. The corpus
-    // collapses to the DISTINCT-price relation first; the global
-    // ascending cumulative sums then ride the agg_gini range-partition +
-    // per-partition-offset discipline (pid offsets broadcast back — never
-    // a single-partition window over a near-unique price domain), and the
-    // ceil-DIV decile assignment keeps tie blocks wholly in one decile
-    // (the ml_lift_gain rule).
+    // vs cumulative value share at each population decile. r18 opt: the
+    // decile assignment is a 9-boundary SELECTION, not a full rank, so it
+    // rides the agg_weighted_median bucket discipline instead of the r16
+    // range-partition + pid-offset form (the DISTINCT-price relation is
+    // corpus-sized — near-unique prices — so that form shuffled it two
+    // extra times and pinned it in cache). One corpus-scale map-side-
+    // combined shuffle collapses to (v, c, sv); per-bucket counts
+    // aggregate to the ≤WmBuckets cell relation, over which a bounded
+    // cumsum decides each bucket's decile span: a bucket whose rank span
+    // [cbelow+1, cumc] stays inside one decile maps directly (the
+    // common case — broadcast bucket→decile), and only the ≤10 buckets
+    // STRADDLING a decile boundary get an exact within-bucket cumsum (a
+    // window partitioned on bkt over ~1/WmBuckets of the domain). The
+    // ceil-DIV tie-block rule is evaluated on the identical integers
+    // (bucket-map monotonicity), so every value lands in the decile the
+    // naive global cumsum assigns; per-decile cum_orders/cumv are then
+    // running EXACT-DECIMAL sums over the ≤10-row decile table — equal
+    // to the naive form's max-of-cumulative because deciles partition
+    // the value order contiguously (AggProbe pins collect-equality
+    // against the r16 form at sf0.1).
     "agg_lorenz" -> ((s, dir) => {
-      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val B = WmBuckets
       val tot = Window.partitionBy()
       val byVal = Tables.orders(s, dir)
         .groupBy(col("o_totalprice").as("v"))
         .agg(count(lit(1)).as("c"))
         .withColumn("sv", col("v").cast("decimal(18,2)") *
           col("c").cast("decimal(18,0)"))
-        .repartitionByRange(nParts, col("v"))
-        // no pre-persist sort — same redundant-pass trim as
-        // agg_weighted_median (the cum window sorts, offs is order-free)
-        .withColumn("pid", spark_partition_id())
-        .persist()
-      val offs = byVal.groupBy("pid")
-        .agg(sum(col("c")).as("pc"), sum(col("sv")).as("pv"))
-        .withColumn("coff", coalesce(
-          sum(col("pc")).over(Window.orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("voff", coalesce(
-          sum(col("pv")).over(Window.orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0).cast("decimal(38,2)")))
-        .select("pid", "coff", "voff")
-      val cw = Window.partitionBy("pid").orderBy("v")
+      val rng = byVal.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val bucketed = byVal.crossJoin(broadcast(rng))
+        .withColumn("bkt",
+          least(lit(B - 1), greatest(lit(0), floor(
+            (col("v") - col("mn")) / ((col("mx") - col("mn")) / B + lit(1e-12))
+          ).cast("int"))))
+      val cells = bucketed.groupBy("bkt").agg(sum(col("c")).as("bc"))
+      val wc = Window.orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // the global count rides a one-row broadcast, NOT a window over the
-      // near-unique price domain (that would serialize it through one task)
-      val nt = byVal.agg(sum(col("c")).as("nt"))
-      byVal.join(broadcast(offs), "pid")
-        .crossJoin(broadcast(nt))
-        .withColumn("cb", sum(col("c")).over(cw) + col("coff"))
-        .withColumn("cv", sum(col("sv")).over(cw) + col("voff"))
+      // d(r) = decile of global rank r; evaluated at a bucket's first and
+      // last rank — equal means the whole bucket shares that decile
+      val cellMap = cells
+        .withColumn("cumc", sum(col("bc")).over(wc))
+        .withColumn("nt", sum(col("bc")).over(tot))
+        .withColumn("cbelow", col("cumc") - col("bc"))
+        .withColumn("dlo",
+          least(lit(9L), expr("(10 * (cbelow + 1) + nt - 1) DIV nt") - 1))
+        .withColumn("dhi",
+          least(lit(9L), expr("(10 * cumc + nt - 1) DIV nt") - 1))
+        .select(col("bkt").as("mbkt"), col("cbelow"), col("nt"),
+          when(col("dlo") === col("dhi"), col("dhi")).as("d_uniform"))
+      val joined = bucketed.join(broadcast(cellMap), col("bkt") === col("mbkt"))
+      val uni = joined.filter(col("d_uniform").isNotNull)
+        .select(col("d_uniform").as("decile"), col("c"), col("sv"))
+      val vw = Window.partitionBy("bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val strad = joined.filter(col("d_uniform").isNull)
+        .withColumn("cb", sum(col("c")).over(vw) + col("cbelow"))
         .withColumn("decile",
           least(lit(9L), expr("(10 * cb + nt - 1) DIV nt") - 1))
+        .select(col("decile"), col("c"), col("sv"))
+      val dw = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      uni.union(strad)
         .groupBy("decile")
-        .agg(sum(col("c")).as("n_orders"),
-          round(sum(col("sv")).cast("double"), 2).as("value_total"),
-          max(col("cb")).as("cum_orders"), max(col("cv")).as("cumv"))
+        .agg(sum(col("c")).as("n_orders"), sum(col("sv")).as("vsum"))
+        .withColumn("cum_orders", sum(col("n_orders")).over(dw))
+        .withColumn("cumv", sum(col("vsum")).over(dw))
         .withColumn("ntot", max(col("cum_orders")).over(tot))
         .withColumn("vtot", max(col("cumv")).over(tot))
-        .select(col("decile"), col("n_orders"), col("value_total"),
+        .select(col("decile"), col("n_orders"),
+          round(col("vsum").cast("double"), 2).as("value_total"),
           Num.pin(col("cum_orders").cast("double") / col("ntot"), 6)
             .as("cum_pop_share"),
           Num.pin(col("cumv").cast("double") / col("vtot").cast("double"), 6)

@@ -119,6 +119,115 @@ object AggProbe {
         .orderBy("l_returnflag")
     }
 
+    // candidate rewrite: bucketed two-phase Lorenz — decile assignment is
+    // a 9-boundary SELECTION over the bounded cell relation (buckets whose
+    // rank span stays inside one decile map directly; only straddling
+    // buckets get an exact within-bucket cumsum), and the per-decile cums
+    // are running sums over the ≤10-row decile table — no corpus range
+    // shuffle, no persist, no sampling job
+    def lorenzBucketed(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val B = 4096
+      val byVal = Tables.orders(spark, dir)
+        .groupBy(col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("sv", col("v").cast("decimal(18,2)") *
+          col("c").cast("decimal(18,0)"))
+      val rng = byVal.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val bucketed = byVal.crossJoin(broadcast(rng))
+        .withColumn("bkt",
+          least(lit(B - 1), greatest(lit(0), floor(
+            (col("v") - col("mn")) / ((col("mx") - col("mn")) / B + lit(1e-12))
+          ).cast("int"))))
+      val cells = bucketed.groupBy("bkt").agg(sum(col("c")).as("bc"))
+      val wc = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cellMap = cells
+        .withColumn("cumc", sum(col("bc")).over(wc))
+        .withColumn("nt", sum(col("bc")).over(Window.partitionBy()))
+        .withColumn("cbelow", col("cumc") - col("bc"))
+        .withColumn("dlo",
+          least(lit(9L), expr("(10 * (cbelow + 1) + nt - 1) DIV nt") - 1))
+        .withColumn("dhi",
+          least(lit(9L), expr("(10 * cumc + nt - 1) DIV nt") - 1))
+        .select(col("bkt").as("mbkt"), col("cbelow"), col("nt"),
+          when(col("dlo") === col("dhi"), col("dhi")).as("d_uniform"))
+      val joined = bucketed.join(broadcast(cellMap), col("bkt") === col("mbkt"))
+      val uni = joined.filter(col("d_uniform").isNotNull)
+        .select(col("d_uniform").as("decile"), col("c"), col("sv"))
+      val vw = Window.partitionBy("bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val strad = joined.filter(col("d_uniform").isNull)
+        .withColumn("cb", sum(col("c")).over(vw) + col("cbelow"))
+        .withColumn("decile",
+          least(lit(9L), expr("(10 * cb + nt - 1) DIV nt") - 1))
+        .select(col("decile"), col("c"), col("sv"))
+      val dw = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      uni.union(strad)
+        .groupBy("decile")
+        .agg(sum(col("c")).as("n_orders"), sum(col("sv")).as("vsum"))
+        .withColumn("cum_orders", sum(col("n_orders")).over(dw))
+        .withColumn("cumv", sum(col("vsum")).over(dw))
+        .withColumn("ntot", max(col("cum_orders")).over(tot))
+        .withColumn("vtot", max(col("cumv")).over(tot))
+        .select(col("decile"), col("n_orders"),
+          round(col("vsum").cast("double"), 2).as("value_total"),
+          graft.functions.Num.pin(
+            col("cum_orders").cast("double") / col("ntot"), 6)
+            .as("cum_pop_share"),
+          graft.functions.Num.pin(
+            col("cumv").cast("double") / col("vtot").cast("double"), 6)
+            .as("cum_value_share"))
+        .orderBy("decile")
+    }
+
+    // candidate rewrite: bucketed gini — cb (the strictly-below rank
+    // offset) derives from broadcast per-cell counts + a within-bucket
+    // cumsum window partitioned on (g, bkt); every downstream expression
+    // (w, the DECIMAL folds, the final formula) is literally the current
+    // form's, so the outputs are identical integers/decimals
+    def giniBucketed(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val B = 4096
+      val byVal = Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val rng = Tables.orders(spark, dir).groupBy(col("o_orderpriority").as("g"))
+        .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      val bucketed = byVal.join(broadcast(rng), "g")
+        .withColumn("bkt",
+          least(lit(B - 1), greatest(lit(0), floor(
+            (col("v") - col("mn")) / ((col("mx") - col("mn")) / B + lit(1e-12))
+          ).cast("int"))))
+        .select("g", "v", "c", "bkt")
+      val cells = bucketed.groupBy("g", "bkt").agg(sum(col("c")).as("bc"))
+      val wc = Window.partitionBy("g").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cellMap = cells
+        .withColumn("cbelow", coalesce(sum(col("bc")).over(wc), lit(0L)))
+        .select(col("g"), col("bkt"), col("cbelow"))
+      val vw = Window.partitionBy("g", "bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(cellMap), Seq("g", "bkt"))
+        .withColumn("cb",
+          coalesce(sum(col("c")).over(vw), lit(0L)) + col("cbelow"))
+        .withColumn("w", expr("c * (cb + 1) + (c * (c - 1)) DIV 2"))
+        .groupBy("g")
+        .agg(sum(col("c")).as("n"),
+          sum(col("v").cast("decimal(18,2)") *
+            col("c").cast("decimal(18,0)")).as("s1"),
+          sum(col("v").cast("decimal(18,2)") *
+            col("w").cast("decimal(18,0)")).as("s2"))
+        .select(col("g").as("priority"), col("n"),
+          round(col("s1").cast("double"), 2).as("total"),
+          graft.functions.Num.pin(lit(2.0) * col("s2").cast("double") /
+              (col("n") * col("s1").cast("double")) -
+            (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+        .orderBy("priority")
+    }
+
     val q = graft.operators.AggOps.queries
     // warm
     noop(byVal0); noop(byValRange(byVal0))
@@ -137,8 +246,10 @@ object AggProbe {
       "full-wm-bucketed     " -> (() => { clear(); wmBucketed().count(); () }),
       "full-lorenz          " -> (() => { clear()
         q("agg_lorenz")(spark, dir).count(); () }),
+      "full-lorenz-bucketed " -> (() => { clear(); lorenzBucketed().count(); () }),
       "full-gini            " -> (() => { clear()
-        q("agg_gini")(spark, dir).count(); () })
+        q("agg_gini")(spark, dir).count(); () }),
+      "full-gini-bucketed   " -> (() => { clear(); giniBucketed().count(); () })
     )
     val acc = chans.map(_ => Vector.newBuilder[Double])
     for (_ <- 1 to passes; ((_, f), i) <- chans.zipWithIndex)
@@ -155,6 +266,20 @@ object AggProbe {
     println(s"equality current==bucketed: ${cur == bkt}")
     println(s"  current : ${cur.mkString(" | ")}")
     println(s"  bucketed: ${bkt.mkString(" | ")}")
+    clear()
+    val lzCur = q("agg_lorenz")(spark, dir).collect().toSeq
+    clear()
+    val lzBkt = lorenzBucketed().collect().toSeq
+    println(s"equality lorenz current==bucketed: ${lzCur == lzBkt}")
+    println(s"  current : ${lzCur.mkString(" | ")}")
+    println(s"  bucketed: ${lzBkt.mkString(" | ")}")
+    clear()
+    val giCur = q("agg_gini")(spark, dir).collect().toSeq
+    clear()
+    val giBkt = giniBucketed().collect().toSeq
+    println(s"equality gini current==bucketed: ${giCur == giBkt}")
+    println(s"  current : ${giCur.mkString(" | ")}")
+    println(s"  bucketed: ${giBkt.mkString(" | ")}")
     spark.stop()
   }
 }

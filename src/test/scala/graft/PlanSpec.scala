@@ -246,7 +246,8 @@ class PlanSpec extends SparkSpec {
     "agg_chi2" -> "status x priority contingency cells",
     "agg_cramers_v" -> "lang x source contingency cells",
     "agg_theil" -> "per-group share terms over the bounded group set",
-    "agg_lorenz" -> "10-row decile table over the distinct-price collapse",
+    "agg_lorenz" -> ("<= WmBuckets bucket cells (least()-capped bucket " +
+      "map) + the <= 10-row decile table"),
     "ml_bootstrap_ci" -> "64 replicate means (B is a compile-time constant)",
     "ml_brier" -> "decile calibration bins",
     "ml_mrr" -> "rank windows over the one-probe LIMIT-10 candidate relation",
@@ -367,21 +368,41 @@ class PlanSpec extends SparkSpec {
     assert(partitioned.nonEmpty, "pid-partitioned rank window missing")
   }
 
-  test("agg_lorenz: cumulative windows are pid-partitioned; globals are bounded") {
-    // the r12 Lorenz deciles must ride the agg_gini range-partition +
-    // offsets discipline: any unpartitioned window either sorts the
-    // #partitions-row offsets table (key = pid) or is an order-free
-    // total over the ≤10-row decile histogram (empty key set) — never a
-    // sorted window over the near-unique price domain
+  test("agg_lorenz: unpartitioned windows ride bounded domains; the exact " +
+      "pass is bkt-partitioned; no range shuffle or cache of the price domain") {
+    // r18 opt: the deciles ride the agg_weighted_median bucket
+    // discipline. Any unpartitioned window sorts only compile-bounded
+    // domains — bkt (≤ WmBuckets cells, the least()-capped bucket map) or
+    // decile (≤ 10 rows post-groupBy) — or is an order-free total (empty
+    // key set); the exact within-bucket cumsum partitions on bkt. The
+    // corpus-sized distinct-price relation must cross NO range exchange
+    // and pin NO cache (the r16 form shuffled it twice more and persisted
+    // it).
     val df = graft.operators.AggOps.queries("agg_lorenz")(spark, SfDir)
     val global = unpartitionedWindowKeys(df)
-    assert(global.forall(k => k == Set("pid") || k.isEmpty),
-      s"agg_lorenz serializes the price domain through one task: $global")
-    val partitioned = df.queryExecution.sparkPlan.collect {
+    assert(global.forall(k =>
+        k.isEmpty || k == Set("bkt") || k == Set("decile")),
+      s"agg_lorenz serializes an unbounded domain through one task: $global")
+    val plan = df.queryExecution.sparkPlan
+    val straddle = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.nonEmpty => w
+          if w.partitionSpec.nonEmpty =>
+        w.partitionSpec.flatMap(_.references.map(_.name).toSeq).toSet
     }
-    assert(partitioned.nonEmpty, "pid-partitioned cumsum window missing")
+    assert(straddle.contains(Set("bkt")),
+      s"bkt-partitioned exact straddle window missing: $straddle")
+    val rangeEx = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }
+    assert(rangeEx.length <= 1,
+      // the one admissible range exchange is the output ORDER BY over the
+      // ≤10-row decile table; the r16 form added a second, corpus-sized one
+      s"the corpus-sized price relation crossed a range exchange: $rangeEx")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryRelation => c
+    }.isEmpty, "the price relation is pinned in cache again")
   }
 
   test("dedup_chunk and pipe_ppl_buckets window only on real partition keys") {
@@ -432,7 +453,7 @@ class PlanSpec extends SparkSpec {
     "agg_kendall_tau" -> ("value-domain pair self-join over the distinct " +
       "(quantity, discount) cells (bounded by the columns' value domains) " +
       "+ 1-row concordance/tie-term scalars"),
-    "agg_lorenz" -> "1-row corpus-total scalar onto the decile table",
+    "agg_lorenz" -> "1-row min/max bucket-range probe onto the distinct-price relation",
     "agg_simpson" -> "1-row grand-total scalar",
     "ml_ece" -> "1-row doc-count scalar onto the 10 calibration bins",
     "pipe_dsir_weights" -> "1-row per-side token-total scalars",
@@ -692,7 +713,8 @@ class PlanSpec extends SparkSpec {
       // order-free totals over bounded aggregates
       "agg_benford" -> "<= 9 leading-digit rows",
       "agg_chi2" -> "contingency cells bounded by |segments| x |flags|",
-      "agg_lorenz" -> "order-free total over the <= 10-row decile histogram",
+      "agg_lorenz" -> ("bkt cumsum over <= WmBuckets cells, decile cumsum " +
+        "+ order-free totals over the <= 10-row decile table"),
       "agg_theil" -> "order-free totals over the |nations|-row aggregate",
       "ann_hybrid_rerank" -> "LIMIT-bounded candidate set (top-k rerank)",
       "dedup_chunk" -> "order-free total over the bounded dup-chunk histogram",
