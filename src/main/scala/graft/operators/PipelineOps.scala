@@ -1720,7 +1720,9 @@ object PipelineOps {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      docs.join(TextOps.queries("text_unigram_ppl")(s, dir), "doc_id")
+      // session-shared per-doc cross-entropy (r18 opt — ONE derivation
+      // with text_unigram_ppl instead of re-running the two-scan LM)
+      docs.join(TextOps.unigramCe(s, dir), "doc_id")
         .groupBy(col("lang"), col("cross_entropy").as("ce"))
         .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("tok"))
         .withColumn("cum", sum(col("c")).over(wc))

@@ -52,6 +52,44 @@ object TextOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  private val unigramCeMemo = new SessionTableMemo(
+    "graft_unigram_ce_",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cross_entropy",
+        org.apache.spark.sql.types.DoubleType))))
+
+  /** Session-shared (r18 opt): the per-doc unigram-LM cross-entropy
+    * relation is ONE definition with two declared consumers
+    * (`text_unigram_ppl`, `pipe_ppl_buckets`), and each re-ran the full
+    * two-scan tokenize + vocab-broadcast derivation per query. The
+    * similarEdges/paaSegments write-once trade applies: the output is
+    * doc-cardinality × (long, double), the published entropy rounds at
+    * 4dp inside the derivation, and doubles round-trip parquet
+    * bit-exactly, so the shared values cannot fork between consumers. */
+  private[graft] def unigramCe(s: SparkSession, dir: String): DataFrame =
+    unigramCeMemo.get(s, dir)(deriveUnigramCe(s, dir))
+
+  private def deriveUnigramCe(s: SparkSession, dir: String): DataFrame = {
+    // No persist: the tf subtree is one codegen'd explode+partial-agg
+    // scan, cheaper to recompute for the vocabulary-sized freq branch
+    // than to build a columnar cache of every (doc, token) partial.
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+    // vocabulary-cardinality frequency table: size-conditional broadcast
+    val freq = Bcast.vocabHinted(
+      tf.groupBy("token").agg(sum(col("tf")).as("cnt")),
+      length(col("token")))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    tf.join(freq, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * -log(col("cnt") / col("total"))) /
+        sum(col("tf")), 4).as("cross_entropy"))
+  }
+
   /** Count of tokens that appear in `list` (with multiplicity). */
   private def stopCount(toks: Column, list: Seq[String]): Column =
     size(filter(toks, t => t.isin(list: _*)))
@@ -680,25 +718,8 @@ object TextOps {
     // is vocabulary-sized and broadcasts back; the per-doc aggregation
     // shuffles (doc_id, token) partials only, so the plan is two linear
     // scans + one bounded shuffle at any corpus size.
-    "text_unigram_ppl" -> ((s, dir) => {
-      // No persist: the tf subtree is one codegen'd explode+partial-agg
-      // scan, cheaper to recompute for the vocabulary-sized freq branch
-      // than to build a columnar cache of every (doc, token) partial.
-      val tf = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
-      // vocabulary-cardinality frequency table: size-conditional broadcast
-      val freq = Bcast.vocabHinted(
-        tf.groupBy("token").agg(sum(col("tf")).as("cnt")),
-        length(col("token")))
-      val total = freq.agg(sum(col("cnt")).as("total"))
-      tf.join(freq, "token")
-        .crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(round(sum(col("tf") * -log(col("cnt") / col("total"))) /
-          sum(col("tf")), 4).as("cross_entropy"))
-        .orderBy("doc_id")
-    }),
+    "text_unigram_ppl" -> ((s, dir) =>
+      unigramCe(s, dir).orderBy("doc_id")),
 
     // BM25 ranked retrieval (k1=1.2, b=0.75, Lucene-style idf with the
     // +1 smoothing) over the search terms — the relevance ranking `$text`
@@ -802,31 +823,41 @@ object TextOps {
     // Per-doc n-gram novelty — the memorization-risk datasheet: what
     // fraction of a document's distinct word trigrams appears in NO other
     // document? Low novelty = boilerplate/template mass (dedup fodder);
-    // high novelty = uniquely-contributed text. Three linear passes: one
-    // explode → DISTINCT (doc, gram) shuffle, a gram-keyed df count
-    // (since each (doc, gram) is distinct, count(*) IS the document
-    // frequency), and the join back on gram — every exchange keyed by
-    // gram or doc_id, never a pairwise compare, so the plan is
-    // corpus-linear where a naive "compare against the rest" is n².
-    // Docs shorter than 3 tokens have no trigram and drop out (inner
-    // join semantics, both engines).
+    // high novelty = uniquely-contributed text. r18 opt: per-doc
+    // distinctness moves into the ARRAY domain (array_distinct before the
+    // explode — codegen'd, per row), which deletes the corpus-wide
+    // DISTINCT exchange the r12 form paid, and a df==1 gram names its
+    // unique document via min(doc_id) inside the SAME gram aggregation —
+    // so the (doc, gram) relation never joins back on gram at all. ONE
+    // corpus-scale exchange total (the map-side-combined gram count; the
+    // r12 form crossed three and built a gram-keyed join), then two
+    // doc-cardinality long-pair relations meet on doc_id. n_grams comes
+    // from the per-doc array size in the scan projection — the identical
+    // integer the old groupBy counted, since the exploded rows WERE that
+    // array. Docs shorter than 3 tokens have no trigram and drop out
+    // (n_grams > 0 filter — the old inner join's semantics).
     "text_ngram_novelty" -> ((s, dir) => {
       val t = tokens(col("text"))
       // greatest(·, 0): a <3-token doc has no trigram; a negative slice
       // length is a runtime error, an empty slice is the correct answer
       val n3 = greatest(size(t) - 2, lit(0))
-      val g = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(t, lit(1), n3), slice(t, lit(2), n3),
-          slice(t, lit(3), n3))).as("p"))
-        .select(col("doc_id"), concat_ws(" ", col("p").getField("0"),
-          col("p").getField("1"), col("p").getField("2")).as("gram"))
-        .distinct()
-      val df = g.groupBy("gram").agg(count(lit(1)).as("df"))
-      g.join(df, "gram")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      val gArr = array_distinct(transform(arrays_zip(
+        slice(t, lit(1), n3), slice(t, lit(2), n3), slice(t, lit(3), n3)),
+        p => concat_ws(" ", p.getField("0"), p.getField("1"),
+          p.getField("2"))))
+      val novel = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(gArr).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d1"))
+        .filter(col("df") === 1)
+        .groupBy(col("d1").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(gArr).cast("long").as("n_grams"))
+        .filter(col("n_grams") > 0)
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty", graft.functions.Num.pin(
           col("n_novel").cast("double") / col("n_grams"), 6))
         .orderBy("doc_id")

@@ -458,7 +458,6 @@ class PlanSpec extends SparkSpec {
     "ml_ece" -> "1-row doc-count scalar onto the 10 calibration bins",
     "pipe_dsir_weights" -> "1-row per-side token-total scalars",
     "pipe_expectations" -> "1-row scan-check x 1-row orphan-count datasheet",
-    "pipe_ppl_buckets" -> "1-row tercile-cut scalars per language fold",
     "text_bm25" -> "1-row corpus avgdl/N scalar",
     "text_burstiness" -> "1-row corpus token-total scalar",
     "text_collocations" -> "1-row bigram-total scalar",
@@ -466,7 +465,6 @@ class PlanSpec extends SparkSpec {
     "text_kn_bigram" -> "1-row continuation/type-count scalars",
     "text_lang_kappa" -> "1-row agreement-total scalar",
     "text_tfidf" -> "1-row document-count scalar",
-    "text_unigram_ppl" -> "1-row vocab/token-total scalar",
     "text_vocab_coverage" -> "1-row token-mass-total scalar",
     "ts_resid_anomaly" -> "1-row residual median/MAD scalars",
     "zorder_layout" -> "1-row domain-max normalization scalar",
@@ -531,9 +529,9 @@ class PlanSpec extends SparkSpec {
     "agg_assoc_rules", "agg_bloom_members",
     "agg_equidepth", "agg_lorenz", "agg_simpson",
     "ml_ece", "ml_bootstrap_ci", "ml_permutation_test",
-    "pipe_dsir_weights", "pipe_expectations", "pipe_ppl_buckets",
+    "pipe_dsir_weights", "pipe_expectations",
     "text_bm25", "text_burstiness", "text_collocations", "text_kl_drift",
-    "text_kn_bigram", "text_lang_kappa", "text_tfidf", "text_unigram_ppl",
+    "text_kn_bigram", "text_lang_kappa", "text_tfidf",
     "text_vocab_coverage", "ts_resid_anomaly", "zorder_layout",
     "graph_betweenness", "graph_eigenvector", "graph_modularity",
     "graph_pagerank", "graph_summary", "graph_transitivity")
