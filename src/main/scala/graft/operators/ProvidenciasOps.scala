@@ -312,6 +312,46 @@ object ProvidenciasOps {
     (1 to iters).foldLeft(l0)((l, _) => step(l))
   }
 
+  private val propLabelsMemo = new SessionTableMemo(
+    "graft_prop_labels_",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lbl",
+        org.apache.spark.sql.types.LongType))))
+
+  /** Session-shared (r18 opt): the 2-superstep [[labelPropagate]] labels
+    * over the SIMILAR graph are ONE community definition with two
+    * declared consumers (`graph_label_prop`, `graph_modularity` — the
+    * oracle already nests the shared CTE chain), and each re-ran both
+    * supersteps per query. The similarEdges/clusterLabels write-once
+    * trade applies: labels are node-cardinality × 2 longs, and the
+    * deterministic (count desc, min label) tiebreak makes the derivation
+    * replayable, so the shared table cannot fork between consumers. The
+    * edge persist is session-housekept (localCheckpoint forces the
+    * labels before the unpersist — the clusterLabels discipline). */
+  private[graft] def propLabels(s: SparkSession, dir: String): DataFrame =
+    propLabelsMemo.get(s, dir)(derivePropLabels(s, dir))
+
+  /** Labels are DERIVED from the shared edge table — evicted with it by
+    * [[SimilarityOps.evictSharedEdges]] (the pivotBfs invariant). */
+  private[graft] def evictPropLabels(s: SparkSession): Unit =
+    propLabelsMemo.evict(s)
+
+  private def derivePropLabels(s: SparkSession, dir: String): DataFrame = {
+    val tri = SimilarityOps.similarEdges(s, dir)
+      .select(col("src"), col("dst"))
+    val e = tri.select(explode(array(
+      struct(col("src").as("s"), col("dst").as("d")),
+      struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+      .select(col("p.s").as("s"), col("p.d").as("d"))
+      .persist()
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+    val labels = labelPropagate(e, nodes, iters = 2).localCheckpoint()
+    e.unpersist()
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — full collection scan (reference: collection.find({}), :31-32)
     "scan_documents" -> ((s, dir) => docs(s, dir).orderBy("doc_id")),
@@ -520,22 +560,13 @@ object ProvidenciasOps {
     // `graph_pagerank`, label relation stays node-cardinality, so the
     // plan survives any edge count. Iteration count is a plan-construction
     // scalar (fixed 2: synchronous LPA is oscillation-prone, so production
-    // runs cap supersteps rather than loop to convergence).
-    "graph_label_prop" -> ((s, dir) => {
-      val tri = SimilarityOps.similarEdges(s, dir)
-        .select(col("src"), col("dst"))
-      // symmetrize once and persist: 2 supersteps × 1 scan each would
-      // otherwise re-run the pairwise derivation per iteration
-      val e = tri.select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d")),
-        struct(col("dst").as("s"), col("src").as("d")))).as("p"))
-        .select(col("p.s").as("s"), col("p.d").as("d"))
-        .persist()
-      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
-      labelPropagate(e, nodes, iters = 2)
+    // runs cap supersteps rather than loop to convergence). r18 opt: the
+    // labels derive once per session ([[propLabels]]) and are shared with
+    // `graph_modularity` — one community definition, one computation.
+    "graph_label_prop" -> ((s, dir) =>
+      propLabels(s, dir)
         .select(col("id").as("node_id"), col("lbl").as("community"))
-        .orderBy("node_id")
-    }),
+        .orderBy("node_id")),
 
     // Newman modularity Q of the label-propagation communities (r11) —
     // the score that says whether the detected communities are real
@@ -561,7 +592,9 @@ object ProvidenciasOps {
         .persist()
       val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
       val nNodes = nodeCountMemo.getOrElseUpdate(s, dir)(nodes.count())
-      val labels = labelPropagate(e, nodes, iters = 2).persist()
+      // session-shared labels (r18 opt) — one labelPropagate run with
+      // graph_label_prop instead of re-running both supersteps here
+      val labels = propLabels(s, dir)
       val el = e
         .join(Bcast.ifFitsRows(
           labels.select(col("id").as("s"), col("lbl").as("cs")), nNodes, 16), "s")

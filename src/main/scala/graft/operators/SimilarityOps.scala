@@ -189,8 +189,8 @@ object SimilarityOps {
     * assertions on the DERIVATION need the next call to re-derive) AND
     * delete their scratch directories — the memo value is the path, so
     * evict/re-derive cycles must not orphan parquet dirs (r13 advice).
-    * The pivot-BFS levels are DERIVED from this edge table, so they
-    * evict with it. */
+    * The pivot-BFS levels and the propagation labels are DERIVED from
+    * this edge table, so they evict with it. */
   def evictSharedEdges(s: SparkSession): Unit = {
     edgeMemo.removeAll(s).foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -198,6 +198,7 @@ object SimilarityOps {
       ()
     }
     ProvidenciasOps.evictPivotBfs(s)
+    ProvidenciasOps.evictPropLabels(s)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
