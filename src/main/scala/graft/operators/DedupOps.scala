@@ -798,24 +798,53 @@ object DedupOps {
     // one-token edit. Chunks fingerprint to 16-byte md5 keys (the only
     // thing the cluster shuffle carries), clusters histogram by size,
     // and the duplicate-token mass prices what chunk-level scrubbing
-    // would reclaim. Windows are doc-partitioned (high-cardinality key);
-    // the pct window runs over the bounded histogram only.
+    // would reclaim. r18 opt: because the boundary gate is per-token
+    // LOCAL, the whole cut happens in the ARRAY domain inside the scan
+    // projection (boundary positions → chunk start offsets → one
+    // (n_toks, fp) struct per chunk, all codegen'd higher-order
+    // functions) — the r12 form instead exploded every token through a
+    // doc-keyed exchange, sorted a per-doc window for the boundary
+    // cumsum, and rebuilt chunks with a collect_list object aggregate:
+    // two corpus-scale shuffles of token rows for a value that is a
+    // pure row-local function. Now the only corpus-scale exchange is
+    // the map-side-combined fp groupBy; the pct window still runs over
+    // the bounded histogram only. Chunk token counts and fingerprints
+    // are the identical integers/strings (same positions, same order,
+    // same " " join), so the oracle is unchanged.
     "dedup_chunk" -> ((s, dir) => {
       val tot = Window.partitionBy()
-      val wdoc = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = col("t")
+      // 1-based boundary positions; a boundary token STARTS a new chunk
+      // (its own gate bit counted the old cumsum's currentRow)
+      val bpos = filter(sequence(lit(1), size(t)), i =>
+        conv(substring(md5(element_at(t, i)), 1, 4), 16, 10).cast("int")
+          % 8 === 0)
+      // chunk start offsets: position 1 opens chunk 0 unless the first
+      // token is itself a boundary (then there is no pre-boundary chunk);
+      // get() is the null-safe probe (0-based), so an empty bpos falls
+      // through to the otherwise branch. Staged through Projects so each
+      // array is an ATTRIBUTE where it is referenced more than once —
+      // CollapseProject keeps multi-referenced non-cheap aliases
+      // materialized, and the zip_with lambda sees only its element
+      // variables (a lambda referencing the starts EXPRESSION would
+      // re-evaluate the whole md5 boundary filter per chunk — measured
+      // 57 s at sf0.1, the reason this staging is load-bearing).
+      val starts = when(get(bpos, lit(0)) === 1, bpos)
+        .otherwise(concat(array(lit(1)), bpos))
+      // next-start array: starts shifted left, padded with n+1 past the
+      // last chunk, so (st, nx) pairs line up positionally
+      val nexts = concat(
+        slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+        array(size(t) + 1))
+      val chunksCol = zip_with(col("starts"), col("nexts"), (st, nx) =>
+        struct((nx - st).cast("long").as("n_toks"),
+          md5(concat_ws(" ", slice(t, st, nx - st))).as("fp")))
       val chunks = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-        .withColumn("b", when(
-          conv(substring(md5(col("token")), 1, 4), 16, 10).cast("int")
-            % 8 === 0, 1L).otherwise(0L))
-        .withColumn("chunk_id", sum(col("b")).over(wdoc))
-        .groupBy("doc_id", "chunk_id")
-        .agg(count(lit(1)).as("n_toks"),
-          md5(concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("pos"), col("token")))),
-            x => x.getField("token")))).as("fp"))
+        .select(split(col("text"), " ").as("t"))
+        .select(t, starts.as("starts"))
+        .select(t, col("starts"), nexts.as("nexts"))
+        .select(explode(chunksCol).as("c"))
+        .select(col("c.n_toks").as("n_toks"), col("c.fp").as("fp"))
       chunks.groupBy("fp")
         .agg(count(lit(1)).as("cluster_size"), min(col("n_toks")).as("n_toks"))
         .withColumn("dup", col("n_toks") * (col("cluster_size") - 1))
